@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable operator: a Spark implementation plus (where the
+  * semantics are ANSI-SQL-expressible) a DuckDB oracle over the same
+  * parquet tables. `headline = true` marks it for the benchmark set.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false,
+)
+
+/** Testdata table access ([[TESTDATA.md]]): one parquet file per table. */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is nanosecond parquet, which Spark 4 rejects outright.
+      // Read nanos as long and truncate to a microsecond timestamp — the
+      // same truncation DuckDB's CAST(ts AS TIMESTAMP) applies, so both
+      // engines see identical instants.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+}

@@ -1,13 +1,45 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator registers a [[QueryDef]] in one of the
+  * `graft.queries.*` modules; this object only aggregates them. Each def
+  * carries its DuckDB oracle SQL (same column names and ORDER BY) unless
+  * the semantics are not ANSI-expressible, in which case a ScalaTest spec
+  * covers it instead and the driver records a rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  def allDefs: Seq[QueryDef] =
+    queries_.values.toSeq
+
+  private lazy val queries_ : Map[String, QueryDef] = {
+    val defs =
+      graft.queries.Relational.defs ++
+        graft.queries.ReferenceOps.defs
+    defs.map(d => d.name -> d).toMap
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full reference view-cascade shape: explode → broadcast left join
+    * → collect/flatten/distinct → array filter → boolean flag.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    graft.queries.ReferenceOps.genrePipeline(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queries_.map { case (k, d) => k -> d.fn }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    queries_.flatMap { case (k, d) => d.oracle.map(k -> _) }
+
+  /** Names run by [[Bench]] (headline subset). */
+  def benchQueries: Seq[String] =
+    queries_.values.filter(_.headline).map(_.name).toSeq.sorted
 }

@@ -1,0 +1,242 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.etl.TemporalFixups
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's operator inventory (SURVEY.md §2) re-expressed over
+  * the shared testdata tables so the DuckDB oracle can gate each one:
+  * A1 argMax latest-state, A2 groupArray, J1/J2 explode+left-join, the
+  * P1-style JSON normalization, the MV's temporal fixups, and the full
+  * §2.7 scalar/array function surface.
+  */
+object ReferenceOps {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** A1 (002:9-15): latest state per key. The deterministic form — rank
+    * by (ts, unique id) — equals ClickHouse argMax up to tie-breaks.
+    */
+  def a1LatestState(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  // Events ts is nanosecond parquet; Spark truncates to micros on read, so
+  // the oracle orders by the micro-truncated CAST for identical tie-sets.
+  val a1LatestStateOracle: String =
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** A1 as a true argMax aggregate: `max_by` over a unique ordering key. */
+  def a1ArgMax(s: SparkSession, dir: String): DataFrame = {
+    Tables.t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(col("event_type"), col("event_id")).as("last_event_type"),
+        max(col("event_id")).as("last_event_id"),
+        max(col("value")).as("max_value"),
+      )
+      .orderBy(col("user_id"))
+  }
+
+  val a1ArgMaxOracle: String =
+    """SELECT user_id, arg_max(event_type, event_id) AS last_event_type,
+      | MAX(event_id) AS last_event_id, MAX(value) AS max_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** A2 (002:32-44 `groupArray`): collect per-group values; canonicalized
+    * as a sorted distinct array (order-insensitive semantics, see
+    * TechnoViews scale notes).
+    */
+  def a2GroupArray(s: SparkSession, dir: String): DataFrame = {
+    Tables.t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sort_array(collect_set(col("event_type"))).as("event_types"),
+        sum(dec(col("value"))).cast(DoubleType).as("total_value"),
+      )
+      .orderBy(col("user_id"))
+  }
+
+  val a2GroupArrayOracle: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      | list_sort(list(DISTINCT event_type)) AS event_types,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** The full genre-pipeline cascade (002:18-58) over `documents`:
+    * explode tokens (J2/arrayJoin) → left join a latest-state dim (J1) →
+    * groupArray (A2) → flatten → lower → distinct → arrayFilter →
+    * length(matched) > 0. Structure-identical to
+    * [[graft.views.TechnoViews]]; this instance is DuckDB-checkable.
+    */
+  def genrePipeline(s: SparkSession, dir: String): DataFrame = {
+    val docTok = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val dim = docTok.select(col("token"), col("lang")).distinct()
+      .groupBy(col("token"))
+      .agg(sort_array(collect_set(col("lang"))).as("langs"))
+    val grouped = docTok.alias("ta")
+      .join(broadcast(dim.alias("al")), Seq("token"), "left")
+      .groupBy(col("ta.doc_id"))
+      .agg(array_sort(array_distinct(transform(
+        flatten(collect_list(coalesce(col("al.langs"), array().cast("array<string>")))),
+        l => lower(l)))).as("all_langs"))
+    val matched = filter(col("all_langs"), l => l.contains("zh"))
+    grouped.select(
+      col("doc_id"), col("all_langs"), matched.as("matched"),
+      (size(matched) > 0).as("has_zh"),
+    ).orderBy(col("doc_id"))
+  }
+
+  val genrePipelineOracle: String =
+    """WITH dt AS (
+      |  SELECT doc_id, lang, token FROM (
+      |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      |    FROM documents) WHERE token <> ''),
+      |dim AS (
+      |  SELECT token, list_sort(list(DISTINCT lang)) AS langs
+      |  FROM dt GROUP BY token),
+      |tg AS (
+      |  SELECT dt.doc_id,
+      |    list_sort(list_distinct(list_transform(
+      |      flatten(list(COALESCE(dim.langs, []))), l -> lower(l)))) AS all_langs
+      |  FROM dt LEFT JOIN dim ON dt.token = dim.token
+      |  GROUP BY dt.doc_id)
+      |SELECT doc_id, all_langs,
+      |  list_filter(all_langs, l -> contains(l, 'zh')) AS matched,
+      |  len(list_filter(all_langs, l -> contains(l, 'zh'))) > 0 AS has_zh
+      |FROM tg ORDER BY doc_id""".stripMargin
+
+  /** P1-style JSON normalization: schema-on-read extract + null
+    * defaulting + typed cast + filter (spotify_metadata_to_kafka.py:30-49).
+    */
+  def p1JsonNormalize(s: SparkSession, dir: String): DataFrame = {
+    val kSchema = StructType(Seq(StructField("k", IntegerType)))
+    Tables.t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        coalesce(from_json(col("props"), kSchema).getField("k"), lit(0)).as("k"))
+      .filter(col("k") > 50)
+      .orderBy(col("event_id"))
+  }
+
+  val p1JsonNormalizeOracle: String =
+    """SELECT event_id, user_id,
+      | COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), 0) AS k
+      |FROM events
+      |WHERE COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), 0) > 50
+      |ORDER BY event_id""".stripMargin
+
+  /** The MV's temporal fixups (001:53-73) driven through five input
+    * shapes: year-only, plain date, ISO timestamp, garbage, empty.
+    */
+  def dateFixup(s: SparkSession, dir: String): DataFrame = {
+    val shape = pmod(col("o_orderkey"), lit(5))
+    val raw = when(shape === 0, date_format(col("o_orderdate"), "yyyy"))
+      .when(shape === 1, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .when(shape === 2, date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      .when(shape === 3, lit("not-a-date"))
+      .otherwise(lit(""))
+    Tables.t(s, dir, "orders")
+      .select(col("o_orderkey"), raw.as("raw_str"),
+        TemporalFixups.releaseDateFix(raw).as("release_date"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val dateFixupOracle: String =
+    """SELECT o_orderkey, raw_str,
+      | COALESCE(TRY_CAST(
+      |   CASE WHEN length(raw_str) = 4 AND regexp_matches(raw_str, '^[0-9]{4}$')
+      |        THEN raw_str || '-01-01'
+      |        ELSE substr(raw_str, 1, 10) END AS DATE),
+      |  DATE '1970-01-01') AS release_date
+      |FROM (
+      |  SELECT o_orderkey,
+      |    CASE mod(o_orderkey, 5)
+      |      WHEN 0 THEN strftime(o_orderdate, '%Y')
+      |      WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+      |      WHEN 2 THEN strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ')
+      |      WHEN 3 THEN 'not-a-date'
+      |      ELSE '' END AS raw_str
+      |  FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** §2.7 string/conditional scalar function surface in one projection. */
+  def scalarFunctions(s: SparkSession, dir: String): DataFrame = {
+    Tables.t(s, dir, "documents").select(
+      col("doc_id"),
+      lower(col("source")).as("lower_source"),
+      upper(col("lang")).as("upper_lang"),
+      trim(col("text")).as("trimmed").substr(lit(1), lit(20)).as("prefix20"),
+      length(col("text")).as("text_len"),
+      concat(col("lang"), lit("-"), col("source")).as("lang_source"),
+      col("text").contains("join").as("has_join"),
+      col("source").rlike("^src[0-9]+$").as("src_shaped"),
+      when(col("n_chars") > 300, lit("long")).otherwise(lit("short")).as("size_class"),
+      coalesce(nullif(col("lang"), lit("en")), lit("EN")).as("lang_or_default"),
+    ).orderBy(col("doc_id"))
+  }
+
+  val scalarFunctionsOracle: String =
+    """SELECT doc_id,
+      | lower(source) AS lower_source,
+      | upper(lang) AS upper_lang,
+      | substr(trim(text), 1, 20) AS prefix20,
+      | length(text) AS text_len,
+      | lang || '-' || source AS lang_source,
+      | contains(text, 'join') AS has_join,
+      | regexp_matches(source, '^src[0-9]+$') AS src_shaped,
+      | CASE WHEN n_chars > 300 THEN 'long' ELSE 'short' END AS size_class,
+      | COALESCE(NULLIF(lang, 'en'), 'EN') AS lang_or_default
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** §2.7 array function surface (transform/filter/flatten/distinct/
+    * slice/size) over tokenized documents.
+    */
+  def arrayFunctions(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.t(s, dir, "documents").select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      array_sort(array_distinct(toks)).as("distinct_tokens"),
+      transform(toks, t => length(t)).as("token_lens"),
+      filter(toks, t => length(t) > 4).as("long_tokens"),
+      flatten(array(slice(toks, 1, 3), slice(toks, 1, 2))).as("flat_slices"),
+    ).orderBy(col("doc_id"))
+  }
+
+  val arrayFunctionsOracle: String =
+    """SELECT doc_id,
+      | len(string_split(text, ' ')) AS n_tokens,
+      | list_sort(list_distinct(string_split(text, ' '))) AS distinct_tokens,
+      | list_transform(string_split(text, ' '), t -> length(t)) AS token_lens,
+      | list_filter(string_split(text, ' '), t -> length(t) > 4) AS long_tokens,
+      | flatten([string_split(text, ' ')[1:3], string_split(text, ' ')[1:2]]) AS flat_slices
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("a1_latest_state", a1LatestState, Some(a1LatestStateOracle)),
+    QueryDef("a1_argmax", a1ArgMax, Some(a1ArgMaxOracle)),
+    QueryDef("a2_group_array", a2GroupArray, Some(a2GroupArrayOracle)),
+    QueryDef("j2_genre_pipeline", genrePipeline, Some(genrePipelineOracle), headline = true),
+    QueryDef("p1_json_normalize", p1JsonNormalize, Some(p1JsonNormalizeOracle)),
+    QueryDef("fx_date_fixup", dateFixup, Some(dateFixupOracle)),
+    QueryDef("fn_scalar_suite", scalarFunctions, Some(scalarFunctionsOracle)),
+    QueryDef("fn_array_suite", arrayFunctions, Some(arrayFunctionsOracle)),
+  )
+}

@@ -1,0 +1,281 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core relational operator coverage (scan/filter/project, joins of all
+  * types, hash aggregation, windows, set ops, rollup) over the shared
+  * TPC-H-ish testdata.
+  *
+  * Float discipline: money-ish doubles are cast to DECIMAL(18,2) before
+  * summation so results are exact, deterministic under any partitioning /
+  * aggregation order, and bit-identical to the DuckDB oracle; final
+  * values are cast back to DOUBLE for a stable cross-engine schema.
+  *
+  * Scale notes: aggregations are partial→final hash aggs (one shuffle on
+  * the group keys); genuinely small dims (region, nation) carry explicit
+  * `broadcast` hints; fact-fact joins are left to Catalyst/AQE which
+  * shuffle-hash or sort-merge on the join key and handle skew at runtime.
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def one: Column = lit(1).cast(DecimalType(3, 2)) // exact 1.00
+
+  /** TPC-H Q1-shaped pricing summary: full-scan + 2-key hash agg. */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))) * (one + dec(col("l_tax"))))
+          .cast(DoubleType).as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        (sum(dec(col("l_discount"))).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"),
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1PricingOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(18,2))) * (1.00 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      | CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      | COUNT(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-shaped: selective dim filter → two fact joins → agg → top-k. */
+  def q3TopOrders(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_timestamp(lit("1998-01-01"))
+    val cust = Tables.t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+    val li = Tables.t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3TopOrdersOracle: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-shaped: 6-way star join, revenue by nation. */
+  def q5RegionVolume(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = Tables.t(s, dir, "nation")
+    val cust = Tables.t(s, dir, "customer")
+    val ord = Tables.t(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1999-01-01")))
+    val li = Tables.t(s, dir, "lineitem")
+    val supp = Tables.t(s, dir, "supplier")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5RegionVolumeOracle: String =
+    """SELECT n_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Semi join (EXISTS): orders having at least one returned lineitem. */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.t(s, dir, "orders")
+    val returned = Tables.t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    ord.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val semiJoinOracle: String =
+    """SELECT o_orderkey, o_orderstatus FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Anti join (NOT EXISTS): customers with no orders. */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.t(s, dir, "customer")
+    val ord = Tables.t(s, dir, "orders")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val antiJoinOracle: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left outer join against a filtered dim, null side defaulted —
+    * the J1 shape (002_views_techno.sql:41-43 + :36).
+    */
+  def leftJoinDim(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.t(s, dir, "customer")
+      .filter(col("c_acctbal") > 0)
+      .select(col("c_custkey"), col("c_name"))
+    Tables.t(s, dir, "orders")
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"), "left")
+      .select(
+        col("o_orderkey"),
+        coalesce(col("c_name"), lit("")).as("cust_name"),
+        col("c_custkey").isNull.as("unmatched"),
+      )
+      .orderBy(col("o_orderkey"))
+  }
+
+  val leftJoinDimOracle: String =
+    """SELECT o_orderkey, COALESCE(c_name, '') AS cust_name,
+      |  c_custkey IS NULL AS unmatched
+      |FROM orders LEFT JOIN
+      |  (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 0) d
+      |  ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Ranking window: top-3 orders per customer by totalprice. */
+  def windowTopK(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val windowTopKOracle: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Running-total window over an ordered event stream, exact decimal. */
+  def windowRunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.t(s, dir, "events")
+      .withColumn("running_value", sum(dec(col("value"))).over(w).cast(DoubleType))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val windowRunningSumOracle: String =
+    """SELECT user_id, event_id, event_type,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      |   PARTITION BY user_id ORDER BY event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  /** UNION / INTERSECT / EXCEPT in one result, tagged per branch. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+    def users(tpe: String) = ev.filter(col("event_type") === tpe)
+      .select(col("user_id")).distinct()
+    val buyers = users("purchase")
+    val erroring = users("error")
+    buyers.intersect(erroring).select(lit("both").as("op"), col("user_id"))
+      .unionByName(buyers.except(erroring).select(lit("buy_only").as("op"), col("user_id")))
+      .unionByName(buyers.union(erroring).distinct()
+        .select(lit("either").as("op"), col("user_id")))
+      .orderBy(col("op"), col("user_id"))
+  }
+
+  val setOpsOracle: String =
+    """WITH b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+      |     e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+      |SELECT 'both' AS op, user_id FROM (SELECT user_id FROM b INTERSECT SELECT user_id FROM e)
+      |UNION ALL
+      |SELECT 'buy_only' AS op, user_id FROM (SELECT user_id FROM b EXCEPT SELECT user_id FROM e)
+      |UNION ALL
+      |SELECT 'either' AS op, user_id FROM (SELECT user_id FROM b UNION SELECT user_id FROM e)
+      |ORDER BY op, user_id""".stripMargin
+
+  /** ROLLUP grouping-sets aggregation with explicit null ordering. */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val rollupAggOracle: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Distinct aggregate alongside plain aggregates. */
+  def distinctAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_lines"),
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+      )
+      .orderBy(col("l_suppkey"))
+  }
+
+  val distinctAggOracle: String =
+    """SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_lines,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q1_pricing", q1Pricing, Some(q1PricingOracle), headline = true),
+    QueryDef("q3_top_orders", q3TopOrders, Some(q3TopOrdersOracle), headline = true),
+    QueryDef("q5_region_volume", q5RegionVolume, Some(q5RegionVolumeOracle), headline = true),
+    QueryDef("join_semi", semiJoin, Some(semiJoinOracle)),
+    QueryDef("join_anti", antiJoin, Some(antiJoinOracle)),
+    QueryDef("j1_left_join_dim", leftJoinDim, Some(leftJoinDimOracle)),
+    QueryDef("w1_window_topk", windowTopK, Some(windowTopKOracle), headline = true),
+    QueryDef("w2_running_sum", windowRunningSum, Some(windowRunningSumOracle)),
+    QueryDef("set_ops", setOps, Some(setOpsOracle)),
+    QueryDef("rollup_agg", rollupAgg, Some(rollupAggOracle)),
+    QueryDef("distinct_agg", distinctAgg, Some(distinctAggOracle)),
+  )
+}
