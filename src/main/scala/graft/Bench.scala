@@ -1,24 +1,53 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Per-query wall time over the headline set, one JSON
+  * line on stdout (driver contract).
+  *
+  * Measurement discipline (VERDICT r1 #7):
+  *  - full materialization via a `noop`-format write, so Catalyst cannot
+  *    prune projections the way it can under `.count()`;
+  *  - fixed (sorted) query order + one untimed warmup pass of the first
+  *    query, so JVM/codegen warmup doesn't land in the first measurement;
+  *  - failures are surfaced in an `errors` map and excluded from `value`
+  *    instead of being blended in as fake timings.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val spark = Sessions.local("graft-bench")
+    // Bench everything (sorted = stable order run-over-run) so per-query
+    // timings stay comparable with BENCH_r01, which ran the full set.
+    val defs = SparkEntry.queries
+    val names = defs.keys.toSeq.sorted
+
+    def runOnce(name: String): Unit =
+      defs(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+
+    // Warmup: absorb JVM/codegen/parquet-footer first-touch cost.
+    names.headOption.foreach { n =>
+      try runOnce(n) catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    names.foreach { name =>
+      val t0 = System.nanoTime()
+      try {
+        runOnce(name)
+        times(name) = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
+    }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = times.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

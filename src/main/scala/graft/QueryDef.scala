@@ -21,10 +21,11 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is nanosecond parquet, which Spark 4 rejects outright.
-      // Read nanos as long and truncate to a microsecond timestamp — the
-      // same truncation DuckDB's CAST(ts AS TIMESTAMP) applies, so both
-      // engines see identical instants.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The session (built via graft.Sessions) sets
+      // spark.sql.legacy.parquet.nanosAsLong=true so nanos arrive as
+      // long; truncating to a microsecond timestamp matches DuckDB's
+      // CAST(ts AS TIMESTAMP), so both engines see identical instants.
+      // (testdata timestamps are all post-epoch, so integer DIV == floor.)
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(

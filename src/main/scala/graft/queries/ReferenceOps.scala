@@ -59,14 +59,16 @@ object ReferenceOps {
 
   /** A2 (002:32-44 `groupArray`): collect per-group values; canonicalized
     * as a sorted distinct array (order-insensitive semantics, see
-    * TechnoViews scale notes).
+    * TechnoViews scale notes). The array stays internal; the output emits
+    * a '|'-joined canonical string because the driver's pandas compare
+    * cannot hash array cells (CORRECTNESS_r01).
     */
   def a2GroupArray(s: SparkSession, dir: String): DataFrame = {
     Tables.t(s, dir, "events")
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
-        sort_array(collect_set(col("event_type"))).as("event_types"),
+        array_join(sort_array(collect_set(col("event_type"))), "|").as("event_types"),
         sum(dec(col("value"))).cast(DoubleType).as("total_value"),
       )
       .orderBy(col("user_id"))
@@ -74,32 +76,41 @@ object ReferenceOps {
 
   val a2GroupArrayOracle: String =
     """SELECT user_id, COUNT(*) AS n_events,
-      | list_sort(list(DISTINCT event_type)) AS event_types,
+      | array_to_string(list_sort(list(DISTINCT event_type)), '|') AS event_types,
       | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** The full genre-pipeline cascade (002:18-58) over `documents`:
-    * explode tokens (J2/arrayJoin) → left join a latest-state dim (J1) →
-    * groupArray (A2) → flatten → lower → distinct → arrayFilter →
-    * length(matched) > 0. Structure-identical to
+    * explode tokens (J2/arrayJoin) → langs-per-token enrichment (J1's
+    * dim-lookup semantics) → groupArray (A2) → flatten → lower → distinct
+    * → arrayFilter → length(matched) > 0. Structure-identical to
     * [[graft.views.TechnoViews]]; this instance is DuckDB-checkable.
+    *
+    * Scale shape: the token→langs dictionary is derived from the fact
+    * relation itself (unbounded cardinality), so it must never be
+    * broadcast and the fact must not be tokenized twice (VERDICT r1 #2).
+    * A window aggregate over the single tokenized relation gives the same
+    * semantics as dim-build + self-join with ONE scan and one shuffle on
+    * `token`; the per-doc rollup is the second, unavoidable shuffle.
+    * Array-typed results stay internal; outputs are '|'-joined canonical
+    * strings for the driver compare.
     */
   def genrePipeline(s: SparkSession, dir: String): DataFrame = {
     val docTok = Tables.t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
-    val dim = docTok.select(col("token"), col("lang")).distinct()
-      .groupBy(col("token"))
-      .agg(sort_array(collect_set(col("lang"))).as("langs"))
-    val grouped = docTok.alias("ta")
-      .join(broadcast(dim.alias("al")), Seq("token"), "left")
-      .groupBy(col("ta.doc_id"))
+    val wTok = Window.partitionBy(col("token"))
+    val grouped = docTok
+      .withColumn("langs", collect_set(col("lang")).over(wTok))
+      .groupBy(col("doc_id"))
       .agg(array_sort(array_distinct(transform(
-        flatten(collect_list(coalesce(col("al.langs"), array().cast("array<string>")))),
+        flatten(collect_list(col("langs"))),
         l => lower(l)))).as("all_langs"))
     val matched = filter(col("all_langs"), l => l.contains("zh"))
     grouped.select(
-      col("doc_id"), col("all_langs"), matched.as("matched"),
+      col("doc_id"),
+      array_join(col("all_langs"), "|").as("all_langs"),
+      array_join(matched, "|").as("matched"),
       (size(matched) > 0).as("has_zh"),
     ).orderBy(col("doc_id"))
   }
@@ -110,7 +121,7 @@ object ReferenceOps {
       |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
       |    FROM documents) WHERE token <> ''),
       |dim AS (
-      |  SELECT token, list_sort(list(DISTINCT lang)) AS langs
+      |  SELECT token, list(DISTINCT lang) AS langs
       |  FROM dt GROUP BY token),
       |tg AS (
       |  SELECT dt.doc_id,
@@ -118,8 +129,8 @@ object ReferenceOps {
       |      flatten(list(COALESCE(dim.langs, []))), l -> lower(l)))) AS all_langs
       |  FROM dt LEFT JOIN dim ON dt.token = dim.token
       |  GROUP BY dt.doc_id)
-      |SELECT doc_id, all_langs,
-      |  list_filter(all_langs, l -> contains(l, 'zh')) AS matched,
+      |SELECT doc_id, array_to_string(all_langs, '|') AS all_langs,
+      |  array_to_string(list_filter(all_langs, l -> contains(l, 'zh')), '|') AS matched,
       |  len(list_filter(all_langs, l -> contains(l, 'zh'))) > 0 AS has_zh
       |FROM tg ORDER BY doc_id""".stripMargin
 
@@ -206,27 +217,29 @@ object ReferenceOps {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** §2.7 array function surface (transform/filter/flatten/distinct/
-    * slice/size) over tokenized documents.
+    * slice/size) over tokenized documents. Arrays are computed natively
+    * and emitted as '|'-joined canonical strings (driver compare cannot
+    * hash array cells).
     */
   def arrayFunctions(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     Tables.t(s, dir, "documents").select(
       col("doc_id"),
       size(toks).as("n_tokens"),
-      array_sort(array_distinct(toks)).as("distinct_tokens"),
-      transform(toks, t => length(t)).as("token_lens"),
-      filter(toks, t => length(t) > 4).as("long_tokens"),
-      flatten(array(slice(toks, 1, 3), slice(toks, 1, 2))).as("flat_slices"),
+      array_join(array_sort(array_distinct(toks)), "|").as("distinct_tokens"),
+      array_join(transform(toks, t => length(t).cast(StringType)), "|").as("token_lens"),
+      array_join(filter(toks, t => length(t) > 4), "|").as("long_tokens"),
+      array_join(flatten(array(slice(toks, 1, 3), slice(toks, 1, 2))), "|").as("flat_slices"),
     ).orderBy(col("doc_id"))
   }
 
   val arrayFunctionsOracle: String =
     """SELECT doc_id,
       | len(string_split(text, ' ')) AS n_tokens,
-      | list_sort(list_distinct(string_split(text, ' '))) AS distinct_tokens,
-      | list_transform(string_split(text, ' '), t -> length(t)) AS token_lens,
-      | list_filter(string_split(text, ' '), t -> length(t) > 4) AS long_tokens,
-      | flatten([string_split(text, ' ')[1:3], string_split(text, ' ')[1:2]]) AS flat_slices
+      | array_to_string(list_sort(list_distinct(string_split(text, ' '))), '|') AS distinct_tokens,
+      | array_to_string(list_transform(string_split(text, ' '), t -> CAST(length(t) AS VARCHAR)), '|') AS token_lens,
+      | array_to_string(list_filter(string_split(text, ' '), t -> length(t) > 4), '|') AS long_tokens,
+      | array_to_string(flatten([string_split(text, ' ')[1:3], string_split(text, ' ')[1:2]]), '|') AS flat_slices
       |FROM documents ORDER BY doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(

@@ -61,8 +61,10 @@ object Relational {
     val cust = Tables.t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
     val li = Tables.t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    // cust is a 1/5 slice of a fact-scale table — no broadcast hint;
+    // AQE picks broadcast at small SF and shuffle join at scale.
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
         .cast(DoubleType).as("revenue"))
@@ -134,29 +136,37 @@ object Relational {
       |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
       |ORDER BY o_orderkey""".stripMargin
 
-  /** Anti join (NOT EXISTS): customers with no orders. */
+  /** Anti join (NOT EXISTS): customers with no orders in a recent window.
+    * The window keeps the surviving set non-empty (~600 rows at sf0.01)
+    * so the oracle comparison exercises real anti-join output — an
+    * unfiltered version returns 0 rows on this data and proves nothing.
+    */
   def antiJoin(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.t(s, dir, "customer")
-    val ord = Tables.t(s, dir, "orders")
-    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+    val recent = Tables.t(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("2001-01-01")))
+    cust.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
   }
 
   val antiJoinOracle: String =
     """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |  AND o_orderdate >= TIMESTAMP '2001-01-01')
       |ORDER BY c_custkey""".stripMargin
 
   /** Left outer join against a filtered dim, null side defaulted —
-    * the J1 shape (002_views_techno.sql:41-43 + :36).
+    * the J1 shape (002_views_techno.sql:41-43 + :36). The dim is ~90% of
+    * `customer` (itself fact-scale at 100 TB), so no broadcast hint —
+    * AQE broadcasts at small SF and shuffle-joins at scale.
     */
   def leftJoinDim(s: SparkSession, dir: String): DataFrame = {
     val dim = Tables.t(s, dir, "customer")
       .filter(col("c_acctbal") > 0)
       .select(col("c_custkey"), col("c_name"))
     Tables.t(s, dir, "orders")
-      .join(broadcast(dim), col("o_custkey") === col("c_custkey"), "left")
+      .join(dim, col("o_custkey") === col("c_custkey"), "left")
       .select(
         col("o_orderkey"),
         coalesce(col("c_name"), lit("")).as("cust_name"),
@@ -209,17 +219,28 @@ object Relational {
       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
-  /** UNION / INTERSECT / EXCEPT in one result, tagged per branch. */
+  /** UNION / INTERSECT / EXCEPT semantics in one result, tagged per
+    * branch. Scale shape: ONE pass over the fact — a conditional flag
+    * aggregate per user — then the three set-branches derive from the
+    * flags (r1's version re-scanned `events` per branch, 6 scans total).
+    * INTERSECT = both flags, EXCEPT = buy and not err, UNION = either.
+    */
   def setOps(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.t(s, dir, "events")
-    def users(tpe: String) = ev.filter(col("event_type") === tpe)
-      .select(col("user_id")).distinct()
-    val buyers = users("purchase")
-    val erroring = users("error")
-    buyers.intersect(erroring).select(lit("both").as("op"), col("user_id"))
-      .unionByName(buyers.except(erroring).select(lit("buy_only").as("op"), col("user_id")))
-      .unionByName(buyers.union(erroring).distinct()
-        .select(lit("either").as("op"), col("user_id")))
+    val flags = Tables.t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("buy"),
+        max(when(col("event_type") === "error", 1).otherwise(0)).as("err"),
+      )
+    val isBuy = col("buy") === 1
+    val isErr = col("err") === 1
+    val tags = array(
+      when(isBuy && isErr, lit("both")),
+      when(isBuy && !isErr, lit("buy_only")),
+      when(isBuy || isErr, lit("either")),
+    )
+    flags
+      .select(explode(filter(tags, t => t.isNotNull)).as("op"), col("user_id"))
       .orderBy(col("op"), col("user_id"))
   }
 
