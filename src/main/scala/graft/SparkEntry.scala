@@ -18,7 +18,8 @@ object SparkEntry {
   private lazy val queries_ : Map[String, QueryDef] = {
     val defs =
       graft.queries.Relational.defs ++
-        graft.queries.ReferenceOps.defs
+        graft.queries.ReferenceOps.defs ++
+        graft.queries.GoldenPipeline.defs
     defs.map(d => d.name -> d).toMap
   }
 

@@ -61,6 +61,28 @@ object Normalize {
         coalesce(col("followers.total").try_cast("long"), lit(0L)).as("followers_total"),
       )
 
+  /** Schema-on-read null defaulting for raw track records — the Spark
+    * analogue of ClickHouse's `input_format_null_as_default = 1` on the
+    * Kafka source table (001:46): a malformed or partial JSON row lands
+    * as defaults, never as nulls and never as a poison-pill failure.
+    */
+  def defaultRawTracks(raw: DataFrame): DataFrame = {
+    val emptyArr = array().cast("array<string>")
+    raw.select(
+      str(col("ingest_ts")).as("ingest_ts"),
+      str(col("track_id")).as("track_id"),
+      str(col("track_name")).as("track_name"),
+      coalesce(col("artists"), emptyArr).as("artists"),
+      coalesce(col("artist_ids"), emptyArr).as("artist_ids"),
+      str(col("album_id")).as("album_id"),
+      str(col("album_name")).as("album_name"),
+      str(col("release_date")).as("release_date"),
+      coalesce(col("popularity"), lit(0)).as("popularity"),
+      str(col("added_at")).as("added_at"),
+      str(col("external_url")).as("external_url"),
+    )
+  }
+
   /** Raw track records → curated rows (the MV expression list,
     * 001:53-73). Composes [[TemporalFixups]]; used identically by the
     * batch writer and the streaming sink.

@@ -41,7 +41,11 @@ object TemporalFixups {
   def releaseDateFix(c: Column): Column = {
     val normalized = when(length(c) === 4 && c.rlike("^[0-9]{4}$"), concat(c, lit("-01-01")))
       .otherwise(substring(c, 1, 10))
-    coalesce(normalized.try_cast(DateType), to_date(lit("1970-01-01")))
+    // Strict yyyy-MM-dd shape before the cast: Spark's date cast accepts
+    // loose forms the reference's toDateOrNull rejects (e.g. "99999" as
+    // year +99999, "2024-1-1"), so guard to the exact 10-char form.
+    val dated = when(normalized.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"), normalized.try_cast(DateType))
+    coalesce(dated, to_date(lit("1970-01-01")))
   }
 
   /** `toYYYYMM(ts)` (001:21) — the partition column for the tracks table. */
