@@ -19,7 +19,10 @@ object SparkEntry {
     val defs =
       graft.queries.Relational.defs ++
         graft.queries.ReferenceOps.defs ++
-        graft.queries.GoldenPipeline.defs
+        graft.queries.GoldenPipeline.defs ++
+        graft.queries.LlmText.defs ++
+        graft.queries.LlmDedup.defs ++
+        graft.queries.LlmVectors.defs
     defs.map(d => d.name -> d).toMap
   }
 

@@ -1,0 +1,100 @@
+package graft.media
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Multimodal feature extraction plumbing: image/audio/video payloads as
+  * opaque binary columns with typed metadata, decoded in PARTITION-SIZED
+  * BATCHES via a typed `mapPartitions` (the Scala analogue of a
+  * batch-vectorized decode UDF: one decoder instance per partition, rows
+  * streamed through it — never a per-row decoder construction, never a
+  * driver-side collect).
+  *
+  * The decode itself is a clearly-marked deterministic STUB — the media
+  * codecs aren't in this container — but the Spark-side contract is the
+  * real one: schema in/out, encoder-backed batch shape, per-partition
+  * init/close lifecycle. Swapping [[StubDecoder]] for a JNI/FFmpeg-backed
+  * decoder changes no plan shape.
+  *
+  * Mirrors the reference's audio path intent (spotify_audio_ingest.py:
+  * 35-76 — fetch bytes, record metadata pointers).
+  */
+object MediaFeatures {
+
+  /** An opaque media payload: bytes + routing metadata. */
+  final case class MediaBlob(media_id: String, kind: String, payload: Array[Byte])
+
+  /** Decoded features: byte stats plus a fixed-width feature vector. */
+  final case class MediaFeature(
+      media_id: String,
+      kind: String,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      features: Array[Float],
+  )
+
+  /** Per-partition decoder lifecycle. A real implementation holds codec
+    * state (an FFmpeg context, a JPEG huffman table cache...) built once
+    * per partition in [[open]] and released in [[close]].
+    */
+  trait Decoder {
+    def open(): Unit = ()
+    def decode(b: MediaBlob): MediaFeature
+    def close(): Unit = ()
+  }
+
+  /** STUB decode: deterministic features derived from the payload bytes
+    * (stable across runs/engines), with the dimensional metadata a real
+    * header parse would yield. Replace with a codec-backed Decoder in
+    * production; everything else in this file is the real pipeline.
+    */
+  final class StubDecoder(featureDim: Int) extends Decoder {
+    override def decode(b: MediaBlob): MediaFeature = {
+      val n = b.payload.length
+      // rolling byte hash — the same 31-polynomial the text path uses
+      var h = 0L
+      var i = 0
+      while (i < n) { h = (h * 31 + (b.payload(i) & 0xff)) % 1000000007L; i += 1 }
+      val feats = Array.tabulate(featureDim) { j =>
+        (((h + j * 2654435761L) % 1000003L).toFloat / 1000003f) - 0.5f
+      }
+      MediaFeature(b.media_id, b.kind, n,
+        width = (n * 31 % 640) + 1, height = (n * 17 % 480) + 1,
+        n_frames = if (b.kind == "video") (n % 240) + 1 else 1,
+        features = feats)
+    }
+  }
+
+  /** The batch decode operator: one decoder per partition, streamed.
+    * Narrow (no shuffle); scales with input partitioning alone.
+    */
+  def decodeAll(blobs: Dataset[MediaBlob], featureDim: Int = 16,
+      decoder: Int => Decoder = new StubDecoder(_)): Dataset[MediaFeature] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      val dec = decoder(featureDim)
+      dec.open()
+      val out = it.map(dec.decode)
+      // NB: close-on-exhaustion; Spark drains partitions fully.
+      new Iterator[MediaFeature] {
+        def hasNext: Boolean = { val h = out.hasNext; if (!h) dec.close(); h }
+        def next(): MediaFeature = out.next()
+      }
+    }
+  }
+
+  /** Read a directory of media files as blobs (K7/S8 storage shape:
+    * Spark's binaryFile source — path, mtime, length, content).
+    */
+  def readBlobs(spark: SparkSession, dir: String, kind: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        org.apache.spark.sql.functions.col("path"),
+        org.apache.spark.sql.functions.col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (p, bytes) => MediaBlob(p, kind, bytes) }
+  }
+}

@@ -1,0 +1,244 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table: token/char statistics + quality score, stopword
+  * language-ID heuristic, rolling-hash document fingerprinting, SimHash
+  * fingerprints, and binary-column metadata extraction.
+  *
+  * Every operator here is a NARROW projection — pure per-row expressions,
+  * no shuffle, no UDF — so at 100 TB each is a single whole-stage-codegen
+  * map over the scan (HOF lambdas evaluate on the interpreted path but
+  * stay inside the same stage; no exchange is ever introduced).
+  *
+  * Cross-engine determinism rules (the DuckDB oracle must match hashes
+  * cell-for-cell): only integer arithmetic, md5/sha2 hex strings, and
+  * `round(x, 6)` doubles cross the output boundary; engine-specific
+  * hashes (xxhash64) never appear in oracle-gated outputs.
+  */
+object LlmText {
+
+  private[queries] def tokens(c: Column): Column = split(c, " ")
+
+  /** Deterministic cross-engine token/char hash: 31-polynomial over the
+    * character codes, mod 1e9+7. Equals DuckDB's
+    * `list_reduce(list_transform(string_split(s,''), c -> CAST(ascii(c) AS BIGINT)),
+    *             (a,b) -> (a*31+b) % 1000000007)`
+    * because ascii codes are < the modulus, so the missing initial mod on
+    * the first element is a no-op.
+    */
+  private[queries] def polyHash(c: Column): Column =
+    when(length(c) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(split(c, ""), ch => ascii(ch).cast(LongType)),
+        lit(0L),
+        (acc, ch) => (acc * lit(31L) + ch) % lit(1000000007L),
+      ))
+
+  private val polyHashSqlFmt =
+    "CASE WHEN length(%s) = 0 THEN 0 ELSE list_reduce(list_transform(string_split(%s, ''), c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 31 + b) %% 1000000007) END"
+
+  private def polyHashSql(e: String): String = polyHashSqlFmt.format(e, e)
+
+  private val stopEn = Seq("the", "a", "of", "and", "in", "to")
+  private val stopDe = Seq("der", "die", "das", "und", "ist")
+  private val stopEs = Seq("el", "que", "de", "los", "y")
+  private val stopFr = Seq("le", "la", "et", "les", "des")
+
+  private def stopCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  private def stopCountSql(words: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  /** Token counting (whitespace + a BPE-ish regex segmentation), char
+    * stats, punctuation/stopword ratios, and a composite quality score —
+    * the standard pre-training corpus quality signals.
+    *
+    * avg_token_len uses the single-space-join arithmetic identity
+    * (chars - (n-1)) / n instead of a second pass over the tokens.
+    */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val nCh = length(col("text"))
+    val stop = stopCount(toks, stopEn)
+    val stopRatio = round(stop.cast(DoubleType) / nTok, 6)
+    val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+    Tables.t(s, dir, "documents").select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .as("n_bpeish_tokens"),
+      nCh.as("n_chars_txt"),
+      round((nCh - nTok + 1).cast(DoubleType) / nTok, 6).as("avg_token_len"),
+      punct.as("n_punct"),
+      round(punct.cast(DoubleType) / nCh, 6).as("punct_ratio"),
+      stop.as("n_stopwords"),
+      stopRatio.as("stopword_ratio"),
+      round(least(lit(1.0), nTok.cast(DoubleType) / 50.0) * (lit(1.0) - stopRatio), 6)
+        .as("quality_score"),
+    ).orderBy(col("doc_id"))
+  }
+
+  val textStatsOracle: String = {
+    val stop = stopCountSql(stopEn)
+    s"""SELECT doc_id,
+       | len(string_split(text, ' ')) AS n_tokens,
+       | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpeish_tokens,
+       | length(text) AS n_chars_txt,
+       | round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+       |   / len(string_split(text, ' ')), 6) AS avg_token_len,
+       | length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+       | round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |   / length(text), 6) AS punct_ratio,
+       | $stop AS n_stopwords,
+       | round(CAST($stop AS DOUBLE) / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       | round(least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0)
+       |   * (1.0 - round(CAST($stop AS DOUBLE) / len(string_split(text, ' ')), 6)), 6)
+       |   AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language-ID n-gram/stopword heuristic: score each candidate
+    * language by its stopword hits, pick the max with a fixed priority
+    * (en > de > es > fr), `und` when nothing scores.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val en = stopCount(toks, stopEn)
+    val de = stopCount(toks, stopDe)
+    val es = stopCount(toks, stopEs)
+    val fr = stopCount(toks, stopFr)
+    Tables.t(s, dir, "documents").select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      en.as("score_en"), de.as("score_de"), es.as("score_es"), fr.as("score_fr"),
+      when(en >= greatest(de, es, fr) && en > 0, lit("en"))
+        .when(de >= greatest(es, fr) && de > 0, lit("de"))
+        .when(es >= fr && es > 0, lit("es"))
+        .when(fr > 0, lit("fr"))
+        .otherwise(lit("und")).as("predicted_lang"),
+    ).orderBy(col("doc_id"))
+  }
+
+  val langIdOracle: String = {
+    val (en, de, es, fr) =
+      (stopCountSql(stopEn), stopCountSql(stopDe), stopCountSql(stopEs), stopCountSql(stopFr))
+    s"""SELECT doc_id, lang AS labeled_lang,
+       | $en AS score_en, $de AS score_de, $es AS score_es, $fr AS score_fr,
+       | CASE WHEN $en >= greatest($de, $es, $fr) AND $en > 0 THEN 'en'
+       |      WHEN $de >= greatest($es, $fr) AND $de > 0 THEN 'de'
+       |      WHEN $es >= $fr AND $es > 0 THEN 'es'
+       |      WHEN $fr > 0 THEN 'fr'
+       |      ELSE 'und' END AS predicted_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprinting: whole-text rolling polynomial hash plus a
+    * first/last-token pair hash (cheap prefix/suffix signature). Both are
+    * deterministic across engines (char-code arithmetic only).
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.t(s, dir, "documents").select(
+      col("doc_id"),
+      polyHash(col("text")).as("doc_hash"),
+      polyHash(element_at(toks, 1)).as("first_token_hash"),
+      polyHash(element_at(toks, -1)).as("last_token_hash"),
+    ).orderBy(col("doc_id"))
+  }
+
+  val fingerprintOracle: String =
+    s"""SELECT doc_id,
+       | ${polyHashSql("text")} AS doc_hash,
+       | ${polyHashSql("string_split(text, ' ')[1]")} AS first_token_hash,
+       | ${polyHashSql("string_split(text, ' ')[-1]")} AS last_token_hash
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val SimhashBits = 32
+
+  /** SimHash fingerprint: per-token 31-poly hash → per-bit ±1 votes over
+    * the token multiset → sign vector → packed 32-bit fingerprint.
+    *
+    * Computed as ONE narrow pass: the per-document bit-vote vector is an
+    * `aggregate` with an array accumulator (`zip_with` add), so there is
+    * no explode and no per-document shuffle — at 100 TB this stays a map
+    * over the scan, where the explode+groupBy formulation would shuffle
+    * every token. (The DuckDB oracle uses the explode form; same math.)
+    */
+  def simHash(s: SparkSession, dir: String): DataFrame = {
+    // hash each token once, then vote bit-by-bit (shift amounts must be
+    // Scala ints — functions.shiftright takes no Column amount)
+    val tokenHashes = transform(tokens(col("text")), t => polyHash(t))
+    val bitVotes = (h: Column) =>
+      array((0 until SimhashBits).map(j =>
+        shiftright(h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)): _*)
+    val votes = aggregate(
+      tokenHashes,
+      array_repeat(lit(0L), SimhashBits),
+      (acc, h) => zip_with(acc, bitVotes(h), (a, b) => a + b),
+    )
+    // Horner over reversed sums: bit j of the fingerprint is votes[j] > 0.
+    val packed = aggregate(reverse(votes), lit(0L),
+      (acc, v) => acc * lit(2L) + when(v > 0, lit(1L)).otherwise(lit(0L)))
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), packed.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val simHashOracle: String = {
+    val th = polyHashSql("token")
+    val sums = (0 until SimhashBits)
+      .map(j => s"SUM(((h >> $j) & 1) * 2 - 1) AS s$j").mkString(", ")
+    val pack = (0 until SimhashBits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |th AS (SELECT doc_id, $th AS h FROM tok),
+       |votes AS (SELECT doc_id, $sums FROM th GROUP BY doc_id)
+       |SELECT doc_id, $pack AS simhash FROM votes ORDER BY doc_id""".stripMargin
+  }
+
+  /** Multimodal plumbing: media payloads as opaque binary columns with
+    * typed metadata. The testdata has no blob table, so the text column
+    * stands in as the payload (cast to binary); the *operations* are the
+    * real ones a media pipeline runs first: byte length, content digest
+    * (dedup key), and header-derived dimensions (here a deterministic
+    * stand-in — the real decoder is [[graft.media.MediaFeatures]]).
+    */
+  def binaryMeta(s: SparkSession, dir: String): DataFrame = {
+    val bin = col("text").cast(BinaryType)
+    Tables.t(s, dir, "documents").select(
+      col("doc_id"),
+      length(bin).as("n_bytes"),
+      sha2(bin, 256).as("content_sha256"),
+      md5(bin).as("content_md5"),
+      (pmod(col("n_chars") * 31, lit(640)) + 1).as("fake_width"),
+      (pmod(col("n_chars") * 17, lit(480)) + 1).as("fake_height"),
+      lit(3).as("channels"),
+    ).orderBy(col("doc_id"))
+  }
+
+  val binaryMetaOracle: String =
+    """SELECT doc_id,
+      | octet_length(encode(text)) AS n_bytes,
+      | sha256(text) AS content_sha256,
+      | md5(text) AS content_md5,
+      | (n_chars * 31) % 640 + 1 AS fake_width,
+      | (n_chars * 17) % 480 + 1 AS fake_height,
+      | 3 AS channels
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("ta_text_stats", textStats, Some(textStatsOracle), headline = true),
+    QueryDef("ta_langid", langId, Some(langIdOracle)),
+    QueryDef("ta_fingerprint", fingerprint, Some(fingerprintOracle)),
+    QueryDef("ta_simhash", simHash, Some(simHashOracle), headline = true),
+    QueryDef("mm_binary_meta", binaryMeta, Some(binaryMetaOracle)),
+  )
+}

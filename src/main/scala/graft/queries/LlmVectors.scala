@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the exactness baseline, sign-LSH banded
+  * candidate generation as the scale path, and embedding-cosine near-dup
+  * pairs — the ANN toolkit of a training-data pipeline.
+  *
+  * Scale design:
+  *  - the brute-force path broadcasts the (small) QUERY side and streams
+  *    the corpus once: a BroadcastNestedLoopJoin whose cost is
+  *    |corpus| × |queries| dot products with zero shuffle of the corpus.
+  *    Correct shape when queries are few; never viable corpus × corpus.
+  *  - the LSH path quantizes each vector into 4 independent sign-bands
+  *    (4 hyperplane signs each). Candidates form only inside a matching
+  *    (band, key) bucket — corpus × corpus becomes Σ_bucket n_b², and the
+  *    per-band join key is shuffle-friendly. Verification (true cosine)
+  *    runs on candidates only. Banding multiplies rows by 4 (a constant),
+  *    never by n.
+  *  - all dot products are `zip_with`/`aggregate` column expressions over
+  *    double arrays — no UDF, no driver-side math.
+  */
+object LlmVectors {
+
+  private val K = 5
+  private val NQueries = 8
+  private val Bands = 4
+  private val BitsPerBand = 4
+  private val NearDupCos = 0.4
+
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s) // idempotent
+    Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+  }
+
+  /** Dot product via the custom codegen'd [[graft.functions.VecDot]]
+    * expression — a primitive loop inside whole-stage codegen. The
+    * `element_at`-unrolled and HOF forms both fall out of codegen
+    * (method limits / CodegenFallback) and cost ~10x on the
+    * candidate-verification hot path.
+    */
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.vecDot(a, b)
+
+  /** Brute-force cosine top-k: tiny query side broadcast against one
+    * corpus scan; rank by (cosine desc, vec_id) for determinism.
+    */
+  def topkExact(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    val queries = base.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val cos = dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    base.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cos)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // Oracle casts to DOUBLE[] so both engines sum at double precision;
+  // round(,6) absorbs summation-order ulps.
+  val topkExactOracle: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT q.q_id, v.vec_id,
+       |    list_cosine_similarity(v.emb, q.q_emb) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |      ORDER BY list_cosine_similarity(v.emb, q.q_emb) DESC, v.vec_id) AS rank
+       |  FROM v JOIN q ON v.vec_id <> q.q_id)
+       |SELECT q_id, rank, vec_id, round(cos, 6) AS cosine
+       |FROM scored WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
+  /** Sign-LSH band keys: band b packs the signs of dims [4b, 4b+4) into
+    * a 4-bit key. Deterministic quantization — coordinate hyperplanes —
+    * so tests and both engines agree; swap in seeded random hyperplanes
+    * by replacing `element_at` with a stored plane matrix.
+    */
+  private def bandKeys(e: Column): Column = {
+    val keys = (0 until Bands).map { b =>
+      val key = (0 until BitsPerBand).map { j =>
+        when(element_at(e, b * BitsPerBand + j + 1) > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    array(keys: _*)
+  }
+
+  /** ANN top-k via sign-LSH banding: candidates from bucket collisions
+    * across 4 bands, true-cosine rank on candidates only. Approximate by
+    * construction (recall measured in the spec against [[topkExact]]) —
+    * the corpus is never cross-joined.
+    */
+  def annTopk(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir).withColumn("bk", explode(bandKeys(col("emb"))))
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val queries = base.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"),
+        col("band"), col("key"))
+    // cosine computed BEFORE the dedup so the (q_id, vec_id) distinct
+    // shuffles ids + a double, not 64-dim arrays (the duplicate band hits
+    // recompute a cheap codegen'd expression instead of widening rows)
+    val cos = dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    base.join(broadcast(queries), Seq("band", "key"), "inner")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cos.as("cos"))
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-dup pairs: sign-LSH bucket self-join (pairs
+    * only within a (band, key) bucket), exact-cosine verification at
+    * threshold 0.4 (the testdata's top pair density). Approximate recall
+    * by construction; candidate volume is Σ_bucket n_b², sub-quadratic.
+    */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    // candidate generation is IDS-ONLY: the bucket self-join must never
+    // carry the vectors — at 500k+ collisions each joined row would
+    // otherwise materialize two 64-double arrays (~1 KB/row). Vectors
+    // are fetched per *unique* candidate pair afterwards.
+    val ids = base.withColumn("bk", explode(bandKeys(col("emb"))))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = ids.as("x")
+      .join(ids.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val cos = dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+    cand
+      .join(base.select(col("vec_id").as("vec_a"), col("emb").as("ea"), col("nrm").as("na")), "vec_a")
+      .join(base.select(col("vec_id").as("vec_b"), col("emb").as("eb"), col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), cos.as("cos"))
+      .filter(col("cos") >= NearDupCos)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_topk_exact", topkExact, Some(topkExactOracle), headline = true),
+    QueryDef("sim_ann_lsh", annTopk, None, headline = true),
+    QueryDef("dd_embed_neardup", embedNearDup, None),
+  )
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.queries.{LlmDedup, LlmVectors}
+import org.apache.spark.sql.functions._
+
+/** Specs for the approximate (non-oracle-gated) LLM-pipeline operators,
+  * checked against their exact counterparts on sf0.001.
+  */
+class LlmOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("minhash-LSH pairs == exact ngram-jaccard pairs (full recall at J>=0.9)") {
+    val exact = LlmDedup.ngramJaccard(spark, dir).collect().toSet
+    val lsh = LlmDedup.minhashLsh(spark, dir).collect().toSet
+    assert(exact.nonEmpty) // non-vacuous on the testdata
+    assert(lsh === exact)
+  }
+
+  test("exact dedup: every doc accounted for, keeper is min id per key") {
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    val dd = LlmDedup.exactDedup(spark, dir)
+    assert(dd.agg(sum("n_copies")).head().getLong(0) === total)
+    assert(dd.filter(col("n_copies") > 1).count() > 0) // non-vacuous
+    assert(dd.count() < total)
+  }
+
+  test("ANN-LSH: per-rank cosine never beats exact brute force, k rows max") {
+    val exact = LlmVectors.topkExact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val ann = LlmVectors.annTopk(spark, dir).collect()
+    assert(ann.nonEmpty)
+    val perQuery = ann.groupBy(_.getLong(0))
+    perQuery.values.foreach(rows => assert(rows.length <= 5))
+    // dominance: ann's rank-r cosine <= exact's rank-r cosine (candidates
+    // are a subset of the corpus, so rank-r can only be equal or worse)
+    ann.foreach { r =>
+      val key = (r.getLong(0), r.getInt(1))
+      assert(exact.contains(key))
+      assert(r.getDouble(3) <= exact(key) + 1e-9,
+        s"ann rank ${r.getInt(1)} for q${r.getLong(0)} beats exact")
+    }
+    // recall@5 on this data should be well above random (16-bucket bands)
+    val exactSets = LlmVectors.topkExact(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val annSets = ann.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recalls = exactSets.map { case (q, ex) =>
+      annSets.getOrElse(q, Set.empty[Long]).intersect(ex).size.toDouble / ex.size
+    }
+    assert(recalls.sum / recalls.size > 0.2,
+      s"mean recall ${recalls.sum / recalls.size} too low")
+  }
+
+  test("embed near-dup: subset of exact >=0.4 pairs with exact cosines") {
+    val pairs = LlmVectors.embedNearDup(spark, dir).collect()
+    assert(pairs.nonEmpty)
+    // brute-force ground truth in-process (500 vecs, fine for a test)
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    pairs.foreach { r =>
+      val (a, b, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(a < b)
+      val truth = cos(vecs(a), vecs(b))
+      assert(truth >= 0.4 - 1e-9)
+      assert(math.abs(c - truth) < 1e-5, s"pair ($a,$b): $c vs $truth")
+    }
+  }
+
+  test("ANN plans never cross-join the corpus; topk broadcasts the query side") {
+    val annPlan = LlmVectors.annTopk(spark, dir).queryExecution.executedPlan.toString
+    assert(!annPlan.contains("CartesianProduct"))
+    val topkPlan = LlmVectors.topkExact(spark, dir).queryExecution.executedPlan.toString
+    assert(topkPlan.contains("BroadcastNestedLoopJoin"))
+    val nearDupPlan = LlmVectors.embedNearDup(spark, dir).queryExecution.executedPlan.toString
+    assert(!nearDupPlan.contains("CartesianProduct"))
+    assert(!nearDupPlan.contains("BroadcastNestedLoopJoin"))
+  }
+}
