@@ -85,6 +85,41 @@ object MediaFeatures {
     }
   }
 
+  /** A sampled frame pointer: which byte range of the payload a decoder
+    * would seek to. Pointers, not pixels — the frame extraction itself
+    * is the stubbed codec step.
+    */
+  final case class FramePointer(media_id: String, frame_idx: Int, byte_offset: Long)
+
+  /** Resize metadata rewrite: a real resizer transforms pixels; the
+    * pipeline-visible contract is the (width, height) metadata plus a
+    * re-derived feature vector — both deterministic here. Narrow map.
+    */
+  def resize(feats: Dataset[MediaFeature], maxW: Int, maxH: Int): Dataset[MediaFeature] = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    feats.map { f =>
+      val scale = math.min(1.0, math.min(maxW.toDouble / f.width, maxH.toDouble / f.height))
+      f.copy(
+        width = math.max(1, math.floor(f.width * scale).toInt),
+        height = math.max(1, math.floor(f.height * scale).toInt))
+    }
+  }
+
+  /** Frame sampling: n evenly-spaced seek pointers per video payload
+    * (audio/image yield their single frame). flatMap — one narrow pass,
+    * output cardinality n per row, no shuffle.
+    */
+  def sampleFrames(blobs: Dataset[MediaBlob], n: Int): Dataset[FramePointer] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.flatMap { b =>
+      val frames = if (b.kind == "video") math.max(1, n) else 1
+      val len = math.max(1L, b.payload.length.toLong)
+      (0 until frames).map(i => FramePointer(b.media_id, i, i * len / frames))
+    }
+  }
+
   /** Read a directory of media files as blobs (K7/S8 storage shape:
     * Spark's binaryFile source — path, mtime, length, content).
     */

@@ -1,0 +1,90 @@
+package graft
+
+import graft.streaming.EventsStream
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Stateful streaming semantics: watermarked windowed aggregation emits
+  * finalized windows exactly once; sessionization closes sessions on the
+  * event-time gap and evicts state via timeout.
+  *
+  * Determinism: a far-future sentinel event pushes the watermark past
+  * every window/session under test, so AvailableNow runs emit them all.
+  */
+class EventsStreamSpec extends SparkSpec {
+
+  private def ev(user: Long, id: Long, typ: String, value: Double, ts: String) =
+    s"""{"user_id":$user,"event_id":$id,"event_type":"$typ","value":$value,"ts":"$ts"}"""
+
+  private val base = Seq(
+    ev(1, 1, "view", 1.0, "2025-07-01T10:00:30Z"),
+    ev(1, 2, "view", 2.0, "2025-07-01T10:01:10Z"),   // same 5-min window
+    ev(2, 3, "purchase", 10.0, "2025-07-01T10:03:00Z"),
+    ev(1, 4, "view", 3.0, "2025-07-01T10:07:00Z"),   // next window
+    """not json at all""",                           // dropped by parse
+    ev(1, 5, "view", 9.0, "2025-07-01T11:00:00Z"),   // new session for user 1
+    // sentinel: watermark pushes past everything above
+    ev(99, 999, "view", 0.0, "2025-07-01T23:00:00Z"),
+  )
+
+  private def writeInput(dir: String): Unit =
+    Files.writeString(Paths.get(dir, "events.jsonl"), base.mkString("\n"))
+
+  test("watermarked 5-min windows aggregate per event_type, append-once") {
+    val in = tmpDir("es-in"); val out = tmpDir("es-out"); val ck = tmpDir("es-ck")
+    writeInput(in)
+    EventsStream.runToParquet(
+      EventsStream.windowedCounts(EventsStream.parse(spark.readStream.text(in))),
+      out, ck).awaitTermination(120000)
+
+    val rows = spark.read.parquet(out)
+      .select(date_format(col("window_start"), "HH:mm").as("w"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // windows: 10:00 (2 views 3.0 + 1 purchase 10.0), 10:05 (1 view 3.0),
+    // 11:00 (1 view 9.0); sentinel's own window is NOT finalized.
+    assert(rows === Set(
+      ("10:00", "view", 2L, 3.0),
+      ("10:00", "purchase", 1L, 10.0),
+      ("10:05", "view", 1L, 3.0),
+      ("11:00", "view", 1L, 9.0),
+    ))
+  }
+
+  test("sessionize: 30-min gap closes sessions, state evicts by timeout") {
+    val in = tmpDir("ss-in"); val out = tmpDir("ss-out"); val ck = tmpDir("ss-ck")
+    writeInput(in)
+    import spark.implicits._
+    EventsStream.runToParquet(
+      EventsStream.sessionize(EventsStream.parse(spark.readStream.text(in))).toDF(),
+      out, ck).awaitTermination(120000)
+
+    val sessions = spark.read.parquet(out)
+      .select(col("user_id"), date_format(col("session_start"), "HH:mm").as("s"),
+        date_format(col("session_end"), "HH:mm").as("e"),
+        col("n_events"), col("total_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    // user 1: events at 10:00:30, 10:01:10, 10:07 = one session (gaps < 30m),
+    // then 11:00 opens a second (closed by the sentinel-driven watermark).
+    // user 2: single-event session. Sentinel user 99's session stays open.
+    assert(sessions === Set(
+      (1L, "10:00", "10:07", 3L, 6.0),
+      (1L, "11:00", "11:00", 1L, 9.0),
+      (2L, "10:03", "10:03", 1L, 10.0),
+    ))
+  }
+
+  test("second AvailableNow run over the same checkpoint emits nothing new") {
+    val in = tmpDir("rs-in"); val out = tmpDir("rs-out"); val ck = tmpDir("rs-ck")
+    writeInput(in)
+    def run(): Unit = EventsStream.runToParquet(
+      EventsStream.windowedCounts(EventsStream.parse(spark.readStream.text(in))),
+      out, ck).awaitTermination(120000)
+    run()
+    val n1 = spark.read.parquet(out).count()
+    run()
+    assert(spark.read.parquet(out).count() === n1)
+  }
+}

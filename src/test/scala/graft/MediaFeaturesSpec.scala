@@ -44,6 +44,25 @@ class MediaFeaturesSpec extends SparkSpec {
     assert(closes.value === 4)
   }
 
+  test("resize clamps dims preserving aspect; frame-sample evenly spaces pointers") {
+    import spark.implicits._
+    val in = Seq(blob("img", "image", 2000), blob("vid", "video", 1000)).toDS()
+    val feats = MediaFeatures.decodeAll(in)
+    val resized = MediaFeatures.resize(feats, 64, 64).collect().map(f => f.media_id -> f).toMap
+    val orig = feats.collect().map(f => f.media_id -> f).toMap
+    resized.values.foreach { f =>
+      assert(f.width <= 64 && f.height <= 64 && f.width >= 1 && f.height >= 1)
+    }
+    orig.foreach { case (id, o) =>
+      if (o.width <= 64 && o.height <= 64) assert(resized(id).width === o.width) // no upscale
+    }
+    val ptrs = MediaFeatures.sampleFrames(in, 4).collect()
+    val vid = ptrs.filter(_.media_id == "vid").sortBy(_.frame_idx)
+    assert(vid.map(_.frame_idx).toSeq === Seq(0, 1, 2, 3))
+    assert(vid.map(_.byte_offset).toSeq === Seq(0L, 250L, 500L, 750L))
+    assert(ptrs.count(_.media_id == "img") === 1) // stills: one frame
+  }
+
   test("binaryFile ingestion feeds the decoder (K7/S8 storage shape)") {
     val dir = tmpDir("media")
     Files.write(Paths.get(dir, "one.bin"), Array[Byte](1, 2, 3, 4))
