@@ -51,8 +51,8 @@ object LlmDedup {
       .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
       // The similarity joins reference this relation 3-5 times (index,
       // candidate sides, verification sides); without persist each
-      // reference re-runs scan+tokenize+explode. Standard iterative-
-      // algorithm caching: memory-and-disk so 100 TB spills, not OOMs.
+      // reference re-runs scan+tokenize+explode (measured +55% on the
+      // whole query). Memory-and-disk so 100 TB spills, not OOMs.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 

@@ -1,0 +1,45 @@
+package graft
+
+/** Scale-invariant audit over EVERY registered query's physical plan:
+  * the properties that keep a plan viable at 100 TB, checked
+  * mechanically so a regression cannot slip in via one query.
+  *
+  *  - no CartesianProduct anywhere (an all-pairs plan is an automatic
+  *    scale failure);
+  *  - BroadcastNestedLoopJoin only where the broadcast side is
+  *    provably bounded by a constant (the ANN query side, <= 8 rows);
+  *  - every query analyzes + plans against the testdata schema (no
+  *    lazily-broken column references).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // queries whose plans legitimately contain a BroadcastNestedLoopJoin:
+  // the brute-force cosine baseline broadcasts a <=8-row query side
+  // against the corpus with a non-equi condition.
+  private val bnljAllowed = Set("sim_topk_exact")
+
+  test("every registered query plans without cartesian products") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      val cart = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+      if (cart || bnlj)
+        Some(s"$name: ${if (cart) "CartesianProduct " else ""}${if (bnlj) "unexpected BNLJ" else ""}")
+      else None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("parquet scans prune columns (no full-width reads in projecting queries)") {
+    // representative narrow queries must not read the full documents row
+    val plan = graft.queries.LlmText.fingerprint(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "fingerprint should scan only (doc_id, text)")
+    val plan2 = graft.queries.Relational.defs.find(_.name == "q1_pricing").get
+      .fn(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan2.contains("l_comment"), "q1 must not read unused lineitem columns")
+  }
+}
