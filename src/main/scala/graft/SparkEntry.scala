@@ -20,6 +20,7 @@ object SparkEntry {
       graft.queries.Relational.defs ++
         graft.queries.ReferenceOps.defs ++
         graft.queries.GoldenPipeline.defs ++
+        graft.queries.AsOfJoin.defs ++
         graft.queries.LlmText.defs ++
         graft.queries.LlmDedup.defs ++
         graft.queries.LlmVectors.defs

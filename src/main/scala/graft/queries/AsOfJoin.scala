@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: attach to each left row the latest right row with
+  * right.time <= left.time per key — the standard enrichment for
+  * event streams against slowly-changing state (DuckDB/kdb ASOF JOIN;
+  * Spark has no built-in).
+  *
+  * Implemented by COMPOSITION (the preference order's first rung): tag
+  * and union both sides, then one `last(ignoreNulls) over (partition by
+  * key order by (time, side) rows unbounded preceding)` window per
+  * payload column, keep the left rows. Exactly ONE shuffle on the key —
+  * the same cost as the sort-merge pass a native as-of operator would
+  * do, with no range-explosion join (a naive `left.t >= right.t` theta
+  * join materializes the full history per event before aggregation;
+  * this never forms those rows).
+  *
+  * Tie semantics: a right row AT the left timestamp is visible
+  * (`<=`), enforced by ordering right (side=0) before left (side=1)
+  * within equal times. The right side must be unique per (key, time) —
+  * pre-aggregate it — or the pick among equals is nondeterministic
+  * (same caveat as DuckDB ASOF).
+  */
+object AsOfJoin {
+
+  def asOf(left: DataFrame, right: DataFrame, key: String, leftTime: String,
+      rightTime: String, payload: Seq[String]): DataFrame = {
+    val leftTagged = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val rightTagged = right.select(
+      (Seq(col(key), col(rightTime).as("__t"), lit(0).as("__side")) ++
+        payload.map(col)): _*)
+    val unioned = rightTagged.unionByName(leftTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(unioned)((df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w)))
+    filled.filter(col("__side") === 1).drop("__t", "__side")
+  }
+
+  /** j3: every event enriched with the user's latest order state as of
+    * the event date (orders pre-aggregated per (custkey, date); right
+    * side restricted to custkey < 100 so the no-history null path is
+    * real, not vacuous).
+    */
+  def eventsAsOfOrders(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.t(s, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("order_date"))
+      .agg(max(col("o_totalprice")).as("last_order_price"))
+      .withColumn("last_order_date", col("order_date"))
+    val events = Tables.t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("event_date"))
+    asOf(events, orders, "user_id", "event_date", "order_date",
+      Seq("last_order_date", "last_order_price"))
+      .select(col("event_id"), col("user_id"), col("event_date"),
+        col("last_order_date"), col("last_order_price"))
+      .orderBy(col("event_id"))
+  }
+
+  val eventsAsOfOrdersOracle: String =
+    """WITH od AS (
+      |  SELECT o_custkey AS user_id, o_orderdate AS order_date,
+      |    MAX(o_totalprice) AS last_order_price
+      |  FROM orders WHERE o_custkey < 100 GROUP BY 1, 2),
+      |ev AS (
+      |  SELECT event_id, user_id,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date
+      |  FROM events)
+      |SELECT ev.event_id, ev.user_id, ev.event_date,
+      |  od.order_date AS last_order_date, od.last_order_price
+      |FROM ev ASOF LEFT JOIN od
+      |  ON ev.user_id = od.user_id AND od.order_date <= ev.event_date
+      |ORDER BY event_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("j3_asof_join", eventsAsOfOrders, Some(eventsAsOfOrdersOracle), headline = true),
+  )
+}
