@@ -70,6 +70,64 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 32-bit SimHash over a token array, one fused per-row loop.
+  *
+  * Arithmetic contract (must match the DuckDB oracle bit-for-bit):
+  * per-token hash h = fold over Unicode CODE POINTS of
+  * (h * 31 + cp) mod 1e9+7 (equals `ascii()`-based column arithmetic in
+  * both engines); per-bit ±1 votes over the token multiset; bit j of
+  * the result = vote_j > 0. The nested-HOF column form computes the
+  * same thing ~8x slower (per-element expression interpretation).
+  */
+case class SimHash32(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private val Mod = 1000000007L
+  private val Bits = 32
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash32 requires array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash32"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Long](Bits)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      val s = arr.getUTF8String(t).toString
+      var h = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = (h * 31L + cp) % Mod
+        i += Character.charCount(cp)
+      }
+      var j = 0
+      while (j < Bits) {
+        votes(j) += ((h >> j) & 1L) * 2L - 1L
+        j += 1
+      }
+      t += 1
+    }
+    var packed = 0L
+    var j = 0
+    while (j < Bits) {
+      if (votes(j) > 0) packed |= 1L << j
+      j += 1
+    }
+    packed
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration: once per session (idempotent) for local use, plus the
   * `spark.sql.extensions=graft.functions.GraftExtensions` path for a
   * real cluster.
@@ -82,6 +140,9 @@ object VectorFunctions {
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1))),
+    (FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (children: Seq[Expression]) => SimHash32(children.head)),
   )
 
   def register(spark: SparkSession): Unit =

@@ -164,29 +164,19 @@ object LlmText {
   /** SimHash fingerprint: per-token 31-poly hash → per-bit ±1 votes over
     * the token multiset → sign vector → packed 32-bit fingerprint.
     *
-    * Computed as ONE narrow pass: the per-document bit-vote vector is an
-    * `aggregate` with an array accumulator (`zip_with` add), so there is
-    * no explode and no per-document shuffle — at 100 TB this stays a map
-    * over the scan, where the explode+groupBy formulation would shuffle
-    * every token. (The DuckDB oracle uses the explode form; same math.)
+    * ONE narrow pass with no explode and no per-document shuffle — at
+    * 100 TB this stays a map over the scan, where the explode+groupBy
+    * formulation would shuffle every token. The per-row loop is the
+    * custom [[graft.functions.SimHash32]] expression (the nested-HOF
+    * column form computes identically but pays per-element expression
+    * interpretation, ~8x). The DuckDB oracle uses the explode form;
+    * same arithmetic.
     */
   def simHash(s: SparkSession, dir: String): DataFrame = {
-    // hash each token once, then vote bit-by-bit (shift amounts must be
-    // Scala ints — functions.shiftright takes no Column amount)
-    val tokenHashes = transform(tokens(col("text")), t => polyHash(t))
-    val bitVotes = (h: Column) =>
-      array((0 until SimhashBits).map(j =>
-        shiftright(h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)): _*)
-    val votes = aggregate(
-      tokenHashes,
-      array_repeat(lit(0L), SimhashBits),
-      (acc, h) => zip_with(acc, bitVotes(h), (a, b) => a + b),
-    )
-    // Horner over reversed sums: bit j of the fingerprint is votes[j] > 0.
-    val packed = aggregate(reverse(votes), lit(0L),
-      (acc, v) => acc * lit(2L) + when(v > 0, lit(1L)).otherwise(lit(0L)))
+    graft.functions.VectorFunctions.register(s) // idempotent
     Tables.t(s, dir, "documents")
-      .select(col("doc_id"), packed.as("simhash"))
+      .select(col("doc_id"),
+        call_function("simhash32", tokens(col("text"))).as("simhash"))
       .orderBy(col("doc_id"))
   }
 
