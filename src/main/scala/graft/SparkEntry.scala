@@ -21,6 +21,7 @@ object SparkEntry {
         graft.queries.ReferenceOps.defs ++
         graft.queries.GoldenPipeline.defs ++
         graft.queries.AsOfJoin.defs ++
+        graft.queries.StreamingGates.defs ++
         graft.queries.LlmText.defs ++
         graft.queries.LlmDedup.defs ++
         graft.queries.LlmVectors.defs

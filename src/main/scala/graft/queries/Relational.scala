@@ -269,6 +269,23 @@ object Relational {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** CUBE grouping-sets (all 4 subsets of the 2 keys) — completes the
+    * grouping-sets family next to [[rollupAgg]].
+    */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val cubeAggOracle: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** Distinct aggregate alongside plain aggregates. */
   def distinctAgg(s: SparkSession, dir: String): DataFrame = {
     Tables.t(s, dir, "lineitem")
@@ -297,6 +314,7 @@ object Relational {
     QueryDef("w2_running_sum", windowRunningSum, Some(windowRunningSumOracle)),
     QueryDef("set_ops", setOps, Some(setOpsOracle)),
     QueryDef("rollup_agg", rollupAgg, Some(rollupAggOracle)),
+    QueryDef("cube_agg", cubeAgg, Some(cubeAggOracle)),
     QueryDef("distinct_agg", distinctAgg, Some(distinctAggOracle)),
   )
 }
