@@ -96,9 +96,17 @@ object LlmDedup {
   private def verifyPairs(candidates: DataFrame, sh: DataFrame): DataFrame = {
     val jac = col("inter").cast(DoubleType) /
       (col("n_a") + col("n_b") - col("inter"))
+    // prune the shingle relation to candidate docs before the pair
+    // joins: candidates are few relative to the corpus, so the verify
+    // never re-shuffles the full inverted index (AQE broadcasts the
+    // candidate-doc list when it is small; at worst it is a semi join)
+    val candDocs = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val shCand = sh.join(candDocs, Seq("doc_id"), "left_semi")
     candidates
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .join(shCand.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shCand.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
       .groupBy(col("doc_a"), col("doc_b"),
         col("sa.n_sh").as("n_a"), col("sb.n_sh").as("n_b"))
       .agg(count(lit(1)).as("inter"))
