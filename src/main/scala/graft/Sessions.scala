@@ -30,6 +30,9 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // custom expressions (vec_dot, simhash32) + optimizer rules; on a
+    // real cluster use spark.sql.extensions=graft.functions.GraftExtensions
+    graft.functions.VectorFunctions.register(spark)
     spark
   }
 }

@@ -145,10 +145,14 @@ object VectorFunctions {
       (children: Seq[Expression]) => SimHash32(children.head)),
   )
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (id, info, b) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, b)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.ExistsRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.ExistsRewrite
+  }
 
   /** Dot product of two `array<double>` columns (codegen'd loop). The
     * caller must have run [[register]] on the session (Sessions.local
@@ -159,6 +163,8 @@ object VectorFunctions {
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     VectorFunctions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.ExistsRewrite)
+  }
 }

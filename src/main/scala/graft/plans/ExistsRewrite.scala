@@ -1,0 +1,34 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{ArrayExists, ArrayFilter, GreaterThan, LessThan, Literal, Size}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Optimizer rule: `size(filter(arr, λ)) > 0` → `exists(arr, λ)`.
+  *
+  * The left form materializes the whole filtered array and then counts
+  * it; `exists` short-circuits on the first match. The pattern is the
+  * natural way analysts write "any element matches" (the reference's
+  * techno flag — 002_views_techno.sql:57 `length(matched_genres) > 0` —
+  * and this engine's genre pipeline), so rewriting it centrally beats
+  * asking every query author to know the trick.
+  *
+  * Null semantics are preserved: with legacySizeOfNull off (Spark 4
+  * default), `size(null) > 0` is null and `exists(null, λ)` is null;
+  * the lambda's own null results follow exists' three-valued logic the
+  * same way the comparison does.
+  *
+  * Registered via [[graft.functions.GraftExtensions]]
+  * (`injectOptimizerRule`) on clusters, and
+  * `spark.experimental.extraOptimizations` for locally-built sessions.
+  */
+object ExistsRewrite extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case GreaterThan(Size(ArrayFilter(arg, fn), false), Literal(0, IntegerType)) =>
+        ArrayExists(arg, fn)
+      case LessThan(Literal(0, IntegerType), Size(ArrayFilter(arg, fn), false)) =>
+        ArrayExists(arg, fn)
+    }
+}

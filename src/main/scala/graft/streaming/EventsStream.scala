@@ -121,6 +121,16 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming exact dedup: drop re-deliveries of the same event_id
+    * arriving within the watermark horizon. The state store holds only
+    * ids inside the horizon (evicted beyond it) — the streaming rung of
+    * the dedup ladder: bounded state, no full-history key set.
+    */
+  def dedupedEvents(events: Dataset[Event]): Dataset[Event] =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run a streaming stage to a checkpointed parquet sink, AvailableNow. */
   def runToParquet(out: DataFrame, tablePath: String, checkpoint: String): StreamingQuery =
     out.writeStream

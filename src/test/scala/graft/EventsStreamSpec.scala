@@ -76,6 +76,21 @@ class EventsStreamSpec extends SparkSpec {
     ))
   }
 
+  test("dropDuplicatesWithinWatermark: re-delivered event ids collapse to one") {
+    val in = tmpDir("dd-in"); val out = tmpDir("dd-out"); val ck = tmpDir("dd-ck")
+    val withDups = base ++ Seq(
+      ev(1, 1, "view", 1.0, "2025-07-01T10:00:30Z"),  // exact re-delivery
+      ev(1, 2, "view", 2.0, "2025-07-01T10:02:00Z"),  // same id, drifted ts
+    )
+    Files.writeString(Paths.get(in, "events.jsonl"), withDups.mkString("\n"))
+    import spark.implicits._
+    EventsStream.runToParquet(
+      EventsStream.dedupedEvents(EventsStream.parse(spark.readStream.text(in))).toDF(),
+      out, ck).awaitTermination(120000)
+    val ids = spark.read.parquet(out).select("event_id").as[Long].collect().sorted
+    assert(ids === Array(1L, 2L, 3L, 4L, 5L, 999L)) // each id exactly once
+  }
+
   test("second AvailableNow run over the same checkpoint emits nothing new") {
     val in = tmpDir("rs-in"); val out = tmpDir("rs-out"); val ck = tmpDir("rs-ck")
     writeInput(in)

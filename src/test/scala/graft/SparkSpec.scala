@@ -20,6 +20,7 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = {
     val s = TestSession.spark
     s.sparkContext.setLogLevel("ERROR")
+    graft.functions.VectorFunctions.register(s)
     s
   }
 
