@@ -205,9 +205,64 @@ object LlmDedup {
     verifyPairs(candidates, sh)
   }
 
+  /** SimHash near-dup pairs at Hamming distance <= 1, found by BANDED
+    * fingerprint indexing: split the 32-bit simhash into 2 bands of 16
+    * bits; by pigeonhole a pair within distance 1 matches on at least
+    * one full band, so the band-bucket self-join finds EXACTLY the
+    * pairs the quadratic scan would (gated against that quadratic form
+    * in DuckDB) while staying sub-quadratic — the fingerprints are one
+    * narrow pass and the join only forms rows inside 16-bit buckets.
+    */
+  def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val fp = Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        call_function("simhash32", split(col("text"), " ")).as("simhash"))
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      explode(array(
+        struct(lit(0).as("band"), shiftright(col("simhash"), 16).as("key")),
+        struct(lit(1).as("band"), (col("simhash").bitwiseAND(lit(0xFFFFL))).as("key")),
+      )).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val ham = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
+      .distinct()
+      .filter(ham <= 1)
+      .select(col("doc_a"), col("doc_b"), ham.cast(IntegerType).as("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // Quadratic ground truth (fine at oracle scale; the Spark side must
+  // never do this): simhash per doc via the shared arithmetic, then all
+  // pairs at Hamming <= 1.
+  val simhashNearDupOracle: String = {
+    val sums = (0 until 32).map(j => s"SUM(((h >> $j) & 1) * 2 - 1) AS s$j").mkString(", ")
+    val pack = (0 until 32)
+      .map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |th AS (SELECT doc_id, CASE WHEN length(token) = 0 THEN 0 ELSE
+       |  list_reduce(list_transform(string_split(token, ''), c -> CAST(ascii(c) AS BIGINT)),
+       |    (a, b) -> (a * 31 + b) % 1000000007) END AS h FROM tok),
+       |votes AS (SELECT doc_id, $sums FROM th GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $pack AS simhash FROM votes)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dd_exact_dedup", exactDedup, Some(exactDedupOracle)),
     QueryDef("dd_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle), headline = true),
     QueryDef("dd_minhash_lsh", minhashLsh, Some(ngramJaccardOracle), headline = true),
+    QueryDef("dd_simhash_neardup", simhashNearDup, Some(simhashNearDupOracle), headline = true),
   )
 }
