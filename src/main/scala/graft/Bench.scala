@@ -20,11 +20,19 @@ object Bench {
     val defs = SparkEntry.queries
     val names = defs.keys.toSeq.sorted
 
-    def runOnce(name: String): Unit =
+    def runOnce(name: String): Unit = {
       defs(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+      // queries that persist intermediates (the dedup family) must not
+      // accumulate cache across 2x35 runs; each measurement pays its
+      // own persist cost and leaves nothing behind
+      spark.catalog.clearCache()
+    }
 
-    // Warmup: absorb JVM/codegen/parquet-footer first-touch cost.
-    names.headOption.foreach { n =>
+    // Warmup: one untimed pass of EVERY query absorbs JVM/codegen/
+    // parquet-footer first-touch cost, so the timed pass measures
+    // steady state and stays comparable run-over-run (first-touch
+    // noise was +-20% on per-query numbers).
+    names.foreach { n =>
       try runOnce(n) catch { case _: Throwable => () }
     }
 

@@ -128,6 +128,57 @@ case class SimHash32(child: Expression)
     copy(child = newChild)
 }
 
+/** Generator: token array → one row per DISTINCT word-bigram shingle,
+  * with the distinct-set size on every row (so similarity joins get
+  * |set| without a window or second pass).
+  *
+  * Why custom: the column-expression form
+  * (`transform`+`element_at` bigrams → `array_distinct` → `explode`)
+  * pays per-element interpreted-HOF overhead (~6µs/element measured —
+  * 1.8s per pass at sf0.1); this is one compiled loop with a hash set.
+  */
+case class BigramShingles(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bigram_shingles requires array<string>, got ${other.simpleString}")
+  }
+
+  override def elementSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_sh", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("sh", org.apache.spark.sql.types.StringType)))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null) return Iterator.empty
+    val n = arr.numElements()
+    val set = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]
+    var i = 0
+    while (i < n - 1) {
+      set.add(org.apache.spark.unsafe.types.UTF8String.concatWs(
+        org.apache.spark.unsafe.types.UTF8String.fromString(" "),
+        arr.getUTF8String(i), arr.getUTF8String(i + 1)))
+      i += 1
+    }
+    val nSh = set.size
+    val it = set.iterator()
+    new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+      override def hasNext: Boolean = it.hasNext
+      override def next(): org.apache.spark.sql.catalyst.InternalRow =
+        org.apache.spark.sql.catalyst.InternalRow(nSh, it.next())
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration: once per session (idempotent) for local use, plus the
   * `spark.sql.extensions=graft.functions.GraftExtensions` path for a
   * real cluster.
@@ -143,6 +194,9 @@ object VectorFunctions {
     (FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (children: Seq[Expression]) => SimHash32(children.head)),
+    (FunctionIdentifier("bigram_shingles"),
+      new ExpressionInfo(classOf[BigramShingles].getName, "bigram_shingles"),
+      (children: Seq[Expression]) => BigramShingles(children.head)),
   )
 
   def register(spark: SparkSession): Unit = {

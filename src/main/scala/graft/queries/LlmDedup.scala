@@ -38,17 +38,14 @@ object LlmDedup {
     * shuffle) so joins can size-filter at the earliest point.
     */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
-    // tokens materialize as a column BEFORE the bigram lambda: an
-    // expression referenced inside a HOF lambda re-evaluates per
-    // element, turning split() into O(tokens²) per document.
-    val bigrams = transform(
-      slice(col("tk"), lit(1), greatest(size(col("tk")) - 1, lit(0))),
-      (t, i) => concat_ws(" ", t, element_at(col("tk"), i + 2)),
-    )
+    graft.functions.VectorFunctions.register(s)
+    // one compiled loop per doc (custom Generator) — the HOF form
+    // (transform bigrams -> array_distinct -> explode) pays interpreted
+    // per-element overhead and, if the token array is referenced inside
+    // the lambda, re-evaluates it per element (O(tokens²) trap)
     Tables.t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), array_distinct(bigrams).as("shs"))
-      .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
+      .select(col("doc_id"), call_function("bigram_shingles", col("tk")))
       // The similarity joins reference this relation 3-5 times (index,
       // candidate sides, verification sides); without persist each
       // reference re-runs scan+tokenize+explode (measured +55% on the
