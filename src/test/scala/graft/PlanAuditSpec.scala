@@ -32,6 +32,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("rank-filter windows get the group-limit optimization (top-k never sorts full partitions)") {
+    val plan = graft.queries.Relational.defs.find(_.name == "w1_window_topk").get
+      .fn(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"w1 should push rank<=k into a WindowGroupLimit:\n${plan.take(1500)}")
+  }
+
   test("parquet scans prune columns (no full-width reads in projecting queries)") {
     // representative narrow queries must not read the full documents row
     val plan = graft.queries.LlmText.fingerprint(spark, dir)

@@ -75,6 +75,31 @@ class TracksStreamSpec extends SparkSpec {
       .head().getString(0) === "2024-01-01")
   }
 
+  test("golden fixture streamed == golden fixture batched (150 reference items)") {
+    import graft.queries.GoldenPipeline
+    val in = tmpDir("gs-in"); val table = tmpDir("gs-table"); val ckpt = tmpDir("gs-ckpt")
+    // re-shape the fixture's raw track records (the MV's input contract)
+    // to JSONL — exactly what the Kafka producer (K2) emits per item
+    val raw = GoldenPipeline.readFixtureItems(spark)
+    val lines = graft.etl.Normalize
+      .tracksFromPlaylistItems(raw, GoldenPipeline.ingestTsIso)
+      .toJSON.collect()
+    assert(lines.length === 150)
+    Files.writeString(Paths.get(in, "golden.jsonl"), lines.mkString("\n"))
+
+    TracksStream.runFromFiles(spark, in, table, ckpt).awaitTermination(120000)
+    val streamed = spark.read.parquet(table)
+    assert(streamed.count() === 150)
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("track_id", "track_name", "release_date", "added_at", "album_id")
+      .withColumn("release_date", date_format(col("release_date"), "yyyy-MM-dd"))
+      .orderBy("track_id").collect().toSeq
+    assert(canon(streamed) === canon(GoldenPipeline.curatedTracks(spark)))
+    // the one year-precision date survives the stream path fixed up
+    assert(streamed.filter(date_format(col("release_date"), "MM-dd") === "01-01").count() > 0)
+  }
+
   test("checkpoint makes re-runs exactly-once (no duplicate rows)") {
     val in = tmpDir("stream-in3")
     val table = tmpDir("stream-table3")
