@@ -49,4 +49,12 @@ class PlanAuditSpec extends SparkSpec {
       .fn(spark, dir).queryExecution.executedPlan.toString
     assert(!plan2.contains("l_comment"), "q1 must not read unused lineitem columns")
   }
+
+  test("predicates reach the parquet scan (PushedFilters non-empty under filters)") {
+    val plan = graft.queries.Relational.defs.find(_.name == "q3_top_orders").get
+      .fn(spark, dir).queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[([^\\]]+)\\]".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(pushed.exists(p => p.trim.nonEmpty && p != "IsNotNull"),
+      s"q3's segment/date filters should push to the scans: $pushed")
+  }
 }
