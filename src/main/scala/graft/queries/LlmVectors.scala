@@ -151,9 +151,80 @@ object LlmVectors {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  private val IvfClusters = 16
+  private val IvfProbes = 4
+
+  /** IVF (inverted-file) ANN — the FAISS-style scale architecture:
+    * partition the corpus by nearest centroid once at index time, probe
+    * only the query's nProbe nearest cells at search time.
+    *
+    * Centroids: deterministic seeds (first K vectors) refined by one
+    * Lloyd iteration. The per-dimension means aggregate distributedly
+    * (posexplode → groupBy(cluster, dim) → avg); only the K×dim
+    * centroid table ever reaches the driver (tiny, by construction) —
+    * the corpus itself is assigned via a broadcast-literal argmax, one
+    * narrow pass.
+    *
+    * Scale shape: index build is two corpus passes (assign, re-assign);
+    * search touches nProbe/K of the corpus per query. Candidates
+    * verified by true cosine, ranked deterministically.
+    */
+  def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+
+    def centroidCols(cents: Array[Array[Double]]): Column = {
+      // cosine against each centroid as literal vectors; argmax cell id
+      val sims = cents.map { c =>
+        val norm = math.sqrt(c.map(x => x * x).sum)
+        dot(col("emb"), typedlit(c.toSeq)) / (col("nrm") * norm)
+      }
+      array_position(array(sims: _*), array_max(array(sims: _*))) - 1
+    }
+
+    val seeds = base.filter(col("vec_id") < IvfClusters)
+      .orderBy(col("vec_id")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    // one Lloyd step: assign to seeds, recompute per-dimension means
+    val assigned0 = base.withColumn("cell", centroidCols(seeds))
+    val centroids = assigned0
+      .select(col("cell"), posexplode(col("emb")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+      }.toArray
+
+    val indexed = base.withColumn("cell", centroidCols(centroids))
+    val queries = base.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    // probe list: the nProbe nearest cells per query
+    val qSims = centroids.zipWithIndex.map { case (c, i) =>
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      struct((dot(col("q_emb"), typedlit(c.toSeq)) / (col("q_nrm") * norm)).as("sim"),
+        lit(i.toLong).as("cell"))
+    }
+    val probed = queries
+      .withColumn("probe",
+        explode(slice(reverse(array_sort(array(qSims: _*))), 1, IvfProbes)))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("probe.cell").as("cell"))
+
+    val cos = dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    indexed.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("sim_topk_exact", topkExact, Some(topkExactOracle), headline = true),
     QueryDef("sim_ann_lsh", annTopk, None, headline = true),
+    QueryDef("sim_ivf_topk", ivfTopk, None, headline = true),
     QueryDef("dd_embed_neardup", embedNearDup, None),
   )
 }

@@ -51,6 +51,27 @@ class LlmOpsSpec extends SparkSpec {
       s"mean recall ${recalls.sum / recalls.size} too low")
   }
 
+  test("IVF top-k: per-rank dominance vs exact, k rows max, decent recall") {
+    val exact = LlmVectors.topkExact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val ivf = LlmVectors.ivfTopk(spark, dir).collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getLong(0)).values.foreach(rows => assert(rows.length <= 5))
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getInt(1))
+      assert(exact.contains(key))
+      assert(r.getDouble(3) <= exact(key) + 1e-9)
+    }
+    val exactSets = LlmVectors.topkExact(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val ivfSets = ivf.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recalls = exactSets.map { case (q, ex) =>
+      ivfSets.getOrElse(q, Set.empty[Long]).intersect(ex).size.toDouble / ex.size
+    }
+    assert(recalls.sum / recalls.size > 0.3,
+      s"mean IVF recall ${recalls.sum / recalls.size} too low")
+  }
+
   test("embed near-dup: subset of exact >=0.4 pairs with exact cosines") {
     val pairs = LlmVectors.embedNearDup(spark, dir).collect()
     assert(pairs.nonEmpty)
