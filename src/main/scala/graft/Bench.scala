@@ -1,7 +1,7 @@
 package graft
 
-/** Benchmark main. Per-query wall time over the headline set, one JSON
-  * line on stdout (driver contract).
+/** Benchmark main. Per-query wall time over EVERY registered query
+  * (sorted, stable order), one JSON line on stdout (driver contract).
   *
   * Measurement discipline (VERDICT r1 #7):
   *  - full materialization via a `noop`-format write, so Catalyst cannot

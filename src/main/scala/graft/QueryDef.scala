@@ -4,13 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** One verifiable operator: a Spark implementation plus (where the
   * semantics are ANSI-SQL-expressible) a DuckDB oracle over the same
-  * parquet tables. `headline = true` marks it for the benchmark set.
+  * parquet tables. Bench runs every registered query.
   */
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    headline: Boolean = false,
 )
 
 /** Testdata table access ([[TESTDATA.md]]): one parquet file per table. */

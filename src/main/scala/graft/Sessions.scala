@@ -16,23 +16,35 @@ import org.apache.spark.sql.SparkSession
   *    number; in local[n] it just avoids 200 tiny tasks.
   */
 object Sessions {
-  def local(appName: String): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .appName(appName)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Partition values stay strings (ingest_month "202507" must not be
-      // re-inferred as INT on read — it is a key, not a number).
-      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // custom expressions (vec_dot, simhash32) + optimizer rules; on a
-    // real cluster use spark.sql.extensions=graft.functions.GraftExtensions
+
+  /** The semantics-bearing config, in ONE place — Verify, Bench, and
+    * the test session all build through this so they cannot drift.
+    */
+  def applyCommon(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Partition values stay strings (ingest_month "202507" must not be
+    // re-inferred as INT on read — it is a key, not a number).
+    .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    .config("spark.ui.enabled", "false")
+
+  /** Post-build session setup shared with the test session. */
+  def finish(spark: SparkSession, logLevel: String): SparkSession = {
+    spark.sparkContext.setLogLevel(logLevel)
+    // custom expressions (vec_dot, simhash32, bigram_shingles) +
+    // optimizer rules; on a real cluster use
+    // spark.sql.extensions=graft.functions.GraftExtensions
     graft.functions.VectorFunctions.register(spark)
     spark
+  }
+
+  def local(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = applyCommon(SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    finish(spark, "WARN")
   }
 }

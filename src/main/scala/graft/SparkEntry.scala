@@ -45,7 +45,4 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     queries_.flatMap { case (k, d) => d.oracle.map(k -> _) }
 
-  /** Names run by [[Bench]] (headline subset). */
-  def benchQueries: Seq[String] =
-    queries_.values.filter(_.headline).map(_.name).toSeq.sorted
 }

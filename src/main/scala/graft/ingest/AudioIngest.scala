@@ -57,11 +57,13 @@ final class AudioIngest(http: Http, apiBase: String = "https://api.spotify.com/v
       val (id, fromItem) = previewFromItem(item)
       if (id.isEmpty) None
       else fromItem.orElse(fallbackPreviewUrl(token, id)).flatMap { url =>
-        val (status, body) = http.get(url, Map.empty, Map.empty)
+        // binary-safe path — mp3 bodies are not UTF-8; a String
+        // round-trip would replace invalid sequences and corrupt them
+        val (status, body) = http.getBytes(url, Map.empty, Map.empty)
         if (status != 200) None
         else {
           val f = dir.resolve(s"$id.mp3")
-          java.nio.file.Files.write(f, body.getBytes("ISO-8859-1"))
+          java.nio.file.Files.write(f, body)
           Some(AudioPointer(id, f.toString, fetchedAtIso))
         }
       }

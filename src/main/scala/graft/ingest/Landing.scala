@@ -36,8 +36,12 @@ object Landing {
   def latestRawFile(rawDir: String): Option[Path] = {
     val dir = Paths.get(rawDir)
     if (!Files.isDirectory(dir)) None
-    else Files.list(dir).iterator().asScala
-      .filter(p => p.toString.endsWith(".json") && Files.isRegularFile(p))
-      .maxByOption(p => Files.getLastModifiedTime(p).toMillis)
+    else {
+      val stream = Files.list(dir) // must close: holds a directory fd
+      try stream.iterator().asScala
+        .filter(p => p.toString.endsWith(".json") && Files.isRegularFile(p))
+        .maxByOption(p => Files.getLastModifiedTime(p).toMillis)
+      finally stream.close()
+    }
   }
 }

@@ -12,6 +12,12 @@ trait Http {
       headers: Map[String, String]): (Int, String)
   def postForm(url: String, form: Map[String, String],
       headers: Map[String, String]): (Int, String)
+
+  /** Binary-safe GET for media payloads — a String round-trip corrupts
+    * any body that is not valid UTF-8 (mp3 bytes are not).
+    */
+  def getBytes(url: String, params: Map[String, String],
+      headers: Map[String, String]): (Int, Array[Byte])
 }
 
 /** Production Http over java.net.http (JDK built-in, no extra deps). */
@@ -24,6 +30,17 @@ final class JdkHttp(timeoutSeconds: Long = 20) extends Http {
     headers.foreach { case (k, v) => b.header(k, v) }
     val resp = client.send(b.timeout(java.time.Duration.ofSeconds(timeoutSeconds)).build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  override def getBytes(url: String, params: Map[String, String],
+      headers: Map[String, String]): (Int, Array[Byte]) = {
+    val full = if (params.isEmpty) url
+      else url + "?" + params.map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(full)).GET()
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = client.send(b.timeout(java.time.Duration.ofSeconds(timeoutSeconds)).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofByteArray())
     (resp.statusCode(), resp.body())
   }
 

@@ -76,10 +76,16 @@ object MediaFeatures {
     blobs.mapPartitions { it =>
       val dec = decoder(featureDim)
       dec.open()
+      var closed = false
+      def closeOnce(): Unit = if (!closed) { closed = true; dec.close() }
+      // close exactly once: on exhaustion for the normal path, and via
+      // the task-completion listener when a downstream limit/take
+      // abandons the iterator early (otherwise a real codec leaks)
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
       val out = it.map(dec.decode)
-      // NB: close-on-exhaustion; Spark drains partitions fully.
       new Iterator[MediaFeature] {
-        def hasNext: Boolean = { val h = out.hasNext; if (!h) dec.close(); h }
+        def hasNext: Boolean = { val h = out.hasNext; if (!h) closeOnce(); h }
         def next(): MediaFeature = out.next()
       }
     }

@@ -14,10 +14,14 @@ import org.apache.spark.sql.types.IntegerType
   * and this engine's genre pipeline), so rewriting it centrally beats
   * asking every query author to know the trick.
   *
-  * Null semantics are preserved: with legacySizeOfNull off (Spark 4
-  * default), `size(null) > 0` is null and `exists(null, λ)` is null;
-  * the lambda's own null results follow exists' three-valued logic the
-  * same way the comparison does.
+  * Null semantics are preserved exactly: with legacySizeOfNull off
+  * (Spark 4 default), `size(null) > 0` is null and `exists(null, λ)`
+  * is null; and ArrayExists is constructed with three-valued logic
+  * OFF, so a λ returning null for every element yields `false` — the
+  * same as `filter` (which drops null-result elements) followed by
+  * `size > 0`. The default 3VL ArrayExists would yield null there,
+  * which is why the rewrite must pin the flag rather than use the
+  * conf-dependent constructor.
   *
   * Registered via [[graft.functions.GraftExtensions]]
   * (`injectOptimizerRule`) on clusters, and
@@ -27,8 +31,8 @@ object ExistsRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case GreaterThan(Size(ArrayFilter(arg, fn), false), Literal(0, IntegerType)) =>
-        ArrayExists(arg, fn)
+        ArrayExists(arg, fn, followThreeValuedLogic = false)
       case LessThan(Literal(0, IntegerType), Size(ArrayFilter(arg, fn), false)) =>
-        ArrayExists(arg, fn)
+        ArrayExists(arg, fn, followThreeValuedLogic = false)
     }
 }

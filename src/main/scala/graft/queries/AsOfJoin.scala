@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * Spark has no built-in).
   *
   * Implemented by COMPOSITION (the preference order's first rung): tag
-  * and union both sides, then one `last(ignoreNulls) over (partition by
-  * key order by (time, side) rows unbounded preceding)` window per
-  * payload column, keep the left rows. Exactly ONE shuffle on the key —
+  * and union both sides, then a single struct-valued `last(ignoreNulls)
+  * over (partition by key order by (time, side) rows unbounded
+  * preceding)` window (atomic — all payload fields come from the same
+  * right row), keep the left rows. Exactly ONE shuffle on the key —
   * the same cost as the sort-merge pass a native as-of operator would
   * do, with no range-explosion join (a naive `left.t >= right.t` theta
   * join materializes the full history per event before aggregation;
@@ -32,15 +33,20 @@ object AsOfJoin {
     val leftTagged = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
+    // payloads travel as ONE struct so the as-of fill is atomic: with
+    // per-column last(ignoreNulls) windows, a right row holding a null
+    // payload field would have that field back-filled from an OLDER
+    // right row, fabricating a state that never existed
     val rightTagged = right.select(
-      (Seq(col(key), col(rightTime).as("__t"), lit(0).as("__side")) ++
-        payload.map(col)): _*)
+      col(key), col(rightTime).as("__t"), lit(0).as("__side"),
+      struct(payload.map(col): _*).as("__p"))
     val unioned = rightTagged.unionByName(leftTagged, allowMissingColumns = true)
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned)((df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w)))
-    filled.filter(col("__side") === 1).drop("__t", "__side")
+    val filled = unioned.withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+    payload.foldLeft(filled)((df, p) => df.withColumn(p, col("__p").getField(p)))
+      .filter(col("__side") === 1)
+      .drop("__t", "__side", "__p")
   }
 
   /** j3: every event enriched with the user's latest order state as of
@@ -79,6 +85,6 @@ object AsOfJoin {
       |ORDER BY event_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("j3_asof_join", eventsAsOfOrders, Some(eventsAsOfOrdersOracle), headline = true),
+    QueryDef("j3_asof_join", eventsAsOfOrders, Some(eventsAsOfOrdersOracle)),
   )
 }

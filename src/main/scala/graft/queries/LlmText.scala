@@ -225,10 +225,10 @@ object LlmText {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("ta_text_stats", textStats, Some(textStatsOracle), headline = true),
+    QueryDef("ta_text_stats", textStats, Some(textStatsOracle)),
     QueryDef("ta_langid", langId, Some(langIdOracle)),
     QueryDef("ta_fingerprint", fingerprint, Some(fingerprintOracle)),
-    QueryDef("ta_simhash", simHash, Some(simHashOracle), headline = true),
+    QueryDef("ta_simhash", simHash, Some(simHashOracle)),
     QueryDef("mm_binary_meta", binaryMeta, Some(binaryMetaOracle)),
   )
 }

@@ -222,9 +222,9 @@ object LlmVectors {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("sim_topk_exact", topkExact, Some(topkExactOracle), headline = true),
-    QueryDef("sim_ann_lsh", annTopk, None, headline = true),
-    QueryDef("sim_ivf_topk", ivfTopk, None, headline = true),
+    QueryDef("sim_topk_exact", topkExact, Some(topkExactOracle)),
+    QueryDef("sim_ann_lsh", annTopk, None),
+    QueryDef("sim_ivf_topk", ivfTopk, None),
     QueryDef("dd_embed_neardup", embedNearDup, None),
   )
 }

@@ -246,7 +246,7 @@ object ReferenceOps {
     QueryDef("a1_latest_state", a1LatestState, Some(a1LatestStateOracle)),
     QueryDef("a1_argmax", a1ArgMax, Some(a1ArgMaxOracle)),
     QueryDef("a2_group_array", a2GroupArray, Some(a2GroupArrayOracle)),
-    QueryDef("j2_genre_pipeline", genrePipeline, Some(genrePipelineOracle), headline = true),
+    QueryDef("j2_genre_pipeline", genrePipeline, Some(genrePipelineOracle)),
     QueryDef("p1_json_normalize", p1JsonNormalize, Some(p1JsonNormalizeOracle)),
     QueryDef("fx_date_fixup", dateFixup, Some(dateFixupOracle)),
     QueryDef("fn_scalar_suite", scalarFunctions, Some(scalarFunctionsOracle)),

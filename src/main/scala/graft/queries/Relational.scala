@@ -304,13 +304,13 @@ object Relational {
       |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q1_pricing", q1Pricing, Some(q1PricingOracle), headline = true),
-    QueryDef("q3_top_orders", q3TopOrders, Some(q3TopOrdersOracle), headline = true),
-    QueryDef("q5_region_volume", q5RegionVolume, Some(q5RegionVolumeOracle), headline = true),
+    QueryDef("q1_pricing", q1Pricing, Some(q1PricingOracle)),
+    QueryDef("q3_top_orders", q3TopOrders, Some(q3TopOrdersOracle)),
+    QueryDef("q5_region_volume", q5RegionVolume, Some(q5RegionVolumeOracle)),
     QueryDef("join_semi", semiJoin, Some(semiJoinOracle)),
     QueryDef("join_anti", antiJoin, Some(antiJoinOracle)),
     QueryDef("j1_left_join_dim", leftJoinDim, Some(leftJoinDimOracle)),
-    QueryDef("w1_window_topk", windowTopK, Some(windowTopKOracle), headline = true),
+    QueryDef("w1_window_topk", windowTopK, Some(windowTopKOracle)),
     QueryDef("w2_running_sum", windowRunningSum, Some(windowRunningSumOracle)),
     QueryDef("set_ops", setOps, Some(setOpsOracle)),
     QueryDef("rollup_agg", rollupAgg, Some(rollupAggOracle)),

@@ -75,6 +75,10 @@ object EventsStream {
     * event-time gap. flatMapGroupsWithState with EventTimeTimeout —
     * state evicts itself when the watermark passes last-event + gap,
     * emitting the closed session.
+    *
+    * `gapMinutes` must be >= the watermark delay: an event later than
+    * the gap but inside the watermark would otherwise merge into a
+    * session that a gap-first ordering would have closed.
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionSummary] = {
     val spark = events.sparkSession
@@ -98,7 +102,10 @@ object EventsStream {
           val t = e.ts.getTime
           cur match {
             case Some(s) if t - s.end <= gapMs =>
-              cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
+              // min() start: a late in-watermark event can precede the
+              // session's current start when batches arrive out of order
+              cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t),
+                s.n + 1, s.total + e.value))
             case Some(s) =>
               closed += SessionSummary(userId, new Timestamp(s.start),
                 new Timestamp(s.end), s.n, s.total)

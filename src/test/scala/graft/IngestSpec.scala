@@ -22,6 +22,11 @@ class IngestSpec extends SparkSpec {
         rs.head
       }.getOrElse((404, "{}"))
     }
+    def getBytes(url: String, params: Map[String, String],
+        headers: Map[String, String]): (Int, Array[Byte]) = {
+      val (s, b) = get(url, params, headers)
+      (s, b.getBytes("UTF-8"))
+    }
     def get(url: String, params: Map[String, String],
         headers: Map[String, String]): (Int, String) = {
       // encode params into the recorded url for assertions
