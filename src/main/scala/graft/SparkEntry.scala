@@ -25,6 +25,10 @@ object SparkEntry {
         graft.queries.LlmText.defs ++
         graft.queries.LlmDedup.defs ++
         graft.queries.LlmVectors.defs
+    // a name collision would silently shrink the correctness gate
+    // (toMap keeps the last duplicate) — fail loudly instead
+    require(defs.map(_.name).distinct.size == defs.size,
+      s"duplicate query names: ${defs.map(_.name).diff(defs.map(_.name).distinct)}")
     defs.map(d => d.name -> d).toMap
   }
 

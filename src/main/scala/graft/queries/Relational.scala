@@ -286,6 +286,39 @@ object Relational {
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** Statistical aggregates (moments + correlation) per event_type —
+    * one partial→final hash agg with CONSTANT per-group state (each is
+    * a few running sums), so the scale posture holds at any group
+    * cardinality. Quantiles are deliberately absent here: exact
+    * percentile buffers every distinct value per group (unbounded
+    * state at 100 TB); the engine's quantile op is approx_percentile
+    * (t-digest, constant state — accuracy-gated in SkewAsOfSpec since
+    * an approximation cannot hash-match an exact oracle). Doubles are
+    * rounded to 6dp, which makes merge-order ulp flips of the hash
+    * compare vanishingly unlikely (not impossible — only the DECIMAL
+    * queries are exact by construction).
+    */
+  def statsAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("value")), 6).as("avg_value"),
+        round(stddev_samp(col("value")), 6).as("sd_value"),
+        round(var_samp(col("value")), 6).as("var_value"),
+        round(corr(col("value"), col("user_id").cast(DoubleType)), 6).as("corr_user"),
+      )
+      .orderBy(col("event_type"))
+  }
+
+  val statsAggOracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      | round(AVG(value), 6) AS avg_value,
+      | round(STDDEV_SAMP(value), 6) AS sd_value,
+      | round(VAR_SAMP(value), 6) AS var_value,
+      | round(CORR(value, CAST(user_id AS DOUBLE)), 6) AS corr_user
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Distinct aggregate alongside plain aggregates. */
   def distinctAgg(s: SparkSession, dir: String): DataFrame = {
     Tables.t(s, dir, "lineitem")
@@ -315,6 +348,7 @@ object Relational {
     QueryDef("set_ops", setOps, Some(setOpsOracle)),
     QueryDef("rollup_agg", rollupAgg, Some(rollupAggOracle)),
     QueryDef("cube_agg", cubeAgg, Some(cubeAggOracle)),
+    QueryDef("stats_agg", statsAgg, Some(statsAggOracle)),
     QueryDef("distinct_agg", distinctAgg, Some(distinctAggOracle)),
   )
 }
