@@ -221,10 +221,51 @@ object LlmVectors {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // The sign-LSH path is a pure function of the data (coordinate
+  // hyperplanes, no randomness), so its banded candidate semantics are
+  // expressible in SQL: a candidate pair shares at least one of the 4
+  // band keys. The oracle states that quadratically (fine at oracle
+  // scale); the Spark side must reach the same set via bucket joins.
+  private def bandKeySql(expr: String, b: Int): String =
+    (0 until BitsPerBand).map { j =>
+      s"(CASE WHEN $expr[${b * BitsPerBand + j + 1}] > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val annTopkOracle: String = {
+    val vBands = (0 until Bands).map(b => s"${bandKeySql("emb", b)} AS b$b").mkString(", ")
+    val anyBand = (0 until Bands).map(b => s"x.b$b = q.b$b").mkString(" OR ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |k AS (SELECT vec_id, emb, $vBands FROM v),
+       |q AS (SELECT * FROM k WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, x.vec_id,
+       |    list_cosine_similarity(x.emb, q.emb) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(x.emb, q.emb) DESC, x.vec_id) AS rank
+       |  FROM k x JOIN q ON x.vec_id <> q.vec_id AND ($anyBand))
+       |SELECT q_id, rank, vec_id, round(cos, 6) AS cosine
+       |FROM scored WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+  }
+
+  val embedNearDupOracle: String = {
+    val vBands = (0 until Bands).map(b => s"${bandKeySql("emb", b)} AS b$b").mkString(", ")
+    val anyBand = (0 until Bands).map(b => s"a.b$b = b.b$b").mkString(" OR ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |k AS (SELECT vec_id, emb, $vBands FROM v)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+       |FROM k a JOIN k b ON a.vec_id < b.vec_id AND ($anyBand)
+       |WHERE list_cosine_similarity(a.emb, b.emb) >= $NearDupCos
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("sim_topk_exact", topkExact, Some(topkExactOracle)),
-    QueryDef("sim_ann_lsh", annTopk, None),
+    QueryDef("sim_ann_lsh", annTopk, Some(annTopkOracle)),
+    // IVF stays rows-only: its centroids come from a distributed float
+    // mean whose summation order is engine-specific — near-boundary
+    // assignments could legitimately differ from a SQL re-derivation.
     QueryDef("sim_ivf_topk", ivfTopk, None),
-    QueryDef("dd_embed_neardup", embedNearDup, None),
+    QueryDef("dd_embed_neardup", embedNearDup, Some(embedNearDupOracle)),
   )
 }
