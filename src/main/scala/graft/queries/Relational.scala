@@ -286,6 +286,39 @@ object Relational {
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** TPC-H Q14-shaped promo revenue share: fact-dim join on partkey +
+    * conditional (CASE-guarded) aggregation, decimal-exact. The only
+    * query over `part`, and the canonical "conditional numerator /
+    * total denominator" shape.
+    */
+  def q14Promo(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+    val part = Tables.t(s, dir, "part")
+    val disc = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("promo_revenue"),
+        sum(disc).cast(DoubleType).as("total_revenue"),
+        count(lit(1)).as("n_lines"),
+      )
+      .orderBy(col("p_brand"))
+  }
+
+  val q14PromoOracle: String =
+    """SELECT p_brand,
+      | CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |   THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(18,2)))
+      |   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+      | COUNT(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   /** Statistical aggregates (moments + correlation) per event_type —
     * one partial→final hash agg with CONSTANT per-group state (each is
     * a few running sums), so the scale posture holds at any group
@@ -349,6 +382,7 @@ object Relational {
     QueryDef("rollup_agg", rollupAgg, Some(rollupAggOracle)),
     QueryDef("cube_agg", cubeAgg, Some(cubeAggOracle)),
     QueryDef("stats_agg", statsAgg, Some(statsAggOracle)),
+    QueryDef("q14_promo", q14Promo, Some(q14PromoOracle)),
     QueryDef("distinct_agg", distinctAgg, Some(distinctAggOracle)),
   )
 }
