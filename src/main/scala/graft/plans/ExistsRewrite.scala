@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{ArrayExists, ArrayFilter, GreaterThan, LessThan, Literal, Size}
+import org.apache.spark.sql.catalyst.expressions.{ArrayExists, ArrayFilter, GreaterThan, LambdaFunction, LessThan, Literal, Size}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
@@ -28,11 +28,17 @@ import org.apache.spark.sql.types.IntegerType
   * `spark.experimental.extraOptimizations` for locally-built sessions.
   */
 object ExistsRewrite extends Rule[LogicalPlan] {
+  // ArrayFilter also accepts a two-argument (element, index) lambda, but
+  // ArrayExists destructures exactly one binder — rewriting the indexed
+  // form would MatchError at execution, so only single-binder lambdas
+  // are eligible.
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case GreaterThan(Size(ArrayFilter(arg, fn), false), Literal(0, IntegerType)) =>
+      case GreaterThan(Size(ArrayFilter(arg, fn @ LambdaFunction(_, Seq(_), _)), false),
+          Literal(0, IntegerType)) =>
         ArrayExists(arg, fn, followThreeValuedLogic = false)
-      case LessThan(Literal(0, IntegerType), Size(ArrayFilter(arg, fn), false)) =>
+      case LessThan(Literal(0, IntegerType),
+          Size(ArrayFilter(arg, fn @ LambdaFunction(_, Seq(_), _)), false)) =>
         ArrayExists(arg, fn, followThreeValuedLogic = false)
     }
 }

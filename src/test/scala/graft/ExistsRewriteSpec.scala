@@ -27,6 +27,20 @@ class ExistsRewriteSpec extends SparkSpec {
       control.orderBy("doc_id").collect().toSeq)
   }
 
+  test("indexed (element, index) filter lambdas are NOT rewritten and still execute") {
+    // ArrayExists takes a single binder; rewriting a two-arg filter
+    // lambda would MatchError at execution. The rule must skip it.
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        (size(filter(split(col("text"), " "), (s, i) => length(s) > 5 && i >= 0)) > 0)
+          .as("has_long"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("exists("),
+      s"indexed-filter form must not be rewritten:\n$optimized")
+    // must execute without MatchError
+    assert(df.count() > 0)
+  }
+
   test("the genre pipeline's has_zh column hits the rewrite") {
     VectorFunctions.register(spark)
     val plan = graft.queries.ReferenceOps
