@@ -57,7 +57,12 @@ object LlmVectors {
     val queries = base.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
     val cos = dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    // rank on a ROUNDED cosine so near-ties resolve identically across
+    // engines (cross-engine summation-order ulps could otherwise flip
+    // ranks before the displayed round(,6) absorbs them); vec_id breaks
+    // the remaining exact ties deterministically
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("cos"), 9).desc, col("vec_id"))
     base.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .withColumn("cos", cos)
       .withColumn("rank", row_number().over(w))
@@ -75,7 +80,7 @@ object LlmVectors {
        |  SELECT q.q_id, v.vec_id,
        |    list_cosine_similarity(v.emb, q.q_emb) AS cos,
        |    ROW_NUMBER() OVER (PARTITION BY q.q_id
-       |      ORDER BY list_cosine_similarity(v.emb, q.q_emb) DESC, v.vec_id) AS rank
+       |      ORDER BY round(list_cosine_similarity(v.emb, q.q_emb), 9) DESC, v.vec_id) AS rank
        |  FROM v JOIN q ON v.vec_id <> q.q_id)
        |SELECT q_id, rank, vec_id, round(cos, 6) AS cosine
        |FROM scored WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
@@ -111,7 +116,9 @@ object LlmVectors {
     // shuffles ids + a double, not 64-dim arrays (the duplicate band hits
     // recompute a cheap codegen'd expression instead of widening rows)
     val cos = dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    // rounded-cosine rank: see topkExact
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("cos"), 9).desc, col("vec_id"))
     base.join(broadcast(queries), Seq("band", "key"), "inner")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), cos.as("cos"))
@@ -160,10 +167,19 @@ object LlmVectors {
     *
     * Centroids: deterministic seeds (first K vectors) refined by one
     * Lloyd iteration. The per-dimension means aggregate distributedly
-    * (posexplode → groupBy(cluster, dim) → avg); only the K×dim
-    * centroid table ever reaches the driver (tiny, by construction) —
-    * the corpus itself is assigned via a broadcast-literal argmax, one
+    * (posexplode → groupBy(cluster, dim)); only the K×dim centroid
+    * table ever reaches the driver (tiny, by construction) — the
+    * corpus itself is assigned via a broadcast-literal argmax, one
     * narrow pass.
+    *
+    * Every step is ENGINE-REPRODUCIBLE, which is what makes the DuckDB
+    * oracle possible (this was r2's one ungated query):
+    *  - Lloyd means aggregate per-dimension sums as DECIMAL(38,12) —
+    *    exact, summation-order-independent — and divide by the count
+    *    once, in double, at the end;
+    *  - every argmax / top-n over cosines ranks on round(sim, 9) with
+    *    the cell id (or vec_id) as tie-break, so ulp-level differences
+    *    in double accumulation can never flip an assignment.
     *
     * Scale shape: index build is two corpus passes (assign, re-assign);
     * search touches nProbe/K of the corpus per query. Candidates
@@ -173,10 +189,12 @@ object LlmVectors {
     val base = emb(s, dir)
 
     def centroidCols(cents: Array[Array[Double]]): Column = {
-      // cosine against each centroid as literal vectors; argmax cell id
+      // rounded cosine against each centroid as literal vectors; argmax
+      // cell id (array_position takes the FIRST max → lowest cell wins
+      // ties, matching the oracle's ORDER BY sim DESC, cell)
       val sims = cents.map { c =>
         val norm = math.sqrt(c.map(x => x * x).sum)
-        dot(col("emb"), typedlit(c.toSeq)) / (col("nrm") * norm)
+        round(dot(col("emb"), typedlit(c.toSeq)) / (col("nrm") * norm), 9)
       }
       array_position(array(sims: _*), array_max(array(sims: _*))) - 1
     }
@@ -184,11 +202,15 @@ object LlmVectors {
     val seeds = base.filter(col("vec_id") < IvfClusters)
       .orderBy(col("vec_id")).collect()
       .map(_.getSeq[Double](1).toArray)
-    // one Lloyd step: assign to seeds, recompute per-dimension means
+    // one Lloyd step: assign to seeds, recompute per-dimension means.
+    // DECIMAL sums make the distributed aggregation order-independent;
+    // the single double division at the end is deterministic.
     val assigned0 = base.withColumn("cell", centroidCols(seeds))
     val centroids = assigned0
       .select(col("cell"), posexplode(col("emb")).as(Seq("dim", "x")))
-      .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"), col("dim"))
+      .agg((sum(col("x").cast(DecimalType(38, 12))).cast(DoubleType) /
+        count(lit(1))).as("m"))
       .collect()
       .groupBy(_.getLong(0))
       .toSeq.sortBy(_._1)
@@ -199,19 +221,22 @@ object LlmVectors {
     val indexed = base.withColumn("cell", centroidCols(centroids))
     val queries = base.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
-    // probe list: the nProbe nearest cells per query
+    // probe list: the nProbe nearest cells per query — sort key is
+    // (-rounded sim, cell) so ties break on the LOWER cell id, same as
+    // the assignment argmax and the oracle
     val qSims = centroids.zipWithIndex.map { case (c, i) =>
       val norm = math.sqrt(c.map(x => x * x).sum)
-      struct((dot(col("q_emb"), typedlit(c.toSeq)) / (col("q_nrm") * norm)).as("sim"),
-        lit(i.toLong).as("cell"))
+      val sim = round(dot(col("q_emb"), typedlit(c.toSeq)) / (col("q_nrm") * norm), 9)
+      struct((-sim).as("negsim"), lit(i.toLong).as("cell"))
     }
     val probed = queries
-      .withColumn("probe",
-        explode(slice(reverse(array_sort(array(qSims: _*))), 1, IvfProbes)))
+      .withColumn("probe", explode(slice(array_sort(array(qSims: _*)), 1, IvfProbes)))
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("probe.cell").as("cell"))
 
     val cos = dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    // rounded-cosine rank: see topkExact
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("cos"), 9).desc, col("vec_id"))
     indexed.join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), cos.as("cos"))
@@ -220,6 +245,51 @@ object LlmVectors {
       .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cosine"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** DuckDB re-derivation of the full IVF pipeline — same seeds, same
+    * decimal-exact Lloyd step, same rounded-cosine tie-broken argmax at
+    * every stage. Cell labels differ from Spark's (original seed ids vs
+    * dense re-index) but labeling is a monotone relabel that never
+    * reaches the output. The lockstep `unnest(range(...)), unnest(emb)`
+    * is DuckDB's posexplode.
+    */
+  val ivfTopkOracle: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, emb AS cemb
+       |  FROM v WHERE vec_id < $IvfClusters),
+       |a0 AS (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT v.vec_id, v.emb, s.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(list_cosine_similarity(v.emb, s.cemb), 9) DESC, s.cell) AS rn
+       |    FROM v CROSS JOIN seeds s) WHERE rn = 1),
+       |dims AS (SELECT cell, unnest(range(1, len(emb) + 1)) AS dim, unnest(emb) AS x FROM a0),
+       |cent AS (
+       |  SELECT cell, list(m ORDER BY dim) AS cemb FROM (
+       |    SELECT cell, dim,
+       |      CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+       |    FROM dims GROUP BY cell, dim) GROUP BY cell),
+       |assigned AS (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT v.vec_id, v.emb, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(list_cosine_similarity(v.emb, c.cemb), 9) DESC, c.cell) AS rn
+       |    FROM v CROSS JOIN cent c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NQueries),
+       |probes AS (
+       |  SELECT q_id, q_emb, cell FROM (
+       |    SELECT q.q_id, q.q_emb, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |        ORDER BY round(list_cosine_similarity(q.q_emb, c.cemb), 9) DESC, c.cell) AS rn
+       |    FROM q CROSS JOIN cent c) WHERE rn <= $IvfProbes),
+       |scored AS (
+       |  SELECT p.q_id, x.vec_id,
+       |    list_cosine_similarity(x.emb, p.q_emb) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY p.q_id
+       |      ORDER BY round(list_cosine_similarity(x.emb, p.q_emb), 9) DESC, x.vec_id) AS rank
+       |  FROM assigned x JOIN probes p ON x.cell = p.cell AND x.vec_id <> p.q_id)
+       |SELECT q_id, rank, vec_id, round(cos, 6) AS cosine
+       |FROM scored WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
 
   // The sign-LSH path is a pure function of the data (coordinate
   // hyperplanes, no randomness), so its banded candidate semantics are
@@ -241,7 +311,7 @@ object LlmVectors {
        |  SELECT q.vec_id AS q_id, x.vec_id,
        |    list_cosine_similarity(x.emb, q.emb) AS cos,
        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-       |      ORDER BY list_cosine_similarity(x.emb, q.emb) DESC, x.vec_id) AS rank
+       |      ORDER BY round(list_cosine_similarity(x.emb, q.emb), 9) DESC, x.vec_id) AS rank
        |  FROM k x JOIN q ON x.vec_id <> q.vec_id AND ($anyBand))
        |SELECT q_id, rank, vec_id, round(cos, 6) AS cosine
        |FROM scored WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
@@ -262,10 +332,7 @@ object LlmVectors {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("sim_topk_exact", topkExact, Some(topkExactOracle)),
     QueryDef("sim_ann_lsh", annTopk, Some(annTopkOracle)),
-    // IVF stays rows-only: its centroids come from a distributed float
-    // mean whose summation order is engine-specific — near-boundary
-    // assignments could legitimately differ from a SQL re-derivation.
-    QueryDef("sim_ivf_topk", ivfTopk, None),
+    QueryDef("sim_ivf_topk", ivfTopk, Some(ivfTopkOracle)),
     QueryDef("dd_embed_neardup", embedNearDup, Some(embedNearDupOracle)),
   )
 }
