@@ -95,8 +95,11 @@ object GoldenPipeline {
     * everyone is 'pop', the fresh one applies a digit-prefix rule; the
     * cascade must pick the fresh one via argMax).
     */
-  def goldenTechno(s: SparkSession, dir: String): DataFrame = {
-    val tracks = curatedTracks(s)
+  /** Deterministic two-snapshot synthetic `spotify_artists` dimension
+    * derived from the fixture's own artist ids — shared by the DF-API
+    * and SQL-text cascade gates.
+    */
+  def syntheticArtists(tracks: DataFrame): DataFrame = {
     val ids = tracks.select(explode(col("artist_ids")).as("artist_id")).distinct()
     def snap(ts: String, name: String, genres: org.apache.spark.sql.Column) =
       ids.select(
@@ -109,8 +112,13 @@ object GoldenPipeline {
       )
     val freshGenres = when(substring(col("artist_id"), 1, 1).between("0", "9"),
       array(lit("Hard Techno"))).otherwise(array(lit("house")))
-    val artists = snap("2025-07-29 00:00:00", "stale", array(lit("pop")))
+    snap("2025-07-29 00:00:00", "stale", array(lit("pop")))
       .unionByName(snap("2025-07-30 00:00:00", "fresh", freshGenres))
+  }
+
+  def goldenTechno(s: SparkSession, dir: String): DataFrame = {
+    val tracks = curatedTracks(s)
+    val artists = syntheticArtists(tracks)
     val al = TechnoViews.vArtistLatest(artists)
     val ta = TechnoViews.vTrackArtists(tracks)
     val flagged = TechnoViews.vTrackIsTechno(TechnoViews.vTrackGenres(ta, al))
@@ -121,6 +129,26 @@ object GoldenPipeline {
       array_join(col("matched"), "|").as("matched"),
       col("is_techno"),
     ).orderBy(col("track_id"), col("track_name"))
+  }
+
+  /** `ref_techno_sql`: the SAME cascade, but resolved the way the
+    * reference actually reads it — SQL text over the registered view
+    * set (002:47-58, Superset's access path). [[TechnoViews.registerAll]]
+    * mirrors 002's `CREATE VIEW` statements; the query below is the
+    * analyst-facing `SELECT` that Catalyst inlines through all four
+    * views. Gated against the same DuckDB oracle as the DF-API form, so
+    * the gate proves text-SQL resolution ≡ DataFrame composition.
+    */
+  def goldenTechnoSql(s: SparkSession, dir: String): DataFrame = {
+    val tracks = curatedTracks(s)
+    TechnoViews.registerAll(s, tracks, syntheticArtists(tracks))
+    s.sql(
+      """SELECT track_id, track_name,
+        |  array_join(all_genres, '|') AS all_genres,
+        |  array_join(matched, '|') AS matched,
+        |  is_techno
+        |FROM v_track_is_techno
+        |ORDER BY track_id, track_name""".stripMargin)
   }
 
   val goldenTechnoOracle: String =
@@ -155,5 +183,6 @@ object GoldenPipeline {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ref_golden_curate", goldenCurate, Some(goldenCurateOracle)),
     QueryDef("ref_techno_cascade", goldenTechno, Some(goldenTechnoOracle)),
+    QueryDef("ref_techno_sql", goldenTechnoSql, Some(goldenTechnoOracle)),
   )
 }

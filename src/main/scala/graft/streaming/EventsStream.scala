@@ -116,7 +116,12 @@ object EventsStream {
         }
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.end + gapMs)
+          // clamp above the current watermark: a very late event (older
+          // than watermark - gap) would otherwise compute a timeout at or
+          // before the watermark, which Spark rejects with an
+          // IllegalArgumentException and kills the query
+          state.setTimeoutTimestamp(
+            math.max(s.end + gapMs, state.getCurrentWatermarkMs + 1))
         }
         closed.result().iterator
       }

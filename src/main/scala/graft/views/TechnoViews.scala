@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB design):
   * - `vArtistLatest` is a per-key latest-state aggregate; Catalyst plans
   *   it partial→final hash agg (one shuffle on artist_id).
-  * - The dimension side of the join is small relative to the fact side →
-  *   we `broadcast()` it explicitly, eliminating the fact-side shuffle.
+  * - The dimension side of the join is bounded by the artist CATALOG, not
+  *   by a constant — so no forced `broadcast()` hint: AQE broadcasts it
+  *   when its runtime size is under the threshold and falls back to a
+  *   shuffle join when a real-world artist dim (genre arrays included)
+  *   outgrows the driver. A hard hint here would OOM at 100× dim scale.
   * - `collect_list` order is nondeterministic under parallelism; the
   *   cascade only ever does set-membership on the result (002:50), so we
   *   `array_sort` the final distinct array to make output canonical
@@ -47,7 +50,7 @@ object TechnoViews {
     */
   def vTrackGenres(trackArtists: DataFrame, artistLatest: DataFrame): DataFrame =
     trackArtists.alias("ta")
-      .join(broadcast(artistLatest.alias("al")),
+      .join(artistLatest.alias("al"),
         col("ta.artist_id") === col("al.artist_id"), "left")
       .groupBy(col("ta.ingest_ts"), col("ta.track_id"), col("ta.track_name"))
       .agg(

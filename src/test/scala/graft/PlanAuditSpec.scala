@@ -32,6 +32,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  // queries whose logical plans may carry an explicit broadcast() hint:
+  // each broadcast side is provably bounded by a CONSTANT — the ANN
+  // query sides (<= NQueries rows by a literal filter), the IVF probe
+  // list (<= NQueries * nProbe rows), and TPC-H nation/region (25 / 5
+  // rows by spec). Anything data-bounded (a fact- or catalog-derived
+  // relation) must leave the join strategy to AQE: a forced hint OOMs
+  // the driver when the relation outgrows it at scale.
+  private val broadcastHintAllowed =
+    Set("sim_topk_exact", "sim_ann_lsh", "sim_ivf_topk", "q5_region_volume")
+
+  test("no explicit broadcast hints outside constant-bounded relations") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val analyzed = fn(spark, dir).queryExecution.analyzed.toString
+      if (analyzed.contains("ResolvedHint") && !broadcastHintAllowed(name)) Some(name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"forced broadcast hints on non-constant-bounded relations: $offenders")
+  }
+
   test("rank-filter windows get the group-limit optimization (top-k never sorts full partitions)") {
     val plan = graft.queries.Relational.defs.find(_.name == "w1_window_topk").get
       .fn(spark, dir).queryExecution.executedPlan.toString
