@@ -41,7 +41,63 @@ object StreamingGates {
       |GROUP BY 1, 2, 3
       |ORDER BY window_start, event_type""".stripMargin
 
+  private val GapUs = 30L * 60 * 1000000 // 30 minutes, microsecond-exact
+
+  /** Gap-based sessionization in BATCH — the same session semantics as
+    * [[graft.streaming.EventsStream.sessionize]] (an event whose
+    * distance to the previous one exceeds the 30-min gap opens a new
+    * session), derived relationally: lag → new-session flag →
+    * running-sum session id → per-session aggregate.
+    * EventsStreamSpec asserts stream/batch parity on the same fixture;
+    * this gate proves the session DERIVATION against DuckDB.
+    *
+    * Scale shape: one window pass partitioned by user (per-user sorts,
+    * never a global sort) feeding a hash aggregate — the standard
+    * batch-sessionization plan at any corpus size.
+    */
+  def sessionizeEvents(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val lagTs = lag(col("ts"), 1).over(w)
+    val newSession = when(
+      lagTs.isNull || unix_micros(col("ts")) - unix_micros(lagTs) > GapUs, 1).otherwise(0)
+    events
+      .withColumn("new_s", newSession)
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"),
+      )
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  def sessionizeBatch(s: SparkSession, dir: String): DataFrame =
+    sessionizeEvents(Tables.t(s, dir, "events"))
+
+  val sessionizeOracle: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS v,
+      |  CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |l AS (SELECT user_id, event_id, v, ts,
+      |  CASE WHEN LAG(ts) OVER w IS NULL
+      |        OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+      |       THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, v, ts,
+      |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sid FROM l)
+      |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS total_value
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("st_windowed_agg", windowedAgg, Some(windowedAggOracle)),
+    QueryDef("st_sessionize", sessionizeBatch, Some(sessionizeOracle)),
   )
 }

@@ -76,6 +76,33 @@ class EventsStreamSpec extends SparkSpec {
     ))
   }
 
+  test("sessionize parity: streaming output equals the batch derivation's closed sessions") {
+    val in = tmpDir("sp-in"); val out = tmpDir("sp-out"); val ck = tmpDir("sp-ck")
+    writeInput(in)
+    import spark.implicits._
+    EventsStream.runToParquet(
+      EventsStream.sessionize(EventsStream.parse(spark.readStream.text(in))).toDF(),
+      out, ck).awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), round(col("total_value"), 6).as("tv"))
+      .collect().toSet
+
+    // batch derivation over the SAME parsed events; the stream emits
+    // only sessions its watermark (max ts - 10 min) has closed, so
+    // filter the batch result to those before comparing
+    val parsed = EventsStream.parse(spark.read.text(in)).toDF()
+    val maxTs = parsed.agg(max(unix_micros(col("ts")))).as[Long].head()
+    val watermarkUs = maxTs - 10L * 60 * 1000000
+    val batch = graft.queries.StreamingGates.sessionizeEvents(parsed)
+      .filter(unix_micros(col("session_end")) + 30L * 60 * 1000000 < watermarkUs)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), round(col("total_value"), 6).as("tv"))
+      .collect().toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark: re-delivered event ids collapse to one") {
     val in = tmpDir("dd-in"); val out = tmpDir("dd-out"); val ck = tmpDir("dd-ck")
     val withDups = base ++ Seq(
