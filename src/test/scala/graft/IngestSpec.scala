@@ -135,6 +135,46 @@ class IngestSpec extends SparkSpec {
     assert(am.filter(col("value").contains("\"artist_name\":\"N1\"")).count() === 1) // trimmed
   }
 
+  test("K2/K3: frames satisfy the Kafka connector's binary (key, value) contract") {
+    // The spark-sql-kafka sink accepts only string/binary key and value
+    // columns, requires value non-null, and serializes strings as UTF-8
+    // bytes. No broker exists in this sandbox (see README "Known
+    // seams"), so this drives the exact serialization the connector
+    // would perform and proves it round-trips.
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val dir = tmpDir("landing-bin")
+    Landing.landRaw(Seq(item("t1"), item("t2")), dir, "p1",
+      java.time.Instant.parse("2025-07-30T00:00:00Z"))
+    val tracks = Pipelines.latestTrackMessages(spark, dir, "2025-07-30T00:00:00Z").get
+    val artistsHttp = new StubHttp(Map(
+      "https://api.spotify.com/v1/artists" ->
+        Seq((200, """{"artists":[{"id":"a-t1","name":"N1","genres":["x"],"popularity":9,"followers":{"total":5}},{"id":"a-t2","name":"N2","genres":[],"popularity":1,"followers":{"total":1}}]}"""))))
+    val artists = Pipelines.latestArtistMessages(spark, dir,
+      new SpotifyClient(artistsHttp), "tok", "2025-07-30T00:00:00Z").get
+
+    for (frame <- Seq(tracks, artists)) {
+      // connector-accepted types only
+      assert(frame.schema.fields.forall(f =>
+        Set("key", "value", "topic", "partition", "headers")(f.name)))
+      assert(frame.schema.fields.filter(f => f.name == "key" || f.name == "value")
+        .forall(f => f.dataType == StringType || f.dataType == BinaryType))
+      // value never null (a null value is a tombstone, not a record)
+      assert(frame.filter(col("value").isNull).count() === 0)
+      // the connector's cast-to-binary round-trips through UTF-8
+      val bin = frame.select(col("value").cast(BinaryType).as("vb"))
+      val roundTrip = bin.select(col("vb").cast(StringType).as("v"))
+        .collect().map(_.getString(0)).sorted
+      val original = frame.select("value")
+        .collect().map(_.getString(0)).sorted
+      assert(roundTrip === original)
+    }
+    // keyed frame: key = artist_id bytes, preserving per-artist
+    // partition affinity under the connector's default partitioner
+    val keys = artists.select(col("key").cast(BinaryType).cast(StringType))
+      .collect().map(_.getString(0)).sorted
+    assert(keys === Array("a-t1", "a-t2"))
+  }
+
   test("K4: topic auto-create only when absent") {
     class Admin(var topics: Set[String]) extends TopicAdmin {
       var created = List.empty[(String, Int, Short)]
