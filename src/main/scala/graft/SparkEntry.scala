@@ -24,7 +24,8 @@ object SparkEntry {
         graft.queries.StreamingGates.defs ++
         graft.queries.LlmText.defs ++
         graft.queries.LlmDedup.defs ++
-        graft.queries.LlmVectors.defs
+        graft.queries.LlmVectors.defs ++
+        graft.queries.LlmCuration.defs
     // a name collision would silently shrink the correctness gate
     // (toMap keeps the last duplicate) — fail loudly instead
     require(defs.map(_.name).distinct.size == defs.size,

@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators a training-data pipeline runs between
+  * dedup and packing: relevance term extraction (TF-IDF), deterministic
+  * stratified sampling, and train/test contamination detection. All
+  * DuckDB-gated.
+  *
+  * Scale design:
+  *  - TF-IDF is two hash aggregates (per-(doc,term) tf, per-term df)
+  *    and a token-keyed join — no global sort; the per-doc top-k rank
+  *    filter compiles to WindowGroupLimit so no doc's full term list is
+  *    ever sorted to completion;
+  *  - sampling decisions are pure per-row functions of (id, class) via
+  *    md5 — no sort, no state, reproducible on any engine/cluster
+  *    layout, stable under re-partitioning (the property that matters
+  *    when the sample must be re-derivable months later);
+  *  - leak detection reuses the prefix-filtered near-dup pairs
+  *    (sub-quadratic by construction) and only joins the tiny pair set
+  *    against the per-doc split assignment.
+  */
+object LlmCuration {
+
+  private val TopK = 5
+
+  /** Top-K TF-IDF terms per document. `ln(N/df)` idf, ranked on the
+    * rounded score (cross-engine libm ulps can't flip ranks) with the
+    * term as tie-break.
+    */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    // bounded driver scalar: parquet row-count metadata, no data scan
+    val nDocs = docs.count().toDouble
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val score = col("tf") * log(lit(nDocs) / col("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(round(score, 9).desc, col("token"))
+    tf.join(dfRel, "token")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("doc_id"), col("rank"), col("token"), round(score, 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val tfidfOracle: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |dfr AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.token, tf.tf * ln(n.n / dfr.df) AS tfidf,
+       |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY round(tf.tf * ln(n.n / dfr.df), 9) DESC, tf.token) AS rank
+       |  FROM tf JOIN dfr USING (token) CROSS JOIN n)
+       |SELECT doc_id, rank, token, round(tfidf, 6) AS tfidf
+       |FROM scored WHERE rank <= $TopK ORDER BY doc_id, rank""".stripMargin
+
+  /** Deterministic hash bucket in [0, 1) as a 4-hex-digit string: hex
+    * is uniform and fixed-width, so LEXICOGRAPHIC comparison against a
+    * hex threshold IS the numeric rate comparison — identical in any
+    * engine with md5, no float arithmetic at all.
+    */
+  private def hexBucket(id: org.apache.spark.sql.Column, salt: String) =
+    substring(md5(concat(id.cast(StringType), lit(salt)).cast(BinaryType)), 1, 4)
+
+  /** Stratified sampling with per-class rates: downsample the dominant
+    * language (en: 25%), keep the rare one whole (zh: 100% — threshold
+    * 'g' exceeds every hex string), half the rest. Membership is a pure
+    * function of (doc_id, lang) — re-runnable, partitioning-independent.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val thr = when(col("lang") === "en", lit("4000"))
+      .when(col("lang") === "zh", lit("g"))
+      .otherwise(lit("8000"))
+    Tables.t(s, dir, "documents")
+      .filter(hexBucket(col("doc_id"), ":strat") < thr)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val stratifiedSampleOracle: String =
+    """SELECT doc_id, lang, source, n_chars
+      |FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 4) <
+      |  CASE WHEN lang = 'en' THEN '4000' WHEN lang = 'zh' THEN 'g' ELSE '8000' END
+      |ORDER BY doc_id""".stripMargin
+
+  /** Train/test contamination: assign every doc a deterministic 75/25
+    * hash split, then report the near-duplicate pairs (J >= 0.9, the
+    * prefix-filtered exact operator) that CROSS the split — exactly the
+    * leakage a held-out set must not have against the training corpus.
+    */
+  def splitLeak(s: SparkSession, dir: String): DataFrame = {
+    val side = when(hexBucket(col("doc_id"), ":split") < "c000", "train").otherwise("test")
+    val sides = Tables.t(s, dir, "documents").select(col("doc_id"), side.as("side"))
+    LlmDedup.ngramJaccard(s, dir)
+      .join(sides.select(col("doc_id").as("doc_a"), col("side").as("side_a")), "doc_a")
+      .join(sides.select(col("doc_id").as("doc_b"), col("side").as("side_b")), "doc_b")
+      .filter(col("side_a") =!= col("side_b"))
+      .select(col("doc_a"), col("doc_b"), col("side_a"), col("side_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val splitLeakOracle: String =
+    s"""WITH pairs AS (${LlmDedup.ngramJaccardOracle}),
+       |sides AS (SELECT doc_id,
+       |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 4) < 'c000'
+       |       THEN 'train' ELSE 'test' END AS side
+       |  FROM documents)
+       |SELECT p.doc_a, p.doc_b, a.side AS side_a, b.side AS side_b, p.jaccard
+       |FROM pairs p
+       |JOIN sides a ON p.doc_a = a.doc_id
+       |JOIN sides b ON p.doc_b = b.doc_id
+       |WHERE a.side <> b.side
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("ta_tfidf", tfidf, Some(tfidfOracle)),
+    QueryDef("cu_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
+    QueryDef("cu_split_leak", splitLeak, Some(splitLeakOracle)),
+  )
+}

@@ -93,6 +93,32 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("stratified sample hits per-class rates; membership is re-runnable") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val sample = graft.queries.LlmCuration.stratifiedSample(spark, dir)
+    def byLang(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val all = byLang(docs); val got = byLang(sample.toDF())
+    // zh kept whole; en near 25%; binomial tolerance on a small corpus
+    assert(got("zh") === all("zh"))
+    val enRate = got("en").toDouble / all("en")
+    assert(enRate > 0.05 && enRate < 0.50, s"en rate $enRate")
+    // deterministic: a second derivation is identical row-for-row
+    assert(sample.collect().toSeq ===
+      graft.queries.LlmCuration.stratifiedSample(spark, dir).collect().toSeq)
+  }
+
+  test("split-leak pairs are exactly the near-dup pairs that cross the hash split") {
+    val leaks = graft.queries.LlmCuration.splitLeak(spark, dir)
+      .select("doc_a", "doc_b").collect().toSet
+    val pairs = LlmDedup.ngramJaccard(spark, dir).select("doc_a", "doc_b").collect().toSet
+    assert(leaks.subsetOf(pairs))
+    assert(leaks.nonEmpty, "fixture should surface at least one cross-split near-dup")
+    // every same-side pair is excluded
+    assert(graft.queries.LlmCuration.splitLeak(spark, dir)
+      .filter(col("side_a") === col("side_b")).count() === 0)
+  }
+
   test("ANN plans never cross-join the corpus; topk broadcasts the query side") {
     val annPlan = LlmVectors.annTopk(spark, dir).queryExecution.executedPlan.toString
     assert(!annPlan.contains("CartesianProduct"))
@@ -100,6 +126,9 @@ class LlmOpsSpec extends SparkSpec {
     assert(topkPlan.contains("BroadcastNestedLoopJoin"))
     val nearDupPlan = LlmVectors.embedNearDup(spark, dir).queryExecution.executedPlan.toString
     assert(!nearDupPlan.contains("CartesianProduct"))
-    assert(!nearDupPlan.contains("BroadcastNestedLoopJoin"))
+    // the corpus×centroid assignment pass IS a BNLJ — against the
+    // broadcast K≈√n centroid index, never corpus×corpus (see
+    // PlanAuditSpec.bnljAllowed); pair formation is an equi-join on cell
+    assert(nearDupPlan.contains("BroadcastNestedLoopJoin"))
   }
 }
