@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.FloatType
+
+/** Growth-curve evidence for the dedup/ANN family's scale claims
+  * (VERDICT r2 #7): measure wall time AND candidate-pair counts at 1×
+  * (sf0.1) and on a synthesized 10× corpus, so "sub-quadratic candidate
+  * volume" is a measured number, not an asserted design property.
+  *
+  * The 10× corpus derives deterministically from sf0.1: each document /
+  * embedding is replicated `copies` times with an id offset and a
+  * copy-dependent perturbation (every ~11th token suffixed; embedding
+  * coordinates scaled ±3%) so replicas are NOT near-duplicates of each
+  * other — corpus size grows 10×, true-pair density stays comparable,
+  * and a quadratic candidate generator would show ~100× pair growth
+  * while a bucketed one shows ~10×.
+  *
+  * Run: `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.ScaleBench`
+  * Prints a markdown table (captured into SCALE_CURVE.md) plus one JSON
+  * line for machines.
+  */
+object ScaleBench {
+
+  private val Copies = 10
+  private val IdOffset = 10000000L
+
+  def synthesize(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+    val done = new java.io.File(outDir, "_DONE")
+    if (done.exists()) return
+    val ks = explode(sequence(lit(0), lit(Copies - 1))).as("k")
+
+    val docs = Tables.t(spark, baseDir, "documents").withColumn("k", ks)
+    val perturbed = concat_ws(" ", transform(split(col("text"), " "),
+      (t, i) => when(((i * 31 + col("k") * 7) % 11) === 0,
+        concat(t, lit("_"), col("k"))).otherwise(t)))
+    docs
+      .withColumn("doc_id", col("doc_id") + col("k") * IdOffset)
+      .withColumn("text", when(col("k") === 0, col("text")).otherwise(perturbed))
+      .drop("k")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val embs = Tables.t(spark, baseDir, "embeddings").withColumn("k", ks)
+    val wobbled = transform(col("embedding"),
+      (x, i) => (x.cast("double") *
+        (lit(1.0) + ((i * 13 + col("k") * 29) % 7 - 3).cast("double") * lit(0.01)))
+        .cast(FloatType))
+    embs
+      .withColumn("vec_id", col("vec_id") + col("k") * IdOffset)
+      .withColumn("embedding", when(col("k") === 0, col("embedding")).otherwise(wobbled))
+      .drop("k")
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    done.createNewFile()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val x10Dir = args.headOption.getOrElse("/tmp/graft_scale_x10")
+    val spark = Sessions.local("graft-scale")
+    synthesize(spark, baseDir, x10Dir)
+
+    val timedQueries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "dd_exact_dedup" -> graft.queries.LlmDedup.exactDedup _,
+      "dd_ngram_jaccard" -> graft.queries.LlmDedup.ngramJaccard _,
+      "dd_minhash_lsh" -> graft.queries.LlmDedup.minhashLsh _,
+      "dd_simhash_neardup" -> graft.queries.LlmDedup.simhashNearDup _,
+      "dd_embed_neardup" -> graft.queries.LlmVectors.embedNearDup _,
+      "sim_ann_lsh" -> graft.queries.LlmVectors.annTopk _,
+      "sim_ivf_topk" -> graft.queries.LlmVectors.ivfTopk _,
+    )
+    val candidateCounts: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "ngram_prefix_pairs" -> graft.queries.LlmDedup.ngramCandidates _,
+      "minhash_band_pairs" -> graft.queries.LlmDedup.minhashCandidates _,
+      "simhash_band_pairs" -> graft.queries.LlmDedup.simhashCandidates _,
+      "embed_bucket_pairs" -> graft.queries.LlmVectors.embedCandidates _,
+    )
+
+    def time(fn: => Unit): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+    def runQuery(fn: (SparkSession, String) => DataFrame, dir: String): Unit = {
+      fn(spark, dir).write.mode("overwrite").format("noop").save()
+      spark.catalog.clearCache()
+    }
+
+    // warmup (JIT/codegen) on the small corpus
+    timedQueries.foreach { case (_, fn) => runQuery(fn, baseDir) }
+
+    val times = timedQueries.map { case (name, fn) =>
+      val t1 = time(runQuery(fn, baseDir))
+      val t10 = time(runQuery(fn, x10Dir))
+      (name, t1, t10)
+    }
+    val cands = candidateCounts.map { case (name, fn) =>
+      def count(dir: String): Long = {
+        val n = fn(spark, dir).count(); spark.catalog.clearCache(); n
+      }
+      (name, count(baseDir), count(x10Dir))
+    }
+
+    val nDocs1 = spark.read.parquet(s"$baseDir/documents.parquet").count()
+    println(s"DOCS 1x=$nDocs1 10x=${nDocs1 * Copies}")
+    println("| query | t(1x) s | t(10x) s | time ratio |")
+    println("|---|---|---|---|")
+    times.foreach { case (n, a, b) => println(f"| $n | $a%.2f | $b%.2f | ${b / a}%.1fx |") }
+    println("| candidate relation | pairs(1x) | pairs(10x) | pair ratio |")
+    println("|---|---|---|---|")
+    cands.foreach { case (n, a, b) =>
+      println(f"| $n | $a | $b | ${b.toDouble / a}%.1fx |")
+    }
+    val tj = times.map { case (n, a, b) => s""""$n":[$a,$b]""" }.mkString(",")
+    val cj = cands.map { case (n, a, b) => s""""$n":[$a,$b]""" }.mkString(",")
+    println(s"""{"metric":"scale_curve","copies":$Copies,"times":{$tj},"candidates":{$cj}}""")
+    spark.stop()
+  }
+}

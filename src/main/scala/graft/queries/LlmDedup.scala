@@ -156,7 +156,11 @@ object LlmDedup {
     * doc's ~(1-t) rarest shingles, collapsing candidate volume ~100x at
     * t = 0.9 while returning the identical result set.
     */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** Candidate (doc_a, doc_b) pairs from the prefix-filtered inverted
+    * index — exposed package-private so ScaleBench can measure the
+    * candidate-volume growth curve (the sub-quadratic design claim).
+    */
+  private[graft] def ngramCandidates(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     // document frequency as a hash aggregate (partial→final, map-side
     // combined, NO sort) joined back to the shingle relation — replaces
@@ -193,7 +197,7 @@ object LlmDedup {
     // Measured at sf0.1 this cuts candidate pairs ~10x — template docs
     // share "rare" shingles, but rarely as their FIRST prefix entry.
     val alphaFloor = floor((col("n_a") + col("n_b")) * lit(9) / lit(19))
-    val candidates = prefix.as("a")
+    prefix.as("a")
       .join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
           sizeCompatible(col("a.n_sh"), col("b.n_sh")))
@@ -204,8 +208,10 @@ object LlmDedup {
       .agg(min(col("rn_a")).as("rn_a"), min(col("rn_b")).as("rn_b"))
       .filter(lit(1) + least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) >= alphaFloor)
       .select(col("doc_a"), col("doc_b"))
-    verifyPairs(candidates, docSets(s, dir))
   }
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    verifyPairs(ngramCandidates(s, dir), docSets(s, dir))
 
   // The oracle states the SEMANTICS (all size-compatible pairs at
   // J >= t over the full inverted index); the Spark side reaches the
@@ -240,7 +246,8 @@ object LlmDedup {
     * matters at 100 TB, where the exact self-join's hot-shingle fan-out
     * is unpayable as a discovery scan).
     */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+  /** Banded-LSH candidate pairs (exposed for ScaleBench's growth curve). */
+  private[graft] def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     // 64 min-aggregated seeded hashes per doc, then 16 band keys of 4.
     val sigCols = (0 until MinhashHashes)
@@ -253,14 +260,16 @@ object LlmDedup {
     val banded = sig
       .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val candidates = banded.as("x")
+    banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyPairs(candidates, docSets(s, dir))
   }
+
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    verifyPairs(minhashCandidates(s, dir), docSets(s, dir))
 
   /** SimHash near-dup pairs at Hamming distance <= 1, found by BANDED
     * fingerprint indexing: split the 32-bit simhash into 2 bands of 16
@@ -270,7 +279,17 @@ object LlmDedup {
     * in DuckDB) while staying sub-quadratic — the fingerprints are one
     * narrow pass and the join only forms rows inside 16-bit buckets.
     */
-  def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
+  /** Banded simhash candidate pairs at Hamming <= 1, DISTINCT applied
+    * AFTER the cheap fingerprint filter (exposed for ScaleBench's
+    * growth curve). Ordering matters at scale: the 16-bit bucket join's
+    * raw fan-out is Σ_bucket n_b² rows (ScaleBench measured 215M on the
+    * 10× corpus — template corpora collide heavily on half-
+    * fingerprints), and the previous distinct-then-filter order
+    * SHUFFLED all of them for dedup; filtering on bit_count first is a
+    * same-stage scalar predicate that cuts the dedup input to the true
+    * near-dup set before anything moves.
+    */
+  private[graft] def simhashCandidates(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val fp = Tables.t(s, dir, "documents")
       .select(col("doc_id"),
@@ -282,15 +301,19 @@ object LlmDedup {
       )).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val ham = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= 1)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
       .distinct()
-      .filter(ham <= 1)
+  }
+
+  def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val ham = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+    simhashCandidates(s, dir)
       .select(col("doc_a"), col("doc_b"), ham.cast(IntegerType).as("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }

