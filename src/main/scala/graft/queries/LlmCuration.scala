@@ -122,9 +122,90 @@ object LlmCuration {
        |WHERE a.side <> b.side
        |ORDER BY p.doc_a, p.doc_b""".stripMargin
 
+  private val PackBudget = 512
+
+  /** Greedy contiguous sequence packing: assign documents to training
+    * context windows of `PackBudget` tokens, PER SOURCE SHARD, in
+    * doc_id order — pack id is the exclusive running token count
+    * integer-divided by the budget (a doc that straddles a boundary
+    * belongs to the pack it started filling).
+    *
+    * Scale note: packing is per-shard BY DESIGN — the window partitions
+    * by `source`, so no global ordering/single-partition sort ever
+    * exists; shards pack independently exactly as a sharded corpus
+    * would on a cluster.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), size(split(col("text"), " ")).as("n_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("cum_before") / PackBudget))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+      )
+      .orderBy(col("source"), col("pack_id"))
+  }
+
+  val packSequencesOracle: String =
+    s"""WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |  COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM d)
+       |SELECT source, CAST(floor(CAST(cum_before AS DOUBLE) / $PackBudget) AS BIGINT) AS pack_id,
+       |  COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
+
+  /** Unigram-LM log-likelihood quality score — the perplexity-proxy
+    * filter of a training pipeline, self-scored against the corpus's
+    * own unigram distribution: score(doc) = mean over tokens of
+    * ln(count(token)/total). Low scores flag unnatural token streams.
+    *
+    * Determinism: the per-doc SUM of ln values aggregates as
+    * DECIMAL(38,12) (order-independent); engine libm ulp differences
+    * and decimal-cast edges sit ~1e-12 below the round(,6) output.
+    * Scale shape: a frequency hash aggregate, a token-keyed join, a
+    * per-doc hash aggregate — no sorts, no global state.
+    */
+  def unigramLl(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = tok.count().toDouble // bounded driver scalar
+    tok.join(freq, "token")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(log(col("cnt") / total).cast(DecimalType(38, 12))).cast(DoubleType) /
+          count(lit(1))).as("ll"),
+      )
+      .select(col("doc_id"), col("n_tokens"), round(col("ll"), 6).as("avg_ll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val unigramLlOracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok)
+      |SELECT t.doc_id, COUNT(*) AS n_tokens,
+      |  round(CAST(SUM(CAST(ln(f.cnt / tot.total) AS DECIMAL(38,12))) AS DOUBLE)
+      |    / COUNT(*), 6) AS avg_ll
+      |FROM tok t JOIN freq f USING (token) CROSS JOIN tot
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ta_tfidf", tfidf, Some(tfidfOracle)),
     QueryDef("cu_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     QueryDef("cu_split_leak", splitLeak, Some(splitLeakOracle)),
+    QueryDef("cu_pack_sequences", packSequences, Some(packSequencesOracle)),
+    QueryDef("ta_unigram_ll", unigramLl, Some(unigramLlOracle)),
   )
 }

@@ -59,10 +59,17 @@ object LlmDedup {
       // (transform bigrams -> array_distinct -> explode) pays
       // interpreted per-element overhead and, if the token array is
       // referenced inside the lambda, re-evaluates it per element
-      // (O(tokens²) trap)
+      // (O(tokens²) trap). The shingle STRING is hashed to a 64-bit
+      // long immediately: shingles never cross the oracle boundary
+      // (outputs are doc pairs + counts), equality is all any consumer
+      // needs, and an 8-byte key halves every downstream shuffle/sort/
+      // intersect vs ~20-byte strings. Collision odds at 64 bits are
+      // ~n²/2^65 (≈2e-7 even at 2.5M distinct shingles) — and a
+      // collision would surface as a red oracle row, not silence.
       Tables.t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
         .select(col("doc_id"), call_function("bigram_shingles", col("tk")))
+        .select(col("doc_id"), col("n_sh"), xxhash64(col("sh")).as("sh"))
     })
     // (re-)persist if a spark.catalog.clearCache() dropped it
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
