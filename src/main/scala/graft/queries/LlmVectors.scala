@@ -176,10 +176,13 @@ object LlmVectors {
     val k = math.max(16L, math.floor(math.sqrt(base.count().toDouble)).toLong)
     val seeds = base.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"), col("emb").as("cemb"), col("nrm").as("cnrm"))
-    // one Lloyd step over the seed assignment: per-dimension DECIMAL
-    // sums (order-independent), array rebuilt in dim order
-    val cent = assignCells(base, seeds, 1)
-      .join(base, "vec_id")
+    // one Lloyd step over the seed assignment of a deterministic 1/4
+    // sample (see ivfTopk — FAISS-style quantizer training): per-
+    // dimension DECIMAL sums (order-independent), array rebuilt in dim
+    // order
+    val sample = base.filter(col("vec_id") % TrainMod === 0)
+    val cent = assignCells(sample, seeds, 1)
+      .join(sample, "vec_id")
       .select(col("cell"), posexplode(col("emb")).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim"))
       .agg((sum(col("x").cast(DecimalType(38, 12))).cast(DoubleType) /
@@ -204,13 +207,18 @@ object LlmVectors {
       .join(base.select(col("vec_id").as("vec_a"), col("emb").as("ea"), col("nrm").as("na")), "vec_a")
       .join(base.select(col("vec_id").as("vec_b"), col("emb").as("eb"), col("nrm").as("nb")), "vec_b")
       .select(col("vec_a"), col("vec_b"), cos.as("cos"))
-      .filter(col("cos") >= NearDupCos)
+      // threshold on the ROUNDED cosine: a pair sitting an engine-ulp
+      // either side of 0.4 must be included/excluded identically
+      .filter(round(col("cos"), 9) >= NearDupCos)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
   private val IvfClusters = 16
   private val IvfProbes = 4
+  // Lloyd-step training sample: every TrainMod-th vector by id — a
+  // deterministic, SQL-expressible subsample (vec_id % TrainMod = 0)
+  private val TrainMod = 4
 
   /** IVF (inverted-file) ANN — the FAISS-style scale architecture:
     * partition the corpus by nearest centroid once at index time, probe
@@ -253,10 +261,16 @@ object LlmVectors {
     val seeds = base.filter(col("vec_id") < IvfClusters)
       .orderBy(col("vec_id")).collect()
       .map(_.getSeq[Double](1).toArray)
-    // one Lloyd step: assign to seeds, recompute per-dimension means.
+    // one Lloyd step: assign a deterministic 1/4 SAMPLE to seeds and
+    // recompute per-dimension means from it — centroid training on a
+    // sample is the standard IVF practice (FAISS trains its quantizer
+    // on a corpus subsample), and it cuts the posexplode+decimal
+    // aggregation (the most expensive index-build stage) 4x while the
+    // modulus predicate stays exactly reproducible in SQL.
     // DECIMAL sums make the distributed aggregation order-independent;
     // the single double division at the end is deterministic.
-    val assigned0 = base.withColumn("cell", centroidCols(seeds))
+    val assigned0 = base.filter(col("vec_id") % TrainMod === 0)
+      .withColumn("cell", centroidCols(seeds))
     val centroids = assigned0
       .select(col("cell"), posexplode(col("emb")).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim"))
@@ -313,7 +327,7 @@ object LlmVectors {
        |    SELECT v.vec_id, v.emb, s.cell,
        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
        |        ORDER BY round(list_cosine_similarity(v.emb, s.cemb), 9) DESC, s.cell) AS rn
-       |    FROM v CROSS JOIN seeds s) WHERE rn = 1),
+       |    FROM v CROSS JOIN seeds s WHERE v.vec_id % $TrainMod = 0) WHERE rn = 1),
        |dims AS (SELECT cell, unnest(range(1, len(emb) + 1)) AS dim, unnest(emb) AS x FROM a0),
        |cent AS (
        |  SELECT cell, list(m ORDER BY dim) AS cemb FROM (
@@ -381,7 +395,7 @@ object LlmVectors {
        |  SELECT v.vec_id, s.cell,
        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
        |      ORDER BY round(list_cosine_similarity(v.emb, s.cemb), 9) DESC, s.cell) AS rn
-       |  FROM v CROSS JOIN seeds s) WHERE rn = 1),
+       |  FROM v CROSS JOIN seeds s WHERE v.vec_id % $TrainMod = 0) WHERE rn = 1),
        |dims AS (SELECT a0.cell, unnest(range(1, len(v.emb) + 1)) AS dim, unnest(v.emb) AS x
        |  FROM a0 JOIN v USING (vec_id)),
        |cent AS (
@@ -399,7 +413,7 @@ object LlmVectors {
        |SELECT c.vec_a, c.vec_b,
        |  round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
        |FROM cand c JOIN v a ON c.vec_a = a.vec_id JOIN v b ON c.vec_b = b.vec_id
-       |WHERE list_cosine_similarity(a.emb, b.emb) >= $NearDupCos
+       |WHERE round(list_cosine_similarity(a.emb, b.emb), 9) >= CAST($NearDupCos AS DOUBLE)
        |ORDER BY vec_a, vec_b""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(

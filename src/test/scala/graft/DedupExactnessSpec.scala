@@ -1,0 +1,87 @@
+package graft
+
+import graft.queries.LlmDedup
+import org.apache.spark.sql.functions._
+
+/** Randomized exactness guard for the prefix-filtered Jaccard join.
+  *
+  * The oracle gate proves exactness on the fixed testdata; this spec
+  * proves it on RANDOM corpora (seeded, reproducible), specifically
+  * hammering the two filters that could silently over-prune:
+  * the prefix size filter and the pair-level PPJoin positional filter.
+  * Small vocabulary + template mutation forces heavy shingle collisions
+  * and near-boundary sizes — the regime where an off-by-one in either
+  * bound would drop a qualifying pair.
+  */
+class DedupExactnessSpec extends SparkSpec {
+
+  private val T = 0.9
+
+  /** Brute-force reference: distinct word-bigram sets, all-pairs J >= t. */
+  private def bruteForce(docs: Seq[(Long, String)]): Set[(Long, Long)] = {
+    val sets = docs.map { case (id, text) =>
+      val tk = text.split(" ")
+      id -> tk.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+    }.toMap
+    (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      ia = sets(a); ib = sets(b)
+      inter = (ia & ib).size
+      if ia.nonEmpty && ib.nonEmpty
+      j = inter.toDouble / (ia.size + ib.size - inter)
+      if j >= T
+    } yield (a, b)).toSet
+  }
+
+  private def corpus(seed: Int, nDocs: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = (0 until 12).map(i => s"w$i")
+    // template families: mutate a base doc lightly (near-dups) and
+    // heavily (non-dups), plus fully random docs
+    (0L until nDocs).map { id =>
+      val base = new scala.util.Random(seed * 31 + (id % 7).toInt) // 7 families
+      val tokens = Array.fill(8 + base.nextInt(30))(vocab(base.nextInt(vocab.size)))
+      val nMut = if (id % 3 == 0) 0 else if (id % 3 == 1) 1 else 2 + rnd.nextInt(6)
+      (0 until nMut).foreach { _ =>
+        tokens(rnd.nextInt(tokens.length)) = vocab(rnd.nextInt(vocab.size))
+      }
+      id -> tokens.mkString(" ")
+    }
+  }
+
+  test("prefix+positional candidate generation loses NO qualifying pair (5 random corpora)") {
+    import spark.implicits._
+    (1 to 5).foreach { seed =>
+      val docs = corpus(seed, 60)
+      val dir = tmpDir(s"dedup-prop-$seed")
+      docs.toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val got = LlmDedup.ngramJaccard(spark, dir)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val want = bruteForce(docs)
+      assert(got === want, s"seed=$seed: missing=${want -- got} extra=${got -- want}")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("simhash banded join finds exactly the quadratic scan's ham<=1 pairs (random corpus)") {
+    import spark.implicits._
+    val docs = corpus(7, 80)
+    val dir = tmpDir("simhash-prop")
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = LlmDedup.simhashNearDup(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // quadratic reference over the SAME fingerprints
+    graft.functions.VectorFunctions.register(spark)
+    val fp = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), call_function("simhash32", split(col("text"), " ")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    val want = (for {
+      a <- fp.keys; b <- fp.keys if a < b
+      if java.lang.Long.bitCount(fp(a) ^ fp(b)) <= 1
+    } yield (a, b)).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "fixture should produce at least one ham<=1 pair")
+  }
+}
