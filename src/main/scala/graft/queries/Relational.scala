@@ -369,6 +369,63 @@ object Relational {
       | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
 
+  /** SCD2 interval derivation — the standard slowly-changing-dimension
+    * transform: a per-key ordered event/snapshot stream becomes
+    * validity intervals via lead() (valid_to = next change's timestamp,
+    * NULL = current). Applied to the events table per user; the same
+    * shape turns re-ingested dimension snapshots (the artists feed)
+    * into bitemporal history.
+    *
+    * Scale shape: one window pass partitioned by the key — per-key
+    * sorts only, the partition count is the user cardinality, no global
+    * order anywhere.
+    */
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
+  val scd2IntervalsOracle: String =
+    """SELECT user_id, event_id, event_type AS state,
+      |  CAST(ts AS TIMESTAMP) AS valid_from,
+      |  LEAD(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+      |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS valid_to
+      |FROM events
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
+  /** Per-shard quality binning: ntile quartiles of documents by length
+    * WITHIN each source shard (global ntile would need a global sort —
+    * per-shard is both the scalable plan and what a sharded corpus
+    * wants), with per-bin summary stats. Ties broken by doc_id so the
+    * binning is total-ordered and engine-reproducible.
+    */
+  def qualityBins(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("bin", ntile(4).over(w))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  val qualityBinsOracle: String =
+    """SELECT source, bin, COUNT(*) AS n_docs,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM (SELECT doc_id, source, n_chars,
+      |  NTILE(4) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS bin
+      |  FROM documents)
+      |GROUP BY source, bin ORDER BY source, bin""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing", q1Pricing, Some(q1PricingOracle)),
     QueryDef("q3_top_orders", q3TopOrders, Some(q3TopOrdersOracle)),
@@ -384,5 +441,7 @@ object Relational {
     QueryDef("stats_agg", statsAgg, Some(statsAggOracle)),
     QueryDef("q14_promo", q14Promo, Some(q14PromoOracle)),
     QueryDef("distinct_agg", distinctAgg, Some(distinctAggOracle)),
+    QueryDef("dim_scd2", scd2Intervals, Some(scd2IntervalsOracle)),
+    QueryDef("ta_quality_bins", qualityBins, Some(qualityBinsOracle)),
   )
 }

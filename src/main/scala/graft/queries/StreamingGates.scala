@@ -96,8 +96,42 @@ object StreamingGates {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Purchase→view attribution in batch — the relational semantics of
+    * [[graft.streaming.EventsStream.attribution]]'s stream-stream
+    * interval join: every (purchase, view) pair for the same user with
+    * the view inside the preceding 30 minutes.
+    *
+    * Scale shape: an equi-join on user_id with a range residual — the
+    * shuffle is keyed, per-user groups are bounded, and no interval
+    * ever forces a sort beyond the per-key join.
+    */
+  def attributionBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "events")
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    purchases.join(views,
+      col("user_id") === col("p_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")) <= GapUs)
+      .select(col("user_id"), col("purchase_id"), col("view_id"))
+      .orderBy(col("user_id"), col("purchase_id"), col("view_id"))
+  }
+
+  val attributionOracle: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
+      |SELECT p.user_id AS user_id, p.event_id AS purchase_id, v.event_id AS view_id
+      |FROM e p JOIN e v
+      |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+      | AND v.user_id = p.user_id AND v.ts <= p.ts
+      | AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000
+      |ORDER BY p.user_id, purchase_id, view_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("st_windowed_agg", windowedAgg, Some(windowedAggOracle)),
     QueryDef("st_sessionize", sessionizeBatch, Some(sessionizeOracle)),
+    QueryDef("st_attribution", attributionBatch, Some(attributionOracle)),
   )
 }

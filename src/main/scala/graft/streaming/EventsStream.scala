@@ -143,6 +143,37 @@ object EventsStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** STREAM-STREAM interval join: attribute each purchase to the views
+    * by the same user within the preceding `windowMinutes`. Both sides
+    * carry watermarks and the join condition bounds event-time on both
+    * sides, so Spark can evict buffered state once the watermark
+    * passes the interval — state is O(events inside the window), not
+    * O(stream history). This is the engine capability the reference's
+    * stateless MV never needed and a behavioral-analytics pipeline
+    * always does.
+    *
+    * Batch-gated as `st_attribution` (StreamingGates) — identical
+    * relational semantics; EventsStreamSpec asserts stream/batch
+    * parity on the fixture.
+    */
+  def attribution(events: Dataset[Event], windowMinutes: Int = 30): DataFrame = {
+    val views = events.toDF()
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val purchases = events.toDF()
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    purchases.join(views,
+      col("user_id") === col("p_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        col("purchase_ts"), col("view_ts"))
+  }
+
   /** Run a streaming stage to a checkpointed parquet sink, AvailableNow. */
   def runToParquet(out: DataFrame, tablePath: String, checkpoint: String): StreamingQuery =
     out.writeStream

@@ -103,6 +103,27 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream-stream interval join: purchases attribute to preceding views") {
+    val in = tmpDir("at-in"); val out = tmpDir("at-out"); val ck = tmpDir("at-ck")
+    val withPurchases = base ++ Seq(
+      ev(1, 50, "purchase", 5.0, "2025-07-01T10:20:00Z"), // views 1, 2, 4 in window
+      ev(1, 51, "purchase", 6.0, "2025-07-01T11:05:00Z"), // view 5 in window
+    )
+    Files.writeString(Paths.get(in, "events.jsonl"), withPurchases.mkString("\n"))
+    EventsStream.runToParquet(
+      EventsStream.attribution(EventsStream.parse(spark.readStream.text(in))),
+      out, ck).awaitTermination(120000)
+    val got = spark.read.parquet(out)
+      .select("user_id", "purchase_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // user 1 purchase@10:20 <- views 10:00:30/10:01:10/10:07; @11:05 <- 11:00.
+    // user 2's purchase has no views; sentinel view has no purchase.
+    assert(got === Set(
+      (1L, 50L, 1L), (1L, 50L, 2L), (1L, 50L, 4L),
+      (1L, 51L, 5L),
+    ))
+  }
+
   test("dropDuplicatesWithinWatermark: re-delivered event ids collapse to one") {
     val in = tmpDir("dd-in"); val out = tmpDir("dd-out"); val ck = tmpDir("dd-ck")
     val withDups = base ++ Seq(
