@@ -71,7 +71,8 @@ object ScaleBench {
     )
     val candidateCounts: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "ngram_prefix_pairs" -> graft.queries.LlmDedup.ngramCandidates _,
-      "minhash_band_pairs" -> graft.queries.LlmDedup.minhashCandidates _,
+      "minhash_band_pairs" ->
+        ((s: SparkSession, d: String) => graft.queries.LlmDedup.minhashCandidates(s, d)),
       "simhash_band_pairs" -> graft.queries.LlmDedup.simhashCandidates _,
       "embed_bucket_pairs" -> graft.queries.LlmVectors.embedCandidates _,
     )

@@ -161,11 +161,9 @@ object LlmDedup {
     * inverted-index join pays sum(df²) over all shingles (hot shingles
     * explode quadratically); the prefix index pays it only over each
     * doc's ~(1-t) rarest shingles, collapsing candidate volume ~100x at
-    * t = 0.9 while returning the identical result set.
-    */
-  /** Candidate (doc_a, doc_b) pairs from the prefix-filtered inverted
-    * index — exposed package-private so ScaleBench can measure the
-    * candidate-volume growth curve (the sub-quadratic design claim).
+    * t = 0.9 while returning the identical result set. Exposed
+    * package-private so ScaleBench can measure the candidate-volume
+    * growth curve (the sub-quadratic design claim).
     */
   private[graft] def ngramCandidates(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
@@ -253,15 +251,24 @@ object LlmDedup {
     * matters at 100 TB, where the exact self-join's hot-shingle fan-out
     * is unpayable as a discovery scan).
     */
-  /** Banded-LSH candidate pairs (exposed for ScaleBench's growth curve). */
-  private[graft] def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+  /** Banded-LSH candidate pairs (exposed for ScaleBench's growth
+    * curve). Banding is TUNABLE: `bands` × `rowsPerBand` must cover the
+    * signature; the default 16×4 targets t = 0.9 recall (miss ≈ 4e-8),
+    * and a corpus dense in J ≈ 0.7 pairs at scale should sharpen the
+    * S-curve with 8×8 (collision at J = 0.7 drops ~4x per band) — see
+    * SCALE_CURVE.md.
+    */
+  private[graft] def minhashCandidates(s: SparkSession, dir: String,
+      bands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
+    require(bands * rowsPerBand <= MinhashHashes,
+      s"banding $bands x $rowsPerBand exceeds $MinhashHashes signatures")
     val sh = shingles(s, dir)
-    // 64 min-aggregated seeded hashes per doc, then 16 band keys of 4.
+    // 64 min-aggregated seeded hashes per doc, then band keys.
     val sigCols = (0 until MinhashHashes)
       .map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
     val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    val bandKeys = (0 until Bands).map { b =>
-      val rows = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+    val bandKeys = (0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(rows: _*).as("key"))
     }
     val banded = sig

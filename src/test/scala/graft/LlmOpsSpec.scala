@@ -17,6 +17,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("re-banded LSH (8x8): candidates subset of 16x4 semantics, high recall vs exact") {
+    val exact = LlmDedup.ngramJaccard(spark, dir)
+      .select("doc_a", "doc_b").collect().toSet
+    val sharp = LlmDedup.minhashCandidates(spark, dir, bands = 8, rowsPerBand = 8)
+      .collect().toSet
+    val wide = LlmDedup.minhashCandidates(spark, dir).collect().toSet
+    // sharper banding can only shrink the candidate set
+    assert(sharp.subsetOf(wide))
+    // and still recalls (deterministically, on this data) most J>=0.9 pairs
+    val recalled = exact.count { p => sharp.contains(p) }
+    assert(exact.isEmpty || recalled.toDouble / exact.size >= 0.8,
+      s"8x8 recall ${recalled}/${exact.size}")
+  }
+
   test("exact dedup: every doc accounted for, keeper is min id per key") {
     val total = spark.read.parquet(s"$dir/documents.parquet").count()
     val dd = LlmDedup.exactDedup(spark, dir)
