@@ -31,6 +31,22 @@ class LlmOpsSpec extends SparkSpec {
       s"8x8 recall ${recalled}/${exact.size}")
   }
 
+  test("dedup clusters: paired docs share a cluster; rep is the min member") {
+    val clusters = LlmDedup.dedupClusters(spark, dir).collect()
+    val memberToRep = clusters.flatMap { r =>
+      r.getString(2).split('|').map(m => m.toLong -> r.getLong(0))
+    }.toMap
+    clusters.foreach { r =>
+      assert(r.getString(2).split('|').map(_.toLong).min === r.getLong(0))
+    }
+    val pairs = LlmDedup.ngramJaccard(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(memberToRep(a) === memberToRep(b), s"pair ($a,$b) split across clusters")
+    }
+  }
+
   test("exact dedup: every doc accounted for, keeper is min id per key") {
     val total = spark.read.parquet(s"$dir/documents.parquet").count()
     val dd = LlmDedup.exactDedup(spark, dir)
