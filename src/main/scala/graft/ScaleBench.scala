@@ -65,6 +65,7 @@ object ScaleBench {
       "dd_ngram_jaccard" -> graft.queries.LlmDedup.ngramJaccard _,
       "dd_minhash_lsh" -> graft.queries.LlmDedup.minhashLsh _,
       "dd_simhash_neardup" -> graft.queries.LlmDedup.simhashNearDup _,
+      "dd_clusters" -> graft.queries.LlmDedup.dedupClusters _,
       "dd_embed_neardup" -> graft.queries.LlmVectors.embedNearDup _,
       "sim_ann_lsh" -> graft.queries.LlmVectors.annTopk _,
       "sim_ivf_topk" -> graft.queries.LlmVectors.ivfTopk _,

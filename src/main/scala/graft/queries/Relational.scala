@@ -369,6 +369,69 @@ object Relational {
       | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
 
+  /** FULL OUTER join: customers against an order aggregate — preserves
+    * customers with no orders AND any dangling order keys; null-side
+    * handling made explicit with flags. One shuffle on the key, same
+    * as inner.
+    */
+  def fullOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val ord = Tables.t(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1998-06-01")))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_mktsegment"), lit("<none>")).as("mktsegment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("c_custkey").isNull.as("order_only"),
+        col("o_custkey").isNull.as("customer_only"),
+      )
+      .orderBy(col("custkey"))
+  }
+
+  val fullOuterJoinOracle: String =
+    """WITH o AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1998-06-01' GROUP BY o_custkey)
+      |SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+      |  COALESCE(c_mktsegment, '<none>') AS mktsegment,
+      |  COALESCE(n_orders, 0) AS n_orders,
+      |  c_custkey IS NULL AS order_only,
+      |  o_custkey IS NULL AS customer_only
+      |FROM customer FULL OUTER JOIN o ON c_custkey = o_custkey
+      |ORDER BY custkey""".stripMargin
+
+  /** RANGE-frame window: per-part rolling revenue over a VALUE range
+    * (±5 days around each lineitem's ship epoch-day), not a row count —
+    * the frame Spark's rangeBetween expresses and rows-frames cannot.
+    */
+  def rangeFrameWindow(s: SparkSession, dir: String): DataFrame = {
+    val day = floor(unix_micros(col("l_shipdate").cast(TimestampType)) / lit(86400000000L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_partkey")).orderBy(col("ship_day"))
+      .rangeBetween(-5, 5)
+    Tables.t(s, dir, "lineitem")
+      .filter(col("l_partkey") <= 100)
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        day.as("ship_day"), dec(col("l_extendedprice")).as("price"))
+      .withColumn("window_revenue",
+        sum(col("price")).over(w).cast(DoubleType))
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        col("ship_day"), col("window_revenue"))
+      .orderBy(col("l_partkey"), col("ship_day"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val rangeFrameWindowOracle: String =
+    """SELECT l_partkey, l_orderkey, l_linenumber, ship_day,
+      |  CAST(SUM(price) OVER (PARTITION BY l_partkey ORDER BY ship_day
+      |    RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS DOUBLE) AS window_revenue
+      |FROM (SELECT l_partkey, l_orderkey, l_linenumber,
+      |    CAST(floor(epoch_us(CAST(l_shipdate AS TIMESTAMP)) / 86400000000) AS BIGINT) AS ship_day,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      |  FROM lineitem WHERE l_partkey <= 100)
+      |ORDER BY l_partkey, ship_day, l_orderkey, l_linenumber""".stripMargin
+
   /** SCD2 interval derivation — the standard slowly-changing-dimension
     * transform: a per-key ordered event/snapshot stream becomes
     * validity intervals via lead() (valid_to = next change's timestamp,
@@ -443,5 +506,7 @@ object Relational {
     QueryDef("distinct_agg", distinctAgg, Some(distinctAggOracle)),
     QueryDef("dim_scd2", scd2Intervals, Some(scd2IntervalsOracle)),
     QueryDef("ta_quality_bins", qualityBins, Some(qualityBinsOracle)),
+    QueryDef("join_full", fullOuterJoin, Some(fullOuterJoinOracle)),
+    QueryDef("w3_range_frame", rangeFrameWindow, Some(rangeFrameWindowOracle)),
   )
 }
