@@ -432,6 +432,24 @@ object Relational {
       |  FROM lineitem WHERE l_partkey <= 100)
       |ORDER BY l_partkey, ship_day, l_orderkey, l_linenumber""".stripMargin
 
+  /** Pivot (wide conditional aggregation): quantity by return flag,
+    * spread across line statuses. Values are DECLARED (not discovered)
+    * so the output schema is static — the scalable form: discovery
+    * pivot needs an extra distinct pass and an unbounded column count.
+    */
+  def pivotAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(dec(col("l_quantity"))).cast(DoubleType))
+      .orderBy(col("l_returnflag"))
+
+  val pivotAggOracle: String =
+    """SELECT l_returnflag,
+      | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+      | CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** SCD2 interval derivation — the standard slowly-changing-dimension
     * transform: a per-key ordered event/snapshot stream becomes
     * validity intervals via lead() (valid_to = next change's timestamp,
@@ -508,5 +526,6 @@ object Relational {
     QueryDef("ta_quality_bins", qualityBins, Some(qualityBinsOracle)),
     QueryDef("join_full", fullOuterJoin, Some(fullOuterJoinOracle)),
     QueryDef("w3_range_frame", rangeFrameWindow, Some(rangeFrameWindowOracle)),
+    QueryDef("pivot_agg", pivotAgg, Some(pivotAggOracle)),
   )
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The CLUSTER registration path: a session built through
+  * [[graft.functions.GraftExtensions]] (no VectorFunctions.register
+  * call anywhere) must resolve the custom functions and run the
+  * injected optimizer rule — this is how the library's Catalyst
+  * surface loads on a real cluster
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`), and
+  * without this spec it would be written-but-never-executed.
+  *
+  * The spec applies the SAME extensions object via
+  * `builder.withExtensions` because `spark.sql.extensions` is a
+  * STATIC conf — it cannot take effect on the test JVM's already-
+  * running SparkContext; the injection logic under test is identical
+  * either way.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions wires functions + optimizer rule into a fresh session") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    // force builder to construct a NEW SparkSession (reusing any
+    // existing SparkContext) so the extensions actually apply
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.functions.GraftExtensions().apply(_))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      // injected function resolves from SQL text, no register() call
+      assert(s.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .head().getDouble(0) === 11.0)
+      assert(s.sql("SELECT simhash32(array('a', 'b')) AS h").head().getLong(0) !== 0L)
+      // injected optimizer rule fires (parquet source so the plan
+      // is not constant-folded before optimization)
+      val plan = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select((size(filter(split(col("text"), " "), t => length(t) > 5)) > 0).as("x"))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("exists("), s"ExistsRewrite should fire via extensions:\n$plan")
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
