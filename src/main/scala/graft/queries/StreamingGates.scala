@@ -41,6 +41,32 @@ object StreamingGates {
       |GROUP BY 1, 2, 3
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** SLIDING event-time windows (10-min window, 5-min slide): every
+    * event lands in window/slide = 2 overlapping buckets — the same
+    * `window(ts, "10 minutes", "5 minutes")` expression the streaming
+    * job would use. The oracle replicates the bucket set by unioning
+    * the two slide offsets per event.
+    */
+  def slidingWindowAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val slidingWindowAggOracle: String =
+    """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+      |  time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS b FROM events),
+      |x AS (SELECT event_type, v,
+      |  b - CAST(i AS INTEGER) * INTERVAL '5 minutes' AS window_start
+      |  FROM e, unnest([0, 1]) AS t(i))
+      |SELECT window_start, window_start + INTERVAL '10 minutes' AS window_end,
+      |  event_type, COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS total_value
+      |FROM x GROUP BY 1, 2, 3
+      |ORDER BY window_start, event_type""".stripMargin
+
   private val GapUs = 30L * 60 * 1000000 // 30 minutes, microsecond-exact
 
   /** Gap-based sessionization in BATCH — the same session semantics as
@@ -131,6 +157,7 @@ object StreamingGates {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("st_windowed_agg", windowedAgg, Some(windowedAggOracle)),
+    QueryDef("st_sliding_window", slidingWindowAgg, Some(slidingWindowAggOracle)),
     QueryDef("st_sessionize", sessionizeBatch, Some(sessionizeOracle)),
     QueryDef("st_attribution", attributionBatch, Some(attributionOracle)),
   )
