@@ -218,6 +218,40 @@ object ReferenceOps {
       | COALESCE(NULLIF(lang, 'en'), 'EN') AS lang_or_default
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** §2.7 JSON function surface: path extraction (scalar, nested,
+    * missing → null), existence, and array-element access over a JSON
+    * document CONSTRUCTED deterministically via concat — both engines
+    * parse byte-identical input, so the gate tests extraction
+    * semantics, not serializer whitespace.
+    */
+  def jsonFunctions(s: SparkSession, dir: String): DataFrame = {
+    val j = concat(
+      lit("""{"id":"""), col("doc_id"),
+      lit(""","meta":{"lang":""""), col("lang"), lit(""""},"tags":[""""),
+      col("source"), lit("""","x"]}"""))
+    Tables.t(s, dir, "documents").select(
+      col("doc_id"),
+      get_json_object(j, "$.id").as("id_str"),
+      get_json_object(j, "$.meta.lang").as("nested_lang"),
+      get_json_object(j, "$.tags[0]").as("first_tag"),
+      get_json_object(j, "$.missing").as("absent"),
+      get_json_object(j, "$.meta").as("meta_obj"),
+    ).orderBy(col("doc_id"))
+  }
+
+  val jsonFunctionsOracle: String =
+    """SELECT doc_id,
+      | json_extract_string(j, '$.id') AS id_str,
+      | json_extract_string(j, '$.meta.lang') AS nested_lang,
+      | json_extract_string(j, '$.tags[0]') AS first_tag,
+      | json_extract_string(j, '$.missing') AS absent,
+      | CAST(json_extract(j, '$.meta') AS VARCHAR) AS meta_obj
+      |FROM (SELECT doc_id,
+      |  '{"id":' || doc_id || ',"meta":{"lang":"' || lang || '"},"tags":["'
+      |    || source || '","x"]}' AS j
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** §2.7 array function surface (transform/filter/flatten/distinct/
     * slice/size) over tokenized documents. Arrays are computed natively
     * and emitted as '|'-joined canonical strings (driver compare cannot
@@ -253,5 +287,6 @@ object ReferenceOps {
     QueryDef("fx_date_fixup", dateFixup, Some(dateFixupOracle)),
     QueryDef("fn_scalar_suite", scalarFunctions, Some(scalarFunctionsOracle)),
     QueryDef("fn_array_suite", arrayFunctions, Some(arrayFunctionsOracle)),
+    QueryDef("fn_json_suite", jsonFunctions, Some(jsonFunctionsOracle)),
   )
 }
