@@ -3,44 +3,60 @@ package graft
 /** Benchmark main. Per-query wall time over EVERY registered query
   * (sorted, stable order), one JSON line on stdout (driver contract).
   *
-  * Measurement discipline (VERDICT r1 #7):
+  * Measurement discipline (VERDICT r1 #7, ADVICE r3 #5):
   *  - full materialization via a `noop`-format write, so Catalyst cannot
   *    prune projections the way it can under `.count()`;
-  *  - fixed (sorted) query order + one untimed warmup pass of the first
-  *    query, so JVM/codegen warmup doesn't land in the first measurement;
+  *  - fixed (sorted) query order + one untimed warmup pass, so
+  *    JVM/codegen warmup doesn't land in the first measurement;
+  *  - caches cleared after every run: each sample pays its own persist
+  *    cost and leaves nothing behind (samples are like-for-like);
+  *  - BOTH raw samples are recorded in `samples` alongside the min in
+  *    `queries`, so cross-round comparisons can be made on matching
+  *    methodology (ADVICE r3: min-of-2 vs r1/r2 single-pass);
   *  - failures are surfaced in an `errors` map and excluded from `value`
   *    instead of being blended in as fake timings.
+  *
+  * Diagnosis knobs (BENCH_r03 showed position-correlated swings on
+  * unchanged queries):
+  *  - SPARK_GRAFT_BENCH_ONLY: comma-separated query subset;
+  *  - SPARK_GRAFT_BENCH_ORDER: sorted (default) | reverse.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
-    // Bench everything (sorted = stable order run-over-run) so per-query
-    // timings stay comparable with BENCH_r01, which ran the full set.
     val defs = SparkEntry.queries
-    val names = defs.keys.toSeq.sorted
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val sortedNames = defs.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val names = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "sorted") match {
+      case "reverse" => sortedNames.reverse
+      case _         => sortedNames
+    }
 
     def runOnce(name: String): Unit = {
       defs(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
       // queries that persist intermediates (the dedup family) must not
-      // accumulate cache across 2x35 runs; each measurement pays its
-      // own persist cost and leaves nothing behind
+      // accumulate cache across runs; each measurement pays its own
+      // persist cost and leaves nothing behind
       spark.catalog.clearCache()
     }
 
     // Warmup: one untimed pass of EVERY query absorbs JVM/codegen/
-    // parquet-footer first-touch cost, so the timed pass measures
-    // steady state and stays comparable run-over-run (first-touch
+    // parquet-footer first-touch cost, so the timed passes measure
+    // steady state and stay comparable run-over-run (first-touch
     // noise was +-20% on per-query numbers).
     names.foreach { n =>
       try runOnce(n) catch { case _: Throwable => () }
     }
 
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val raw = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // two timed passes, keep the per-query MIN: single-pass numbers on a
-    // shared box carry ±20% scheduler/GC noise that min-of-2 mostly
-    // removes, so round-over-round comparisons track real plan changes
+    // two timed passes per query; headline is the MIN (single-pass numbers
+    // on a shared box carry ±20% scheduler/GC noise), but both samples are
+    // reported so methodology changes never hide in the aggregate
     names.foreach { name =>
       try {
         val samples = (1 to 2).map { _ =>
@@ -49,6 +65,7 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         times(name) = samples.min
+        raw(name) = samples
       } catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
@@ -59,9 +76,11 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val ss = raw.map { case (k, v) => s"${jstr(k)}:${v.mkString("[", ",", "]")}" }
+      .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$ss,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

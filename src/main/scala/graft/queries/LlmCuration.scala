@@ -160,7 +160,7 @@ object LlmCuration {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
        |  FROM d)
        |SELECT source, CAST(floor(CAST(cum_before AS DOUBLE) / $PackBudget) AS BIGINT) AS pack_id,
-       |  COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
 

@@ -196,12 +196,16 @@ object LlmDedup {
     // sides simultaneously — order consistency makes it the same row)
     // bounds the whole overlap: O <= 1 + min(n_a - rn_a, n_b - rn_b).
     // J >= t needs O >= ceil(t/(1+t) * (n_a+n_b)); we prune with the
-    // FLOOR bound (never over-prunes; exactness is preserved because
-    // the verify step recomputes true Jaccard). With t = 0.9 = 9/10
-    // the bound is pure integer math: floor(9 * (n_a+n_b) / 19).
+    // FLOOR bound, DERIVED from JaccardThreshold so retuning t can
+    // never silently over-prune (ADVICE r3: a hardcoded 9/19 was only
+    // valid at t = 0.9). floor() of the double product is always <=
+    // the exact ceil bound, so the filter never drops a qualifying
+    // pair regardless of fp rounding; exactness is preserved because
+    // the verify step recomputes true Jaccard.
     // Measured at sf0.1 this cuts candidate pairs ~10x — template docs
     // share "rare" shingles, but rarely as their FIRST prefix entry.
-    val alphaFloor = floor((col("n_a") + col("n_b")) * lit(9) / lit(19))
+    val alphaFloor = floor((col("n_a") + col("n_b")) *
+      lit(JaccardThreshold / (1 + JaccardThreshold)))
     prefix.as("a")
       .join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&

@@ -155,6 +155,28 @@ object LlmVectors {
       .select(col("q_vec").as("vec_id"), col("cell"))
   }
 
+  /** One decimal-exact Lloyd refinement step (shared by
+    * [[embedCandidates]] and [[ivfTopk]] — FAISS-style quantizer
+    * training on a deterministic subsample): assign `sample` to its
+    * nearest seed, recompute per-dimension means distributedly
+    * (posexplode → groupBy(cell, dim)), rebuild the centroid arrays in
+    * dim order. DECIMAL(38,12) sums make the distributed aggregation
+    * summation-order-independent; the single double division at the end
+    * is deterministic — which is what lets DuckDB re-derive identical
+    * centroids for the gate.
+    */
+  private def lloydCentroids(sample: DataFrame, seeds: DataFrame): DataFrame =
+    assignCells(sample, seeds, 1)
+      .join(sample, "vec_id")
+      .select(col("cell"), posexplode(col("emb")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg((sum(col("x").cast(DecimalType(38, 12))).cast(DoubleType) /
+        count(lit(1))).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        e => e.getField("m")).as("cemb"))
+      .withColumn("cnrm", sqrt(dot(col("cemb"), col("cemb"))))
+
   /** IVF-blocked candidate pairs — SemDeDup's architecture (Abbas et
     * al. 2023, arXiv:2303.09540): cluster the corpus into K ≈ √n cells
     * (deterministic seeds + one decimal-exact Lloyd step, as in
@@ -176,21 +198,7 @@ object LlmVectors {
     val k = math.max(16L, math.floor(math.sqrt(base.count().toDouble)).toLong)
     val seeds = base.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"), col("emb").as("cemb"), col("nrm").as("cnrm"))
-    // one Lloyd step over the seed assignment of a deterministic 1/4
-    // sample (see ivfTopk — FAISS-style quantizer training): per-
-    // dimension DECIMAL sums (order-independent), array rebuilt in dim
-    // order
-    val sample = base.filter(col("vec_id") % TrainMod === 0)
-    val cent = assignCells(sample, seeds, 1)
-      .join(sample, "vec_id")
-      .select(col("cell"), posexplode(col("emb")).as(Seq("dim", "x")))
-      .groupBy(col("cell"), col("dim"))
-      .agg((sum(col("x").cast(DecimalType(38, 12))).cast(DoubleType) /
-        count(lit(1))).as("m"))
-      .groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-        e => e.getField("m")).as("cemb"))
-      .withColumn("cnrm", sqrt(dot(col("cemb"), col("cemb"))))
+    val cent = lloydCentroids(base.filter(col("vec_id") % TrainMod === 0), seeds)
     val assigned = assignCells(base, cent, NearDupProbes)
     assigned.as("x")
       .join(assigned.as("y"),
@@ -224,79 +232,50 @@ object LlmVectors {
     * partition the corpus by nearest centroid once at index time, probe
     * only the query's nProbe nearest cells at search time.
     *
-    * Centroids: deterministic seeds (first K vectors) refined by one
-    * Lloyd iteration. The per-dimension means aggregate distributedly
-    * (posexplode → groupBy(cluster, dim)); only the K×dim centroid
-    * table ever reaches the driver (tiny, by construction) — the
-    * corpus itself is assigned via a broadcast-literal argmax, one
-    * narrow pass.
+    * Centroids: deterministic seeds (first K vectors, labeled by their
+    * own vec_id — a monotone relabel of the oracle's dense
+    * ROW_NUMBER-1 cells, so every tie-break compares identically and
+    * labels never reach the output) refined by one Lloyd iteration on a
+    * deterministic 1/4 subsample (`vec_id % TrainMod = 0` — FAISS
+    * trains its quantizer on a corpus subsample; the modulus predicate
+    * stays exactly reproducible in SQL). The whole index is one
+    * declarative DAG: corpus and queries are assigned against the
+    * BROADCAST centroid relation ([[assignCells]] — sims map-side,
+    * ids-only through the argmax shuffle, payload re-joined), nothing
+    * is ever collected to the driver. This replaced r3's
+    * literal-expression argmax (16 centroid vectors unrolled into every
+    * projection twice, plus two index-build collects): the relation
+    * form shares the centroid computation between the corpus and query
+    * assignment passes via exchange reuse and keeps codegen narrow.
     *
     * Every step is ENGINE-REPRODUCIBLE, which is what makes the DuckDB
     * oracle possible (this was r2's one ungated query):
     *  - Lloyd means aggregate per-dimension sums as DECIMAL(38,12) —
     *    exact, summation-order-independent — and divide by the count
-    *    once, in double, at the end;
+    *    once, in double, at the end ([[lloydCentroids]]);
     *  - every argmax / top-n over cosines ranks on round(sim, 9) with
     *    the cell id (or vec_id) as tie-break, so ulp-level differences
     *    in double accumulation can never flip an assignment.
     *
-    * Scale shape: index build is two corpus passes (assign, re-assign);
-    * search touches nProbe/K of the corpus per query. Candidates
-    * verified by true cosine, ranked deterministically.
+    * Scale shape: index build is one subsample pass (Lloyd) plus one
+    * corpus pass (assign); search touches nProbe/K of the corpus per
+    * query. Candidates verified by true cosine, ranked
+    * deterministically.
     */
   def ivfTopk(s: SparkSession, dir: String): DataFrame = {
     val base = emb(s, dir)
-
-    def centroidCols(cents: Array[Array[Double]]): Column = {
-      // rounded cosine against each centroid as literal vectors; argmax
-      // cell id (array_position takes the FIRST max → lowest cell wins
-      // ties, matching the oracle's ORDER BY sim DESC, cell)
-      val sims = cents.map { c =>
-        val norm = math.sqrt(c.map(x => x * x).sum)
-        round(dot(col("emb"), typedlit(c.toSeq)) / (col("nrm") * norm), 9)
-      }
-      array_position(array(sims: _*), array_max(array(sims: _*))) - 1
-    }
-
     val seeds = base.filter(col("vec_id") < IvfClusters)
-      .orderBy(col("vec_id")).collect()
-      .map(_.getSeq[Double](1).toArray)
-    // one Lloyd step: assign a deterministic 1/4 SAMPLE to seeds and
-    // recompute per-dimension means from it — centroid training on a
-    // sample is the standard IVF practice (FAISS trains its quantizer
-    // on a corpus subsample), and it cuts the posexplode+decimal
-    // aggregation (the most expensive index-build stage) 4x while the
-    // modulus predicate stays exactly reproducible in SQL.
-    // DECIMAL sums make the distributed aggregation order-independent;
-    // the single double division at the end is deterministic.
-    val assigned0 = base.filter(col("vec_id") % TrainMod === 0)
-      .withColumn("cell", centroidCols(seeds))
-    val centroids = assigned0
-      .select(col("cell"), posexplode(col("emb")).as(Seq("dim", "x")))
-      .groupBy(col("cell"), col("dim"))
-      .agg((sum(col("x").cast(DecimalType(38, 12))).cast(DoubleType) /
-        count(lit(1))).as("m"))
-      .collect()
-      .groupBy(_.getLong(0))
-      .toSeq.sortBy(_._1)
-      .map { case (_, rows) =>
-        rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
-      }.toArray
-
-    val indexed = base.withColumn("cell", centroidCols(centroids))
+      .select(col("vec_id").as("cell"), col("emb").as("cemb"), col("nrm").as("cnrm"))
+    val centroids = lloydCentroids(base.filter(col("vec_id") % TrainMod === 0), seeds)
+    val indexed = base.join(assignCells(base, centroids, 1), "vec_id")
+    // probe list: the nProbe nearest cells per query — assignCells
+    // ranks by (rounded sim desc, cell), so ties break on the LOWER
+    // cell id, same as the assignment argmax and the oracle
     val queries = base.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
-    // probe list: the nProbe nearest cells per query — sort key is
-    // (-rounded sim, cell) so ties break on the LOWER cell id, same as
-    // the assignment argmax and the oracle
-    val qSims = centroids.zipWithIndex.map { case (c, i) =>
-      val norm = math.sqrt(c.map(x => x * x).sum)
-      val sim = round(dot(col("q_emb"), typedlit(c.toSeq)) / (col("q_nrm") * norm), 9)
-      struct((-sim).as("negsim"), lit(i.toLong).as("cell"))
-    }
     val probed = queries
-      .withColumn("probe", explode(slice(array_sort(array(qSims: _*)), 1, IvfProbes)))
-      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("probe.cell").as("cell"))
+      .join(assignCells(queries, centroids, IvfProbes), "vec_id")
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell"))
 
     val cos = dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))
     // rounded-cosine rank: see topkExact
