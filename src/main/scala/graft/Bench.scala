@@ -75,12 +75,20 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    def d3(v: Double): String = f"$v%.3f".replace(",", ".")
+    // Full-precision raw samples go on their OWN line, printed FIRST:
+    // the driver keeps only the last ~2000 chars of stdout, and in r4
+    // the samples map pushed the headline queries/value out of that
+    // window (BENCH_r04.json tail starts mid-samples). The contract
+    // line below is compact (3-decimal minima, ~1.4 KB for 55 queries)
+    // and printed LAST so the tail always contains it whole.
     val ss = raw.map { case (k, v) => s"${jstr(k)}:${v.mkString("[", ",", "]")}" }
       .mkString("{", ",", "}")
+    println(s"""{"metric":"samples","unit":"sec","samples":$ss}""")
+    val qs = times.map { case (k, v) => s"${jstr(k)}:${d3(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$ss,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,11 +18,13 @@ class PlanAuditSpec extends SparkSpec {
   // queries whose plans legitimately contain a BroadcastNestedLoopJoin:
   // - sim_topk_exact: the brute-force cosine baseline broadcasts a
   //   <=8-row query side against the corpus with a non-equi condition;
-  // - dd_embed_neardup: the IVF centroid table (K ≈ √n rows × dim
-  //   doubles — the index itself, ~16 MB at n = 10⁹) is broadcast for
-  //   the corpus×centroid assignment pass, exactly as FAISS/SemDeDup
-  //   hold the centroid matrix in RAM on every worker.
-  private val bnljAllowed = Set("sim_topk_exact", "dd_embed_neardup")
+  // - dd_embed_neardup / sim_ivf_topk: the IVF centroid table (K ≈ √n
+  //   resp. K = 16 rows × dim doubles — the index itself, ~16 MB at
+  //   n = 10⁹) is broadcast for the corpus×centroid assignment pass
+  //   (assignCells), exactly as FAISS/SemDeDup hold the centroid
+  //   matrix in RAM on every worker.
+  private val bnljAllowed =
+    Set("sim_topk_exact", "dd_embed_neardup", "sim_ivf_topk")
 
   test("every registered query plans without cartesian products") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
