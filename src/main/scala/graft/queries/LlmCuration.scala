@@ -201,8 +201,47 @@ object LlmCuration {
       |FROM tok t JOIN freq f USING (token) CROSS JOIN tot
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  /** Training-mixture composition + reweighting per source domain —
+    * the DoReMi-flavored step (Xie et al. 2023, arXiv:2305.10429 use
+    * learned weights; the uniform-target special case here is the
+    * standard "rebalance the crawl" baseline): per-source document and
+    * token counts, the source's share of the corpus, and the sampling
+    * weight that would equalize token contributions across sources
+    * (weight = target_share / actual_share with a uniform 1/S target).
+    *
+    * Scale shape: one hash aggregate over the corpus (map-side partial
+    * on source) down to S rows, then window totals over those S rows —
+    * the single-partition exchange moves S rows, never data.
+    */
+  def domainMix(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    Tables.t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("n_tokens"))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast(DoubleType) / sum(col("n_tokens")).over(w), 6)
+          .as("token_share"),
+        round(sum(col("n_tokens")).over(w).cast(DoubleType) /
+          (count(lit(1)).over(w) * col("n_tokens")), 6).as("sample_weight"),
+      ).orderBy(col("source"))
+  }
+
+  val domainMixOracle: String =
+    """WITH agg AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    SUM(len(string_split(text, ' '))) AS n_tokens
+      |  FROM documents GROUP BY source)
+      |SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  round(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6) AS token_share,
+      |  round(CAST(SUM(n_tokens) OVER () AS DOUBLE)
+      |    / (COUNT(*) OVER () * n_tokens), 6) AS sample_weight
+      |FROM agg ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ta_tfidf", tfidf, Some(tfidfOracle)),
+    QueryDef("cu_domain_mix", domainMix, Some(domainMixOracle)),
     QueryDef("cu_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     QueryDef("cu_split_leak", splitLeak, Some(splitLeakOracle)),
     QueryDef("cu_pack_sequences", packSequences, Some(packSequencesOracle)),

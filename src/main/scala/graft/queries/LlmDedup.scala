@@ -373,8 +373,14 @@ object LlmDedup {
     * condition), never data. For graphs with long chains swap in
     * large-star/small-star (O(log n) rounds) — same relational shape.
     */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    propagateClusters(ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
+
+  /** Core of [[dedupClusters]] over an arbitrary canonical (doc_a <
+    * doc_b) pair relation — factored out so DedupExactnessSpec can
+    * assert it equal to [[starClusters]] on random graphs.
+    */
+  private[graft] def propagateClusters(pairs: DataFrame): DataFrame = {
     // persist the edge list: every iteration references it, and without
     // the persist each round would re-run the entire upstream
     // similarity pipeline (measured 9s -> ~4s at sf0.1)
@@ -421,14 +427,88 @@ object LlmDedup {
     // labels is checkpointed — its lineage no longer references sym, so
     // the edge list can be released before the caller materializes
     sym.unpersist()
+    clusterOutput(labels)
+  }
+
+  /** (doc_id, label) → one row per cluster: representative, size,
+    * pipe-joined member list (sorted NUMERICALLY before stringifying —
+    * lexicographic sort would order "10" before "9").
+    */
+  private def clusterOutput(labels: DataFrame): DataFrame =
     labels
       .groupBy(col("label").as("cluster_rep"))
       .agg(count(lit(1)).as("n_members"),
-        // sort NUMERICALLY, then stringify — lexicographic sort of
-        // stringified ids would order "10" before "9"
         array_join(transform(array_sort(collect_list(col("doc_id"))),
           m => m.cast(StringType)), "|").as("members"))
       .orderBy(col("cluster_rep"))
+
+  /** Near-dup clusters via alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond" — the O(log n)-round algorithm VERDICT r2/r3 named as the
+    * scale upgrade over [[dedupClusters]]'s O(diameter) min-label
+    * propagation). Same pair graph, same output, same oracle — the two
+    * implementations gate against each other through the DuckDB
+    * recursive CTE, and DedupExactnessSpec checks them equal on random
+    * graphs.
+    *
+    * Each round is two keyed shuffle aggregates + joins over the edge
+    * set (which only ever SHRINKS toward the star forest — no
+    * corpus-sized state). Large-star hangs every neighbor v > u off
+    * m = min(N(u) ∪ {u}); small-star re-hangs each smaller neighbor
+    * (and u itself) off the minimum — together they contract every
+    * component to a star labeled by its minimum id in O(log n) rounds
+    * regardless of diameter, where min-label propagation needs
+    * O(diameter).
+    */
+  def dedupClustersStar(s: SparkSession, dir: String): DataFrame =
+    starClusters(ngramJaccard(s, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b")))
+
+  /** Core of [[dedupClustersStar]] over an arbitrary canonical (a < b)
+    * pair relation — see [[propagateClusters]].
+    */
+  private[graft] def starClusters(pairs: DataFrame): DataFrame = {
+    // canonical a < b by ngramJaccard construction; localCheckpoint per
+    // round: see dedupClusters (lineage truncation + reclaimable blocks)
+    var edges = pairs.distinct().localCheckpoint()
+    var converged = false
+    var rounds = 0
+    val maxRounds = 30
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      // LARGE-STAR over the symmetric neighbor relation: every
+      // neighbor strictly larger than u re-links to m = min(N(u) ∪ {u})
+      val sym = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+      val lsMin = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // m <= u < v keeps the (a, b) = (m, v) orientation canonical
+      val ls = sym.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .distinct()
+      // SMALL-STAR on the canonical edges: group the LARGER endpoint
+      // h = b over its smaller neighbors, re-hang them (and h) off the
+      // minimum
+      val ssMin = ls.groupBy(col("b")).agg(min(col("a")).as("m"))
+      val ssNbr = ls.join(ssMin, "b")
+        .filter(col("a") =!= col("m"))
+        .select(col("m").as("na"), col("a").as("nb"))
+      val ssSelf = ssMin.select(col("m").as("na"), col("b").as("nb"))
+      val next = ssNbr.unionByName(ssSelf).distinct()
+        .select(col("na").as("a"), col("nb").as("b"))
+        .localCheckpoint()
+      // star forests are exactly the fixed points of both operators, so
+      // set-equality of the (distinct) edge relations is convergence
+      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges = next
+    }
+    require(converged,
+      s"dedupClustersStar: did not reach a star forest in $maxRounds rounds")
+    val labels = edges.select(col("b").as("doc_id"), col("a").as("label"))
+      .unionByName(edges.select(col("a").as("doc_id"), col("a").as("label")))
+      .distinct()
+    clusterOutput(labels)
   }
 
   // DuckDB: transitive closure via recursive CTE (bounded by cluster
@@ -450,6 +530,7 @@ object LlmDedup {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dd_exact_dedup", exactDedup, Some(exactDedupOracle)),
     QueryDef("dd_clusters", dedupClusters, Some(dedupClustersOracle)),
+    QueryDef("dd_clusters_star", dedupClustersStar, Some(dedupClustersOracle)),
     QueryDef("dd_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     // NOTE data-coupled gate: minhashLsh is gated against the EXACT
     // Jaccard oracle even though LSH recall is probabilistic. With 16

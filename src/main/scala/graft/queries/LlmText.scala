@@ -224,11 +224,110 @@ object LlmText {
       | 3 AS channels
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style quality filter rules (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", arXiv:2112.11446 §A1.1) adapted to
+    * the single-line corpus: word-count bounds, mean-word-length
+    * bounds, alphabetic-word fraction, stopword presence, and the two
+    * repetition signals — fraction of word occurrences covered by the
+    * most frequent bigram and fraction of duplicated trigrams. One
+    * boolean `keep` composes the rules, the per-rule signals are kept
+    * as columns so downstream curation can re-threshold without a
+    * second corpus pass.
+    *
+    * Scale shape: one narrow per-row pass for the word stats plus two
+    * doc_id-keyed hash aggregations for the n-gram signals (bigram
+    * mode, trigram distinct ratio) — no window over the corpus, no
+    * n-gram relation ever leaves its aggregation. The n-gram arrays are
+    * built with zip_with over slices (no per-element re-split: the
+    * token array is projected once — see the HOF re-evaluation pitfall
+    * in SURVEY §6).
+    */
+  def gopherQuality(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
+      .withColumn("n_words", size(col("t")))
+    val len2 = greatest(col("n_words") - 1, lit(0))
+    val len3 = greatest(col("n_words") - 2, lit(0))
+    val bigram = explode(zip_with(
+      slice(col("t"), lit(1), len2), slice(col("t"), lit(2), len2),
+      (x, y) => concat_ws(" ", x, y)))
+    val trigram = explode(zip_with(
+      zip_with(slice(col("t"), lit(1), len3), slice(col("t"), lit(2), len3),
+        (x, y) => concat_ws(" ", x, y)),
+      slice(col("t"), lit(3), len3),
+      (xy, z) => concat_ws(" ", xy, z)))
+    val top2 = base.select(col("doc_id"), bigram.as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("max2"))
+    val tri3 = base.select(col("doc_id"), trigram.as("tg"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("tg")).as("d3"), count(lit(1)).as("tot3"))
+    val scored = base.select(
+      col("doc_id"), col("n_words"),
+      round((length(col("text")) - col("n_words") + 1).cast(DoubleType) / col("n_words"), 6)
+        .as("mean_word_len"),
+      round(size(filter(col("t"), w => w.rlike("^[a-z]+$"))).cast(DoubleType) / col("n_words"), 6)
+        .as("alpha_frac"),
+      stopCount(col("t"), stopEn).as("n_stop"),
+    )
+      .join(top2, Seq("doc_id"), "left")
+      .join(tri3, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_words"), col("mean_word_len"), col("alpha_frac"), col("n_stop"),
+        round(lit(2).cast(DoubleType) * coalesce(col("max2"), lit(0L)) / col("n_words"), 6)
+          .as("top2_frac"),
+        coalesce(round(lit(1).cast(DoubleType) - col("d3").cast(DoubleType) / col("tot3"), 6),
+          lit(0.0)).as("dup3_frac"),
+      )
+    // every comparison is over the ROUNDED signal columns, so an
+    // engine-ulp difference can never flip the keep decision
+    scored.select(
+      col("doc_id"), col("n_words"), col("mean_word_len"), col("alpha_frac"),
+      col("n_stop"), col("top2_frac"), col("dup3_frac"),
+      (col("n_words").between(25, 100000) &&
+        col("mean_word_len").between(3, 10) &&
+        col("alpha_frac") >= 0.8 && col("n_stop") >= 1 &&
+        col("top2_frac") <= 0.125 && col("dup3_frac") <= 0.05).as("keep"),
+    ).orderBy(col("doc_id"))
+  }
+
+  val gopherQualityOracle: String = {
+    val stop = stopCountSql(stopEn)
+    s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+       |st AS (SELECT doc_id, len(t) AS n_words,
+       |  round(CAST(length(text) - len(t) + 1 AS DOUBLE) / len(t), 6) AS mean_word_len,
+       |  round(CAST(len(list_filter(t, w -> regexp_full_match(w, '[a-z]+'))) AS DOUBLE)
+       |    / len(t), 6) AS alpha_frac,
+       |  $stop AS n_stop
+       | FROM tok),
+       |bg AS (SELECT doc_id,
+       |  unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg FROM tok),
+       |b2 AS (SELECT doc_id, max(c) AS max2
+       |  FROM (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+       |tg AS (SELECT doc_id,
+       |  unnest(list_transform(range(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tg FROM tok),
+       |t3 AS (SELECT doc_id, COUNT(DISTINCT tg) AS d3, COUNT(*) AS tot3 FROM tg GROUP BY 1),
+       |scored AS (
+       |  SELECT s.doc_id, s.n_words, s.mean_word_len, s.alpha_frac, s.n_stop,
+       |    round(CAST(2 AS DOUBLE) * COALESCE(b2.max2, 0) / s.n_words, 6) AS top2_frac,
+       |    COALESCE(round(CAST(1 AS DOUBLE) - CAST(t3.d3 AS DOUBLE) / t3.tot3, 6),
+       |      CAST(0 AS DOUBLE)) AS dup3_frac
+       |  FROM st s LEFT JOIN b2 USING (doc_id) LEFT JOIN t3 USING (doc_id))
+       |SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop, top2_frac, dup3_frac,
+       |  (n_words BETWEEN 25 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+       |    AND alpha_frac >= CAST(0.8 AS DOUBLE) AND n_stop >= 1
+       |    AND top2_frac <= CAST(0.125 AS DOUBLE)
+       |    AND dup3_frac <= CAST(0.05 AS DOUBLE)) AS keep
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ta_text_stats", textStats, Some(textStatsOracle)),
     QueryDef("ta_langid", langId, Some(langIdOracle)),
     QueryDef("ta_fingerprint", fingerprint, Some(fingerprintOracle)),
     QueryDef("ta_simhash", simHash, Some(simHashOracle)),
+    QueryDef("ta_gopher_quality", gopherQuality, Some(gopherQualityOracle)),
     QueryDef("mm_binary_meta", binaryMeta, Some(binaryMetaOracle)),
   )
 }

@@ -84,4 +84,55 @@ class DedupExactnessSpec extends SparkSpec {
     assert(got === want)
     assert(want.nonEmpty, "fixture should produce at least one ham<=1 pair")
   }
+
+  /** Union-find reference: (rep -> sorted members) per component. */
+  private def ufClusters(edges: Set[(Long, Long)]): Map[Long, Seq[Long]] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.flatMap(e => Seq(e._1, e._2)).groupBy(find)
+      .map { case (r, ms) => r -> ms.toSeq.sorted }
+  }
+
+  private def checkClusters(out: org.apache.spark.sql.DataFrame,
+      want: Map[Long, Seq[Long]]): Unit = {
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val exp = want.map { case (r, ms) => r -> (ms.size.toLong, ms.mkString("|")) }
+    assert(got === exp)
+  }
+
+  test("star CC == label-propagation CC == union-find (random graphs + chain)") {
+    import spark.implicits._
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 101)
+      val n = 120
+      // sparse random edges (many small components) + one 40-node chain
+      // (diameter 39 — deep enough to force multi-round contraction,
+      // inside propagateClusters' diameter budget)
+      val rand = (0 until 90).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2)
+      val chain = (0 until 39).map(i => (1000L + i, 1000L + i + 1))
+      val edges = (rand ++ chain).toSet
+      val df = edges.toSeq.toDF("a", "b")
+      val want = ufClusters(edges)
+      checkClusters(LlmDedup.starClusters(df), want)
+      checkClusters(LlmDedup.propagateClusters(
+        df.select(col("a").as("doc_a"), col("b").as("doc_b"))), want)
+    }
+  }
+
+  test("star CC contracts a diameter-300 chain (beyond the propagation round cap)") {
+    import spark.implicits._
+    val edges = (0 until 300).map(i => (i.toLong, i.toLong + 1)).toSet
+    checkClusters(LlmDedup.starClusters(edges.toSeq.toDF("a", "b")), ufClusters(edges))
+  }
 }
