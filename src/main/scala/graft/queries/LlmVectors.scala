@@ -395,8 +395,44 @@ object LlmVectors {
        |WHERE round(list_cosine_similarity(a.emb, b.emb), 9) >= CAST($NearDupCos AS DOUBLE)
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  private val RangeCos = 0.3
+
+  /** Cosine RANGE search (radius query): every corpus vector with
+    * cosine ≥ τ of each query — the other half of the similarity-search
+    * API next to top-k (FAISS `range_search`). Same scale shape as
+    * [[topkExact]]: the bounded query side broadcasts, the corpus
+    * streams once with map-side dot products, and — unlike top-k — no
+    * window at all: the threshold filter is applied before anything
+    * shuffles, so the only exchange is the final result sort.
+    * Thresholding on round(cos, 9) keeps boundary vectors on the same
+    * side in both engines.
+    */
+  def rangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    val queries = base.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val cos = dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))
+    base.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cos)
+      .filter(round(col("cos"), 9) >= RangeCos)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("q_id"), col("vec_id"))
+  }
+
+  val rangeSearchOracle: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NQueries)
+       |SELECT q.q_id, v.vec_id,
+       |  round(list_cosine_similarity(v.emb, q.q_emb), 6) AS cosine
+       |FROM v CROSS JOIN q
+       |WHERE v.vec_id != q.q_id
+       |  AND round(list_cosine_similarity(v.emb, q.q_emb), 9) >= CAST($RangeCos AS DOUBLE)
+       |ORDER BY q_id, vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("sim_topk_exact", topkExact, Some(topkExactOracle)),
+    QueryDef("sim_range_search", rangeSearch, Some(rangeSearchOracle)),
     QueryDef("sim_ann_lsh", annTopk, Some(annTopkOracle)),
     QueryDef("sim_ivf_topk", ivfTopk, Some(ivfTopkOracle)),
     QueryDef("dd_embed_neardup", embedNearDup, Some(embedNearDupOracle)),

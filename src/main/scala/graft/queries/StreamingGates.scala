@@ -155,9 +155,63 @@ object StreamingGates {
       | AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000
       |ORDER BY p.user_id, purchase_id, view_id""".stripMargin
 
+  /** Ordered-funnel analysis (view → click → purchase): per user, the
+    * first occurrence of each step STRICTLY after the previous step's
+    * time, and the resulting funnel depth — the sequential-pattern
+    * operator (ClickHouse's windowFunnel / MATCH_RECOGNIZE-lite)
+    * derived relationally: one conditional min-aggregate per step,
+    * chained through user-keyed joins.
+    *
+    * Scale shape: three user-keyed hash aggregates over progressively
+    * SHRINKING inputs (step k only scans candidates that passed step
+    * k-1 via an equi-join), then left-joins back to the user dimension.
+    * Every shuffle is on user_id — co-partitioned end to end, no
+    * window over the full event log, no per-user event list ever
+    * collected.
+    */
+  def funnelBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "events")
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    e.select(col("user_id")).distinct()
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0).as("funnel_depth"))
+      .orderBy(col("user_id"))
+  }
+
+  val funnelOracle: String =
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |t1 AS (SELECT user_id, MIN(ts) AS t_view FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM e JOIN t1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > t1.t_view GROUP BY e.user_id),
+      |t3 AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM e JOIN t2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > t2.t_click GROUP BY e.user_id)
+      |SELECT u.user_id, t1.t_view, t2.t_click, t3.t_purchase,
+      |  CASE WHEN t3.t_purchase IS NOT NULL THEN 3
+      |       WHEN t2.t_click IS NOT NULL THEN 2
+      |       WHEN t1.t_view IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth
+      |FROM (SELECT DISTINCT user_id FROM e) u
+      |LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+      |LEFT JOIN t3 USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("st_windowed_agg", windowedAgg, Some(windowedAggOracle)),
     QueryDef("st_sliding_window", slidingWindowAgg, Some(slidingWindowAggOracle)),
+    QueryDef("st_funnel", funnelBatch, Some(funnelOracle)),
     QueryDef("st_sessionize", sessionizeBatch, Some(sessionizeOracle)),
     QueryDef("st_attribution", attributionBatch, Some(attributionOracle)),
   )

@@ -24,7 +24,7 @@ class PlanAuditSpec extends SparkSpec {
   //   (assignCells), exactly as FAISS/SemDeDup hold the centroid
   //   matrix in RAM on every worker.
   private val bnljAllowed =
-    Set("sim_topk_exact", "dd_embed_neardup", "sim_ivf_topk")
+    Set("sim_topk_exact", "sim_range_search", "dd_embed_neardup", "sim_ivf_topk")
 
   test("every registered query plans without cartesian products") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -46,7 +46,7 @@ class PlanAuditSpec extends SparkSpec {
   // relation) must leave the join strategy to AQE: a forced hint OOMs
   // the driver when the relation outgrows it at scale.
   private val broadcastHintAllowed =
-    Set("sim_topk_exact", "sim_ann_lsh", "sim_ivf_topk", "q5_region_volume",
+    Set("sim_topk_exact", "sim_range_search", "sim_ann_lsh", "sim_ivf_topk", "q5_region_volume",
       "dd_embed_neardup") // centroid index table, K ≈ √n — see bnljAllowed
 
   test("no explicit broadcast hints outside constant-bounded relations") {
