@@ -499,8 +499,11 @@ object LlmDedup {
         .select(col("na").as("a"), col("nb").as("b"))
         .localCheckpoint()
       // star forests are exactly the fixed points of both operators, so
-      // set-equality of the (distinct) edge relations is convergence
-      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      // set-equality of the (distinct) edge relations is convergence;
+      // equal cardinality + one empty one-sided difference is enough,
+      // and the count short-circuits the anti-join in non-final rounds
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("a", "b"), "left_anti").isEmpty
       edges = next
     }
     require(converged,

@@ -234,13 +234,16 @@ object LlmText {
     * as columns so downstream curation can re-threshold without a
     * second corpus pass.
     *
-    * Scale shape: one narrow per-row pass for the word stats plus two
-    * doc_id-keyed hash aggregations for the n-gram signals (bigram
-    * mode, trigram distinct ratio) — no window over the corpus, no
-    * n-gram relation ever leaves its aggregation. The n-gram arrays are
-    * built with zip_with over slices (no per-element re-split: the
-    * token array is projected once — see the HOF re-evaluation pitfall
-    * in SURVEY §6).
+    * Scale shape: one narrow per-row pass for the word stats plus ONE
+    * doc_id-keyed n-gram aggregation for both repetition signals — the
+    * bigrams and trigrams explode into a single tagged (doc_id, n,
+    * gram) relation, so the corpus is shuffled once, not once per
+    * n-gram order; after the (doc_id, n, gram) count both signals
+    * reduce in the same second-level hash aggregate. No window over
+    * the corpus, no n-gram relation ever leaves its aggregation. The
+    * n-gram arrays are built with zip_with over slices (no per-element
+    * re-split: the token array is projected once — see the HOF
+    * re-evaluation pitfall in SURVEY §6).
     */
   def gopherQuality(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.t(s, dir, "documents")
@@ -248,20 +251,23 @@ object LlmText {
       .withColumn("n_words", size(col("t")))
     val len2 = greatest(col("n_words") - 1, lit(0))
     val len3 = greatest(col("n_words") - 2, lit(0))
-    val bigram = explode(zip_with(
+    val bigrams = zip_with(
       slice(col("t"), lit(1), len2), slice(col("t"), lit(2), len2),
-      (x, y) => concat_ws(" ", x, y)))
-    val trigram = explode(zip_with(
+      (x, y) => concat_ws(" ", x, y))
+    val trigrams = zip_with(
       zip_with(slice(col("t"), lit(1), len3), slice(col("t"), lit(2), len3),
         (x, y) => concat_ws(" ", x, y)),
       slice(col("t"), lit(3), len3),
-      (xy, z) => concat_ws(" ", xy, z)))
-    val top2 = base.select(col("doc_id"), bigram.as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("max2"))
-    val tri3 = base.select(col("doc_id"), trigram.as("tg"))
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("tg")).as("d3"), count(lit(1)).as("tot3"))
+      (xy, z) => concat_ws(" ", xy, z))
+    val grams = base.select(col("doc_id"), explode(concat(
+      transform(bigrams, g => struct(lit(2).as("n"), g.as("g"))),
+      transform(trigrams, g => struct(lit(3).as("n"), g.as("g"))))).as("ng"))
+      .select(col("doc_id"), col("ng.n").as("n"), col("ng.g").as("g"))
+      .groupBy(col("doc_id"), col("n"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        max(when(col("n") === 2, col("c"))).as("max2"),
+        count(when(col("n") === 3, lit(1))).as("d3"),
+        sum(when(col("n") === 3, col("c"))).as("tot3"))
     val scored = base.select(
       col("doc_id"), col("n_words"),
       round((length(col("text")) - col("n_words") + 1).cast(DoubleType) / col("n_words"), 6)
@@ -270,8 +276,7 @@ object LlmText {
         .as("alpha_frac"),
       stopCount(col("t"), stopEn).as("n_stop"),
     )
-      .join(top2, Seq("doc_id"), "left")
-      .join(tri3, Seq("doc_id"), "left")
+      .join(grams, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("n_words"), col("mean_word_len"), col("alpha_frac"), col("n_stop"),
         round(lit(2).cast(DoubleType) * coalesce(col("max2"), lit(0L)) / col("n_words"), 6)
