@@ -169,8 +169,14 @@ object StreamingGates {
     * window over the full event log, no per-user event list ever
     * collected.
     */
-  def funnelBatch(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.t(s, dir, "events")
+  def funnelBatch(s: SparkSession, dir: String): DataFrame =
+    funnelEvents(Tables.t(s, dir, "events"))
+
+  /** Core of [[funnelBatch]] over any (user_id, event_type, ts) frame —
+    * EventsStreamSpec asserts parity with the streaming
+    * [[graft.streaming.EventsStream.funnel]] on the same fixture.
+    */
+  def funnelEvents(e: DataFrame): DataFrame = {
     val t1 = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
     val t2 = e.filter(col("event_type") === "click")

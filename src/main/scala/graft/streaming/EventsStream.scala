@@ -27,6 +27,17 @@ import java.sql.Timestamp
   */
 final case class SessionState(start: Long, end: Long, n: Long, total: Double)
 
+/** Buffered step timestamps (epoch ms) + last-activity time for
+  * [[EventsStream.funnel]] — top-level for the state encoder, like
+  * [[SessionState]].
+  */
+final case class FunnelBuf(views: List[Long], clicks: List[Long],
+    purchases: List[Long], last: Long)
+
+/** One funnel outcome per user per inactivity episode. */
+final case class FunnelRow(user_id: Long, t_view: Option[Timestamp],
+    t_click: Option[Timestamp], t_purchase: Option[Timestamp], funnel_depth: Int)
+
 object EventsStream {
 
   val eventSchema: StructType = StructType(Seq(
@@ -142,6 +153,68 @@ object EventsStream {
     events
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming ordered funnel (view → click → purchase, the batch
+    * semantics of [[graft.queries.StreamingGates.funnelEvents]]): one
+    * row per user per inactivity episode, emitted when the event-time
+    * timeout (watermark past last event + idle gap) fires.
+    *
+    * Why the state BUFFERS step timestamps instead of folding
+    * incrementally: the chain is t_click = min click AFTER t_view, and
+    * a late-but-in-watermark view can lower t_view, which RE-QUALIFIES
+    * clicks that an eager fold would already have discarded — the
+    * final chain is only computable at close. State is bounded all the
+    * same: only the three step types are kept, per user, inside one
+    * activity horizon, and the timeout removes it. Millisecond
+    * precision (same contract as [[sessionize]]'s SessionState).
+    */
+  def funnel(events: Dataset[Event], idleMinutes: Int = 30): Dataset[FunnelRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val idleMs = idleMinutes * 60L * 1000L
+
+    def close(userId: Long, b: FunnelBuf): FunnelRow = {
+      val tv = b.views.minOption
+      val tc = tv.flatMap(v => b.clicks.filter(_ > v).minOption)
+      val tp = tc.flatMap(c => b.purchases.filter(_ > c).minOption)
+      val depth = if (tp.isDefined) 3 else if (tc.isDefined) 2 else if (tv.isDefined) 1 else 0
+      FunnelRow(userId, tv.map(new Timestamp(_)), tc.map(new Timestamp(_)),
+        tp.map(new Timestamp(_)), depth)
+    }
+
+    def fn(userId: Long, rows: Iterator[Event],
+        state: GroupState[FunnelBuf]): Iterator[FunnelRow] = {
+      if (state.hasTimedOut) {
+        val b = state.get
+        state.remove()
+        Iterator.single(close(userId, b))
+      } else {
+        var b = state.getOption.getOrElse(FunnelBuf(Nil, Nil, Nil, Long.MinValue))
+        rows.foreach { e =>
+          val t = e.ts.getTime
+          b = e.event_type match {
+            case "view"     => b.copy(views = t :: b.views, last = math.max(b.last, t))
+            case "click"    => b.copy(clicks = t :: b.clicks, last = math.max(b.last, t))
+            case "purchase" => b.copy(purchases = t :: b.purchases, last = math.max(b.last, t))
+            // non-step events still mark the user active (a user with
+            // only such events closes at depth 0, matching the batch's
+            // DISTINCT user_id left spine)
+            case _          => b.copy(last = math.max(b.last, t))
+          }
+        }
+        state.update(b)
+        // clamped above the watermark, as in sessionize
+        state.setTimeoutTimestamp(
+          math.max(b.last + idleMs, state.getCurrentWatermarkMs + 1))
+        Iterator.empty
+      }
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 
   /** STREAM-STREAM interval join: attribute each purchase to the views
     * by the same user within the preceding `windowMinutes`. Both sides

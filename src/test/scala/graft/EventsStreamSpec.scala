@@ -139,6 +139,44 @@ class EventsStreamSpec extends SparkSpec {
     assert(ids === Array(1L, 2L, 3L, 4L, 5L, 999L)) // each id exactly once
   }
 
+  test("funnel parity: streaming episodes equal the batch chain, incl. late re-qualifying view") {
+    val in = tmpDir("fn-in"); val out = tmpDir("fn-out"); val ck = tmpDir("fn-ck")
+    val funnelEvents = Seq(
+      // user 1 completes the funnel, but OUT OF ORDER: the click at
+      // 10:02 arrives before the 10:01 view that qualifies it — an
+      // eager fold (no view yet -> discard click) would get depth wrong
+      ev(1, 1, "click", 1.0, "2025-07-01T10:02:00Z"),
+      ev(1, 2, "view", 1.0, "2025-07-01T10:01:00Z"),
+      ev(1, 3, "purchase", 5.0, "2025-07-01T10:04:00Z"),
+      // user 2: purchase BEFORE any view — depth must stop at 1
+      ev(2, 4, "purchase", 9.0, "2025-07-01T10:00:00Z"),
+      ev(2, 5, "view", 1.0, "2025-07-01T10:05:00Z"),
+      // user 3: only a non-step event — depth 0, still present
+      ev(3, 6, "error", 0.0, "2025-07-01T10:03:00Z"),
+      // sentinel pushes the watermark past everyone's idle timeout
+      ev(99, 999, "view", 0.0, "2025-07-01T23:00:00Z"),
+    )
+    Files.writeString(Paths.get(in, "events.jsonl"), funnelEvents.mkString("\n"))
+    import spark.implicits._
+    EventsStream.runToParquet(
+      EventsStream.funnel(EventsStream.parse(spark.readStream.text(in))).toDF(),
+      out, ck).awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+      .select("user_id", "t_view", "t_click", "t_purchase", "funnel_depth")
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3), r.getInt(4)))
+      .toSet
+
+    // batch chain over the same parsed events; the sentinel user's
+    // episode is still open in the stream, so exclude it
+    val parsed = EventsStream.parse(spark.read.text(in)).toDF()
+    val batch = graft.queries.StreamingGates.funnelEvents(parsed)
+      .filter(col("user_id") =!= 99)
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3), r.getInt(4)))
+      .toSet
+    assert(streamed === batch)
+    assert(batch.map(t => (t._1, t._5)) === Set((1L, 3), (2L, 1), (3L, 0)))
+  }
+
   test("second AvailableNow run over the same checkpoint emits nothing new") {
     val in = tmpDir("rs-in"); val out = tmpDir("rs-out"); val ck = tmpDir("rs-ck")
     writeInput(in)
