@@ -278,7 +278,106 @@ object ReferenceOps {
       | array_to_string(flatten([string_split(text, ' ')[1:3], string_split(text, ' ')[1:2]]), '|') AS flat_slices
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** §2.7 temporal function surface over order timestamps: part
+    * extraction, calendar truncation/arithmetic (month-clamped adds),
+    * day arithmetic, formatting, and date construction. Cross-engine
+    * notes: Spark's dayofweek is 1=Sunday while DuckDB's is 0=Sunday
+    * (oracle adds 1); date_trunc returns TIMESTAMP in both — cast to
+    * DATE on both sides.
+    */
+  def datetimeFunctions(s: SparkSession, dir: String): DataFrame = {
+    val d = col("o_orderdate").cast(DateType)
+    Tables.t(s, dir, "orders").select(
+      col("o_orderkey"),
+      d.as("order_date"),
+      year(d).as("y"),
+      month(d).as("m"),
+      dayofmonth(d).as("dom"),
+      quarter(d).as("q"),
+      dayofweek(d).as("dow"),
+      dayofyear(d).as("doy"),
+      hour(col("o_orderdate")).as("hr"),
+      date_trunc("month", d).cast(DateType).as("month_start"),
+      last_day(d).as("month_end"),
+      add_months(d, 3).as("plus3m"),
+      date_add(d, 30).as("plus30d"),
+      datediff(d, lit("1995-01-01").cast(DateType)).as("days_since_95"),
+      date_format(d, "yyyy-MM").as("ym"),
+      make_date(year(d) + 1, month(d), lit(1)).as("next_year_month"),
+    ).orderBy(col("o_orderkey"))
+  }
+
+  val datetimeFunctionsOracle: String =
+    """SELECT o_orderkey,
+      | CAST(o_orderdate AS DATE) AS order_date,
+      | year(CAST(o_orderdate AS DATE)) AS y,
+      | month(CAST(o_orderdate AS DATE)) AS m,
+      | day(CAST(o_orderdate AS DATE)) AS dom,
+      | quarter(CAST(o_orderdate AS DATE)) AS q,
+      | dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+      | dayofyear(CAST(o_orderdate AS DATE)) AS doy,
+      | hour(o_orderdate) AS hr,
+      | CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+      | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      | CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+      | CAST(o_orderdate AS DATE) + 30 AS plus30d,
+      | datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+      | strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+      | make_date(year(CAST(o_orderdate AS DATE)) + 1,
+      |   month(CAST(o_orderdate AS DATE)), 1) AS next_year_month
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** §2.7 map function surface: construction, cardinality, key lookup,
+    * key listing, concat, entry filtering and value transformation.
+    * Maps never cross the output boundary (arrow map cells break the
+    * driver compare, and DuckDB 1.0's map_extract returns a LIST) —
+    * every map-valued result is canonicalized to sorted `k=v` strings;
+    * DuckDB's missing map_filter/transform_values are expressed through
+    * the same map_entries list algebra the canonicalization uses.
+    */
+  def mapFunctions(s: SparkSession, dir: String): DataFrame = {
+    val m = map(
+      lit("lang"), col("lang"),
+      lit("source"), col("source"),
+      lit("size"), col("n_chars").cast(StringType))
+    def entriesSorted(mm: Column): Column =
+      array_join(array_sort(transform(map_entries(mm),
+        e => concat(e.getField("key"), lit("="), e.getField("value")))), "|")
+    Tables.t(s, dir, "documents").select(
+      col("doc_id"),
+      size(m).as("n_keys"),
+      element_at(m, "lang").as("lang_val"),
+      array_join(array_sort(map_keys(m)), "|").as("keys_sorted"),
+      entriesSorted(m).as("entries"),
+      entriesSorted(map_concat(m, map(lit("extra"), lit("1")))).as("entries_concat"),
+      entriesSorted(map_filter(m, (_, v) => length(v) > 4)).as("entries_long_vals"),
+      entriesSorted(transform_values(m, (_, v) => upper(v))).as("entries_upper"),
+    ).orderBy(col("doc_id"))
+  }
+
+  val mapFunctionsOracle: String =
+    """SELECT doc_id,
+      | CAST(cardinality(m) AS INT) AS n_keys,
+      | m['lang'][1] AS lang_val,
+      | array_to_string(list_sort(map_keys(m)), '|') AS keys_sorted,
+      | array_to_string(list_sort(list_transform(map_entries(m),
+      |   e -> e.key || '=' || e.value)), '|') AS entries,
+      | array_to_string(list_sort(list_transform(
+      |   map_entries(map_concat(m, MAP {'extra': '1'})),
+      |   e -> e.key || '=' || e.value)), '|') AS entries_concat,
+      | COALESCE(array_to_string(list_sort(list_transform(
+      |   list_filter(map_entries(m), e -> length(e.value) > 4),
+      |   e -> e.key || '=' || e.value)), '|'), '') AS entries_long_vals,
+      | array_to_string(list_sort(list_transform(map_entries(m),
+      |   e -> e.key || '=' || upper(e.value))), '|') AS entries_upper
+      |FROM (SELECT doc_id,
+      |  MAP {'lang': lang, 'source': source, 'size': CAST(n_chars AS VARCHAR)} AS m
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("fn_datetime_suite", datetimeFunctions, Some(datetimeFunctionsOracle)),
+    QueryDef("fn_map_suite", mapFunctions, Some(mapFunctionsOracle)),
     QueryDef("a1_latest_state", a1LatestState, Some(a1LatestStateOracle)),
     QueryDef("a1_argmax", a1ArgMax, Some(a1ArgMaxOracle)),
     QueryDef("a2_group_array", a2GroupArray, Some(a2GroupArrayOracle)),
