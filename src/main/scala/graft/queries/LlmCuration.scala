@@ -201,6 +201,70 @@ object LlmCuration {
       |FROM tok t JOIN freq f USING (token) CROSS JOIN tot
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  /** The END-TO-END curation pipeline a training-data run executes,
+    * composed from the library's own stages in their production order:
+    * Gopher-rule quality filter → exact dedup (keep the lowest doc_id
+    * per content key, scoped to quality survivors) → deterministic
+    * stratified sample → per-source sequence packing. One declarative
+    * DAG: Catalyst plans the whole chain together (filters fused into
+    * the scans, the dedup window and the packing window each one
+    * user/source-keyed exchange), which is precisely the advantage of
+    * composing operators as DataFrames instead of materializing
+    * between pipeline stages.
+    */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val quality = LlmText.gopherQuality(s, dir)
+      .filter(col("keep")).select(col("doc_id"))
+    val docs = Tables.t(s, dir, "documents").join(quality, "doc_id")
+    val keyed = docs.withColumn("dup_key",
+      md5(lower(trim(array_join(slice(split(col("text"), " "), 1, 5), " "))).cast(BinaryType)))
+    val dw = Window.partitionBy(col("dup_key"))
+    val deduped = keyed
+      .withColumn("keeper", min(col("doc_id")).over(dw))
+      .filter(col("doc_id") === col("keeper"))
+    val thr = when(col("lang") === "en", lit("4000"))
+      .when(col("lang") === "zh", lit("g"))
+      .otherwise(lit("8000"))
+    val sampled = deduped.filter(hexBucket(col("doc_id"), ":strat") < thr)
+      .select(col("doc_id"), col("source"), size(split(col("text"), " ")).as("n_tokens"))
+    val pw = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sampled
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(pw), lit(0L)))
+      .withColumn("pack_id", floor(col("cum_before") / PackBudget))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast(LongType).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+      )
+      .orderBy(col("source"), col("pack_id"))
+  }
+
+  val curationPipelineOracle: String =
+    s"""WITH gq AS (${LlmText.gopherQualityOracle}),
+       |q AS (SELECT d.* FROM documents d JOIN gq ON d.doc_id = gq.doc_id WHERE gq.keep),
+       |k AS (SELECT *,
+       |  md5(lower(trim(array_to_string(string_split(text, ' ')[1:5], ' ')))) AS dup_key
+       |  FROM q),
+       |dd AS (SELECT * FROM (
+       |  SELECT *, MIN(doc_id) OVER (PARTITION BY dup_key) AS keeper FROM k)
+       |  WHERE doc_id = keeper),
+       |samp AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+       |  FROM dd
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 4) <
+       |    CASE WHEN lang = 'en' THEN '4000' WHEN lang = 'zh' THEN 'g' ELSE '8000' END),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |  COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM samp)
+       |SELECT source,
+       |  CAST(floor(CAST(cum_before AS DOUBLE) / $PackBudget) AS BIGINT) AS pack_id,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
+
   /** Training-mixture composition + reweighting per source domain —
     * the DoReMi-flavored step (Xie et al. 2023, arXiv:2305.10429 use
     * learned weights; the uniform-target special case here is the
@@ -242,6 +306,7 @@ object LlmCuration {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ta_tfidf", tfidf, Some(tfidfOracle)),
     QueryDef("cu_domain_mix", domainMix, Some(domainMixOracle)),
+    QueryDef("cu_pipeline_e2e", curationPipeline, Some(curationPipelineOracle)),
     QueryDef("cu_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     QueryDef("cu_split_leak", splitLeak, Some(splitLeakOracle)),
     QueryDef("cu_pack_sequences", packSequences, Some(packSequencesOracle)),
