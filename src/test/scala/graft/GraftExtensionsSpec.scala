@@ -50,4 +50,37 @@ class GraftExtensionsSpec extends AnyFunSuite {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("EVERY registered query analyzes and plans under the extensions-only session (VERDICT r3 #6)") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.functions.GraftExtensions().apply(_))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      .getOrCreate()
+    try {
+      // a cluster user gets ONLY spark.sql.extensions — no
+      // VectorFunctions.register() call path. Every query must still
+      // analyze + physical-plan (resolution of vec_dot/simhash32/
+      // bigram_shingles included); executedPlan forces the whole
+      // Catalyst pipeline without running jobs.
+      val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        try { fn(s, "/root/testdata/sf0.001").queryExecution.executedPlan; None }
+        catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+      }
+      assert(failures.isEmpty, failures.mkString("\n"))
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }

@@ -149,6 +149,41 @@ class LlmOpsSpec extends SparkSpec {
       .filter(col("side_a") === col("side_b")).count() === 0)
   }
 
+  test("cluster queries leave no persisted storage behind (VERDICT r3 #4)") {
+    spark.catalog.clearCache()
+    // localCheckpoint blocks are reclaimed by the ContextCleaner on GC
+    // (asynchronously) — settle until the count is stable across a GC
+    // cycle before reading it
+    def storageCount: Int = {
+      var prev = -1
+      var cur = spark.sparkContext.getPersistentRDDs.size
+      var i = 0
+      while (cur != prev && i < 20) {
+        prev = cur
+        System.gc()
+        Thread.sleep(100)
+        cur = spark.sparkContext.getPersistentRDDs.size
+        i += 1
+      }
+      cur
+    }
+    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Int = {
+      fn(spark, dir).collect()
+      storageCount
+    }
+    // first call may populate the documented shingle memo (a single
+    // MEMORY_AND_DISK entry, evicted by clearCache/session stop); the
+    // iterative loops' own frames must all be released, so REPEATED
+    // calls cannot grow executor storage
+    val after1 = run(graft.queries.LlmDedup.dedupClusters)
+    val after2 = run(graft.queries.LlmDedup.dedupClusters)
+    val after3 = run(graft.queries.LlmDedup.dedupClustersStar)
+    assert(after2 <= after1 && after3 <= after1,
+      s"cluster queries accumulate storage: $after1 -> $after2 -> $after3")
+    spark.catalog.clearCache()
+    assert(storageCount === 0, "clearCache must release the shingle memo too")
+  }
+
   test("ANN plans never cross-join the corpus; topk broadcasts the query side") {
     val annPlan = LlmVectors.annTopk(spark, dir).queryExecution.executedPlan.toString
     assert(!annPlan.contains("CartesianProduct"))
