@@ -380,7 +380,14 @@ object LlmDedup {
     * doc_b) pair relation — factored out so DedupExactnessSpec can
     * assert it equal to [[starClusters]] on random graphs.
     */
-  private[graft] def propagateClusters(pairs: DataFrame): DataFrame = {
+  private[graft] def propagateClusters(pairs: DataFrame): DataFrame =
+    clusterOutput(propagateLabels(pairs))
+
+  /** The per-doc (doc_id, label) relation of [[propagateClusters]] —
+    * exposed so label consumers ([[clusterRepByQuality]]) can rank
+    * inside clusters without re-deriving components.
+    */
+  private[graft] def propagateLabels(pairs: DataFrame): DataFrame = {
     // persist the edge list: every iteration references it, and without
     // the persist each round would re-run the entire upstream
     // similarity pipeline (measured 9s -> ~4s at sf0.1)
@@ -427,7 +434,7 @@ object LlmDedup {
     // labels is checkpointed — its lineage no longer references sym, so
     // the edge list can be released before the caller materializes
     sym.unpersist()
-    clusterOutput(labels)
+    labels
   }
 
   /** (doc_id, label) → one row per cluster: representative, size,
@@ -515,9 +522,10 @@ object LlmDedup {
   }
 
   // DuckDB: transitive closure via recursive CTE (bounded by cluster
-  // size — fine at oracle scale), label = min reachable id.
-  val dedupClustersOracle: String =
-    s"""WITH RECURSIVE pairs AS (${ngramJaccardOracle}),
+  // size — fine at oracle scale), label = min reachable id. Shared by
+  // both cluster-output oracles and the rep-selection oracle.
+  private val clusterLabelsCte: String =
+    s"""pairs AS (${ngramJaccardOracle}),
        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
        |  UNION SELECT doc_b, doc_a FROM pairs),
        |reach(a, b) AS (
@@ -525,15 +533,62 @@ object LlmDedup {
        |  UNION
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
        |labels AS (
-       |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a)
+       |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a)""".stripMargin
+
+  val dedupClustersOracle: String =
+    s"""WITH RECURSIVE $clusterLabelsCte
        |SELECT label AS cluster_rep, COUNT(*) AS n_members,
        |  array_to_string(list_transform(list_sort(list(doc_id)), x -> CAST(x AS VARCHAR)), '|') AS members
        |FROM labels GROUP BY label ORDER BY cluster_rep""".stripMargin
+
+  /** Representative SELECTION: per near-dup cluster, keep the
+    * highest-QUALITY member instead of the lowest id — what a curation
+    * pipeline actually wants from dedup (drop the worse copies, not
+    * the arbitrarily-numbered ones). Ranks each cluster on the shared
+    * [[LlmText.qualityExpr]] score (already round(,6); doc_id breaks
+    * exact ties), so "quality" is the same number the text-stats gate
+    * reports.
+    *
+    * Scale shape: the label relation is the (sub-quadratic) cluster
+    * membership, the quality column is a narrow per-row expression
+    * joined on doc_id, and the per-cluster argmax is a
+    * WindowGroupLimit rank — nothing here touches corpus×corpus.
+    */
+  def clusterRepByQuality(s: SparkSession, dir: String): DataFrame = {
+    val labels = propagateLabels(
+      ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
+    val quality = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), LlmText.qualityExpr(col("text")).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("quality").desc, col("doc_id"))
+    labels.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("label").as("cluster_rep"), col("doc_id").as("keeper"),
+        col("quality").as("keeper_quality"), col("n_members"))
+      .orderBy(col("cluster_rep"))
+  }
+
+  val clusterRepByQualityOracle: String =
+    s"""WITH RECURSIVE $clusterLabelsCte,
+       |q AS (SELECT doc_id, ${LlmText.qualityExprSql} AS quality FROM documents),
+       |ranked AS (
+       |  SELECT l.label, l.doc_id, q.quality,
+       |    ROW_NUMBER() OVER (PARTITION BY l.label
+       |      ORDER BY q.quality DESC, l.doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY l.label) AS n_members
+       |  FROM labels l JOIN q USING (doc_id))
+       |SELECT label AS cluster_rep, doc_id AS keeper, quality AS keeper_quality,
+       |  CAST(n_members AS BIGINT) AS n_members
+       |FROM ranked WHERE rn = 1 ORDER BY cluster_rep""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dd_exact_dedup", exactDedup, Some(exactDedupOracle)),
     QueryDef("dd_clusters", dedupClusters, Some(dedupClustersOracle)),
     QueryDef("dd_clusters_star", dedupClustersStar, Some(dedupClustersOracle)),
+    QueryDef("dd_cluster_rep", clusterRepByQuality, Some(clusterRepByQualityOracle)),
     QueryDef("dd_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     // NOTE data-coupled gate: minhashLsh is gated against the EXACT
     // Jaccard oracle even though LSH recall is probabilistic. With 16

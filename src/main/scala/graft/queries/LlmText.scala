@@ -55,6 +55,26 @@ object LlmText {
   private def stopCountSql(words: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
+  /** The composite quality score of [[textStats]] as a standalone
+    * column over `text` — shared with
+    * [[LlmDedup.clusterRepByQuality]] so "quality" means the same
+    * number everywhere it ranks documents.
+    */
+  private[queries] def qualityExpr(text: Column): Column = {
+    val toks = split(text, " ")
+    val nTok = size(toks)
+    val stopRatio = round(stopCount(toks, stopEn).cast(DoubleType) / nTok, 6)
+    round(least(lit(1.0), nTok.cast(DoubleType) / 50.0) * (lit(1.0) - stopRatio), 6)
+  }
+
+  /** DuckDB rendering of [[qualityExpr]] (column `text` in scope). */
+  private[queries] val qualityExprSql: String = {
+    val stop = stopCountSql(stopEn)
+    s"""round(least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0)
+       | * (1.0 - round(CAST($stop AS DOUBLE) / len(string_split(text, ' ')), 6)), 6)"""
+      .stripMargin.replace("\n", "")
+  }
+
   /** Token counting (whitespace + a BPE-ish regex segmentation), char
     * stats, punctuation/stopword ratios, and a composite quality score —
     * the standard pre-training corpus quality signals.

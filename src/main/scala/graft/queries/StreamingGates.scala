@@ -155,6 +155,56 @@ object StreamingGates {
       | AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000
       |ORDER BY p.user_id, purchase_id, view_id""".stripMargin
 
+  /** Time-series RESAMPLE with gap fill: the 5-minute bucket aggregate
+    * re-gridded onto the complete (event_type × calendar bucket) frame,
+    * empty buckets zero-filled and flagged — the step that makes event
+    * aggregates chartable/joinable as a dense series (feature pipelines
+    * and monitoring both need it; sparse aggregates silently drop the
+    * "nothing happened" signal).
+    *
+    * Scale shape: the dense grid is GENERATED (sequence over the
+    * min/max bounds × distinct types), never shuffled out of the event
+    * log — its size is span/5min × |types|, calendar-bounded and
+    * independent of event volume; the only data-sized operations are
+    * the bucket hash aggregate and one keyed left join. The 1-row
+    * bounds relation broadcast is constant-bounded by construction
+    * (PlanAuditSpec whitelist).
+    */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+      .select(col("event_type"),
+        window(col("ts"), "5 minutes").getField("start").as("b"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+    val agg = ev.groupBy(col("event_type"), col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("tv"))
+    val bounds = ev.agg(min(col("b")).as("lo"), max(col("b")).as("hi"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(bounds.select(explode(
+        sequence(col("lo"), col("hi"), expr("INTERVAL 5 MINUTES"))).as("b")))
+    grid.join(agg, Seq("event_type", "b"), "left")
+      .select(col("event_type"), col("b").as("bucket_start"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("tv").cast(DoubleType), lit(0.0)).as("total_value"),
+        col("n").isNull.as("filled"))
+      .orderBy(col("event_type"), col("bucket_start"))
+  }
+
+  val gapFillOracle: String =
+    """WITH e AS (SELECT event_type,
+      |  time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS b,
+      |  CAST(value AS DECIMAL(18,2)) AS v FROM events),
+      |agg AS (SELECT event_type, b, COUNT(*) AS n, SUM(v) AS tv FROM e GROUP BY 1, 2),
+      |bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM e),
+      |grid0 AS (SELECT unnest(generate_series(lo, hi, INTERVAL '5 minutes')) AS b FROM bounds),
+      |grid AS (SELECT t.event_type, g.b
+      |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN grid0 g)
+      |SELECT grid.event_type, grid.b AS bucket_start,
+      |  COALESCE(agg.n, 0) AS n_events,
+      |  COALESCE(CAST(agg.tv AS DOUBLE), CAST(0 AS DOUBLE)) AS total_value,
+      |  agg.n IS NULL AS filled
+      |FROM grid LEFT JOIN agg USING (event_type, b)
+      |ORDER BY event_type, bucket_start""".stripMargin
+
   /** Ordered-funnel analysis (view → click → purchase): per user, the
     * first occurrence of each step STRICTLY after the previous step's
     * time, and the resulting funnel depth — the sequential-pattern
@@ -218,6 +268,7 @@ object StreamingGates {
     QueryDef("st_windowed_agg", windowedAgg, Some(windowedAggOracle)),
     QueryDef("st_sliding_window", slidingWindowAgg, Some(slidingWindowAggOracle)),
     QueryDef("st_funnel", funnelBatch, Some(funnelOracle)),
+    QueryDef("st_gap_fill", gapFill, Some(gapFillOracle)),
     QueryDef("st_sessionize", sessionizeBatch, Some(sessionizeOracle)),
     QueryDef("st_attribution", attributionBatch, Some(attributionOracle)),
   )

@@ -174,12 +174,17 @@ class LlmOpsSpec extends SparkSpec {
     // first call may populate the documented shingle memo (a single
     // MEMORY_AND_DISK entry, evicted by clearCache/session stop); the
     // iterative loops' own frames must all be released, so REPEATED
-    // calls cannot grow executor storage
+    // calls cannot grow executor storage. Each leaked round would pin
+    // ~4 checkpoint entries per call; the +2 slack only absorbs the
+    // ContextCleaner's one-GC-cycle lag, not a real leak.
     val after1 = run(graft.queries.LlmDedup.dedupClusters)
-    val after2 = run(graft.queries.LlmDedup.dedupClusters)
-    val after3 = run(graft.queries.LlmDedup.dedupClustersStar)
-    assert(after2 <= after1 && after3 <= after1,
-      s"cluster queries accumulate storage: $after1 -> $after2 -> $after3")
+    val counts = Seq(
+      run(graft.queries.LlmDedup.dedupClusters),
+      run(graft.queries.LlmDedup.dedupClusters),
+      run(graft.queries.LlmDedup.dedupClustersStar),
+      run(graft.queries.LlmDedup.dedupClustersStar))
+    assert(counts.last <= after1 + 2 && counts.max <= after1 + 2,
+      s"cluster queries accumulate storage: $after1 -> $counts")
     spark.catalog.clearCache()
     assert(storageCount === 0, "clearCache must release the shingle memo too")
   }

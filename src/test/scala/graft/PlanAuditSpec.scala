@@ -24,7 +24,9 @@ class PlanAuditSpec extends SparkSpec {
   //   (assignCells), exactly as FAISS/SemDeDup hold the centroid
   //   matrix in RAM on every worker.
   private val bnljAllowed =
-    Set("sim_topk_exact", "sim_range_search", "dd_embed_neardup", "sim_ivf_topk")
+    Set("sim_topk_exact", "sim_range_search", "dd_embed_neardup", "sim_ivf_topk",
+      // 1-row bounds relation × distinct event types — grid generation
+      "st_gap_fill")
 
   test("every registered query plans without cartesian products") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
