@@ -311,8 +311,58 @@ object LlmCuration {
       |    / (COUNT(*) OVER () * n_tokens), 6) AS sample_weight
       |FROM agg ORDER BY source""".stripMargin
 
+  /** Bigram-LM conditional log-likelihood — one Markov order above
+    * [[unigramLl]]: score(doc) = mean over positions of
+    * ln(c(prev,w) / c(prev)), self-scored against the corpus's own
+    * bigram counts. The sharper perplexity proxy: word-salad that
+    * sneaks past unigram frequencies still scores low when its
+    * TRANSITIONS are improbable.
+    *
+    * Determinism: same discipline as unigramLl — the double division
+    * and libm ln happen per row identically in both engines, the
+    * per-doc SUM aggregates as DECIMAL(38,12) (order-independent), and
+    * only round(,6) crosses the boundary.
+    *
+    * Scale shape: two corpus-wide hash aggregates (bigram and
+    * prev-token counts), two keyed joins back to the position
+    * relation, one per-doc aggregate — no windows, no sorts.
+    */
+  def bigramLl(s: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val len2 = greatest(size(t) - 1, lit(0))
+    val bg = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), explode(zip_with(
+        slice(t, lit(1), len2), slice(t, lit(2), len2),
+        (a, b) => struct(a.as("prev"), b.as("w")))).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.w").as("w"))
+    val cb = bg.groupBy(col("prev"), col("w")).agg(count(lit(1)).as("cb"))
+    val cp = bg.groupBy(col("prev")).agg(count(lit(1)).as("cp"))
+    bg.join(cb, Seq("prev", "w")).join(cp, Seq("prev"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(log(col("cb").cast(DoubleType) / col("cp")).cast(DecimalType(38, 12)))
+          .cast(DoubleType) / count(lit(1))).as("ll"),
+      )
+      .select(col("doc_id"), col("n_bigrams"), round(col("ll"), 6).as("avg_ll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramLlOracle: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, t[i] AS prev, t[i + 1] AS w
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tok)),
+      |cb AS (SELECT prev, w, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+      |cp AS (SELECT prev, COUNT(*) AS cp FROM bg GROUP BY 1)
+      |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      |  round(CAST(SUM(CAST(ln(CAST(cb.cb AS DOUBLE) / cp.cp) AS DECIMAL(38,12))) AS DOUBLE)
+      |    / COUNT(*), 6) AS avg_ll
+      |FROM bg b JOIN cb USING (prev, w) JOIN cp USING (prev)
+      |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ta_tfidf", tfidf, Some(tfidfOracle)),
+    QueryDef("ta_bigram_ll", bigramLl, Some(bigramLlOracle)),
     QueryDef("cu_domain_mix", domainMix, Some(domainMixOracle)),
     QueryDef("cu_pipeline_e2e", curationPipeline, Some(curationPipelineOracle)),
     QueryDef("cu_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
