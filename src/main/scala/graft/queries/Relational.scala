@@ -202,6 +202,48 @@ object Relational {
       |  FROM orders) WHERE rn <= 3
       |ORDER BY o_custkey, rn""".stripMargin
 
+  /** The remaining ranking/distribution window family in one gate:
+    * rank, dense_rank, percent_rank, cume_dist, ntile, lag/lead with
+    * defaults, first_value over a running frame. Ordering key is the
+    * UNIQUE (o_totalprice, o_orderkey) pair so every function is
+    * deterministic; percent_rank/cume_dist are exact integer ratios in
+    * both engines — round(,6) guards the display anyway.
+    */
+  def windowRankSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.t(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        ntile(4).over(w).as("quartile"),
+        lag(col("o_orderkey"), 1, -1L).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1, -1L).over(w).as("next_key"),
+        first_value(col("o_orderkey")).over(wRun).as("top_key"),
+      )
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  val windowRankSuiteOracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      | RANK() OVER w AS rnk,
+      | DENSE_RANK() OVER w AS drnk,
+      | round(PERCENT_RANK() OVER w, 6) AS prnk,
+      | round(CUME_DIST() OVER w, 6) AS cdist,
+      | NTILE(4) OVER w AS quartile,
+      | LAG(o_orderkey, 1, -1) OVER w AS prev_key,
+      | LEAD(o_orderkey, 1, -1) OVER w AS next_key,
+      | FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+      |   ORDER BY o_totalprice DESC, o_orderkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, rnk""".stripMargin
+
   /** Running-total window over an ordered event stream, exact decimal. */
   def windowRunningSum(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
@@ -516,6 +558,7 @@ object Relational {
     QueryDef("j1_left_join_dim", leftJoinDim, Some(leftJoinDimOracle)),
     QueryDef("w1_window_topk", windowTopK, Some(windowTopKOracle)),
     QueryDef("w2_running_sum", windowRunningSum, Some(windowRunningSumOracle)),
+    QueryDef("w4_rank_suite", windowRankSuite, Some(windowRankSuiteOracle)),
     QueryDef("set_ops", setOps, Some(setOpsOracle)),
     QueryDef("rollup_agg", rollupAgg, Some(rollupAggOracle)),
     QueryDef("cube_agg", cubeAgg, Some(cubeAggOracle)),
