@@ -375,9 +375,39 @@ object ReferenceOps {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** §2.7 regex function surface: group extraction, global replace,
+    * backreference swaps (Spark `$n` vs RE2 `\n` — same semantics,
+    * different spelling), match counting, regex split, and matching
+    * predicates. Patterns stay in the portable class-based subset both
+    * engines (java.util.regex vs RE2) treat identically — no
+    * lookarounds, no engine-specific escapes.
+    */
+  def regexFunctions(s: SparkSession, dir: String): DataFrame = {
+    Tables.t(s, dir, "documents").select(
+      col("doc_id"),
+      regexp_extract(col("source"), "src([0-9]+)", 1).as("src_num"),
+      regexp_replace(substring(col("text"), 1, 40), "[aeiou]", "*").as("vowels_masked"),
+      regexp_replace(col("source"), "([a-z]+)([0-9]+)", "$2$1").as("swapped"),
+      size(regexp_extract_all(col("source"), lit("[0-9]"), lit(0))).as("n_digits"),
+      array_join(split(col("source"), "[0-9]+"), "|").as("split_alpha"),
+      col("text").rlike("[aeiou]{2}").as("has_vowel_run"),
+    ).orderBy(col("doc_id"))
+  }
+
+  val regexFunctionsOracle: String =
+    """SELECT doc_id,
+      | regexp_extract(source, 'src([0-9]+)', 1) AS src_num,
+      | regexp_replace(substr(text, 1, 40), '[aeiou]', '*', 'g') AS vowels_masked,
+      | regexp_replace(source, '([a-z]+)([0-9]+)', '\2\1', 'g') AS swapped,
+      | len(regexp_extract_all(source, '[0-9]')) AS n_digits,
+      | array_to_string(string_split_regex(source, '[0-9]+'), '|') AS split_alpha,
+      | regexp_matches(text, '[aeiou]{2}') AS has_vowel_run
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("fn_datetime_suite", datetimeFunctions, Some(datetimeFunctionsOracle)),
     QueryDef("fn_map_suite", mapFunctions, Some(mapFunctionsOracle)),
+    QueryDef("fn_regex_suite", regexFunctions, Some(regexFunctionsOracle)),
     QueryDef("a1_latest_state", a1LatestState, Some(a1LatestStateOracle)),
     QueryDef("a1_argmax", a1ArgMax, Some(a1ArgMaxOracle)),
     QueryDef("a2_group_array", a2GroupArray, Some(a2GroupArrayOracle)),

@@ -202,6 +202,40 @@ object Relational {
       |  FROM orders) WHERE rn <= 3
       |ORDER BY o_custkey, rn""".stripMargin
 
+  /** BAND (non-equi range) join: facts bucketed against a literal
+    * band dimension via `lo <= x < hi` — the lookup-table pattern
+    * (price tiers, score bands, SLA buckets) that has no equi-key.
+    * The 4-row dimension broadcasts (constant-bounded — PlanAuditSpec
+    * whitelist) and the fact streams once through a
+    * BroadcastNestedLoopJoin; at any scale this stays one corpus pass,
+    * because the nested-loop side is a literal.
+    */
+  def bandJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      (1, 0, 10, "low"), (2, 10, 25, "mid"),
+      (3, 25, 40, "high"), (4, 40, 1000, "bulk"),
+    ).toDF("band_id", "lo", "hi", "band")
+    Tables.t(s, dir, "lineitem")
+      .join(broadcast(bands),
+        col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy(col("band_id"), col("band"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("revenue"),
+      )
+      .orderBy(col("band_id"))
+  }
+
+  val bandJoinOracle: String =
+    """WITH bands(band_id, lo, hi, band) AS (VALUES
+      |  (1, 0, 10, 'low'), (2, 10, 25, 'mid'),
+      |  (3, 25, 40, 'high'), (4, 40, 1000, 'bulk'))
+      |SELECT band_id, band, COUNT(*) AS n_items,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+      |GROUP BY band_id, band ORDER BY band_id""".stripMargin
+
   /** The remaining ranking/distribution window family in one gate:
     * rank, dense_rank, percent_rank, cume_dist, ntile, lag/lead with
     * defaults, first_value over a running frame. Ordering key is the
@@ -559,6 +593,7 @@ object Relational {
     QueryDef("w1_window_topk", windowTopK, Some(windowTopKOracle)),
     QueryDef("w2_running_sum", windowRunningSum, Some(windowRunningSumOracle)),
     QueryDef("w4_rank_suite", windowRankSuite, Some(windowRankSuiteOracle)),
+    QueryDef("j4_band_join", bandJoin, Some(bandJoinOracle)),
     QueryDef("set_ops", setOps, Some(setOpsOracle)),
     QueryDef("rollup_agg", rollupAgg, Some(rollupAggOracle)),
     QueryDef("cube_agg", cubeAgg, Some(cubeAggOracle)),

@@ -155,6 +155,38 @@ object StreamingGates {
       | AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000
       |ORDER BY p.user_id, purchase_id, view_id""".stripMargin
 
+  /** Weekly COHORT RETENTION: assign each user to the ISO week of
+    * their first event (the cohort), then count how many of each
+    * cohort's users are active in every subsequent week — the
+    * retention-matrix query behind every growth dashboard.
+    *
+    * Scale shape: (user, week) activity dedups map-side into a
+    * user-keyed aggregate for the cohort, one join back on user_id,
+    * and a (cohort, week) count — rows after the first distinct are
+    * |users| × |active weeks|, far below event volume; no windows.
+    */
+  def retentionBatch(s: SparkSession, dir: String): DataFrame = {
+    val wk = date_trunc("week", col("ts")).cast(DateType)
+    val act = Tables.t(s, dir, "events")
+      .select(col("user_id"), wk.as("wk")).distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    act.join(first, "user_id")
+      // act is distinct per (user, wk), so count(*) counts USERS
+      .groupBy(col("cohort_week"), col("wk"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("cohort_week"), col("wk").as("active_week"), col("n_users"))
+      .orderBy(col("cohort_week"), col("active_week"))
+  }
+
+  val retentionOracle: String =
+    """WITH act AS (SELECT DISTINCT user_id,
+      |  CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk FROM events),
+      |first AS (SELECT user_id, MIN(wk) AS cohort_week FROM act GROUP BY user_id)
+      |SELECT f.cohort_week, a.wk AS active_week, COUNT(*) AS n_users
+      |FROM act a JOIN first f USING (user_id)
+      |GROUP BY f.cohort_week, a.wk
+      |ORDER BY cohort_week, active_week""".stripMargin
+
   /** Time-series RESAMPLE with gap fill: the 5-minute bucket aggregate
     * re-gridded onto the complete (event_type × calendar bucket) frame,
     * empty buckets zero-filled and flagged — the step that makes event
@@ -269,6 +301,7 @@ object StreamingGates {
     QueryDef("st_sliding_window", slidingWindowAgg, Some(slidingWindowAggOracle)),
     QueryDef("st_funnel", funnelBatch, Some(funnelOracle)),
     QueryDef("st_gap_fill", gapFill, Some(gapFillOracle)),
+    QueryDef("st_retention", retentionBatch, Some(retentionOracle)),
     QueryDef("st_sessionize", sessionizeBatch, Some(sessionizeOracle)),
     QueryDef("st_attribution", attributionBatch, Some(attributionOracle)),
   )

@@ -26,7 +26,9 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljAllowed =
     Set("sim_topk_exact", "sim_range_search", "dd_embed_neardup", "sim_ivf_topk",
       // 1-row bounds relation × distinct event types — grid generation
-      "st_gap_fill")
+      "st_gap_fill",
+      // 4-row literal band dimension, lo<=x<hi non-equi lookup
+      "j4_band_join")
 
   test("every registered query plans without cartesian products") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -49,6 +51,7 @@ class PlanAuditSpec extends SparkSpec {
   // the driver when the relation outgrows it at scale.
   private val broadcastHintAllowed =
     Set("sim_topk_exact", "sim_range_search", "sim_ann_lsh", "sim_ivf_topk", "q5_region_volume",
+      "j4_band_join",
       "dd_embed_neardup") // centroid index table, K ≈ √n — see bnljAllowed
 
   test("no explicit broadcast hints outside constant-bounded relations") {
