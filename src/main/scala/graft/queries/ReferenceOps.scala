@@ -394,6 +394,35 @@ object ReferenceOps {
     ).orderBy(col("doc_id"))
   }
 
+  /** §2.7 bitwise function surface over int64 ids — the hash/partition
+    * arithmetic toolkit (masking, banding, popcount) every sketching
+    * operator builds on, gated directly.
+    */
+  def bitwiseFunctions(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    Tables.t(s, dir, "documents").select(
+      id,
+      id.bitwiseAND(255L).as("band_mask"),
+      id.bitwiseOR(15L).as("with_low"),
+      id.bitwiseXOR(85L).as("xored"),
+      shiftleft(id, 3).as("shl3"),
+      shiftright(id, 2).as("shr2"),
+      bit_count(id).as("popcount"),
+      bitwise_not(id).as("negated"),
+    ).orderBy(id)
+  }
+
+  val bitwiseFunctionsOracle: String =
+    """SELECT doc_id,
+      | doc_id & 255 AS band_mask,
+      | doc_id | 15 AS with_low,
+      | xor(doc_id, 85) AS xored,
+      | doc_id << 3 AS shl3,
+      | doc_id >> 2 AS shr2,
+      | CAST(bit_count(doc_id) AS INT) AS popcount,
+      | ~doc_id AS negated
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val regexFunctionsOracle: String =
     """SELECT doc_id,
       | regexp_extract(source, 'src([0-9]+)', 1) AS src_num,
@@ -408,6 +437,7 @@ object ReferenceOps {
     QueryDef("fn_datetime_suite", datetimeFunctions, Some(datetimeFunctionsOracle)),
     QueryDef("fn_map_suite", mapFunctions, Some(mapFunctionsOracle)),
     QueryDef("fn_regex_suite", regexFunctions, Some(regexFunctionsOracle)),
+    QueryDef("fn_bitwise_suite", bitwiseFunctions, Some(bitwiseFunctionsOracle)),
     QueryDef("a1_latest_state", a1LatestState, Some(a1LatestStateOracle)),
     QueryDef("a1_argmax", a1ArgMax, Some(a1ArgMaxOracle)),
     QueryDef("a2_group_array", a2GroupArray, Some(a2GroupArrayOracle)),
