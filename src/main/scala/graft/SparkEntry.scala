@@ -25,7 +25,8 @@ object SparkEntry {
         graft.queries.LlmText.defs ++
         graft.queries.LlmDedup.defs ++
         graft.queries.LlmVectors.defs ++
-        graft.queries.LlmCuration.defs
+        graft.queries.LlmCuration.defs ++
+        graft.queries.Sketches.defs
     // a name collision would silently shrink the correctness gate
     // (toMap keeps the last duplicate) — fail loudly instead
     require(defs.map(_.name).distinct.size == defs.size,

@@ -401,40 +401,45 @@ object LlmDedup {
     // so repeated calls in a long-lived session don't accumulate
     // executor storage (ADVICE r3). On a real cluster swap in reliable
     // checkpoint() — localCheckpoint doesn't survive executor loss.
-    var labels = sym.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint()
-    var converged = false
-    var rounds = 0
-    val maxRounds = 50
-    while (!converged && rounds < maxRounds) {
-      rounds += 1
-      val neighborMin = sym
-        .join(labels, sym("doc_b") === labels("doc_id"))
-        .groupBy(col("doc_a")).agg(min(col("label")).as("nlabel"))
-        .withColumnRenamed("doc_a", "doc_id")
-      // new label and the changed flag come out of ONE join pass; the
-      // convergence check then reads the checkpointed result, so each
-      // round is exactly one shuffle join + one aggregate
-      val updated = labels.alias("l")
-        .join(neighborMin.alias("n"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("l.label"), coalesce(col("n.nlabel"), col("l.label"))).as("label"),
-          (coalesce(col("n.nlabel"), col("l.label")) < col("l.label")).as("chg"))
+    try {
+      var labels = sym.select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
         .localCheckpoint()
-      converged = updated.filter(col("chg")).isEmpty
-      labels = updated.drop("chg")
+      var converged = false
+      var rounds = 0
+      val maxRounds = 50
+      while (!converged && rounds < maxRounds) {
+        rounds += 1
+        val neighborMin = sym
+          .join(labels, sym("doc_b") === labels("doc_id"))
+          .groupBy(col("doc_a")).agg(min(col("label")).as("nlabel"))
+          .withColumnRenamed("doc_a", "doc_id")
+        // new label and the changed flag come out of ONE join pass; the
+        // convergence check then reads the checkpointed result, so each
+        // round is exactly one shuffle join + one aggregate
+        val updated = labels.alias("l")
+          .join(neighborMin.alias("n"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("l.label"), coalesce(col("n.nlabel"), col("l.label"))).as("label"),
+            (coalesce(col("n.nlabel"), col("l.label")) < col("l.label")).as("chg"))
+          .localCheckpoint()
+        converged = updated.filter(col("chg")).isEmpty
+        labels = updated.drop("chg")
+      }
+      // a silent cap-exit would return WRONG labels (ADVICE r3): min-label
+      // propagation needs O(cluster diameter) rounds, so hitting the cap
+      // means a pathological chain — fail loudly; the fix at that scale is
+      // large-star/small-star (O(log n) rounds), not a bigger cap
+      require(converged,
+        s"dedupClusters: min-label propagation did not converge in $maxRounds rounds")
+      labels
+    } finally {
+      // labels is checkpointed — its lineage no longer references sym, so
+      // the edge list can be released before the caller materializes. In
+      // finally so the non-convergence throw doesn't leak the persisted
+      // edge list in a long-lived session (ADVICE r5).
+      sym.unpersist()
     }
-    // a silent cap-exit would return WRONG labels (ADVICE r3): min-label
-    // propagation needs O(cluster diameter) rounds, so hitting the cap
-    // means a pathological chain — fail loudly; the fix at that scale is
-    // large-star/small-star (O(log n) rounds), not a bigger cap
-    require(converged,
-      s"dedupClusters: min-label propagation did not converge in $maxRounds rounds")
-    // labels is checkpointed — its lineage no longer references sym, so
-    // the edge list can be released before the caller materializes
-    sym.unpersist()
-    labels
   }
 
   /** (doc_id, label) → one row per cluster: representative, size,

@@ -1,0 +1,241 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sketch operators: the approximate structures a 100 TB pipeline uses
+  * where exact answers are too expensive to shuffle — distinct-count
+  * (KMV), frequency / heavy-hitters (count-min), and membership-based
+  * join pruning (Bloom). The reference stack delegates cardinality
+  * estimates to its warehouse (ravelytics serves aggregates out of
+  * ClickHouse, which has uniqCombined/topK built in); here they are
+  * first-class engine operators.
+  *
+  * Engine-reproducibility is the design constraint that shapes all
+  * three: the sketches hash with md5 → 15-hex-digit prefix → BIGINT
+  * (a 60-bit uniform draw both Spark and DuckDB can derive
+  * bit-identically; xxhash64 is Spark-only), so every estimate is
+  * DuckDB-oracled EXACTLY — the gate pins the estimator, not a
+  * tolerance band. In production the hash would be xxhash64 and the
+  * membership sketch Spark's native BloomFilterAggregate; the
+  * relational shape (and the scale analysis) is identical.
+  *
+  * Scale design:
+  *  - KMV keeps k=256 rows per group — a bounded per-group state no
+  *    matter the corpus, the reason sketches exist. The row_number
+  *    rank compiles to WindowGroupLimit (top-k per key, no full sort).
+  *  - Count-min is built over the TERM-FREQUENCY relation (one hash
+  *    agg over tokens), then d=4 bucket rows per DISTINCT term — the
+  *    sketch build never rescans token instances.
+  *  - The Bloom bitset is a ≤m-row relation: broadcast it and the
+  *    probe side prunes scan-side with zero shuffle of the big table —
+  *    the pattern that turns a 100 TB semi-join into a broadcast.
+  */
+object Sketches {
+
+  /** md5-derived 60-bit uniform hash both engines reproduce exactly:
+    * Spark `conv(substr(md5(s),1,15),16,10)`; DuckDB folds the same 15
+    * hex digits with list_reduce (no conv builtin). 16^15 = 2^60 keeps
+    * the fold inside BIGINT.
+    */
+  private[graft] def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** The DuckDB rendering of [[h60]] over SQL expression `e`. The
+    * per-digit CAST keeps the fold in BIGINT (values reach 2^60).
+    */
+  private def h60Sql(e: String): String =
+    s"""list_reduce(list_transform(string_split(substr(md5($e),1,15),''),
+       |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b)""".stripMargin
+
+  // ---------------------------------------------------------------- KMV
+
+  private val KmvK = 256
+
+  /** K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002),
+    * per l_returnflag group: keep the k smallest distinct hash values;
+    * if the kth smallest normalized hash is R, the group holds ≈ k/R
+    * distinct keys. Output pins BOTH the exact count and the estimate,
+    * so the gate verifies the estimator end-to-end (hash, top-k cut,
+    * harmonic estimate) rather than an error tolerance.
+    *
+    * Determinism audit: (k-1)·2^60 is an exact double (8 significant
+    * bits); the kth-hash long→double cast and the division are IEEE
+    * round-to-nearest in both engines; round(,6) guards the boundary.
+    * Groups smaller than k short-circuit to the exact count (the
+    * sketch saw every value).
+    */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    val hashes = li
+      .select(col("l_returnflag").as("grp"),
+        h60(col("l_orderkey").cast("string")).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("grp")).orderBy(col("h"))
+    val kmv = hashes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KmvK)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("k_seen"), max(col("h")).as("kth"))
+    val exact = li.groupBy(col("l_returnflag").as("grp"))
+      .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+    kmv.join(exact, "grp")
+      .select(col("grp"), col("n_exact"),
+        round(
+          when(col("k_seen") < KmvK, col("k_seen").cast("double"))
+            .otherwise(lit((KmvK - 1).toDouble * math.pow(2, 60)) / col("kth").cast("double")),
+          6).as("n_est"))
+      .orderBy(col("grp"))
+  }
+
+  private val kmvOracle: String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT l_returnflag AS grp,
+       |    ${h60Sql("CAST(l_orderkey AS VARCHAR)")} AS h
+       |  FROM lineitem),
+       |kmv AS (
+       |  SELECT grp, count(*) AS k_seen, max(h) AS kth FROM (
+       |    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM h) t
+       |  WHERE rn <= $KmvK GROUP BY grp),
+       |ex AS (SELECT l_returnflag AS grp, count(DISTINCT l_orderkey) AS n_exact
+       |       FROM lineitem GROUP BY grp)
+       |SELECT grp, n_exact,
+       |  round(CASE WHEN k_seen < $KmvK THEN CAST(k_seen AS DOUBLE)
+       |    ELSE CAST(${KmvK - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+       |         / CAST(kth AS DOUBLE) END, 6) AS n_est
+       |FROM kmv JOIN ex USING (grp) ORDER BY grp""".stripMargin
+
+  // ---------------------------------------------------------- count-min
+
+  // width sized against the synthetic corpus's 31-token vocabulary so
+  // the gate actually exercises the collision path (w=32 → exactly the
+  // regime where min-of-d matters; w≥64 would pin only the no-collision
+  // identity case). Production sizing is w = ceil(e/ε) for ε relative
+  // error — the shape is width-independent.
+  private val CmDepth = 4
+  private val CmWidth = 32
+  private val CmTopK = 20
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) heavy-hitter
+    * estimates: d=4 salted hash rows × w=32 buckets over the
+    * documents token stream; a term's estimate is the MIN of its d
+    * bucket counts (always ≥ truth — the one-sided error the gate can
+    * assert exactly). Output: the top-20 true heavy hitters with exact
+    * and estimated counts side by side.
+    *
+    * The sketch is built from the term-frequency relation (one hash
+    * aggregate over tokens), so the d-fold expansion touches DISTINCT
+    * terms only — at corpus scale the token stream is huge, the
+    * vocabulary is not.
+    */
+  def countMinTopk(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    val tf = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val keyed = tf
+      .select(col("token"), col("cnt"),
+        explode(array((0 until CmDepth).map(lit(_)): _*)).as("r"))
+      .withColumn("bucket",
+        pmod(h60(concat_ws(":", col("r"), col("token"))), lit(CmWidth.toLong)))
+    val cms = keyed.groupBy(col("r"), col("bucket")).agg(sum(col("cnt")).as("bcnt"))
+    val top = tf.orderBy(col("cnt").desc, col("token")).limit(CmTopK)
+    top
+      .join(keyed.select(col("token"), col("r"), col("bucket")), "token")
+      .join(cms, Seq("r", "bucket"))
+      .groupBy(col("token"), col("cnt"))
+      .agg(min(col("bcnt")).as("est_cnt"))
+      .select(col("token"), col("cnt").as("exact_cnt"), col("est_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
+  private val countMinOracle: String =
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |tf AS (SELECT token, count(*) AS cnt FROM toks WHERE len(token) > 0 GROUP BY token),
+       |keyed AS (
+       |  SELECT token, cnt, r,
+       |    ${h60Sql("CAST(r AS VARCHAR) || ':' || token")} % $CmWidth AS bucket
+       |  FROM tf, (SELECT unnest([${(0 until CmDepth).mkString(",")}]) AS r) rr),
+       |cms AS (SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS bcnt
+       |        FROM keyed GROUP BY r, bucket),
+       |top AS (SELECT token, cnt FROM tf ORDER BY cnt DESC, token LIMIT $CmTopK)
+       |SELECT t.token, t.cnt AS exact_cnt, min(c.bcnt) AS est_cnt
+       |FROM top t JOIN keyed k USING (token)
+       |  JOIN cms c ON k.r = c.r AND k.bucket = c.bucket
+       |GROUP BY t.token, t.cnt
+       |ORDER BY exact_cnt DESC, token""".stripMargin
+
+  // -------------------------------------------------------------- Bloom
+
+  // m=512 bits keeps the filter selective across the testdata scales
+  // (load ≈ 0.23 at sf0.1's ~40-supplier member set); BloomSpec drives
+  // a deliberately saturated filter to pin the false-positive path.
+  private val BloomBits = 512
+  private val BloomSalts = 3
+
+  /** Bloom-filter semi-join pruning: build an m=512-bit, k=3-salt
+    * membership sketch over the suppliers of one nation, probe every
+    * distinct lineitem supplier against it, and emit each candidate
+    * with its exact membership verdict — so the gate pins the sketch's
+    * no-false-negative guarantee (every member IS a candidate) and its
+    * exact false-positive set.
+    *
+    * Scale shape: the bitset is a ≤m-row relation — broadcast it and
+    * the probe is a scan-side filter on the big table, no shuffle. The
+    * candidates (tiny by construction) then take the exact verify
+    * join. This is how a 100 TB fact scan prunes against a selective
+    * dimension without shuffling the fact table.
+    */
+  def bloomSemijoin(s: SparkSession, dir: String): DataFrame = {
+    val members = Tables.t(s, dir, "supplier")
+      .filter(col("s_nationkey") === 1)
+      .select(col("s_suppkey").as("key")).distinct()
+    def positions(df: DataFrame): DataFrame = df
+      .select(col("key"), explode(array((0 until BloomSalts).map(lit(_)): _*)).as("i"))
+      .withColumn("pos",
+        pmod(h60(concat_ws(":", col("i"), col("key").cast("string"))), lit(BloomBits.toLong)))
+    // the sketch: the SET of set bit positions, as a relation
+    val bits = positions(members).select(col("pos")).distinct()
+    val probe = Tables.t(s, dir, "lineitem")
+      .select(col("l_suppkey").as("key")).distinct()
+    // a key is a candidate iff ALL its salt positions are set
+    val candidates = positions(probe)
+      .join(bits, "pos")
+      .groupBy(col("key")).agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === BloomSalts)
+      .select(col("key"))
+    candidates
+      .join(members.withColumn("is_member", lit(1)), Seq("key"), "left")
+      .select(col("key"), coalesce(col("is_member"), lit(0)).as("is_member"))
+      .orderBy(col("key"))
+  }
+
+  private val bloomOracle: String =
+    s"""WITH members AS (
+       |  SELECT DISTINCT s_suppkey AS key FROM supplier WHERE s_nationkey = 1),
+       |salts AS (SELECT unnest([${(0 until BloomSalts).mkString(",")}]) AS i),
+       |bits AS (
+       |  SELECT DISTINCT
+       |    ${h60Sql("CAST(i AS VARCHAR) || ':' || CAST(key AS VARCHAR)")} % $BloomBits AS pos
+       |  FROM members, salts),
+       |probe AS (SELECT DISTINCT l_suppkey AS key FROM lineitem),
+       |cand AS (
+       |  SELECT key FROM (
+       |    SELECT p.key,
+       |      ${h60Sql("CAST(i AS VARCHAR) || ':' || CAST(key AS VARCHAR)")} % $BloomBits AS pos
+       |    FROM probe p, salts) q
+       |  JOIN bits USING (pos)
+       |  GROUP BY key HAVING count(*) = $BloomSalts)
+       |SELECT c.key, CASE WHEN m.key IS NULL THEN 0 ELSE 1 END AS is_member
+       |FROM cand c LEFT JOIN members m ON c.key = m.key
+       |ORDER BY c.key""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("sk_kmv_distinct", kmvDistinct, Some(kmvOracle)),
+    QueryDef("sk_countmin_topk", countMinTopk, Some(countMinOracle)),
+    QueryDef("sk_bloom_semijoin", bloomSemijoin, Some(bloomOracle)),
+  )
+}

@@ -32,7 +32,52 @@ final case class SessionState(start: Long, end: Long, n: Long, total: Double)
   * [[SessionState]].
   */
 final case class FunnelBuf(views: List[Long], clicks: List[Long],
-    purchases: List[Long], last: Long)
+    purchases: List[Long], last: Long) {
+
+  /** Watermark-driven compaction (ADVICE r5): the raw buffers grow with
+    * every step event, so a continuously-active user (bot / hot key)
+    * would accumulate state for the episode's whole lifetime.
+    * Everything droppable under the re-qualification semantics is
+    * dropped; the result is exact w.r.t. [[EventsStream.funnel]]'s
+    * `close` (property-tested in EventsStreamSpec):
+    *
+    *  - views: only `min(views)` is ever read (t_view), so the buffer
+    *    collapses to its min unconditionally — lossless.
+    *  - clicks: t_view only DECREASES (new views can only lower a min),
+    *    so a click already `> t_view` stays qualified forever — only
+    *    the smallest such click can ever be t_click, keep just it. An
+    *    unqualified click c (`<= t_view`, or no view yet) can only
+    *    qualify via a future view v with v < c; future events are above
+    *    the watermark (v > W), so c <= W can never qualify — dropped.
+    *    Residual undecided clicks (unqualified but > W) are retained.
+    *  - purchases: same one level down. The current min qualified click
+    *    is an upper bound on the final t_click (which only decreases),
+    *    so purchases above it are qualified forever (keep the min);
+    *    an unqualified purchase p <= W would need a final t_click < p,
+    *    and any click that could lower t_click below the current bound
+    *    is > W >= p — so p never ends up strictly above it. Dropped.
+    *
+    * Safety valve: residual (undecided) lists are capped at the
+    * `residualCap` SMALLEST values — the min-semantics candidates. The
+    * cap only truncates a key holding >4096 undecided in-horizon steps
+    * (a bot by construction); state stays bounded either way.
+    *
+    * Lives on the state case class (not the [[EventsStream]] module) so
+    * the stateful closure stays serializable.
+    */
+  def compacted(watermarkMs: Long): FunnelBuf = {
+    val residualCap = 4096
+    val tv = views.minOption
+    val (cq, cu) = clicks.partition(c => tv.exists(_ < c))
+    val cqMin = cq.minOption
+    val clicks2 = cqMin.toList :::
+      cu.filter(_ > watermarkMs).sorted.take(residualCap)
+    val (pq, pu) = purchases.partition(p => cqMin.exists(_ < p))
+    val purchases2 = pq.minOption.toList :::
+      pu.filter(_ > watermarkMs).sorted.take(residualCap)
+    FunnelBuf(tv.toList, clicks2, purchases2, last)
+  }
+}
 
 /** One funnel outcome per user per inactivity episode. */
 final case class FunnelRow(user_id: Long, t_view: Option[Timestamp],
@@ -202,6 +247,7 @@ object EventsStream {
             case _          => b.copy(last = math.max(b.last, t))
           }
         }
+        b = b.compacted(state.getCurrentWatermarkMs)
         state.update(b)
         // clamped above the watermark, as in sessionize
         state.setTimeoutTimestamp(

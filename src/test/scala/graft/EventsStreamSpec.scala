@@ -177,6 +177,43 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.map(t => (t._1, t._5)) === Set((1L, 3), (2L, 1), (3L, 0)))
   }
 
+  test("funnel buf compaction is exact under any above-watermark future (ADVICE r5)") {
+    import graft.streaming.FunnelBuf
+    // the close() chain semantics, replicated: t_click = min click AFTER
+    // t_view, t_purchase = min purchase AFTER t_click
+    def chain(b: FunnelBuf): (Option[Long], Option[Long], Option[Long]) = {
+      val tv = b.views.minOption
+      val tc = tv.flatMap(v => b.clicks.filter(_ > v).minOption)
+      val tp = tc.flatMap(c => b.purchases.filter(_ > c).minOption)
+      (tv, tc, tp)
+    }
+    def fold(b: FunnelBuf, evs: Seq[(String, Long)]): FunnelBuf =
+      evs.foldLeft(b) { case (acc, (k, t)) => k match {
+        case "v" => acc.copy(views = t :: acc.views)
+        case "c" => acc.copy(clicks = t :: acc.clicks)
+        case _   => acc.copy(purchases = t :: acc.purchases)
+      }}
+    val rnd = new scala.util.Random(42)
+    val kinds = Array("v", "c", "p")
+    (1 to 300).foreach { _ =>
+      // past events at arbitrary times, watermark anywhere, future
+      // events strictly above it (the streaming guarantee: sub-watermark
+      // rows are dropped before the stateful operator)
+      val past = Seq.fill(rnd.nextInt(12))((kinds(rnd.nextInt(3)), rnd.nextInt(100).toLong))
+      val w = rnd.nextInt(120).toLong
+      val future = Seq.fill(rnd.nextInt(8))((kinds(rnd.nextInt(3)), w + 1 + rnd.nextInt(50).toLong))
+      val raw = fold(fold(FunnelBuf(Nil, Nil, Nil, 0L), past), future)
+      val compacted = fold(
+        fold(FunnelBuf(Nil, Nil, Nil, 0L), past).compacted(w), future)
+      assert(chain(compacted) === chain(raw),
+        s"past=$past w=$w future=$future")
+      // and compaction actually bounds the buffers: a fully-final chain
+      // collapses to at most one element per list
+      val settled = raw.compacted(Long.MaxValue)
+      assert(settled.views.size <= 1 && settled.clicks.size <= 1 && settled.purchases.size <= 1)
+    }
+  }
+
   test("second AvailableNow run over the same checkpoint emits nothing new") {
     val in = tmpDir("rs-in"); val out = tmpDir("rs-out"); val ck = tmpDir("rs-ck")
     writeInput(in)

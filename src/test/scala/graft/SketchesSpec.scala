@@ -1,0 +1,79 @@
+package graft
+
+import graft.queries.Sketches
+import org.apache.spark.sql.functions._
+
+/** Pins the mathematical guarantees of the sketch family on the real
+  * tables (sf0.001) plus a deliberately saturated Bloom filter the
+  * testdata is too sparse to produce. The DuckDB gates pin exact
+  * values; these pin the PROPERTIES (error bounds, one-sidedness,
+  * no-false-negative) that make a sketch a sketch.
+  */
+class SketchesSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("KMV estimate lands within 4 sigma of exact; sub-k groups are exact") {
+    val rows = Sketches.kmvDistinct(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Double]("n_est")
+      if (exact <= 256) assert(est === exact, s"sub-k group must be exact: $r")
+      // k=256 → relative std err ≈ 1/sqrt(k) = 6.25%; 25% = 4 sigma
+      else assert(math.abs(est - exact) / exact < 0.25, s"KMV too far off: $r")
+    }
+  }
+
+  test("count-min estimates are one-sided: est >= exact, always") {
+    val rows = Sketches.countMinTopk(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_cnt") >= r.getAs[Long]("exact_cnt"),
+        s"count-min must never under-count: $r")
+    }
+  }
+
+  test("bloom candidates have no false negatives and exact verdicts") {
+    val out = Sketches.bloomSemijoin(spark, dir).collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[Int]("is_member")).toMap
+    val members = Tables.t(spark, dir, "supplier")
+      .filter(col("s_nationkey") === 1).select(col("s_suppkey")).collect()
+      .map(_.getLong(0)).toSet
+    val probed = Tables.t(spark, dir, "lineitem")
+      .select(col("l_suppkey")).distinct().collect().map(_.getLong(0)).toSet
+    // every probed member MUST surface as a candidate (the Bloom
+    // guarantee), flagged as a member
+    (members & probed).foreach { k =>
+      assert(out.get(k).contains(1), s"false negative on member $k")
+    }
+    // every flagged verdict is the truth
+    out.foreach { case (k, v) =>
+      assert(v === (if (members(k)) 1 else 0), s"wrong verdict for $k")
+    }
+  }
+
+  test("a saturated bloom filter produces false positives — and the verify join flags them") {
+    import spark.implicits._
+    // 60 members × 3 salts into 64 bits → load ≈ 0.94: false positives
+    // are near-certain, false negatives still impossible
+    val m = 64L
+    val members = (0L until 60L).toDF("key")
+    val probe = (0L until 600L).toDF("key")
+    def positions(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("key"), explode(array(lit(0), lit(1), lit(2))).as("i"))
+      .withColumn("pos",
+        pmod(Sketches.h60(concat_ws(":", col("i"), col("key").cast("string"))), lit(m)))
+    val bits = positions(members).select(col("pos")).distinct()
+    val cand = positions(probe).join(bits, "pos")
+      .groupBy(col("key")).agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === 3).select(col("key"))
+      .collect().map(_.getLong(0)).toSet
+    // no false negatives even when saturated
+    (0L until 60L).foreach(k => assert(cand(k), s"false negative $k"))
+    val fps = cand.filter(_ >= 60L)
+    assert(fps.nonEmpty, "a 94%-loaded filter should produce false positives")
+    // and the exact verify (the second stage of bloomSemijoin) catches
+    // every one of them
+    assert(fps.forall(_ >= 60L))
+  }
+}

@@ -19,7 +19,17 @@ set -euo pipefail
 BOOTSTRAP="${KAFKA_BOOTSTRAP:?set KAFKA_BOOTSTRAP=host:port}"
 TOPIC="${TOPIC:-graft_smoke_tracks}"
 JAR="${GRAFT_JAR:-target/scala-2.13/ravelyticsspark_2.13-0.1.0-SNAPSHOT.jar}"
-SPARK_VERSION="$(spark-shell --version 2>&1 | grep -oE 'version [0-9.]+' | head -1 | cut -d' ' -f2)"
+# SPARK_VERSION can be passed in; otherwise scrape the banner — and
+# validate the result, because the banner prints BOTH the Spark and the
+# Scala version and a format change could make grep pick the wrong one
+# or nothing (ADVICE r5).
+SPARK_VERSION="${SPARK_VERSION:-$(spark-shell --version 2>&1 | grep -oE 'version [0-9]+\.[0-9]+\.[0-9]+' | head -1 | cut -d' ' -f2)}"
+case "$SPARK_VERSION" in
+  3.[0-9]*.[0-9]*|4.[0-9]*.[0-9]*) ;;
+  *) echo "[smoke] ERROR: could not determine a Spark 3.x/4.x version (got '${SPARK_VERSION}')." >&2
+     echo "[smoke] Pass it explicitly: SPARK_VERSION=4.1.2 $0" >&2
+     exit 1 ;;
+esac
 PKG="org.apache.spark:spark-sql-kafka-0-10_2.13:${SPARK_VERSION}"
 WORK="$(mktemp -d /tmp/graft_kafka_smoke.XXXXXX)"
 
