@@ -26,7 +26,8 @@ object SparkEntry {
         graft.queries.LlmDedup.defs ++
         graft.queries.LlmVectors.defs ++
         graft.queries.LlmCuration.defs ++
-        graft.queries.Sketches.defs
+        graft.queries.Sketches.defs ++
+        graft.queries.RelationalExt.defs
     // a name collision would silently shrink the correctness gate
     // (toMap keeps the last duplicate) — fail loudly instead
     require(defs.map(_.name).distinct.size == defs.size,

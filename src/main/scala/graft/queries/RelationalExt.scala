@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Second tranche of relational coverage: deep multi-join pipelines,
+  * correlated scalar subqueries (Catalyst's decorrelation — the engine
+  * feature that turns a per-row subquery into one aggregate + join),
+  * and exact interpolated percentiles.
+  *
+  * Scale notes: q7's two nation joins are broadcast (25 rows); the
+  * orders⋈lineitem fact-fact join shuffles on the order key and is the
+  * one unavoidable shuffle. The decorrelated subquery compiles to a
+  * per-key partial aggregate re-joined on the key — same shape you
+  * would hand-write, but derived by the optimizer from the declarative
+  * form. Percentiles use Spark's exact `percentile` aggregate: one
+  * shuffle on the group key; at 100 TB swap to `percentile_approx`
+  * (t-digest) when a bounded error is acceptable — same plan shape.
+  */
+object RelationalExt {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  private def one = lit(1).cast(DecimalType(3, 2))
+
+  /** TPC-H Q7-shaped nation trade flow: revenue shipped between two
+    * nations (either direction), by supplier nation / customer nation /
+    * ship year. supplier⋈nation and customer⋈nation are broadcast
+    * star-dims; lineitem⋈orders is the fact shuffle.
+    */
+  def q7NationTrade(s: SparkSession, dir: String): DataFrame = {
+    val nations = Seq("NATION_3", "NATION_8")
+    val nation = Tables.t(s, dir, "nation")
+      .filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = Tables.t(s, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.t(s, dir, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.t(s, dir, "orders")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    Tables.t(s, dir, "lineitem")
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  private val q7Oracle: String =
+    """WITH nations AS (
+      |  SELECT n_nationkey, n_name FROM nation WHERE n_name IN ('NATION_3','NATION_8'))
+      |SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |       * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nations sn ON s_nationkey = sn.n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nations cn ON c_nationkey = cn.n_nationkey
+      |WHERE sn.n_name <> cn.n_name
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Correlated scalar subquery, declared as SQL TEXT and left to
+    * Catalyst: every lineitem priced at its order's minimum. The
+    * optimizer decorrelates the per-row subquery into one per-key
+    * aggregate joined back on the key (RewriteCorrelatedScalarSubquery)
+    * — asserted in RelationalExtSpec, because at 100 TB the difference
+    * between that and a per-row re-scan is the whole query.
+    */
+  def scalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.t(s, dir, "lineitem").createOrReplaceTempView("li_sq")
+    s.sql(
+      """SELECT l.l_orderkey, l.l_linenumber,
+        |  CAST(l.l_extendedprice AS DOUBLE) AS price
+        |FROM li_sq l
+        |WHERE l.l_extendedprice = (
+        |  SELECT min(l2.l_extendedprice) FROM li_sq l2
+        |  WHERE l2.l_orderkey = l.l_orderkey)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+  }
+
+  private val scalarSubqueryOracle: String =
+    """SELECT l.l_orderkey, l.l_linenumber,
+      |  CAST(l.l_extendedprice AS DOUBLE) AS price
+      |FROM lineitem l
+      |WHERE l.l_extendedprice = (
+      |  SELECT min(l2.l_extendedprice) FROM lineitem l2
+      |  WHERE l2.l_orderkey = l.l_orderkey)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Exact interpolated percentiles (p25/p50/p90) of l_quantity per
+    * return flag — Spark's exact `percentile` aggregate vs DuckDB
+    * `quantile_cont`. Both engines use linear interpolation at rank
+    * (n-1)·p over identical parquet doubles; round(,6) guards the
+    * association-order ulp between the two interpolation formulas.
+    */
+  def percentileSuite(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    def p(q: Double, name: String) =
+      round(expr(s"percentile(l_quantity, $q)"), 6).as(name)
+    li.groupBy(col("l_returnflag"))
+      .agg(p(0.25, "p25"), p(0.5, "p50"), p(0.9, "p90"),
+        round(min(col("l_quantity")), 6).as("p_min"),
+        round(max(col("l_quantity")), 6).as("p_max"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val percentileOracle: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+      |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+      |  round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+      |  round(min(l_quantity), 6) AS p_min,
+      |  round(max(l_quantity), 6) AS p_max
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q7_nation_trade", q7NationTrade, Some(q7Oracle)),
+    QueryDef("rel_scalar_subquery", scalarSubquery, Some(scalarSubqueryOracle)),
+    QueryDef("fn_percentile_suite", percentileSuite, Some(percentileOracle)),
+  )
+}

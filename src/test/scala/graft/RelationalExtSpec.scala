@@ -1,0 +1,39 @@
+package graft
+
+import graft.queries.RelationalExt
+import org.apache.spark.sql.functions._
+
+class RelationalExtSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q7 trade flows are symmetric pairs and exclude same-nation trade") {
+    val rows = RelationalExt.q7NationTrade(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("supp_nation") !== r.getAs[String]("cust_nation"))
+    }
+  }
+
+  test("correlated scalar subquery is decorrelated to aggregate+join, not a per-row subquery") {
+    val df = RelationalExt.scalarSubquery(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // decorrelation leaves a join against a per-key aggregate; a
+    // surviving per-row scalar subquery would appear as a Subquery /
+    // ScalarSubquery node in the executed plan
+    assert(!plan.contains("ScalarSubquery"), plan.linesIterator.take(5).mkString("\n"))
+    assert(plan.contains("Join"), "expected the decorrelated aggregate join")
+    // semantics: each surviving row carries its order's min price
+    val got = df.groupBy(col("l_orderkey"))
+      .agg(min(col("price")).as("p"), max(col("price")).as("q"))
+      .filter(col("p") =!= col("q")).count()
+    assert(got === 0L, "all rows per order must equal the order minimum")
+  }
+
+  test("percentiles are ordered and bracketed by min/max") {
+    RelationalExt.percentileSuite(spark, dir).collect().foreach { r =>
+      val (mn, p25, p50, p90, mx) = (r.getAs[Double]("p_min"), r.getAs[Double]("p25"),
+        r.getAs[Double]("p50"), r.getAs[Double]("p90"), r.getAs[Double]("p_max"))
+      assert(mn <= p25 && p25 <= p50 && p50 <= p90 && p90 <= mx, r.toString)
+    }
+  }
+}
