@@ -51,6 +51,22 @@ object ScaleBench {
       .withColumn("embedding", when(col("k") === 0, col("embedding")).otherwise(wobbled))
       .drop("k")
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // relational fact tables, replicated with offset order keys (the
+    // sketch/percentile/subquery growth rows): distinct order keys and
+    // row counts grow 10×; supplier/customer/nation keys are left
+    // as-is so star joins stay consistent and dims stay dims
+    Tables.t(spark, baseDir, "lineitem").withColumn("k", ks)
+      .withColumn("l_orderkey", col("l_orderkey") + col("k") * IdOffset)
+      .drop("k")
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    Tables.t(spark, baseDir, "orders").withColumn("k", ks)
+      .withColumn("o_orderkey", col("o_orderkey") + col("k") * IdOffset)
+      .drop("k")
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    Seq("supplier", "customer", "nation", "region").foreach { t =>
+      Tables.t(spark, baseDir, t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
     done.createNewFile()
   }
 
@@ -71,6 +87,13 @@ object ScaleBench {
       "dd_embed_neardup" -> graft.queries.LlmVectors.embedNearDup _,
       "sim_ann_lsh" -> graft.queries.LlmVectors.annTopk _,
       "sim_ivf_topk" -> graft.queries.LlmVectors.ivfTopk _,
+      "sk_kmv_distinct" -> graft.queries.Sketches.kmvDistinct _,
+      "sk_kmv_agg" -> graft.queries.Sketches.kmvAgg _,
+      "sk_countmin_topk" -> graft.queries.Sketches.countMinTopk _,
+      "sk_bloom_semijoin" -> graft.queries.Sketches.bloomSemijoin _,
+      "fn_percentile_suite" -> graft.queries.RelationalExt.percentileSuite _,
+      "rel_scalar_subquery" -> graft.queries.RelationalExt.scalarSubquery _,
+      "q7_nation_trade" -> graft.queries.RelationalExt.q7NationTrade _,
     )
     val candidateCounts: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "ngram_prefix_pairs" -> graft.queries.LlmDedup.ngramCandidates _,

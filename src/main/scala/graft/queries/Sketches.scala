@@ -90,6 +90,33 @@ object Sketches {
       .orderBy(col("grp"))
   }
 
+  /** The same KMV estimate computed by the typed one-pass
+    * [[graft.functions.KmvSketch]] Aggregator (map-side partial merge:
+    * each partition ships ≤k longs instead of its whole distinct hash
+    * set — the 100 TB shape). Gated against the IDENTICAL oracle as
+    * [[kmvDistinct]]: two independent implementations, one truth.
+    */
+  def kmvAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    val sketch = udaf(graft.functions.KmvSketch)
+    val kmv = li
+      .select(col("l_returnflag").as("grp"),
+        h60(col("l_orderkey").cast("string")).as("h"))
+      .groupBy(col("grp"))
+      .agg(sketch(col("h")).as("mins"))
+      .select(col("grp"), size(col("mins")).cast("long").as("k_seen"),
+        element_at(col("mins"), -1).as("kth"))
+    val exact = li.groupBy(col("l_returnflag").as("grp"))
+      .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+    kmv.join(exact, "grp")
+      .select(col("grp"), col("n_exact"),
+        round(
+          when(col("k_seen") < KmvK, col("k_seen").cast("double"))
+            .otherwise(lit((KmvK - 1).toDouble * math.pow(2, 60)) / col("kth").cast("double")),
+          6).as("n_est"))
+      .orderBy(col("grp"))
+  }
+
   private val kmvOracle: String =
     s"""WITH h AS (
        |  SELECT DISTINCT l_returnflag AS grp,
@@ -235,6 +262,7 @@ object Sketches {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("sk_kmv_distinct", kmvDistinct, Some(kmvOracle)),
+    QueryDef("sk_kmv_agg", kmvAgg, Some(kmvOracle)),
     QueryDef("sk_countmin_topk", countMinTopk, Some(countMinOracle)),
     QueryDef("sk_bloom_semijoin", bloomSemijoin, Some(bloomOracle)),
   )

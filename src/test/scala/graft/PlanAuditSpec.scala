@@ -52,6 +52,7 @@ class PlanAuditSpec extends SparkSpec {
   private val broadcastHintAllowed =
     Set("sim_topk_exact", "sim_range_search", "sim_ann_lsh", "sim_ivf_topk", "q5_region_volume",
       "j4_band_join",
+      "q7_nation_trade", // nation dim: fixed 25 rows at every scale factor
       "dd_embed_neardup") // centroid index table, K ≈ √n — see bnljAllowed
 
   test("no explicit broadcast hints outside constant-bounded relations") {

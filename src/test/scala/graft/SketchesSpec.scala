@@ -24,6 +24,29 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("one-pass KMV Aggregator agrees with the window-based derivation exactly") {
+    val a = Sketches.kmvDistinct(spark, dir).collect().map(_.toSeq).toSeq
+    val b = Sketches.kmvAgg(spark, dir).collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("KMV sketch reduce/merge are order-free (property)") {
+    import graft.functions.KmvSketch
+    val rnd = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      // duplicates on purpose: the sketch must dedup
+      val vals = Seq.fill(600)(rnd.nextLong(1L << 60) / 300)
+      val direct = vals.foldLeft(KmvSketch.zero)(KmvSketch.reduce)
+      // split into random partitions, reduce each, merge in random order
+      val parts = rnd.shuffle(vals).grouped(1 + rnd.nextInt(97))
+        .map(_.foldLeft(KmvSketch.zero)(KmvSketch.reduce)).toSeq
+      val merged = rnd.shuffle(parts).foldLeft(KmvSketch.zero)(KmvSketch.merge)
+      val expect = vals.distinct.sorted.take(KmvSketch.K)
+      assert(direct.toSeq === expect)
+      assert(merged.toSeq === expect)
+    }
+  }
+
   test("count-min estimates are one-sided: est >= exact, always") {
     val rows = Sketches.countMinTopk(spark, dir).collect()
     assert(rows.nonEmpty)
