@@ -76,7 +76,10 @@ object Bench {
           runOnce(name)
           raw(name) = raw.getOrElse(name, Nil) :+ (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable =>
-          raw.remove(name)
+          // keep any samples already collected (they were valid runs) so
+          // a flaky later-pass failure is distinguishable from a query
+          // that never ran; the errors entry excludes it from the
+          // headline `total` either way (ADVICE r6)
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         }
       }
@@ -85,7 +88,9 @@ object Bench {
       names.foreach { name => (1 to perQuery).foreach(_ => sample(name)) }
       (System.nanoTime() - p0) / 1e9
     }
-    val times = raw.map { case (k, v) => k -> v.min }
+    // errored queries keep their raw samples (reported below) but are
+    // excluded from the headline minima/total
+    val times = raw.collect { case (k, v) if !errors.contains(k) => k -> v.min }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

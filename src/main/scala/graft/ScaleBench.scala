@@ -26,9 +26,19 @@ object ScaleBench {
   private val Copies = 10
   private val IdOffset = 10000000L
 
+  // every table the scale queries read; the _DONE marker is only honored
+  // when ALL of them exist, so a corpus synthesized by an older build
+  // (fewer tables) is re-synthesized instead of crashing the run
+  // (ADVICE r6)
+  private val SynthTables = Seq("documents", "embeddings", "lineitem",
+    "orders", "supplier", "customer", "nation", "region")
+
   def synthesize(spark: SparkSession, baseDir: String, outDir: String): Unit = {
     val done = new java.io.File(outDir, "_DONE")
-    if (done.exists()) return
+    val complete = SynthTables.forall(t =>
+      new java.io.File(outDir, s"$t.parquet").exists())
+    if (done.exists() && complete) return
+    if (done.exists()) done.delete()
     val ks = explode(sequence(lit(0), lit(Copies - 1))).as("k")
 
     val docs = Tables.t(spark, baseDir, "documents").withColumn("k", ks)
@@ -64,7 +74,7 @@ object ScaleBench {
       .withColumn("o_orderkey", col("o_orderkey") + col("k") * IdOffset)
       .drop("k")
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
-    Seq("supplier", "customer", "nation", "region").foreach { t =>
+    SynthTables.drop(4).foreach { t =>
       Tables.t(spark, baseDir, t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
     done.createNewFile()

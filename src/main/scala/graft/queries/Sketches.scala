@@ -52,7 +52,10 @@ object Sketches {
 
   // ---------------------------------------------------------------- KMV
 
-  private val KmvK = 256
+  // single source of truth: the relational derivation and the typed
+  // Aggregator must cut at the same k or kmvAgg's saturation check
+  // diverges from the sketch it reads (ADVICE r6)
+  private val KmvK = graft.functions.KmvSketch.K
 
   /** K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002),
     * per l_returnflag group: keep the k smallest distinct hash values;

@@ -95,8 +95,15 @@ class SketchesSpec extends SparkSpec {
     (0L until 60L).foreach(k => assert(cand(k), s"false negative $k"))
     val fps = cand.filter(_ >= 60L)
     assert(fps.nonEmpty, "a 94%-loaded filter should produce false positives")
-    // and the exact verify (the second stage of bloomSemijoin) catches
-    // every one of them
-    assert(fps.forall(_ >= 60L))
+    // and the exact verify join (the second stage of bloomSemijoin)
+    // flags every one of them: candidates LEFT JOIN members must give
+    // is_member=0 to each false positive and 1 to each true member
+    // (ADVICE r6: actually run the stage instead of restating fps)
+    val verdicts = cand.toSeq.toDF("key")
+      .join(members.withColumn("is_member", lit(1)), Seq("key"), "left")
+      .select(col("key"), coalesce(col("is_member"), lit(0)).as("is_member"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    fps.foreach(k => assert(verdicts(k) === 0, s"verify join missed fp $k"))
+    (0L until 60L).foreach(k => assert(verdicts(k) === 1, s"member $k misflagged"))
   }
 }
