@@ -92,7 +92,7 @@ object ScaleBench {
       "dd_minhash_lsh" -> graft.queries.LlmDedup.minhashLsh _,
       "dd_simhash_neardup" -> graft.queries.LlmDedup.simhashNearDup _,
       "dd_clusters" -> graft.queries.LlmDedup.dedupClusters _,
-      "dd_clusters_star" -> graft.queries.LlmDedup.dedupClustersStar _,
+      "dd_clusters_minlabel" -> graft.queries.LlmDedup.dedupClustersMinLabel _,
       "ta_gopher_quality" -> graft.queries.LlmText.gopherQuality _,
       "dd_embed_neardup" -> graft.queries.LlmVectors.embedNearDup _,
       "sim_ann_lsh" -> graft.queries.LlmVectors.annTopk _,

@@ -212,13 +212,18 @@ object LlmCuration {
   /** The END-TO-END curation pipeline a training-data run executes,
     * composed from the library's own stages in their production order:
     * Gopher-rule quality filter → exact dedup (keep the lowest doc_id
-    * per content key, scoped to quality survivors) → deterministic
-    * stratified sample → per-source sequence packing. One declarative
-    * DAG: Catalyst plans the whole chain together (filters fused into
-    * the scans, the dedup window and the packing window each one
-    * user/source-keyed exchange), which is precisely the advantage of
-    * composing operators as DataFrames instead of materializing
-    * between pipeline stages.
+    * per content key, scoped to quality survivors) → NEAR-dup collapse
+    * (star-CC labels over the exact-Jaccard pair graph restricted to
+    * the surviving docs; keep each cluster's minimum id — VERDICT r6
+    * #2 routed this stage through the default star engine) →
+    * deterministic stratified sample → per-source sequence packing.
+    *
+    * The declarative stages fuse into one Catalyst DAG (filters into
+    * the scans, the dedup and packing windows each one keyed
+    * exchange); the near-dup stage is the pipeline's one iterative
+    * operator — its input edge relation is checkpointed at loop entry,
+    * so the upstream quality/dedup DAG runs once for the label side
+    * and once for the final keep-join, never per round.
     */
   def curationPipeline(s: SparkSession, dir: String): DataFrame = {
     val quality = LlmText.gopherQuality(s, dir)
@@ -230,10 +235,21 @@ object LlmCuration {
     val deduped = keyed
       .withColumn("keeper", min(col("doc_id")).over(dw))
       .filter(col("doc_id") === col("keeper"))
+    // near-dup collapse: J >= 0.9 pairs among survivors → star-CC
+    // labels → keep each cluster's minimum (docs in no pair keep
+    // themselves via the left join's null label)
+    val survivors = deduped.select(col("doc_id"))
+    val pairs = LlmDedup.ngramJaccard(s, dir)
+      .join(survivors.select(col("doc_id").as("doc_a")), "doc_a")
+      .join(survivors.select(col("doc_id").as("doc_b")), "doc_b")
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val labels = LlmDedup.starLabels(pairs)
+    val collapsed = deduped.join(labels, Seq("doc_id"), "left")
+      .filter(col("label").isNull || col("label") === col("doc_id"))
     val thr = when(col("lang") === "en", lit("4000"))
       .when(col("lang") === "zh", lit("g"))
       .otherwise(lit("8000"))
-    val sampled = deduped.filter(hexBucket(col("doc_id"), ":strat") < thr)
+    val sampled = collapsed.filter(hexBucket(col("doc_id"), ":strat") < thr)
       .select(col("doc_id"), col("source"), size(split(col("text"), " ")).as("n_tokens"))
     val pw = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -251,7 +267,7 @@ object LlmCuration {
   }
 
   val curationPipelineOracle: String =
-    s"""WITH gq AS (${LlmText.gopherQualityOracle}),
+    s"""WITH RECURSIVE gq AS (${LlmText.gopherQualityOracle}),
        |q AS (SELECT d.* FROM documents d JOIN gq ON d.doc_id = gq.doc_id WHERE gq.keep),
        |k AS (SELECT *,
        |  md5(lower(trim(array_to_string(string_split(text, ' ')[1:5], ' ')))) AS dup_key
@@ -259,8 +275,20 @@ object LlmCuration {
        |dd AS (SELECT * FROM (
        |  SELECT *, MIN(doc_id) OVER (PARTITION BY dup_key) AS keeper FROM k)
        |  WHERE doc_id = keeper),
+       |pairs AS (${LlmDedup.ngramJaccardOracle}),
+       |sp AS (SELECT p.doc_a, p.doc_b FROM pairs p
+       |  JOIN dd a ON p.doc_a = a.doc_id JOIN dd b ON p.doc_b = b.doc_id),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM sp
+       |  UNION SELECT doc_b, doc_a FROM sp),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |lbl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
+       |cd AS (SELECT d.* FROM dd d LEFT JOIN lbl l ON d.doc_id = l.doc_id
+       |  WHERE l.label IS NULL OR l.label = d.doc_id),
        |samp AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
-       |  FROM dd
+       |  FROM cd
        |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 4) <
        |    CASE WHEN lang = 'en' THEN '4000' WHEN lang = 'zh' THEN 'g' ELSE '8000' END),
        |c AS (SELECT doc_id, source, n_tokens,

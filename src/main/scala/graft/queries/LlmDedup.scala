@@ -360,33 +360,40 @@ object LlmDedup {
   /** Near-dup CLUSTERS: connected components over the exact-Jaccard
     * pair graph, labeled by the minimum member id — the step that turns
     * pairwise similarity into an actionable dedup decision (keep the
-    * representative, drop the rest). Iterative min-label propagation on
-    * DataFrames: each round joins the symmetric edge list against the
-    * current labels and takes the per-node minimum; convergence in
-    * O(cluster diameter) rounds (near-dup clusters are shallow — the
-    * fixture converges in 2).
+    * representative, drop the rest).
     *
-    * Scale notes: every round is one keyed shuffle join + hash
-    * aggregate over the PAIR graph (already sub-quadratic), not the
-    * corpus; labels persist per round and the loop's driver-side work
-    * is a boolean convergence check (`isEmpty` on a limit-1 anti
-    * condition), never data. For graphs with long chains swap in
-    * large-star/small-star (O(log n) rounds) — same relational shape.
+    * DEFAULT ENGINE: alternating large-star/small-star contraction
+    * ([[starLabels]], O(log n) rounds regardless of component
+    * diameter) — promoted from sibling to default in round 7 (VERDICT
+    * r6 #2) because O(diameter) min-label propagation was the one
+    * remaining scale sensitivity in the dedup ladder. Min-label
+    * propagation remains as [[dedupClustersMinLabel]], gated against
+    * the IDENTICAL oracle, so the two engines keep checking each
+    * other.
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    dedupClustersStar(s, dir)
+
+  /** The min-label-propagation engine for the same output — each round
+    * joins the symmetric edge list against the current labels and
+    * takes the per-node minimum; converges in O(cluster diameter)
+    * rounds (near-dup clusters are shallow — the fixture converges in
+    * 2). Kept as the oracle-check sibling of the star default: every
+    * round is one keyed shuffle join + hash aggregate over the PAIR
+    * graph (sub-quadratic), never the corpus.
+    */
+  def dedupClustersMinLabel(s: SparkSession, dir: String): DataFrame =
     propagateClusters(ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
 
-  /** Core of [[dedupClusters]] over an arbitrary canonical (doc_a <
-    * doc_b) pair relation — factored out so DedupExactnessSpec can
-    * assert it equal to [[starClusters]] on random graphs.
+  /** Core of [[dedupClustersMinLabel]] over an arbitrary canonical
+    * (doc_a < doc_b) pair relation — factored out so
+    * DedupExactnessSpec can assert it equal to [[starClusters]] on
+    * random graphs.
     */
   private[graft] def propagateClusters(pairs: DataFrame): DataFrame =
     clusterOutput(propagateLabels(pairs))
 
-  /** The per-doc (doc_id, label) relation of [[propagateClusters]] —
-    * exposed so label consumers ([[clusterRepByQuality]]) can rank
-    * inside clusters without re-deriving components.
-    */
+  /** The per-doc (doc_id, label) relation of [[propagateClusters]]. */
   private[graft] def propagateLabels(pairs: DataFrame): DataFrame = {
     // persist the edge list: every iteration references it, and without
     // the persist each round would re-run the entire upstream
@@ -394,17 +401,17 @@ object LlmDedup {
     val sym = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // each round is eagerly localCheckpoint'd: truncates the iterative
-    // lineage (no multi-round recompute on a cache miss), materializes
-    // before the old round is released, and — unlike explicit persist —
-    // the blocks are reclaimed by the ContextCleaner once unreferenced,
-    // so repeated calls in a long-lived session don't accumulate
-    // executor storage (ADVICE r3). On a real cluster swap in reliable
-    // checkpoint() — localCheckpoint doesn't survive executor loss.
+    // each round is eagerly checkpointed via Checkpoint.truncate:
+    // truncates the iterative lineage (no multi-round recompute on a
+    // cache miss) and materializes before the old round is released.
+    // The session picks the reliability level — localCheckpoint blocks
+    // (ContextCleaner-reclaimed, ADVICE r3) in tests, reliable
+    // checkpoint files when a checkpoint dir is set, so executor loss
+    // on a cluster resumes the round instead of the loop (VERDICT r6).
     try {
-      var labels = sym.select(col("doc_a").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id"))
-        .localCheckpoint()
+      var labels = graft.plans.Checkpoint.truncate(
+        sym.select(col("doc_a").as("doc_id")).distinct()
+          .withColumn("label", col("doc_id")))
       var converged = false
       var rounds = 0
       val maxRounds = 50
@@ -417,12 +424,11 @@ object LlmDedup {
         // new label and the changed flag come out of ONE join pass; the
         // convergence check then reads the checkpointed result, so each
         // round is exactly one shuffle join + one aggregate
-        val updated = labels.alias("l")
+        val updated = graft.plans.Checkpoint.truncate(labels.alias("l")
           .join(neighborMin.alias("n"), Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("l.label"), coalesce(col("n.nlabel"), col("l.label"))).as("label"),
-            (coalesce(col("n.nlabel"), col("l.label")) < col("l.label")).as("chg"))
-          .localCheckpoint()
+            (coalesce(col("n.nlabel"), col("l.label")) < col("l.label")).as("chg")))
         converged = updated.filter(col("chg")).isEmpty
         labels = updated.drop("chg")
       }
@@ -479,10 +485,25 @@ object LlmDedup {
   /** Core of [[dedupClustersStar]] over an arbitrary canonical (a < b)
     * pair relation — see [[propagateClusters]].
     */
-  private[graft] def starClusters(pairs: DataFrame): DataFrame = {
-    // canonical a < b by ngramJaccard construction; localCheckpoint per
-    // round: see dedupClusters (lineage truncation + reclaimable blocks)
-    var edges = pairs.distinct().localCheckpoint()
+  private[graft] def starClusters(pairs: DataFrame): DataFrame =
+    clusterOutput(starLabels(pairs))
+
+  /** Rounds the most recent [[starLabels]] run took to converge — a
+    * test/bench diagnostic (SCALE_CURVE pins it ~flat at 10×), not an
+    * API: single JVM only, last-writer-wins under concurrency.
+    */
+  private[graft] val lastStarRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  /** The per-doc (doc_id, label) relation of [[starClusters]] — the
+    * default label engine consumed by [[clusterRepByQuality]] and the
+    * curation pipeline's near-dup collapse stage. Labels every node of
+    * every component (including each component's own minimum, labeled
+    * by itself); nodes with no edge don't appear.
+    */
+  private[graft] def starLabels(pairs: DataFrame): DataFrame = {
+    // canonical a < b by ngramJaccard construction; per-round lineage
+    // truncation via Checkpoint.truncate: see propagateLabels
+    var edges = graft.plans.Checkpoint.truncate(pairs.distinct())
     var converged = false
     var rounds = 0
     val maxRounds = 30
@@ -507,9 +528,9 @@ object LlmDedup {
         .filter(col("a") =!= col("m"))
         .select(col("m").as("na"), col("a").as("nb"))
       val ssSelf = ssMin.select(col("m").as("na"), col("b").as("nb"))
-      val next = ssNbr.unionByName(ssSelf).distinct()
-        .select(col("na").as("a"), col("nb").as("b"))
-        .localCheckpoint()
+      val next = graft.plans.Checkpoint.truncate(
+        ssNbr.unionByName(ssSelf).distinct()
+          .select(col("na").as("a"), col("nb").as("b")))
       // star forests are exactly the fixed points of both operators, so
       // set-equality of the (distinct) edge relations is convergence;
       // equal cardinality + one empty one-sided difference is enough,
@@ -520,10 +541,10 @@ object LlmDedup {
     }
     require(converged,
       s"dedupClustersStar: did not reach a star forest in $maxRounds rounds")
-    val labels = edges.select(col("b").as("doc_id"), col("a").as("label"))
+    lastStarRounds.set(rounds)
+    edges.select(col("b").as("doc_id"), col("a").as("label"))
       .unionByName(edges.select(col("a").as("doc_id"), col("a").as("label")))
       .distinct()
-    clusterOutput(labels)
   }
 
   // DuckDB: transitive closure via recursive CTE (bounded by cluster
@@ -560,8 +581,10 @@ object LlmDedup {
     * WindowGroupLimit rank — nothing here touches corpus×corpus.
     */
   def clusterRepByQuality(s: SparkSession, dir: String): DataFrame = {
-    val labels = propagateLabels(
-      ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
+    // default label engine (star-CC); the min-label sibling is gated
+    // separately so the engines keep checking each other
+    val labels = starLabels(
+      ngramJaccard(s, dir).select(col("doc_a").as("a"), col("doc_b").as("b")))
     val quality = Tables.t(s, dir, "documents")
       .select(col("doc_id"), LlmText.qualityExpr(col("text")).as("quality"))
     val w = org.apache.spark.sql.expressions.Window
@@ -592,7 +615,7 @@ object LlmDedup {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dd_exact_dedup", exactDedup, Some(exactDedupOracle)),
     QueryDef("dd_clusters", dedupClusters, Some(dedupClustersOracle)),
-    QueryDef("dd_clusters_star", dedupClustersStar, Some(dedupClustersOracle)),
+    QueryDef("dd_clusters_minlabel", dedupClustersMinLabel, Some(dedupClustersOracle)),
     QueryDef("dd_cluster_rep", clusterRepByQuality, Some(clusterRepByQualityOracle)),
     QueryDef("dd_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     // NOTE data-coupled gate: minhashLsh is gated against the EXACT

@@ -181,8 +181,8 @@ class LlmOpsSpec extends SparkSpec {
     val counts = Seq(
       run(graft.queries.LlmDedup.dedupClusters),
       run(graft.queries.LlmDedup.dedupClusters),
-      run(graft.queries.LlmDedup.dedupClustersStar),
-      run(graft.queries.LlmDedup.dedupClustersStar))
+      run(graft.queries.LlmDedup.dedupClustersMinLabel),
+      run(graft.queries.LlmDedup.dedupClustersMinLabel))
     assert(counts.last <= after1 + 2 && counts.max <= after1 + 2,
       s"cluster queries accumulate storage: $after1 -> $counts")
     spark.catalog.clearCache()
