@@ -72,23 +72,27 @@ object RelationalExt {
       |WHERE sn.n_name <> cn.n_name
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
-  /** Correlated scalar subquery, declared as SQL TEXT and left to
-    * Catalyst: every lineitem priced at its order's minimum. The
-    * optimizer decorrelates the per-row subquery into one per-key
-    * aggregate joined back on the key (RewriteCorrelatedScalarSubquery)
-    * — asserted in RelationalExtSpec, because at 100 TB the difference
-    * between that and a per-row re-scan is the whole query.
+  /** Correlated scalar subquery, declared with the Dataset subquery
+    * API (`Dataset.scalar()` + `Column.outer()` marking the
+    * correlation) and left to Catalyst: every lineitem priced at its
+    * order's minimum. The optimizer decorrelates the per-row subquery
+    * into one per-key aggregate joined back on the key
+    * (RewriteCorrelatedScalarSubquery) — asserted in
+    * RelationalExtSpec, because at 100 TB the difference between that
+    * and a per-row re-scan is the whole query. Pure expression-level
+    * declaration: no temp view, no catalog mutation (VERDICT r6 #5 —
+    * the spec asserts `listTables` is unchanged by building it).
     */
   def scalarSubquery(s: SparkSession, dir: String): DataFrame = {
-    Tables.t(s, dir, "lineitem").createOrReplaceTempView("li_sq")
-    s.sql(
-      """SELECT l.l_orderkey, l.l_linenumber,
-        |  CAST(l.l_extendedprice AS DOUBLE) AS price
-        |FROM li_sq l
-        |WHERE l.l_extendedprice = (
-        |  SELECT min(l2.l_extendedprice) FROM li_sq l2
-        |  WHERE l2.l_orderkey = l.l_orderkey)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    val li = Tables.t(s, dir, "lineitem")
+    val orderMin = li.as("l2")
+      .where(col("l2.l_orderkey") === col("l.l_orderkey").outer())
+      .select(min(col("l2.l_extendedprice")))
+    li.as("l")
+      .where(col("l.l_extendedprice") === orderMin.scalar())
+      .select(col("l.l_orderkey"), col("l.l_linenumber"),
+        col("l.l_extendedprice").cast(DoubleType).as("price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
   private val scalarSubqueryOracle: String =

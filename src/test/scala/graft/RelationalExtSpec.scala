@@ -15,7 +15,11 @@ class RelationalExtSpec extends SparkSpec {
   }
 
   test("correlated scalar subquery is decorrelated to aggregate+join, not a per-row subquery") {
+    val tablesBefore = spark.catalog.listTables().collect().map(_.name).toSet
     val df = RelationalExt.scalarSubquery(spark, dir)
+    // pure expression-level subquery: building the query must not
+    // register anything in the catalog (VERDICT r6 #5)
+    assert(spark.catalog.listTables().collect().map(_.name).toSet === tablesBefore)
     val plan = df.queryExecution.executedPlan.toString
     // decorrelation leaves a join against a per-key aggregate; a
     // surviving per-row scalar subquery would appear as a Subquery /
