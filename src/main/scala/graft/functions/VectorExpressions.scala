@@ -209,6 +209,27 @@ object VectorFunctions {
     (FunctionIdentifier("bigram_shingles"),
       new ExpressionInfo(classOf[BigramShingles].getName, "bigram_shingles"),
       (children: Seq[Expression]) => BigramShingles(children.head)),
+    // Spark's NATIVE BloomFilter sketch pair (the machinery behind
+    // runtime row-level filtering), surfaced as session functions so
+    // the sketch family's production twin builds its membership index
+    // as a distributed TypedImperativeAggregate and probes it with the
+    // codegen'd might_contain — no per-row md5, no driver-side sketch
+    // loop. Catalyst ships them unregistered; this injection is the
+    // documented extension point (same jar, public constructors).
+    (FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))),
+    (FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))),
   )
 
   def register(spark: SparkSession): Unit = {

@@ -263,10 +263,117 @@ object Sketches {
        |FROM cand c LEFT JOIN members m ON c.key = m.key
        |ORDER BY c.key""".stripMargin
 
+  // ---------------------------------------------- production-hash twins
+  //
+  // The oracle-gated family above hashes md5→60-bit so DuckDB can
+  // reproduce every estimate bit-exactly — the right device for a
+  // correctness gate, the wrong per-row cost for a 100 TB scan. These
+  // twins keep the identical relational shape and output schema but
+  // hash with codegen'd xxhash64 (and probe membership through Spark's
+  // native BloomFilter sketch). Not DuckDB-expressible → SketchesSpec
+  // pins their PROPERTIES (error bound vs exact, one-sided error, no
+  // false negatives) instead of an oracle hash; they're registered as
+  // rows-only driver entries so the bench carries the cheaper-hash
+  // timing next to the md5 twin (VERDICT r6 #6).
+
+  /** xxhash64 in UNSIGNED order: xor with Long.MinValue maps unsigned
+    * rank onto signed order, so ORDER BY/max() pick the true kth
+    * smallest unsigned hash and the KMV position algebra stays exact.
+    */
+  private def hxx(c: Column): Column =
+    xxhash64(c).bitwiseXOR(lit(Long.MinValue))
+
+  /** [[kmvDistinct]] with the production hash. The kth hash's unsigned
+    * position is R = (kth + 2^63)/2^64; estimate (k-1)/R. Double
+    * rounding on the shift is harmless — it perturbs an estimator that
+    * already carries 1/sqrt(k) relative error.
+    */
+  def kmvDistinctXx(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    val hashes = li
+      .select(col("l_returnflag").as("grp"), hxx(col("l_orderkey")).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("grp")).orderBy(col("h"))
+    val kmv = hashes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KmvK)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("k_seen"), max(col("h")).as("kth"))
+    val exact = li.groupBy(col("l_returnflag").as("grp"))
+      .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+    kmv.join(exact, "grp")
+      .select(col("grp"), col("n_exact"),
+        round(
+          when(col("k_seen") < KmvK, col("k_seen").cast("double"))
+            .otherwise(lit((KmvK - 1).toDouble) /
+              ((col("kth").cast("double") + lit(math.pow(2, 63))) / lit(math.pow(2, 64)))),
+          6).as("n_est"))
+      .orderBy(col("grp"))
+  }
+
+  /** [[countMinTopk]] with the production hash: the d salted rows come
+    * from xxhash64 over the salted term, pmod'd into the bucket range
+    * (pmod, not %, because xxhash64 is signed).
+    */
+  def countMinTopkXx(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    val tf = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val keyed = tf
+      .select(col("token"), col("cnt"),
+        explode(array((0 until CmDepth).map(lit(_)): _*)).as("r"))
+      .withColumn("bucket",
+        pmod(xxhash64(concat_ws(":", col("r"), col("token"))), lit(CmWidth.toLong)))
+    val cms = keyed.groupBy(col("r"), col("bucket")).agg(sum(col("cnt")).as("bcnt"))
+    val top = tf.orderBy(col("cnt").desc, col("token")).limit(CmTopK)
+    top
+      .join(keyed.select(col("token"), col("r"), col("bucket")), "token")
+      .join(cms, Seq("r", "bucket"))
+      .groupBy(col("token"), col("cnt"))
+      .agg(min(col("bcnt")).as("est_cnt"))
+      .select(col("token"), col("cnt").as("exact_cnt"), col("est_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
+  /** [[bloomSemijoin]] through Spark's NATIVE BloomFilter sketch (the
+    * machinery behind runtime row-level filtering): the member side
+    * aggregates into ONE serialized filter via the distributed
+    * `bloom_filter_agg` TypedImperativeAggregate (map-side partial
+    * filters OR-merged — the sketch, not the members, crosses the
+    * wire), the ~KB result becomes a foldable literal (the
+    * broadcastable index), and the probe side evaluates the codegen'd
+    * `might_contain` SCAN-SIDE — no shuffle of the probe relation.
+    * Surviving candidates take the exact verify join. Build and probe
+    * both hash `xxhash64(key)`, the BloomFilterAggregate contract.
+    */
+  def bloomSemijoinNative(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s) // idempotent
+    val members = Tables.t(s, dir, "supplier")
+      .filter(col("s_nationkey") === 1)
+      .select(col("s_suppkey").as("key")).distinct()
+    // 4096 expected items / 64Ki bits ≈ the 1% fpp operating point
+    val bytes = members
+      .agg(call_function("bloom_filter_agg",
+        xxhash64(col("key")), lit(4096L), lit(65536L)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    Tables.t(s, dir, "lineitem")
+      .select(col("l_suppkey").as("key")).distinct()
+      .filter(call_function("might_contain", lit(bytes), xxhash64(col("key"))))
+      .join(members.withColumn("is_member", lit(1)), Seq("key"), "left")
+      .select(col("key"), coalesce(col("is_member"), lit(0)).as("is_member"))
+      .orderBy(col("key"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("sk_kmv_distinct", kmvDistinct, Some(kmvOracle)),
     QueryDef("sk_kmv_agg", kmvAgg, Some(kmvOracle)),
     QueryDef("sk_countmin_topk", countMinTopk, Some(countMinOracle)),
     QueryDef("sk_bloom_semijoin", bloomSemijoin, Some(bloomOracle)),
+    // production twins: property-specced (SketchesSpec), rows-only gate
+    QueryDef("sk_kmv_xxhash", kmvDistinctXx, None),
+    QueryDef("sk_countmin_xxhash", countMinTopkXx, None),
+    QueryDef("sk_bloom_native", bloomSemijoinNative, None),
   )
 }

@@ -47,6 +47,63 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  // ---- production-hash twins (VERDICT r6 #6): same properties as the
+  // md5-oracled family, pinned on the xxhash64 / native-BloomFilter path
+
+  test("xxhash64 KMV lands within 4 sigma of exact; sub-k groups are exact") {
+    val rows = Sketches.kmvDistinctXx(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Double]("n_est")
+      if (exact <= 256) assert(est === exact, s"sub-k group must be exact: $r")
+      else assert(math.abs(est - exact) / exact < 0.25, s"KMV(xx) too far off: $r")
+    }
+  }
+
+  test("xxhash64 KMV at sf0.01: saturated groups estimate within the error bound") {
+    // sf0.001 groups are all sub-k; the bigger corpus actually
+    // exercises the (k-1)/R estimate on the production hash
+    val rows = Sketches.kmvDistinctXx(spark, "/root/testdata/sf0.01").collect()
+    val saturated = rows.filter(_.getAs[Long]("n_exact") > 256)
+    assert(saturated.nonEmpty, "sf0.01 must have groups past k=256")
+    saturated.foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Double]("n_est")
+      assert(math.abs(est - exact) / exact < 0.25, s"KMV(xx) too far off: $r")
+    }
+  }
+
+  test("xxhash64 count-min estimates are one-sided: est >= exact, always") {
+    val rows = Sketches.countMinTopkXx(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_cnt") >= r.getAs[Long]("exact_cnt"),
+        s"count-min(xx) must never under-count: $r")
+    }
+  }
+
+  test("native BloomFilter semi-join: no false negatives, exact verdicts, codegen'd probe") {
+    val df = Sketches.bloomSemijoinNative(spark, dir)
+    val out = df.collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[Int]("is_member")).toMap
+    val members = Tables.t(spark, dir, "supplier")
+      .filter(col("s_nationkey") === 1).select(col("s_suppkey")).collect()
+      .map(_.getLong(0)).toSet
+    val probed = Tables.t(spark, dir, "lineitem")
+      .select(col("l_suppkey")).distinct().collect().map(_.getLong(0)).toSet
+    (members & probed).foreach { k =>
+      assert(out.get(k).contains(1), s"false negative on member $k")
+    }
+    out.foreach { case (k, v) =>
+      assert(v === (if (members(k)) 1 else 0), s"wrong verdict for $k")
+    }
+    // the probe is a scan-side filter expression, not a join: the plan
+    // must contain the native might_contain and no extra join for it
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "expected the native BloomFilter probe")
+  }
+
   test("count-min estimates are one-sided: est >= exact, always") {
     val rows = Sketches.countMinTopk(spark, dir).collect()
     assert(rows.nonEmpty)
