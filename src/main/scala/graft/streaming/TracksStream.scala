@@ -51,13 +51,19 @@ object TracksStream {
   def fileSource(spark: SparkSession, inDir: String): DataFrame =
     spark.readStream.text(inDir) // text source already yields `value: String`
 
-  /** Real Kafka source. Requires the spark-sql-kafka connector on the
-    * cluster classpath (resolved by name at runtime; not present in the
-    * offline sandbox, so nothing here forces the class to load).
+  /** Broker-backed source. The default `format="kafka"` requires the
+    * spark-sql-kafka connector on the cluster classpath (resolved by
+    * name at runtime; not present in the offline sandbox, so nothing
+    * here forces the class to load); `format="graftbus"` reads the
+    * SAME (key, value, topic, partition, offset, timestamp) contract
+    * from the embedded [[graft.bus.BusBroker]] — per-partition offsets,
+    * earliest replay, commit-after-batch — executing the consume path
+    * end-to-end in-process (BusRoundTripSpec).
     */
-  def kafkaSource(spark: SparkSession, brokers: String, topic: String): DataFrame =
+  def kafkaSource(spark: SparkSession, brokers: String, topic: String,
+      format: String = "kafka"): DataFrame =
     spark.readStream
-      .format("kafka")
+      .format(format)
       .option("kafka.bootstrap.servers", brokers)
       .option("subscribe", topic)
       .option("startingOffsets", "earliest")
