@@ -101,6 +101,10 @@ object ScaleBench {
       "sk_kmv_agg" -> graft.queries.Sketches.kmvAgg _,
       "sk_countmin_topk" -> graft.queries.Sketches.countMinTopk _,
       "sk_bloom_semijoin" -> graft.queries.Sketches.bloomSemijoin _,
+      "sk_kmv_xxhash" -> graft.queries.Sketches.kmvDistinctXx _,
+      "sk_countmin_xxhash" -> graft.queries.Sketches.countMinTopkXx _,
+      "sk_bloom_native" -> graft.queries.Sketches.bloomSemijoinNative _,
+      "cu_pipeline_e2e" -> graft.queries.LlmCuration.curationPipeline _,
       "fn_percentile_suite" -> graft.queries.RelationalExt.percentileSuite _,
       "rel_scalar_subquery" -> graft.queries.RelationalExt.scalarSubquery _,
       "q7_nation_trade" -> graft.queries.RelationalExt.q7NationTrade _,
@@ -136,6 +140,29 @@ object ScaleBench {
       (name, count(baseDir), count(x10Dir))
     }
 
+    // bounded sketch STATE (VERDICT r6 #4): the sketch relations must
+    // stay ~constant-cardinality when the corpus grows 10×
+    val stateCounts: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "kmv_state_rows" -> graft.queries.Sketches.kmvState _,
+      "countmin_state_rows" -> graft.queries.Sketches.countMinState _,
+      "bloom_state_bits" -> graft.queries.Sketches.bloomState _,
+    )
+    val states = stateCounts.map { case (name, fn) =>
+      def count(dir: String): Long = {
+        val n = fn(spark, dir).count(); spark.catalog.clearCache(); n
+      }
+      (name, count(baseDir), count(x10Dir))
+    }
+
+    // star-CC convergence rounds must stay ~flat at 10× (the O(log n)
+    // claim — VERDICT r6 #2's done criterion)
+    def starRounds(dir: String): Int = {
+      runQuery(graft.queries.LlmDedup.dedupClusters _, dir)
+      graft.queries.LlmDedup.lastStarRounds.get()
+    }
+    val rounds1 = starRounds(baseDir)
+    val rounds10 = starRounds(x10Dir)
+
     val nDocs1 = spark.read.parquet(s"$baseDir/documents.parquet").count()
     println(s"DOCS 1x=$nDocs1 10x=${nDocs1 * Copies}")
     println("| query | t(1x) s | t(10x) s | time ratio |")
@@ -146,9 +173,17 @@ object ScaleBench {
     cands.foreach { case (n, a, b) =>
       println(f"| $n | $a | $b | ${b.toDouble / a}%.1fx |")
     }
+    println("| sketch state | rows(1x) | rows(10x) | ratio |")
+    println("|---|---|---|---|")
+    states.foreach { case (n, a, b) =>
+      println(f"| $n | $a | $b | ${b.toDouble / a}%.1fx |")
+    }
+    println(s"| star_cc_rounds | $rounds1 | $rounds10 | " +
+      f"${rounds10.toDouble / rounds1}%.1fx |")
     val tj = times.map { case (n, a, b) => s""""$n":[$a,$b]""" }.mkString(",")
     val cj = cands.map { case (n, a, b) => s""""$n":[$a,$b]""" }.mkString(",")
-    println(s"""{"metric":"scale_curve","copies":$Copies,"times":{$tj},"candidates":{$cj}}""")
+    val sj = states.map { case (n, a, b) => s""""$n":[$a,$b]""" }.mkString(",")
+    println(s"""{"metric":"scale_curve","copies":$Copies,"times":{$tj},"candidates":{$cj},"state":{$sj},"star_rounds":[$rounds1,$rounds10]}""")
     spark.stop()
   }
 }

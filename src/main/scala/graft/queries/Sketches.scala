@@ -70,16 +70,21 @@ object Sketches {
     * Groups smaller than k short-circuit to the exact count (the
     * sketch saw every value).
     */
-  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.t(s, dir, "lineitem")
-    val hashes = li
+  /** The KMV sketch STATE: ≤k rows per group, whatever the corpus size
+    * — exposed so ScaleBench can pin its cardinality constant at 10×.
+    */
+  private[graft] def kmvState(s: SparkSession, dir: String): DataFrame = {
+    val hashes = Tables.t(s, dir, "lineitem")
       .select(col("l_returnflag").as("grp"),
         h60(col("l_orderkey").cast("string")).as("h"))
       .distinct()
     val w = Window.partitionBy(col("grp")).orderBy(col("h"))
-    val kmv = hashes
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= KmvK)
+    hashes.withColumn("rn", row_number().over(w)).filter(col("rn") <= KmvK)
+  }
+
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    val kmv = kmvState(s, dir)
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("k_seen"), max(col("h")).as("kth"))
     val exact = li.groupBy(col("l_returnflag").as("grp"))
@@ -160,18 +165,29 @@ object Sketches {
     * terms only — at corpus scale the token stream is huge, the
     * vocabulary is not.
     */
-  def countMinTopk(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.t(s, dir, "documents")
-    val tf = docs
+  /** The count-min sketch STATE: ≤ d×w rows regardless of corpus —
+    * exposed for the ScaleBench cardinality pin.
+    */
+  private[graft] def countMinState(s: SparkSession, dir: String): DataFrame =
+    cmKeyed(s, dir).groupBy(col("r"), col("bucket")).agg(sum(col("cnt")).as("bcnt"))
+
+  private def cmTf(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val keyed = tf
+
+  private def cmKeyed(s: SparkSession, dir: String): DataFrame =
+    cmTf(s, dir)
       .select(col("token"), col("cnt"),
         explode(array((0 until CmDepth).map(lit(_)): _*)).as("r"))
       .withColumn("bucket",
         pmod(h60(concat_ws(":", col("r"), col("token"))), lit(CmWidth.toLong)))
-    val cms = keyed.groupBy(col("r"), col("bucket")).agg(sum(col("cnt")).as("bcnt"))
+
+  def countMinTopk(s: SparkSession, dir: String): DataFrame = {
+    val tf = cmTf(s, dir)
+    val keyed = cmKeyed(s, dir)
+    val cms = countMinState(s, dir)
     val top = tf.orderBy(col("cnt").desc, col("token")).limit(CmTopK)
     top
       .join(keyed.select(col("token"), col("r"), col("bucket")), "token")
@@ -219,16 +235,27 @@ object Sketches {
     * join. This is how a 100 TB fact scan prunes against a selective
     * dimension without shuffling the fact table.
     */
-  def bloomSemijoin(s: SparkSession, dir: String): DataFrame = {
-    val members = Tables.t(s, dir, "supplier")
+  private def bloomMembers(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "supplier")
       .filter(col("s_nationkey") === 1)
       .select(col("s_suppkey").as("key")).distinct()
-    def positions(df: DataFrame): DataFrame = df
-      .select(col("key"), explode(array((0 until BloomSalts).map(lit(_)): _*)).as("i"))
-      .withColumn("pos",
-        pmod(h60(concat_ws(":", col("i"), col("key").cast("string"))), lit(BloomBits.toLong)))
+
+  private def bloomPositions(df: DataFrame): DataFrame = df
+    .select(col("key"), explode(array((0 until BloomSalts).map(lit(_)): _*)).as("i"))
+    .withColumn("pos",
+      pmod(h60(concat_ws(":", col("i"), col("key").cast("string"))), lit(BloomBits.toLong)))
+
+  /** The Bloom sketch STATE: the ≤m-row set-bit relation — exposed for
+    * the ScaleBench cardinality pin.
+    */
+  private[graft] def bloomState(s: SparkSession, dir: String): DataFrame =
+    bloomPositions(bloomMembers(s, dir)).select(col("pos")).distinct()
+
+  def bloomSemijoin(s: SparkSession, dir: String): DataFrame = {
+    val members = bloomMembers(s, dir)
+    def positions(df: DataFrame): DataFrame = bloomPositions(df)
     // the sketch: the SET of set bit positions, as a relation
-    val bits = positions(members).select(col("pos")).distinct()
+    val bits = bloomState(s, dir)
     val probe = Tables.t(s, dir, "lineitem")
       .select(col("l_suppkey").as("key")).distinct()
     // a key is a candidate iff ALL its salt positions are set
