@@ -108,6 +108,14 @@ object ScaleBench {
       "fn_percentile_suite" -> graft.queries.RelationalExt.percentileSuite _,
       "rel_scalar_subquery" -> graft.queries.RelationalExt.scalarSubquery _,
       "q7_nation_trade" -> graft.queries.RelationalExt.q7NationTrade _,
+      "q4_exists_priority" -> graft.queries.Subqueries.q4ExistsPriority _,
+      "q11_value_share" -> graft.queries.Subqueries.q11ValueShare _,
+      "q13_order_dist" -> graft.queries.Subqueries.q13OrderDist _,
+      "q18_large_orders" -> graft.queries.Subqueries.q18LargeOrders _,
+      "q21_sole_supplier" -> graft.queries.Subqueries.q21SoleSupplier _,
+      "cu_chunk_sliding" -> graft.queries.TrainingPrep.chunkSliding _,
+      "cu_contamination" -> graft.queries.TrainingPrep.contamination _,
+      "ta_token_entropy" -> graft.queries.TrainingPrep.tokenEntropy _,
     )
     val candidateCounts: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "ngram_prefix_pairs" -> graft.queries.LlmDedup.ngramCandidates _,

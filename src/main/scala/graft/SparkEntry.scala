@@ -27,7 +27,9 @@ object SparkEntry {
         graft.queries.LlmVectors.defs ++
         graft.queries.LlmCuration.defs ++
         graft.queries.Sketches.defs ++
-        graft.queries.RelationalExt.defs
+        graft.queries.RelationalExt.defs ++
+        graft.queries.Subqueries.defs ++
+        graft.queries.TrainingPrep.defs
     // a name collision would silently shrink the correctness gate
     // (toMap keeps the last duplicate) — fail loudly instead
     require(defs.map(_.name).distinct.size == defs.size,

@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-corpus preparation operators a 100 TB pipeline needs
+  * between curation and the trainer: sliding-window document chunking,
+  * benchmark decontamination (the GPT-3/PaLM n-gram-overlap check that
+  * keeps eval data out of the training set), and token-distribution
+  * entropy scoring (a repetition/quality signal complementary to the
+  * Gopher rules in [[LlmText]]).
+  *
+  * Scale notes: chunking is embarrassingly parallel (per-row array
+  * ops, no shuffle at all — the whole query is one narrow projection).
+  * Decontamination's benchmark gram set is tiny relative to the train
+  * side (the eval suite, not the corpus), so the semi join broadcasts
+  * under AQE and the train side streams once; nothing retains a
+  * train×train term. Entropy is one (doc_id, token) hash aggregate —
+  * the same shape as TF-IDF — with the per-doc total derived from the
+  * token array length rather than a second shuffle.
+  *
+  * Float discipline (same as [[LlmCuration]]'s LM scores): every
+  * libm-touched sum runs through DECIMAL(38,12) so partial-aggregation
+  * order can't change the result, and outputs are round(,6).
+  */
+object TrainingPrep {
+
+  /** Chunk width / stride in tokens: 32-token chunks every 24 tokens
+    * (8-token overlap) — small enough that the 10-99-token testdata
+    * docs produce 1-5 chunks each.
+    */
+  private val ChunkW = 32
+  private val ChunkS = 24
+
+  /** Contamination n-gram order and the deterministic eval split:
+    * every 29th doc_id acts as the held-out benchmark.
+    */
+  private val GramN = 8
+  private val BenchMod = 29
+
+  /** Sliding-window chunking: each doc explodes into ceil(n/S) chunks
+    * of up to W tokens starting every S tokens. Pure per-row compute —
+    * `.explain` shows a single Project/Generate over the scan.
+    */
+  def chunkSliding(s: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    tk.select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0), size(col("tk")) - 1, lit(ChunkS))).as("st"))
+      .select(
+        col("doc_id"),
+        (col("st") / ChunkS).cast(LongType).as("chunk_idx"),
+        least(size(col("tk")) - col("st"), lit(ChunkW)).cast(LongType).as("n_tokens"),
+        array_join(slice(col("tk"), col("st") + 1, lit(ChunkW)), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val chunkOracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |st AS (SELECT doc_id, tk, unnest(range(0, len(tk), $ChunkS)) AS st FROM t)
+       |SELECT doc_id,
+       |  CAST(st // $ChunkS AS BIGINT) AS chunk_idx,
+       |  CAST(least(len(tk) - st, $ChunkW) AS BIGINT) AS n_tokens,
+       |  array_to_string(tk[st + 1 : st + $ChunkW], ' ') AS chunk_text
+       |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Distinct GramN-grams per doc. Package-private so the
+    * decontamination stages (and ScaleBench) share one definition. */
+  private def docGrams(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= GramN)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("tk")) - GramN + 1),
+          i => array_join(slice(col("tk"), i, lit(GramN)), " ")))).as("gram"))
+
+  /** Benchmark decontamination: for every training doc, the fraction
+    * of its distinct 8-grams that also occur anywhere in the held-out
+    * benchmark split. The benchmark gram set is DISTINCT and small →
+    * the hit check is a left-semi join that AQE broadcasts; the train
+    * side is touched once. Exactly the published GPT-3/PaLM
+    * decontamination procedure with the eval suite standing in as the
+    * contaminated source.
+    */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val grams = docGrams(s, dir)
+    val bench = grams.filter(col("doc_id") % BenchMod === 0)
+      .select(col("gram")).distinct()
+    val train = grams.filter(col("doc_id") % BenchMod =!= 0)
+    val totals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val hits = train.join(bench, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / col("n_grams"), 6).as("overlap"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val contaminationOracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(
+       |        [array_to_string(tk[i : i + ${GramN - 1}], ' ')
+       |         for i in range(1, len(tk) - ${GramN - 2})])) AS gram
+       |      FROM t WHERE len(tk) >= $GramN),
+       |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % $BenchMod = 0),
+       |tr AS (SELECT doc_id, gram FROM g WHERE doc_id % $BenchMod <> 0),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM tr GROUP BY doc_id),
+       |hit AS (SELECT doc_id, COUNT(*) AS n_hit
+       |        FROM tr JOIN bench USING (gram) GROUP BY doc_id)
+       |SELECT tot.doc_id, n_grams, COALESCE(n_hit, 0) AS n_hit,
+       |  round(COALESCE(n_hit, 0) / CAST(n_grams AS DOUBLE), 6) AS overlap
+       |FROM tot LEFT JOIN hit USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Shannon entropy (nats) and type-token ratio of each doc's token
+    * distribution — low entropy flags repetitive/templated text. The
+    * per-doc total comes from the token array length (no second
+    * aggregate); the p·ln(p) sum runs through DECIMAL(38,12) so the
+    * result is independent of partial-aggregation order.
+    */
+  def tokenEntropy(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    val totals = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("total"))
+    val cnt = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+    val p = col("cnt") / col("total")
+    cnt.join(totals, "doc_id")
+      .groupBy(col("doc_id"), col("total"))
+      .agg(count(lit(1)).as("n_distinct"),
+        (-sum((p * log(p)).cast(DecimalType(38, 12))).cast(DoubleType)).as("h"))
+      .select(col("doc_id"), col("total").cast(LongType).as("n_tokens"),
+        col("n_distinct"), round(col("h"), 6).as("entropy"),
+        round(col("n_distinct") / col("total"), 6).as("ttr"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val entropyOracle: String =
+    """WITH tot AS (SELECT doc_id, len(string_split(text, ' ')) AS total FROM documents),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |c AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY doc_id, token)
+      |SELECT c.doc_id, CAST(total AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_distinct,
+      |  round(-CAST(SUM(CAST((cnt / CAST(total AS DOUBLE))
+      |      * ln(cnt / CAST(total AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE), 6)
+      |    AS entropy,
+      |  round(COUNT(*) / CAST(total AS DOUBLE), 6) AS ttr
+      |FROM c JOIN tot USING (doc_id)
+      |GROUP BY c.doc_id, total ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("cu_chunk_sliding", chunkSliding, Some(chunkOracle)),
+    QueryDef("cu_contamination", contamination, Some(contaminationOracle)),
+    QueryDef("ta_token_entropy", tokenEntropy, Some(entropyOracle)),
+  )
+}

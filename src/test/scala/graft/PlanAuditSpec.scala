@@ -53,6 +53,8 @@ class PlanAuditSpec extends SparkSpec {
     Set("sim_topk_exact", "sim_range_search", "sim_ann_lsh", "sim_ivf_topk", "q5_region_volume",
       "j4_band_join",
       "q7_nation_trade", // nation dim: fixed 25 rows at every scale factor
+      "q11_value_share", // same fixed 25-row nation dim
+
       "dd_embed_neardup") // centroid index table, K ≈ √n — see bnljAllowed
 
   test("no explicit broadcast hints outside constant-bounded relations") {
