@@ -232,16 +232,26 @@ object LlmCuration {
     val keyed = docs.withColumn("dup_key",
       md5(lower(trim(array_join(slice(split(col("text"), " "), 1, 5), " "))).cast(BinaryType)))
     val dw = Window.partitionBy(col("dup_key"))
-    val deduped = keyed
+    // stage boundary: the quality+exact-dedup survivor corpus feeds
+    // FOUR consumers (scoped prefix index, scoped verify sets, the
+    // label loop's edge relation, the final collapse join) —
+    // materialize it ONCE with the same switchable truncation device
+    // the CC loop uses (local in tests, reliable on a cluster; a
+    // production run writes this stage to the lake anyway). Without
+    // this, each consumer re-executes the Gopher-filter DAG.
+    val deduped = graft.plans.Checkpoint.truncate(keyed
       .withColumn("keeper", min(col("doc_id")).over(dw))
-      .filter(col("doc_id") === col("keeper"))
+      .filter(col("doc_id") === col("keeper")))
     // near-dup collapse: J >= 0.9 pairs among survivors → star-CC
     // labels → keep each cluster's minimum (docs in no pair keep
     // themselves via the left join's null label)
     val survivors = deduped.select(col("doc_id"))
-    val pairs = LlmDedup.ngramJaccard(s, dir)
-      .join(survivors.select(col("doc_id").as("doc_a")), "doc_a")
-      .join(survivors.select(col("doc_id").as("doc_b")), "doc_b")
+    // scoped pair generation (ngramJaccardScoped): identical pair set
+    // to full-corpus pairs restricted to survivors — exact similarity
+    // depends only on the two docs — but candidate volume follows the
+    // SURVIVOR corpus, the pushdown that matters when the quality
+    // filter has already dropped a large slice of 100 TB
+    val pairs = LlmDedup.ngramJaccardScoped(s, dir, survivors)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val labels = LlmDedup.starLabels(pairs)
     val collapsed = deduped.join(labels, Seq("doc_id"), "left")

@@ -165,8 +165,25 @@ object LlmDedup {
     * package-private so ScaleBench can measure the candidate-volume
     * growth curve (the sub-quadratic design claim).
     */
-  private[graft] def ngramCandidates(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+  private[graft] def ngramCandidates(s: SparkSession, dir: String): DataFrame =
+    ngramCandidatesScoped(s, dir, None)
+
+  /** [[ngramCandidates]] restricted to a doc-id scope BEFORE indexing:
+    * the semi-join lands on the cached shingle relation, so document
+    * frequencies, prefix ranks, and the self-join all run over the
+    * scoped corpus only. Exactness-preserving for ANY scope — the
+    * prefix filter is loss-less under any consistent global (df, sh)
+    * order, and pairs of an exact-similarity measure depend only on
+    * the two docs — so pairs-over-scope == full pairs restricted to
+    * scope, at the scoped corpus's (sub-quadratic) candidate cost.
+    * This is the dedup ladder's filter pushdown: at 100 TB a curation
+    * pipeline near-dups the quality SURVIVORS, not the raw corpus.
+    */
+  private[graft] def ngramCandidatesScoped(s: SparkSession, dir: String,
+      scope: Option[DataFrame]): DataFrame = {
+    val sh0 = shingles(s, dir)
+    val sh = scope.fold(sh0)(ids =>
+      sh0.join(ids.select(col("doc_id")), Seq("doc_id"), "left_semi"))
     // document frequency as a hash aggregate (partial→final, map-side
     // combined, NO sort) joined back to the shingle relation — replaces
     // the count().over(partitionBy(sh)) window, which forced a full
@@ -221,6 +238,20 @@ object LlmDedup {
 
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     verifyPairs(ngramCandidates(s, dir), docSets(s, dir))
+
+  /** Scoped twin of [[ngramJaccard]] (see [[ngramCandidatesScoped]]):
+    * identical pair set to `ngramJaccard.filter(both ends in scope)`,
+    * generated at scoped cost. Verification payload sets are scoped
+    * too — the groupBy only aggregates shingles the join can touch.
+    */
+  private[graft] def ngramJaccardScoped(s: SparkSession, dir: String,
+      scope: DataFrame): DataFrame = {
+    val sets = shingles(s, dir)
+      .join(scope.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(collect_list(col("sh")).as("shs"))
+    verifyPairs(ngramCandidatesScoped(s, dir, Some(scope)), sets)
+  }
 
   // The oracle states the SEMANTICS (all size-compatible pairs at
   // J >= t over the full inverted index); the Spark side reaches the

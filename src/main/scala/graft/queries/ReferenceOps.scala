@@ -218,6 +218,49 @@ object ReferenceOps {
       | COALESCE(NULLIF(lang, 'en'), 'EN') AS lang_or_default
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** §2.7 string-manipulation + edit-distance surface beyond
+    * [[scalarFunctions]]'s basics: levenshtein (the similarity
+    * primitive fuzzy entity-matching pipelines key on), padding,
+    * reverse/repeat, character translation, global replace, field
+    * extraction (split_part), substring position, and left/right
+    * slices — the function set Spark and DuckDB share with identical
+    * semantics, each exercised over non-trivial inputs.
+    */
+  def stringFunctions(s: SparkSession, dir: String): DataFrame = {
+    Tables.t(s, dir, "documents").select(
+      col("doc_id"),
+      levenshtein(col("source"), col("lang")).as("lev_src_lang"),
+      levenshtein(substring(col("text"), 1, 12), col("source")).as("lev_prefix"),
+      lpad(col("source"), 8, "_").as("lpadded"),
+      rpad(col("lang"), 6, ".").as("rpadded"),
+      reverse(col("source")).as("rev_source"),
+      repeat(col("lang"), 3).as("lang3"),
+      translate(col("source"), "src", "XYZ").as("translated"),
+      regexp_replace(col("source"), "src", "S").as("replaced"),
+      split_part(concat(col("lang"), lit("-"), col("source")), lit("-"), lit(2))
+        .as("second_field"),
+      instr(col("source"), "r").as("r_pos"),
+      substring(col("source"), 1, 4).as("left4"),
+      col("source").substr(length(col("source")) - 1, lit(2)).as("right2"),
+    ).orderBy(col("doc_id"))
+  }
+
+  val stringFunctionsOracle: String =
+    """SELECT doc_id,
+      | levenshtein(source, lang) AS lev_src_lang,
+      | levenshtein(substring(text, 1, 12), source) AS lev_prefix,
+      | lpad(source, 8, '_') AS lpadded,
+      | rpad(lang, 6, '.') AS rpadded,
+      | reverse(source) AS rev_source,
+      | repeat(lang, 3) AS lang3,
+      | translate(source, 'src', 'XYZ') AS translated,
+      | replace(source, 'src', 'S') AS replaced,
+      | split_part(lang || '-' || source, '-', 2) AS second_field,
+      | strpos(source, 'r') AS r_pos,
+      | substring(source, 1, 4) AS left4,
+      | substring(source, length(source) - 1, 2) AS right2
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** §2.7 JSON function surface: path extraction (scalar, nested,
     * missing → null), existence, and array-element access over a JSON
     * document CONSTRUCTED deterministically via concat — both engines
@@ -445,6 +488,7 @@ object ReferenceOps {
     QueryDef("p1_json_normalize", p1JsonNormalize, Some(p1JsonNormalizeOracle)),
     QueryDef("fx_date_fixup", dateFixup, Some(dateFixupOracle)),
     QueryDef("fn_scalar_suite", scalarFunctions, Some(scalarFunctionsOracle)),
+    QueryDef("fn_string_suite", stringFunctions, Some(stringFunctionsOracle)),
     QueryDef("fn_array_suite", arrayFunctions, Some(arrayFunctionsOracle)),
     QueryDef("fn_json_suite", jsonFunctions, Some(jsonFunctionsOracle)),
   )

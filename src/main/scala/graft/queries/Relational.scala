@@ -362,6 +362,36 @@ object Relational {
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** Explicit GROUPING SETS — deliberately NOT expressible as rollup
+    * or cube (it includes the (l_linestatus) set rollup skips and
+    * omits (l_returnflag)), with `grouping()` indicator columns: the
+    * only way to tell a subtotal row's NULL from a data NULL, which
+    * null-ordering alone (the [[rollupAgg]]/[[cubeAgg]] device) cannot.
+    */
+  def groupingSetsAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast(LongType).as("g_rf"),
+        grouping(col("l_linestatus")).cast(LongType).as("g_ls"),
+        count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+      .orderBy(col("g_rf"), col("g_ls"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val groupingSetsAggOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+      | CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** TPC-H Q14-shaped promo revenue share: fact-dim join on partkey +
     * conditional (CASE-guarded) aggregation, decimal-exact. The only
     * query over `part`, and the canonical "conditional numerator /
@@ -597,6 +627,7 @@ object Relational {
     QueryDef("set_ops", setOps, Some(setOpsOracle)),
     QueryDef("rollup_agg", rollupAgg, Some(rollupAggOracle)),
     QueryDef("cube_agg", cubeAgg, Some(cubeAggOracle)),
+    QueryDef("grouping_sets_agg", groupingSetsAgg, Some(groupingSetsAggOracle)),
     QueryDef("stats_agg", statsAgg, Some(statsAggOracle)),
     QueryDef("q14_promo", q14Promo, Some(q14PromoOracle)),
     QueryDef("distinct_agg", distinctAgg, Some(distinctAggOracle)),

@@ -171,4 +171,25 @@ class DedupExactnessSpec extends SparkSpec {
     assert(!graft.plans.Checkpoint.reliable(df))
     checkClusters(LlmDedup.starClusters(df), want)
   }
+
+  test("scoped pair generation == full pairs restricted to the scope") {
+    // the curation pipeline's filter-pushdown claim, pinned: for an
+    // exact similarity measure, generating pairs over a doc subset
+    // must equal generating over the corpus and filtering both ends —
+    // the prefix filter re-derives df/ranks over the subset, so this
+    // catches any ordering assumption that silently depends on the
+    // full corpus
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.col
+    val scope = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).filter(col("doc_id") % 3 =!= 1)
+    val ids = scope.collect().map(_.getLong(0)).toSet
+    val full = LlmDedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = full.filter(p => ids(p._1) && ids(p._2)).toSet
+    val scoped = LlmDedup.ngramJaccardScoped(spark, dir, scope).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(scoped == expected)
+    assert(scoped.nonEmpty, "vacuous scope — pick a subset that keeps pairs")
+  }
 }
