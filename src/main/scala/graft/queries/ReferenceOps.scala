@@ -261,6 +261,28 @@ object ReferenceOps {
       | substring(source, length(source) - 1, 2) AS right2
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** §2.7 cryptographic digest surface: md5 and sha-256 hex digests —
+    * the content-addressing primitives the dedup keys and split
+    * assignments build on, gated directly so the digest contract
+    * (lowercase hex over utf-8 bytes) is pinned cross-engine.
+    */
+  def hashFunctions(s: SparkSession, dir: String): DataFrame = {
+    Tables.t(s, dir, "documents").select(
+      col("doc_id"),
+      md5(col("source").cast(BinaryType)).as("md5_source"),
+      sha2(col("text").cast(BinaryType), 256).as("sha256_text"),
+      md5(concat(col("lang"), lit("|"), col("source")).cast(BinaryType))
+        .as("md5_composite"),
+    ).orderBy(col("doc_id"))
+  }
+
+  val hashFunctionsOracle: String =
+    """SELECT doc_id,
+      | md5(source) AS md5_source,
+      | sha256(text) AS sha256_text,
+      | md5(lang || '|' || source) AS md5_composite
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** §2.7 JSON function surface: path extraction (scalar, nested,
     * missing → null), existence, and array-element access over a JSON
     * document CONSTRUCTED deterministically via concat — both engines
@@ -489,6 +511,7 @@ object ReferenceOps {
     QueryDef("fx_date_fixup", dateFixup, Some(dateFixupOracle)),
     QueryDef("fn_scalar_suite", scalarFunctions, Some(scalarFunctionsOracle)),
     QueryDef("fn_string_suite", stringFunctions, Some(stringFunctionsOracle)),
+    QueryDef("fn_hash_suite", hashFunctions, Some(hashFunctionsOracle)),
     QueryDef("fn_array_suite", arrayFunctions, Some(arrayFunctionsOracle)),
     QueryDef("fn_json_suite", jsonFunctions, Some(jsonFunctionsOracle)),
   )

@@ -295,6 +295,51 @@ object Relational {
       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
+  /** Value-window suite — the navigation functions [[windowRankSuite]]
+    * doesn't cover: IGNORE NULLS first/last/nth (last-non-null over a
+    * running frame IS forward-fill, the time-series gap-repair
+    * primitive), whole-partition last_value via an explicit
+    * both-unbounded frame, and lag/lead with defaults and offset 2.
+    * Nulls are planted deterministically (every 7th event id) so the
+    * ignore-nulls paths are non-vacuous; values pass through unrounded
+    * (raw parquet doubles are bit-identical in both engines).
+    */
+  def windowValueSuite(s: SparkSession, dir: String): DataFrame = {
+    val nv = when(pmod(col("event_id"), lit(7)) === 0, lit(null).cast(DoubleType))
+      .otherwise(col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.t(s, dir, "events")
+      .withColumn("nv", nv)
+      .select(
+        col("user_id"), col("event_id"), col("nv"),
+        first(col("nv"), ignoreNulls = true).over(wRun).as("first_nn"),
+        last(col("nv"), ignoreNulls = true).over(wRun).as("ffill"),
+        nth_value(col("nv"), 2, ignoreNulls = true).over(wRun).as("nth2_nn"),
+        last(col("value")).over(wAll).as("part_last"),
+        lag(col("value"), 1, -1.0).over(w).as("lag_def"),
+        lead(col("value"), 2).over(w).as("lead2"),
+      )
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val windowValueSuiteOracle: String =
+    """WITH e AS (SELECT user_id, event_id, value,
+      |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS nv FROM events)
+      |SELECT user_id, event_id, nv,
+      | FIRST_VALUE(nv IGNORE NULLS) OVER wrun AS first_nn,
+      | LAST_VALUE(nv IGNORE NULLS) OVER wrun AS ffill,
+      | NTH_VALUE(nv, 2 IGNORE NULLS) OVER wrun AS nth2_nn,
+      | LAST_VALUE(value) OVER (PARTITION BY user_id ORDER BY event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS part_last,
+      | LAG(value, 1, -1.0) OVER (PARTITION BY user_id ORDER BY event_id) AS lag_def,
+      | LEAD(value, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS lead2
+      |FROM e
+      |WINDOW wrun AS (PARTITION BY user_id ORDER BY event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** UNION / INTERSECT / EXCEPT semantics in one result, tagged per
     * branch. Scale shape: ONE pass over the fact — a conditional flag
     * aggregate per user — then the three set-branches derive from the
@@ -623,6 +668,7 @@ object Relational {
     QueryDef("w1_window_topk", windowTopK, Some(windowTopKOracle)),
     QueryDef("w2_running_sum", windowRunningSum, Some(windowRunningSumOracle)),
     QueryDef("w4_rank_suite", windowRankSuite, Some(windowRankSuiteOracle)),
+    QueryDef("w5_value_suite", windowValueSuite, Some(windowValueSuiteOracle)),
     QueryDef("j4_band_join", bandJoin, Some(bandJoinOracle)),
     QueryDef("set_ops", setOps, Some(setOpsOracle)),
     QueryDef("rollup_agg", rollupAgg, Some(rollupAggOracle)),
