@@ -296,8 +296,50 @@ object StreamingGates {
       |LEFT JOIN t3 USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Spark's NATIVE session_window operator (the same SessionWindow
+    * aggregation Structured Streaming's session state uses) gated
+    * against a lag-based islands oracle. Semantics pinned exactly:
+    * session end = last event + gap (half-open), an event exactly
+    * `gap` after its predecessor starts a NEW session (merge iff
+    * strictly less), so the oracle breaks on `diff >= gap`. The
+    * lag+cumsum [[sessionizeBatch]] twin keeps its own (closed-bound)
+    * convention — both are gated, the conventions are documented.
+    *
+    * Scale shape: one shuffle on user_id, then per-key in-memory
+    * session merge — no window SORT over the whole fact, which is what
+    * makes the native operator preferable at 100 TB.
+    */
+  def sessionWindowNative(s: SparkSession, dir: String): DataFrame = {
+    Tables.t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+      .select(col("user_id"),
+        col("sw.start").as("session_start"), col("sw.end").as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val sessionWindowNativeOracle: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS v,
+      |  CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |l AS (SELECT user_id, event_id, v, ts,
+      |  CASE WHEN LAG(ts) OVER w IS NULL
+      |        OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+      |       THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, v, ts,
+      |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sid FROM l)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS total_value
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("st_windowed_agg", windowedAgg, Some(windowedAggOracle)),
+    QueryDef("st_session_window", sessionWindowNative, Some(sessionWindowNativeOracle)),
     QueryDef("st_sliding_window", slidingWindowAgg, Some(slidingWindowAggOracle)),
     QueryDef("st_funnel", funnelBatch, Some(funnelOracle)),
     QueryDef("st_gap_fill", gapFill, Some(gapFillOracle)),

@@ -151,9 +151,45 @@ object TrainingPrep {
       |FROM c JOIN tot USING (doc_id)
       |GROUP BY c.doc_id, total ORDER BY doc_id""".stripMargin
 
+  /** Epoch upsampling — the step that APPLIES a domain mixture: each
+    * source's docs replicate ceil(max_tokens / source_tokens) times
+    * (capped at 4 epochs, the usual repetition-harm bound), so
+    * low-resource domains approach token parity with the largest. The
+    * factor is pure integer arithmetic — `(mx + n - 1) div n` — so
+    * both engines agree exactly even at ratio boundaries; the global
+    * max arrives as an uncorrelated scalar subquery over the ~|sources|
+    * aggregate (evaluated once, broadcast into the projection).
+    */
+  def upsampleEpochs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    val bySource = docs.groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast(LongType)).as("n_tok"))
+    val maxTok = bySource.select(max(col("n_tok")))
+    val factors = bySource
+      .withColumn("mx", maxTok.scalar())
+      .select(col("source"),
+        least(lit(4L), expr("(mx + n_tok - 1) div n_tok")).as("factor"))
+    docs.join(factors, "source")
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("factor"))).as("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
+  private val upsampleOracle: String =
+    """WITH bs AS (SELECT source, SUM(len(string_split(text, ' '))) AS n_tok
+      |  FROM documents GROUP BY source),
+      |f AS (SELECT source,
+      |  CAST(least(4, ((SELECT MAX(n_tok) FROM bs) + n_tok - 1) // n_tok)
+      |    AS BIGINT) AS factor
+      |  FROM bs)
+      |SELECT d.doc_id, d.source, unnest(range(1, f.factor + 1)) AS epoch
+      |FROM documents d JOIN f USING (source)
+      |ORDER BY doc_id, epoch""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("cu_chunk_sliding", chunkSliding, Some(chunkOracle)),
     QueryDef("cu_contamination", contamination, Some(contaminationOracle)),
+    QueryDef("cu_upsample_epochs", upsampleEpochs, Some(upsampleOracle)),
     QueryDef("ta_token_entropy", tokenEntropy, Some(entropyOracle)),
   )
 }
