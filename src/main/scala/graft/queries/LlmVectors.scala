@@ -430,8 +430,150 @@ object LlmVectors {
        |  AND round(list_cosine_similarity(v.emb, q.q_emb), 9) >= CAST($RangeCos AS DOUBLE)
        |ORDER BY q_id, vec_id""".stripMargin
 
+  // ---- Product quantization (PQ) + asymmetric distance computation ----
+
+  private val PqM = 8 // subspaces
+  private val PqSub = 8 // dims per subspace (PqM * PqSub = 64)
+  private val PqK = 16 // codewords per subspace
+
+  /** (vec_id, m, sub): the corpus split into M contiguous subvectors —
+    * a per-row explode+slice, no shuffle.
+    */
+  private def subVectors(base: DataFrame): DataFrame =
+    base
+      .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+        col("emb"))
+      .select(col("vec_id"), col("m"),
+        slice(col("emb"), col("m") * PqSub + 1, lit(PqSub)).as("sub"))
+
+  /** Squared L2 via three ordered dot products, so both engines build
+    * the identical IEEE expression tree: (x·x − 2·x·c) + c·c.
+    */
+  private def l2sq(x: Column, c: Column): Column =
+    dot(x, x) - lit(2.0) * dot(x, c) + dot(c, c)
+
+  /** argmin codeword per (vec_id, m): rank on round(L2², 9) ascending
+    * with the codeword id as tie-break — the same engine-reproducible
+    * argmax device every vector operator here uses, in min form.
+    */
+  private def assignCodes(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(round(l2sq(col("sub"), col("csub")), 9).asc, col("code"))
+    sub.join(broadcast(cb), Seq("m"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("code"))
+  }
+
+  /** Per-subspace codebooks: seeds = the first PqK vectors' subvectors
+    * (labels ARE vec_ids 0..15, identical to the oracle's dense
+    * renumber), one decimal-exact Lloyd step on the deterministic
+    * `vec_id % TrainMod` subsample — [[lloydCentroids]]'s recipe
+    * applied per (m) with L2 instead of cosine, as PQ trains.
+    */
+  private def pqCodebook(base: DataFrame): DataFrame = {
+    val sub = subVectors(base)
+    val seeds = sub.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("code"), col("sub").as("csub"))
+    val sample = sub.filter(col("vec_id") % TrainMod === 0)
+    assignCodes(sample, seeds)
+      .join(sample, Seq("vec_id", "m"))
+      .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("dim", "x")))
+      .groupBy(col("m"), col("code"), col("dim"))
+      .agg((sum(col("x").cast(DecimalType(38, 12))).cast(DoubleType) /
+        count(lit(1))).as("v"))
+      .groupBy(col("m"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("v")))),
+        e => e.getField("v")).as("csub"))
+  }
+
+  /** PQ-ADC approximate inner-product top-k (Jégou et al. 2011, the
+    * FAISS `PQ` index): encode every corpus vector as M codeword ids,
+    * then answer queries from a per-query (m, code) → q_m·c_{m,code}
+    * lookup table, summing M table hits per (query, vector).
+    *
+    * THE 100 TB point: after index build, search never touches the
+    * raw vectors — the `codes` relation IS the compressed corpus
+    * (M=8 small ints ≈ 8 bytes/vector vs 256 bytes of floats, 32×
+    * with nibble packing), the codebook is a constant M×K×PqSub ≈ 8 KB
+    * broadcast, and the ADC scan is one codes pass + a decimal-exact
+    * M-term sum per candidate. Approximation error is the quantizer's,
+    * and the gate pins the ESTIMATOR itself: every argmin ranks on
+    * round(,9) with id tie-breaks and the ADC sum aggregates through
+    * DECIMAL(38,12), so DuckDB re-derives codebooks, codes, and
+    * rankings bit-identically.
+    */
+  def pqAdcTopk(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    val cb = pqCodebook(base)
+    val codes = assignCodes(subVectors(base), cb)
+    val qt = subVectors(base.filter(col("vec_id") < NQueries))
+      .select(col("vec_id").as("q_id"), col("m"), col("sub"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("q_id"), col("m"), col("code"),
+        dot(col("sub"), col("csub")).as("t"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("ip"), 9).desc, col("vec_id"))
+    codes.join(broadcast(qt), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("t").cast(DecimalType(38, 12))).cast(DoubleType).as("ip"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("ip"), 6).as("ip_approx"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** DuckDB re-derivation of the full PQ pipeline — same seeds (dense
+    * renumber == raw vec_id labels for consecutive ids), same Lloyd
+    * means, same rounded-L2 argmin, same decimal ADC sum.
+    */
+  val pqAdcTopkOracle: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |ms AS (SELECT unnest(range(0, $PqM)) AS m),
+       |sub AS (SELECT vec_id, m, emb[m*$PqSub+1 : m*$PqSub+$PqSub] AS s
+       |  FROM v CROSS JOIN ms),
+       |seeds AS (SELECT m, ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) - 1
+       |    AS code, s AS cs
+       |  FROM sub WHERE vec_id < $PqK),
+       |a0 AS (SELECT vec_id, m, code, s FROM (
+       |  SELECT sub.vec_id, sub.m, seeds.code, sub.s,
+       |    ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+       |      ORDER BY round(list_inner_product(sub.s, sub.s)
+       |        - 2*list_inner_product(sub.s, seeds.cs)
+       |        + list_inner_product(seeds.cs, seeds.cs), 9), seeds.code) AS rn
+       |  FROM sub JOIN seeds USING (m) WHERE sub.vec_id % $TrainMod = 0)
+       |  WHERE rn = 1),
+       |dims AS (SELECT m, code, unnest(range(1, len(s) + 1)) AS dim, unnest(s) AS x
+       |  FROM a0),
+       |cb AS (SELECT m, code, list(v ORDER BY dim) AS cs FROM (
+       |  SELECT m, code, dim,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS v
+       |  FROM dims GROUP BY m, code, dim) GROUP BY m, code),
+       |enc AS (SELECT vec_id, m, code FROM (
+       |  SELECT sub.vec_id, sub.m, cb.code,
+       |    ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+       |      ORDER BY round(list_inner_product(sub.s, sub.s)
+       |        - 2*list_inner_product(sub.s, cb.cs)
+       |        + list_inner_product(cb.cs, cb.cs), 9), cb.code) AS rn
+       |  FROM sub JOIN cb USING (m)) WHERE rn = 1),
+       |qt AS (SELECT sub.vec_id AS q_id, sub.m, cb.code,
+       |    list_inner_product(sub.s, cb.cs) AS t
+       |  FROM sub JOIN cb USING (m) WHERE sub.vec_id < $NQueries),
+       |adc AS (SELECT qt.q_id, enc.vec_id,
+       |    CAST(SUM(CAST(t AS DECIMAL(38,12))) AS DOUBLE) AS ip
+       |  FROM enc JOIN qt USING (m, code) WHERE enc.vec_id <> qt.q_id
+       |  GROUP BY qt.q_id, enc.vec_id)
+       |SELECT q_id, rank, vec_id, round(ip, 6) AS ip_approx FROM (
+       |  SELECT q_id, vec_id, ip,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY round(ip, 9) DESC, vec_id) AS rank FROM adc)
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("sim_topk_exact", topkExact, Some(topkExactOracle)),
+    QueryDef("sim_pq_adc", pqAdcTopk, Some(pqAdcTopkOracle)),
     QueryDef("sim_range_search", rangeSearch, Some(rangeSearchOracle)),
     QueryDef("sim_ann_lsh", annTopk, Some(annTopkOracle)),
     QueryDef("sim_ivf_topk", ivfTopk, Some(ivfTopkOracle)),

@@ -54,6 +54,9 @@ class PlanAuditSpec extends SparkSpec {
       "j4_band_join",
       "q7_nation_trade", // nation dim: fixed 25 rows at every scale factor
       "q11_value_share", // same fixed 25-row nation dim
+      // PQ codebook (M*K = 128 rows x 8 doubles, constant) and the
+      // per-query ADC lookup table (NQueries * M * K rows, constant)
+      "sim_pq_adc",
 
       "dd_embed_neardup") // centroid index table, K ≈ √n — see bnljAllowed
 
