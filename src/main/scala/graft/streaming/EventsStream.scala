@@ -127,6 +127,24 @@ object EventsStream {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Spark's NATIVE session-window aggregation as the streaming twin
+    * of [[sessionize]]: the built-in SessionWindow state merges
+    * per-user sessions on the same 30-minute gap (half-open — an event
+    * exactly `gap` after its predecessor starts a new session), and a
+    * session row emits exactly once when the watermark passes its end
+    * (= last event + gap). Same operator family the batch
+    * `st_session_window` gate pins against DuckDB; the spec asserts
+    * parity with the custom [[sessionize]] engine (native end ==
+    * custom last-event end + gap).
+    */
+  def sessionWindowCounts(events: Dataset[Event]): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("total_value"))
+
   /** Custom session state: per-user sessions closed by a 30-minute
     * event-time gap. flatMapGroupsWithState with EventTimeTimeout —
     * state evicts itself when the watermark passes last-event + gap,

@@ -103,6 +103,30 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("native session_window streaming: parity with the custom session engine") {
+    val in = tmpDir("sw-in"); val out = tmpDir("sw-out"); val ck = tmpDir("sw-ck")
+    writeInput(in)
+    EventsStream.runToParquet(
+      EventsStream.sessionWindowCounts(EventsStream.parse(spark.readStream.text(in))),
+      out, ck).awaitTermination(120000)
+    val native = spark.read.parquet(out)
+      .select(col("user_id"), unix_timestamp(col("session_start")).as("ss"),
+        unix_timestamp(col("session_end")).as("se"),
+        col("n_events"), col("total_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    def ep(s: String) = java.time.Instant.parse(s).getEpochSecond
+    // custom sessionize's sessions with end = last event; native end =
+    // last event + 30 min. Sentinel's own session is past the
+    // watermark and must NOT emit.
+    assert(native === Set(
+      (1L, ep("2025-07-01T10:00:30Z"), ep("2025-07-01T10:37:00Z"), 3L, 6.0),
+      (1L, ep("2025-07-01T11:00:00Z"), ep("2025-07-01T11:30:00Z"), 1L, 9.0),
+      (2L, ep("2025-07-01T10:03:00Z"), ep("2025-07-01T10:33:00Z"), 1L, 10.0),
+    ))
+  }
+
   test("stream-stream interval join: purchases attribute to preceding views") {
     val in = tmpDir("at-in"); val out = tmpDir("at-out"); val ck = tmpDir("at-ck")
     val withPurchases = base ++ Seq(
