@@ -98,6 +98,7 @@ object ScaleBench {
       "sim_ann_lsh" -> graft.queries.LlmVectors.annTopk _,
       "sim_ivf_topk" -> graft.queries.LlmVectors.ivfTopk _,
       "sim_pq_adc" -> graft.queries.LlmVectors.pqAdcTopk _,
+      "sim_ivfpq_topk" -> graft.queries.LlmVectors.ivfPqTopk _,
       "sk_kmv_distinct" -> graft.queries.Sketches.kmvDistinct _,
       "sk_kmv_agg" -> graft.queries.Sketches.kmvAgg _,
       "sk_countmin_topk" -> graft.queries.Sketches.countMinTopk _,

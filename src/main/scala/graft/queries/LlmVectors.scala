@@ -571,9 +571,126 @@ object LlmVectors {
        |      ORDER BY round(ip, 9) DESC, vec_id) AS rank FROM adc)
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
 
+  /** IVFPQ — the composed FAISS architecture and the 100 TB search
+    * shape: IVF's coarse quantizer prunes the corpus to nProbe cells
+    * per query, then PQ-ADC scores ONLY the vectors inside probed
+    * cells from their 8-byte codes. No-residual variant (codes encode
+    * the raw vectors, not cell residuals — one codebook instead of
+    * K×M; the pruning and compression economics are identical, the
+    * quantization error slightly higher, and every stage stays
+    * engine-reproducible).
+    *
+    * Index = cell assignment (1 int/vector) + codes (M ids/vector) +
+    * constant centroid/codebook broadcasts. Search = |corpus|·nProbe/K
+    * candidates × an M-term decimal table sum — the raw vectors are
+    * never read after index build.
+    */
+  def ivfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    val seeds = base.filter(col("vec_id") < IvfClusters)
+      .select(col("vec_id").as("cell"), col("emb").as("cemb"), col("nrm").as("cnrm"))
+    val centroids = lloydCentroids(base.filter(col("vec_id") % TrainMod === 0), seeds)
+    val cells = assignCells(base, centroids, 1)
+    val cb = pqCodebook(base)
+    val codes = assignCodes(subVectors(base), cb)
+    val queries = base.filter(col("vec_id") < NQueries)
+    val probed = assignCells(queries, centroids, IvfProbes)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    val qt = subVectors(queries)
+      .select(col("vec_id").as("q_id"), col("m"), col("sub"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("q_id"), col("m"), col("code"),
+        dot(col("sub"), col("csub")).as("t"))
+    val cand = cells.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("ip"), 9).desc, col("vec_id"))
+    cand.join(codes, Seq("vec_id"))
+      .join(broadcast(qt), Seq("q_id", "m", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("t").cast(DecimalType(38, 12))).cast(DoubleType).as("ip"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("ip"), 6).as("ip_approx"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The IVF oracle's coarse chain composed with the PQ oracle's
+    * codebook/encode/ADC chain, candidates restricted to probed cells.
+    */
+  val ivfPqTopkOracle: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, emb AS cemb
+       |  FROM v WHERE vec_id < $IvfClusters),
+       |a0 AS (SELECT vec_id, emb, cell FROM (
+       |  SELECT v.vec_id, v.emb, s.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY round(list_cosine_similarity(v.emb, s.cemb), 9) DESC, s.cell) AS rn
+       |  FROM v CROSS JOIN seeds s WHERE v.vec_id % $TrainMod = 0) WHERE rn = 1),
+       |cdims AS (SELECT cell, unnest(range(1, len(emb) + 1)) AS dim, unnest(emb) AS x
+       |  FROM a0),
+       |cent AS (SELECT cell, list(m ORDER BY dim) AS cemb FROM (
+       |  SELECT cell, dim, CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM cdims GROUP BY cell, dim) GROUP BY cell),
+       |cells AS (SELECT vec_id, cell FROM (
+       |  SELECT v.vec_id, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY round(list_cosine_similarity(v.emb, c.cemb), 9) DESC, c.cell) AS rn
+       |  FROM v CROSS JOIN cent c) WHERE rn = 1),
+       |probes AS (SELECT q_id, cell FROM (
+       |  SELECT v.vec_id AS q_id, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY round(list_cosine_similarity(v.emb, c.cemb), 9) DESC, c.cell) AS rn
+       |  FROM v CROSS JOIN cent c WHERE v.vec_id < $NQueries) WHERE rn <= $IvfProbes),
+       |ms AS (SELECT unnest(range(0, $PqM)) AS m),
+       |sub AS (SELECT vec_id, m, emb[m*$PqSub+1 : m*$PqSub+$PqSub] AS s
+       |  FROM v CROSS JOIN ms),
+       |pseeds AS (SELECT m, ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) - 1
+       |    AS code, s AS cs
+       |  FROM sub WHERE vec_id < $PqK),
+       |pa0 AS (SELECT vec_id, m, code, s FROM (
+       |  SELECT sub.vec_id, sub.m, pseeds.code, sub.s,
+       |    ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+       |      ORDER BY round(list_inner_product(sub.s, sub.s)
+       |        - 2*list_inner_product(sub.s, pseeds.cs)
+       |        + list_inner_product(pseeds.cs, pseeds.cs), 9), pseeds.code) AS rn
+       |  FROM sub JOIN pseeds USING (m) WHERE sub.vec_id % $TrainMod = 0)
+       |  WHERE rn = 1),
+       |pdims AS (SELECT m, code, unnest(range(1, len(s) + 1)) AS dim, unnest(s) AS x
+       |  FROM pa0),
+       |cb AS (SELECT m, code, list(v ORDER BY dim) AS cs FROM (
+       |  SELECT m, code, dim,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS v
+       |  FROM pdims GROUP BY m, code, dim) GROUP BY m, code),
+       |enc AS (SELECT vec_id, m, code FROM (
+       |  SELECT sub.vec_id, sub.m, cb.code,
+       |    ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+       |      ORDER BY round(list_inner_product(sub.s, sub.s)
+       |        - 2*list_inner_product(sub.s, cb.cs)
+       |        + list_inner_product(cb.cs, cb.cs), 9), cb.code) AS rn
+       |  FROM sub JOIN cb USING (m)) WHERE rn = 1),
+       |qt AS (SELECT sub.vec_id AS q_id, sub.m, cb.code,
+       |    list_inner_product(sub.s, cb.cs) AS t
+       |  FROM sub JOIN cb USING (m) WHERE sub.vec_id < $NQueries),
+       |cand AS (SELECT DISTINCT p.q_id, x.vec_id
+       |  FROM cells x JOIN probes p ON x.cell = p.cell AND x.vec_id <> p.q_id),
+       |adc AS (SELECT cand.q_id, cand.vec_id,
+       |    CAST(SUM(CAST(t AS DECIMAL(38,12))) AS DOUBLE) AS ip
+       |  FROM cand JOIN enc ON cand.vec_id = enc.vec_id
+       |  JOIN qt ON qt.q_id = cand.q_id AND qt.m = enc.m AND qt.code = enc.code
+       |  GROUP BY cand.q_id, cand.vec_id)
+       |SELECT q_id, rank, vec_id, round(ip, 6) AS ip_approx FROM (
+       |  SELECT q_id, vec_id, ip,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY round(ip, 9) DESC, vec_id) AS rank FROM adc)
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("sim_topk_exact", topkExact, Some(topkExactOracle)),
     QueryDef("sim_pq_adc", pqAdcTopk, Some(pqAdcTopkOracle)),
+    QueryDef("sim_ivfpq_topk", ivfPqTopk, Some(ivfPqTopkOracle)),
     QueryDef("sim_range_search", rangeSearch, Some(rangeSearchOracle)),
     QueryDef("sim_ann_lsh", annTopk, Some(annTopkOracle)),
     QueryDef("sim_ivf_topk", ivfTopk, Some(ivfTopkOracle)),

@@ -109,6 +109,23 @@ class LlmOpsSpec extends SparkSpec {
       s"mean PQ recall ${recalls.sum / recalls.size} not above random")
   }
 
+  test("IVFPQ: per-rank ADC dominance vs full-corpus PQ (candidate subset, same estimator)") {
+    val full = LlmVectors.pqAdcTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val pruned = LlmVectors.ivfPqTopk(spark, dir).collect()
+    assert(pruned.nonEmpty)
+    pruned.groupBy(_.getLong(0)).values.foreach(rows => assert(rows.length <= 5))
+    // IVFPQ scores the SAME ADC estimator over the probed-cells subset
+    // of the corpus, so its rank-r approximate IP can never beat the
+    // full scan's rank-r
+    pruned.foreach { r =>
+      val key = (r.getLong(0), r.getInt(1))
+      assert(full.contains(key))
+      assert(r.getDouble(3) <= full(key) + 1e-9,
+        s"ivfpq rank ${r.getInt(1)} for q${r.getLong(0)} beats the full ADC scan")
+    }
+  }
+
   test("IVF top-k: per-rank dominance vs exact, k rows max, decent recall") {
     val exact = LlmVectors.topkExact(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap

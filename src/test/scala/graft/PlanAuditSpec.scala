@@ -25,6 +25,8 @@ class PlanAuditSpec extends SparkSpec {
   //   matrix in RAM on every worker.
   private val bnljAllowed =
     Set("sim_topk_exact", "sim_range_search", "dd_embed_neardup", "sim_ivf_topk",
+      // IVF coarse assignment: same broadcast centroid probe as sim_ivf_topk
+      "sim_ivfpq_topk",
       // 1-row bounds relation × distinct event types — grid generation
       "st_gap_fill",
       // 4-row literal band dimension, lo<=x<hi non-equi lookup
@@ -57,6 +59,9 @@ class PlanAuditSpec extends SparkSpec {
       // PQ codebook (M*K = 128 rows x 8 doubles, constant) and the
       // per-query ADC lookup table (NQueries * M * K rows, constant)
       "sim_pq_adc",
+      // IVFPQ: the same constant codebook/ADC-table broadcasts plus the
+      // NQueries * nProbe probe list
+      "sim_ivfpq_topk",
 
       "dd_embed_neardup") // centroid index table, K ≈ √n — see bnljAllowed
 
