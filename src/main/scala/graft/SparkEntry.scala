@@ -29,7 +29,8 @@ object SparkEntry {
         graft.queries.Sketches.defs ++
         graft.queries.RelationalExt.defs ++
         graft.queries.Subqueries.defs ++
-        graft.queries.TrainingPrep.defs
+        graft.queries.TrainingPrep.defs ++
+        graft.queries.DataOps.defs
     // a name collision would silently shrink the correctness gate
     // (toMap keeps the last duplicate) — fail loudly instead
     require(defs.map(_.name).distinct.size == defs.size,

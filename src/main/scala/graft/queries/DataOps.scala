@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pipeline-operations surface: the profiling and data-quality checks
+  * a production warehouse runs around the analytical queries — an
+  * ANALYZE-style one-pass column profiler and a dbt-style
+  * data-quality violations report. Both are ordinary oracle-gated
+  * relational queries, built to the same scale discipline as the rest
+  * of the engine.
+  */
+object DataOps {
+
+  private val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Numeric column profile of `lineitem`: row count, null count,
+    * exact distinct count, min and max per column — ONE scan: all
+    * metrics aggregate together (the multi-column exact NDV compiles
+    * to Catalyst's expand, a single pass with a 4-way row expansion,
+    * not four scans), then the single wide row unpivots via a
+    * generated struct array. At 100 TB swap the exact NDVs for
+    * approx_count_distinct — same plan minus the expand.
+    */
+  def profileNumeric(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    val aggs = ProfileCols.flatMap { c =>
+      Seq(count(lit(1)).as(s"n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        min(col(c)).cast(DoubleType).as(s"min_$c"),
+        max(col(c)).cast(DoubleType).as(s"max_$c"))
+    }
+    li.agg(aggs.head, aggs.drop(1): _*)
+      .select(explode(array(ProfileCols.map(c =>
+        struct(lit(c).as("column"), col(s"n_$c").as("n_rows"),
+          col(s"nulls_$c").as("n_nulls"), col(s"ndv_$c").as("n_distinct"),
+          col(s"min_$c").as("min_value"), col(s"max_$c").as("max_value"))): _*))
+        .as("p"))
+      .select(col("p.*"))
+      .orderBy(col("column"))
+  }
+
+  val profileNumericOracle: String = ProfileCols.map { c =>
+    s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+       | SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       | COUNT(DISTINCT $c) AS n_distinct,
+       | CAST(MIN($c) AS DOUBLE) AS min_value,
+       | CAST(MAX($c) AS DOUBLE) AS max_value
+       |FROM lineitem""".stripMargin
+  }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
+
+  /** Data-quality violations report — the dbt-test shapes over the
+    * warehouse relations, each check one aggregate, unioned into
+    * (check, n_violations). Mixed by construction: referential and
+    * uniqueness checks pass (0), the childless-orders and
+    * duplicate-prefix checks flag real rows, so a green gate proves
+    * the checks FIND violations, not just that the data is clean.
+    *
+    * Scale shape: pk-unique is one hash agg; the fk and childless
+    * checks are anti joins on the order key; dup-prefix is the exact
+    * dedup digest agg. Nothing scans twice.
+    */
+  def dqChecks(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.t(s, dir, "orders")
+    val li = Tables.t(s, dir, "lineitem")
+    val docs = Tables.t(s, dir, "documents")
+    def check(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check"), col("n_violations"))
+    val pkDups = orders.groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+    val fkOrphans = li.join(orders, col("l_orderkey") === col("o_orderkey"), "left_anti")
+    val childless = orders.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
+    val badStatus = orders.filter(!col("o_orderstatus").isin("P", "O", "F"))
+    val dupPrefix = docs
+      .select(lower(trim(array_join(slice(split(col("text"), " "), 1, 5), " "))).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("c")).filter(col("c") > 1)
+    check("orders_pk_unique", pkDups)
+      .unionByName(check("lineitem_fk_orders", fkOrphans))
+      .unionByName(check("orders_childless", childless))
+      .unionByName(check("orderstatus_domain", badStatus))
+      .unionByName(check("docs_dup_prefix", dupPrefix))
+      .orderBy(col("check"))
+  }
+
+  val dqChecksOracle: String =
+    """SELECT * FROM (
+      |SELECT 'orders_pk_unique' AS "check", COUNT(*) AS n_violations FROM (
+      |  SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+      |UNION ALL
+      |SELECT 'lineitem_fk_orders', COUNT(*) FROM lineitem
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      |UNION ALL
+      |SELECT 'orders_childless', COUNT(*) FROM orders
+      |  WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      |UNION ALL
+      |SELECT 'orderstatus_domain', COUNT(*) FROM orders
+      |  WHERE o_orderstatus NOT IN ('P', 'O', 'F')
+      |UNION ALL
+      |SELECT 'docs_dup_prefix', COUNT(*) FROM (
+      |  SELECT lower(trim(array_to_string(string_split(text, ' ')[1:5], ' '))) AS p
+      |  FROM documents GROUP BY p HAVING COUNT(*) > 1)
+      |) ORDER BY "check"""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("ops_profile_numeric", profileNumeric, Some(profileNumericOracle)),
+    QueryDef("ops_dq_checks", dqChecks, Some(dqChecksOracle)),
+  )
+}
