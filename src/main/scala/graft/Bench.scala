@@ -103,20 +103,49 @@ object Bench {
     // window (BENCH_r04.json tail starts mid-samples). The contract
     // line below is compact (3-decimal minima, ~1.4 KB for 55 queries)
     // and printed LAST so the tail always contains it whole.
-    val ss = raw.map { case (k, v) => s"${jstr(k)}:${v.mkString("[", ",", "]")}" }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"samples","unit":"sec","samples":$ss}""")
     val qs = times.map { case (k, v) => s"${jstr(k)}:${d3(v)}" }.mkString("{", ",", "}")
     val total = times.values.sum
     val pt = passTotals.map(d3).mkString("[", ",", "]")
-    // the driver keeps only the last ~2000 chars of stdout: keep this
-    // line lean (errors key only when non-empty; sf as basename)
+    // errors key only when non-empty; sf as basename — keep lines lean
     val es =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
         .mkString(""""errors":{""", ",", "},")
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","pass_walls":$pt,"queries":$qs,$es"sf":"$sfName"}""")
+    val fullLine =
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","pass_walls":$pt,"queries":$qs,$es"sf":"$sfName"}"""
+    // A parsable headline line <= ~1.9 KB: the full map stopped
+    // fitting the driver's ~2000-char capture at ~98 queries (r5/r6
+    // BENCH files show tail=2000 + parsed=None — the truncated full
+    // line never parsed). When the full line is small enough it IS the
+    // compact line; otherwise trim the query map to the slowest
+    // entries that fit the budget.
+    val compactLine =
+      if (fullLine.length <= 1900) fullLine
+      else {
+        val prefix = s"""{"metric":"total","value":${d3(total)},"unit":"sec","pass_walls":$pt,"n_queries":${times.size},"queries_slowest":{"""
+        val suffix = s"""},$es"sf":"$sfName"}"""
+        val budget = 1900 - prefix.length - suffix.length
+        val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+        var used = 0
+        times.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+          val e = s"${jstr(k)}:${d3(v)}"
+          if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+        }
+        prefix + entries.mkString(",") + suffix
+      }
+    // Print order defends against BOTH truncation modes the captures
+    // have shown: compact FIRST (r6's capture ended mid-stream, so a
+    // tail-only print can be cut), then the bulky full-precision
+    // samples and the full per-query map for logs/humans, then compact
+    // LAST (r4's capture kept only the tail, so a head-only print
+    // would scroll away). Whichever side survives parses.
+    val ss = raw.map { case (k, v) => s"${jstr(k)}:${v.mkString("[", ",", "]")}" }
+      .mkString("{", ",", "}")
+    println(compactLine)
+    println(s"""{"metric":"samples","unit":"sec","samples":$ss}""")
+    if (compactLine ne fullLine) println(fullLine)
+    println(compactLine)
     spark.stop()
   }
 }
