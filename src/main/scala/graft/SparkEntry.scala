@@ -15,6 +15,14 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     queries_.values.toSeq
 
+  /** Queries with no ANSI-expressible oracle (production-hash sketch
+    * twins): excluded from the correctness surface — `queries` must be
+    * 100% oracle-backed — but still timed by Bench/ScaleBench and
+    * property-pinned by their specs.
+    */
+  def benchOnlyDefs: Seq[QueryDef] =
+    graft.queries.Sketches.benchOnlyDefs
+
   private lazy val queries_ : Map[String, QueryDef] = {
     val defs =
       graft.queries.Relational.defs ++
@@ -32,9 +40,13 @@ object SparkEntry {
         graft.queries.TrainingPrep.defs ++
         graft.queries.DataOps.defs
     // a name collision would silently shrink the correctness gate
-    // (toMap keeps the last duplicate) — fail loudly instead
-    require(defs.map(_.name).distinct.size == defs.size,
-      s"duplicate query names: ${defs.map(_.name).diff(defs.map(_.name).distinct)}")
+    // (toMap keeps the last duplicate) — fail loudly instead; the
+    // bench-only names share the namespace (Bench times both sets)
+    val allNames = defs.map(_.name) ++ benchOnlyDefs.map(_.name)
+    require(allNames.distinct.size == allNames.size,
+      s"duplicate query names: ${allNames.diff(allNames.distinct)}")
+    require(defs.forall(_.oracle.nonEmpty),
+      s"oracle-less defs in the correctness surface: ${defs.filter(_.oracle.isEmpty).map(_.name)}")
     defs.map(d => d.name -> d).toMap
   }
 

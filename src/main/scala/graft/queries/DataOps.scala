@@ -43,9 +43,11 @@ object DataOps {
       .orderBy(col("column"))
   }
 
+  // DuckDB types a bare SUM(CASE …) as HUGEINT (int128); the Spark side
+  // emits BIGINT, so the driver's typed hash needs the explicit cast.
   val profileNumericOracle: String = ProfileCols.map { c =>
     s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
-       | SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       | CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        | COUNT(DISTINCT $c) AS n_distinct,
        | CAST(MIN($c) AS DOUBLE) AS min_value,
        | CAST(MAX($c) AS DOUBLE) AS max_value

@@ -180,10 +180,28 @@ object LlmDedup {
     * pipeline near-dups the quality SURVIVORS, not the raw corpus.
     */
   private[graft] def ngramCandidatesScoped(s: SparkSession, dir: String,
+      scope: Option[DataFrame]): DataFrame =
+    candidatesFromShingles(scopedShingles(s, dir, scope))
+
+  /** The scoped (doc_id, n_sh, sh) relation: one semi-join on the
+    * cached shingle relation, persisted so the candidate index AND the
+    * verify sets consume a single computation (the r7 pipeline
+    * computed this twice — the ×4.7 bench regression's largest term).
+    * Plan-identical persists dedupe in the CacheManager, so the
+    * candidate path and [[ngramJaccardScoped]]'s sets share one entry.
+    */
+  private def scopedShingles(s: SparkSession, dir: String,
       scope: Option[DataFrame]): DataFrame = {
     val sh0 = shingles(s, dir)
-    val sh = scope.fold(sh0)(ids =>
-      sh0.join(ids.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+    scope.fold(sh0) { ids =>
+      val sh = sh0.join(ids.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      if (sh.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sh
+    }
+  }
+
+  private def candidatesFromShingles(sh: DataFrame): DataFrame = {
     // document frequency as a hash aggregate (partial→final, map-side
     // combined, NO sort) joined back to the shingle relation — replaces
     // the count().over(partitionBy(sh)) window, which forced a full
@@ -246,11 +264,12 @@ object LlmDedup {
     */
   private[graft] def ngramJaccardScoped(s: SparkSession, dir: String,
       scope: DataFrame): DataFrame = {
-    val sets = shingles(s, dir)
-      .join(scope.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    // ONE scoped relation behind both consumers (see scopedShingles)
+    val sh = scopedShingles(s, dir, Some(scope))
+    val sets = sh
       .groupBy(col("doc_id"), col("n_sh"))
       .agg(collect_list(col("sh")).as("shs"))
-    verifyPairs(ngramCandidatesScoped(s, dir, Some(scope)), sets)
+    verifyPairs(candidatesFromShingles(sh), sets)
   }
 
   // The oracle states the SEMANTICS (all size-compatible pairs at
@@ -535,6 +554,9 @@ object LlmDedup {
     // canonical a < b by ngramJaccard construction; per-round lineage
     // truncation via Checkpoint.truncate: see propagateLabels
     var edges = graft.plans.Checkpoint.truncate(pairs.distinct())
+    // carried across rounds: this round's |next| is next round's
+    // |edges|, so convergence pays ONE count job per round, not two
+    var edgeCount = edges.count()
     var converged = false
     var rounds = 0
     val maxRounds = 30
@@ -566,8 +588,10 @@ object LlmDedup {
       // set-equality of the (distinct) edge relations is convergence;
       // equal cardinality + one empty one-sided difference is enough,
       // and the count short-circuits the anti-join in non-final rounds
-      converged = next.count() == edges.count() &&
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
         next.join(edges, Seq("a", "b"), "left_anti").isEmpty
+      edgeCount = nextCount
       edges = next
     }
     require(converged,

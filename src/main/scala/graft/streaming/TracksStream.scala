@@ -60,13 +60,26 @@ object TracksStream {
     * earliest replay, commit-after-batch — executing the consume path
     * end-to-end in-process (BusRoundTripSpec).
     */
+  /** The source option surface, spelled EXACTLY as the real
+    * spark-sql-kafka connector documents it — `subscribe`,
+    * `kafka.bootstrap.servers`, `startingOffsets`. Exposed so
+    * BusRoundTripSpec can mirror-check the embedded bus against these
+    * names: the documented config-swap (`format("kafka")` ↔
+    * `format("graftbus")`) stays one line only while both connectors
+    * accept the same spellings.
+    */
+  private[graft] def sourceOptions(brokers: String, topic: String): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> brokers,
+      "subscribe" -> topic,
+      "startingOffsets" -> "earliest",
+    )
+
   def kafkaSource(spark: SparkSession, brokers: String, topic: String,
       format: String = "kafka"): DataFrame =
     spark.readStream
       .format(format)
-      .option("kafka.bootstrap.servers", brokers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
+      .options(sourceOptions(brokers, topic))
       .load()
       .selectExpr("CAST(value AS STRING) AS value")
 

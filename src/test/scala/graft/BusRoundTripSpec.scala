@@ -103,6 +103,43 @@ class BusRoundTripSpec extends SparkSpec {
       s"expected the first batch's end offsets committed, got ${committed.toSeq}")
   }
 
+  test("option mirror-check: the bus accepts exactly the real Kafka connector's spellings") {
+    // the documented swap (format("kafka") <-> format("graftbus")) is
+    // one line ONLY while both connectors read the same option names;
+    // this pins both sides of that contract (VERDICT r7 #4).
+    // Side 1: the call-site surface uses the spark-sql-kafka names,
+    // verbatim — a rename here silently un-mirrors the real connector.
+    val opts = TracksStream.sourceOptions("embedded:9092", "t.mirror")
+    assert(opts.keySet === Set("kafka.bootstrap.servers", "subscribe", "startingOffsets"),
+      "kafkaSource's option names must match the spark-sql-kafka connector")
+    assert(opts("subscribe") === "t.mirror")
+    assert(opts("startingOffsets") === "earliest")
+
+    // Side 2: the embedded provider resolves the topic from the Kafka
+    // source's `subscribe` spelling (and the sink's `topic`), and
+    // rejects a property set carrying neither — so a drift in the
+    // provider breaks here, not on a cluster
+    val provider = new graft.bus.BusProvider
+    def props(kvs: (String, String)*): java.util.Map[String, String] = {
+      val m = new java.util.HashMap[String, String]()
+      kvs.foreach { case (k, v) => m.put(k, v) }
+      m
+    }
+    val viaSubscribe = provider.getTable(null, Array.empty,
+      props(opts.toSeq: _*))
+    assert(viaSubscribe.name() === "graftbus/t.mirror")
+    val viaTopic = provider.getTable(null, Array.empty, props("topic" -> "t.mirror"))
+    assert(viaTopic.name() === "graftbus/t.mirror")
+    intercept[IllegalArgumentException] {
+      provider.getTable(null, Array.empty, props("kafka.bootstrap.servers" -> "x"))
+    }
+
+    // Side 3: the bus source exposes the Kafka source's core columns,
+    // so `CAST(value AS STRING)` pipelines are transport-agnostic
+    assert(graft.bus.BusTable.SourceSchema.fieldNames.toSeq ===
+      Seq("key", "value", "topic", "partition", "offset", "timestamp"))
+  }
+
   test("K3 keyed produce: per-key partition affinity and byte-exact value round-trip") {
     graft.bus.BusBroker.reset()
     val topic = "ravelytics.spotify.artist.genres"

@@ -32,8 +32,13 @@ class PlanAuditSpec extends SparkSpec {
       // 4-row literal band dimension, lo<=x<hi non-equi lookup
       "j4_band_join")
 
+  // the oracle-less bench-only twins stay under the same plan audit:
+  // they run in every bench even though they left the correctness map
+  private def auditSurface: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+    (SparkEntry.queries ++ SparkEntry.benchOnlyDefs.map(d => d.name -> d.fn)).toSeq
+
   test("every registered query plans without cartesian products") {
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val failures = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")
       val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
@@ -66,7 +71,7 @@ class PlanAuditSpec extends SparkSpec {
       "dd_embed_neardup") // centroid index table, K ≈ √n — see bnljAllowed
 
   test("no explicit broadcast hints outside constant-bounded relations") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>
       val analyzed = fn(spark, dir).queryExecution.analyzed.toString
       if (analyzed.contains("ResolvedHint") && !broadcastHintAllowed(name)) Some(name)
       else None
