@@ -31,7 +31,11 @@ object ScaleBench {
   // (fewer tables) is re-synthesized instead of crashing the run
   // (ADVICE r6)
   private val SynthTables = Seq("documents", "embeddings", "lineitem",
-    "orders", "supplier", "customer", "nation", "region")
+    "orders", "events", "supplier", "customer", "nation", "region", "part")
+
+  // dimensions copied as-is (keys stay consistent with the replicated
+  // facts; dims stay dims at every scale)
+  private val CopiedDims = Seq("supplier", "customer", "nation", "region", "part")
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String): Unit = {
     val done = new java.io.File(outDir, "_DONE")
@@ -74,7 +78,17 @@ object ScaleBench {
       .withColumn("o_orderkey", col("o_orderkey") + col("k") * IdOffset)
       .drop("k")
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
-    SynthTables.drop(4).foreach { t =>
+    // events: 10× users at the same per-user event density — the right
+    // growth model for session/window operators. Raw read (NOT
+    // Tables.t): the session reads the nano timestamps as long, and
+    // keeping ts as long nanos in the synthesized file means Tables.t
+    // applies its usual DIV-1000 truncation on the 10× dir too.
+    spark.read.parquet(s"$baseDir/events.parquet").withColumn("k", ks)
+      .withColumn("user_id", col("user_id") + col("k") * IdOffset)
+      .withColumn("event_id", col("event_id") + col("k") * IdOffset)
+      .drop("k")
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    CopiedDims.foreach { t =>
       Tables.t(spark, baseDir, t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
     done.createNewFile()
@@ -118,6 +132,21 @@ object ScaleBench {
       "cu_chunk_sliding" -> graft.queries.TrainingPrep.chunkSliding _,
       "cu_contamination" -> graft.queries.TrainingPrep.contamination _,
       "ta_token_entropy" -> graft.queries.TrainingPrep.tokenEntropy _,
+      // round-7 gates without growth rows until round 8 (VERDICT r7 #5)
+      "st_session_window" -> graft.queries.StreamingGates.sessionWindowNative _,
+      "cu_upsample_epochs" -> graft.queries.TrainingPrep.upsampleEpochs _,
+      "ops_profile_numeric" -> graft.queries.DataOps.profileNumeric _,
+      "ops_dq_checks" -> graft.queries.DataOps.dqChecks _,
+      // round-8 additions
+      "dd_common_passages" -> graft.queries.LlmDedup.commonPassages _,
+      "sim_prefix_rerank" -> graft.queries.LlmVectors.prefixRerank _,
+      "q2_min_cost_supp" -> graft.queries.TpchMore.q2MinCostSupp _,
+      "q9_profit_map" -> graft.queries.TpchMore.q9ProfitMap _,
+      "q10_returned_top" -> graft.queries.TpchMore.q10ReturnedTop _,
+      "q15_top_supplier" -> graft.queries.TpchMore.q15TopSupplier _,
+      "q17_small_qty" -> graft.queries.TpchMore.q17SmallQty _,
+      "q19_disjunctive" -> graft.queries.TpchMore.q19Disjunctive _,
+      "q22_idle_customers" -> graft.queries.TpchMore.q22IdleCustomers _,
     )
     val candidateCounts: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "ngram_prefix_pairs" -> graft.queries.LlmDedup.ngramCandidates _,

@@ -667,8 +667,51 @@ object LlmDedup {
        |  CAST(n_members AS BIGINT) AS n_members
        |FROM ranked WHERE rn = 1 ORDER BY cluster_rep""".stripMargin
 
+  /** Cross-document duplicated PASSAGES (Lee et al. 2022,
+    * arXiv:2107.06499 "Deduplicating Training Data Makes Language
+    * Models Better" — their ExactSubstr finds substrings shared across
+    * documents; this is the n-gram-window form of that scan): every
+    * 8-token window occurring in >= 2 distinct docs, with its document
+    * and occurrence counts. Doc-level dedup misses these — boilerplate
+    * headers/licenses/templates repeat across otherwise-distinct pages
+    * and memorize verbatim at training time.
+    *
+    * Scale shape: one explode of per-doc windows → one hash aggregate
+    * keyed on the window. No pairwise anything — cost is linear in
+    * total tokens, and the aggregate's partial (map-side) combine
+    * collapses within-doc repeats before the shuffle. At 100 TB the
+    * group key is xxhash64(window) with an exemplar string kept by
+    * min-hash tiebreak (8-byte shuffle keys); the gate keys on the
+    * window text itself so the oracle can replay it.
+    */
+  def commonPassages(s: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= W)
+      // sequence() reverses direction for negative spans, so the size
+      // guard above is load-bearing: size-8 >= 0 keeps it ascending
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(tk) - $W), i -> array_join(slice(tk, i + 1, $W), ' '))"))
+        .as("gram"))
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("gram"))
+  }
+
+  val commonPassagesOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |g AS (SELECT doc_id,
+      |  unnest([array_to_string(tk[i:i+7], ' ') for i in range(1, len(tk)-6)]) AS gram
+      |  FROM t WHERE len(tk) >= 8)
+      |SELECT gram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+      |FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+      |ORDER BY n_docs DESC, n_occurrences DESC, gram""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dd_exact_dedup", exactDedup, Some(exactDedupOracle)),
+    QueryDef("dd_common_passages", commonPassages, Some(commonPassagesOracle)),
     QueryDef("dd_clusters", dedupClusters, Some(dedupClustersOracle)),
     QueryDef("dd_clusters_minlabel", dedupClustersMinLabel, Some(dedupClustersOracle)),
     QueryDef("dd_cluster_rep", clusterRepByQuality, Some(clusterRepByQualityOracle)),

@@ -687,8 +687,72 @@ object LlmVectors {
        |      ORDER BY round(ip, 9) DESC, vec_id) AS rank FROM adc)
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
 
+  /** Progressive-dimension rerank cascade (the Matryoshka-retrieval
+    * shape, Kusupati et al. 2022, arXiv:2205.13147 — adaptive
+    * retrieval shortlists on a prefix of the embedding, then reranks
+    * the shortlist at full dimension): a coarse pass scores every
+    * corpus vector against the queries on the FIRST 16 of 64 dims
+    * (a quarter of the memory bandwidth), keeps the top-20 shortlist
+    * per query, and only the shortlist pays the full-dimension exact
+    * cosine. Entirely deterministic — coordinate prefix, rounded-rank
+    * tiebreaks — so the whole cascade replays bit-identically in the
+    * oracle, shortlist and all.
+    *
+    * Scale shape: the coarse pass is the same broadcast-queries ×
+    * one-corpus-scan as [[topkExact]] but reading sliced arrays (at
+    * 100 TB, store the prefix as its own column so the scan prunes to
+    * it); the rerank touches NQueries × 20 rows — constant. Pair with
+    * the IVF cell pruning for the full production stack: cell prune →
+    * prefix score → full rerank.
+    */
+  def prefixRerank(s: SparkSession, dir: String): DataFrame = {
+    val PrefixDims = 16
+    val Shortlist = 20
+    val base = emb(s, dir)
+      .withColumn("pre", slice(col("emb"), 1, PrefixDims))
+      .withColumn("pnrm", sqrt(dot(col("pre"), col("pre"))))
+    val queries = base.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"),
+        col("pre").as("q_pre"), col("pnrm").as("q_pnrm"))
+    val pcos = dot(col("pre"), col("q_pre")) / (col("pnrm") * col("q_pnrm"))
+    val cw = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("pcos"), 9).desc, col("vec_id"))
+    val shortlist = base.select(col("vec_id"), col("emb"), col("nrm"), col("pre"), col("pnrm"))
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("pcos", pcos)
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= Shortlist)
+    val cos = dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))
+    val rw = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("cos"), 9).desc, col("vec_id"))
+    shortlist
+      .withColumn("cos", cos)
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val prefixRerankOracle: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NQueries),
+       |coarse AS (
+       |  SELECT q.q_id, v.vec_id, v.emb, q.q_emb,
+       |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |      ORDER BY round(list_cosine_similarity(v.emb[1:16], q.q_emb[1:16]), 9) DESC,
+       |        v.vec_id) AS crank
+       |  FROM v JOIN q ON v.vec_id <> q.q_id),
+       |rr AS (
+       |  SELECT q_id, vec_id, list_cosine_similarity(emb, q_emb) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY round(list_cosine_similarity(emb, q_emb), 9) DESC, vec_id) AS rank
+       |  FROM coarse WHERE crank <= 20)
+       |SELECT q_id, rank, vec_id, round(cos, 6) AS cosine
+       |FROM rr WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("sim_topk_exact", topkExact, Some(topkExactOracle)),
+    QueryDef("sim_prefix_rerank", prefixRerank, Some(prefixRerankOracle)),
     QueryDef("sim_pq_adc", pqAdcTopk, Some(pqAdcTopkOracle)),
     QueryDef("sim_ivfpq_topk", ivfPqTopk, Some(ivfPqTopkOracle)),
     QueryDef("sim_range_search", rangeSearch, Some(rangeSearchOracle)),

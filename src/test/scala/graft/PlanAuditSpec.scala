@@ -25,6 +25,9 @@ class PlanAuditSpec extends SparkSpec {
   //   matrix in RAM on every worker.
   private val bnljAllowed =
     Set("sim_topk_exact", "sim_range_search", "dd_embed_neardup", "sim_ivf_topk",
+      // coarse pass of the rerank cascade: same broadcast-query scan
+      // as sim_topk_exact, on 16-dim prefixes
+      "sim_prefix_rerank",
       // IVF coarse assignment: same broadcast centroid probe as sim_ivf_topk
       "sim_ivfpq_topk",
       // 1-row bounds relation × distinct event types — grid generation
@@ -58,6 +61,9 @@ class PlanAuditSpec extends SparkSpec {
   // the driver when the relation outgrows it at scale.
   private val broadcastHintAllowed =
     Set("sim_topk_exact", "sim_range_search", "sim_ann_lsh", "sim_ivf_topk", "q5_region_volume",
+      "sim_prefix_rerank", // <= NQueries-row query side, as sim_topk_exact
+      // TpchMore: nation/region broadcast hints — fixed 25/5 rows by spec
+      "q2_min_cost_supp", "q9_profit_map", "q10_returned_top",
       "j4_band_join",
       "q7_nation_trade", // nation dim: fixed 25 rows at every scale factor
       "q11_value_share", // same fixed 25-row nation dim
