@@ -10,6 +10,56 @@ class LlmOpsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("prefix-rerank: ordered top-k, exact cosines, per-rank dominance by brute force") {
+    val exact = LlmVectors.topkExact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val cascade = LlmVectors.prefixRerank(spark, dir).collect()
+    assert(cascade.nonEmpty)
+    // within each query the cascade's ranks are contiguous 1..K with
+    // non-increasing cosine — the rerank really is an ordered top-k
+    cascade.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to sorted.length))
+      val cosines = sorted.map(_.getDouble(3)).toSeq
+      assert(cosines === cosines.sorted.reverse)
+    }
+    // an approximate shortlist can never BEAT brute force at any rank
+    // (these are true cosines of a corpus subset). NB: recall vs the
+    // exact top-k is intentionally NOT asserted — the synthetic
+    // embeddings are random, so a coordinate prefix is a weak proxy
+    // (unlike trained Matryoshka embeddings, whose prefixes are
+    // optimized to preserve similarity); the oracle already pins the
+    // cascade's own semantics bit-exactly
+    cascade.foreach { r =>
+      val bf = exact((r.getLong(0), r.getInt(1)))
+      assert(r.getDouble(3) <= bf + 1e-9,
+        s"q=${r.getLong(0)} rank=${r.getInt(1)}: cascade ${r.getDouble(3)} beats exact $bf")
+    }
+  }
+
+  test("common passages: every reported window really occurs in >= 2 docs, counts consistent") {
+    val rows = LlmDedup.commonPassages(spark, dir).collect()
+    assert(rows.nonEmpty) // the corpus's planted near-dups share windows
+    rows.foreach { r =>
+      val (nDocs, nOcc) = (r.getLong(1), r.getLong(2))
+      assert(nDocs >= 2 && nOcc >= nDocs,
+        s"gram '${r.getString(0)}': n_docs=$nDocs n_occurrences=$nOcc")
+      assert(r.getString(0).split(' ').length === 8)
+    }
+    // spot re-check the top window against the raw corpus: its doc
+    // count must equal a direct contains() scan (window strings are
+    // space-joined, so contains can overmatch only across token
+    // boundaries — the split-based recount avoids that)
+    val top = rows.head.getString(0)
+    val direct = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .count { r =>
+        r.getString(1).split(' ').sliding(8).exists(_.mkString(" ") == top)
+      }
+    assert(direct.toLong === rows.head.getLong(1))
+  }
+
   test("minhash-LSH pairs == exact ngram-jaccard pairs (full recall at J>=0.9)") {
     val exact = LlmDedup.ngramJaccard(spark, dir).collect().toSet
     val lsh = LlmDedup.minhashLsh(spark, dir).collect().toSet
