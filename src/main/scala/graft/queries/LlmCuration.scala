@@ -407,8 +407,48 @@ object LlmCuration {
       |FROM bg b JOIN cb USING (prev, w) JOIN cp USING (prev)
       |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
 
+  /** Per-group bounded reservoir sample by hash rank: for each source,
+    * the [[GroupSampleK]] docs with the smallest [[Sketches.h60]] hash
+    * of the doc id — a uniform without-replacement sample per group
+    * that is deterministic (the oracle replays it row-for-row) and
+    * CONSISTENT: re-running, or sampling overlapping corpora, selects
+    * the same documents, which is what makes hash-rank sampling the
+    * production device for debuggable pipeline samples (vs rand(),
+    * which resamples on every retry and breaks lineage).
+    *
+    * Scale shape: the rank filter compiles to WindowGroupLimit —
+    * per-group top-k by hash maintained partially on the map side, so
+    * O(k) rows per group cross the wire; no full per-group sort, no
+    * global sample-rate coupling (every group yields exactly k no
+    * matter how skewed group sizes are — the fixed-size-per-stratum
+    * complement to [[stratifiedSample]]'s fixed-rate sampling).
+    */
+  def groupSample(s: SparkSession, dir: String): DataFrame = {
+    val rk = Sketches.h60(concat_ws(":", col("doc_id"), lit("gs")))
+    Tables.t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), rk.as("rk"))
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))).cast(LongType))
+      .filter(col("sample_rank") <= GroupSampleK)
+      .select(col("source"), col("sample_rank"), col("doc_id"))
+      .orderBy(col("source"), col("sample_rank"))
+  }
+
+  private val GroupSampleK = 8
+
+  val groupSampleOracle: String =
+    s"""SELECT source, sample_rank, doc_id FROM (
+       |  SELECT source, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY ${Sketches.h60Sql("CAST(doc_id AS VARCHAR) || ':gs'")},
+       |        doc_id) AS sample_rank
+       |  FROM documents)
+       |WHERE sample_rank <= $GroupSampleK
+       |ORDER BY source, sample_rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ta_tfidf", tfidf, Some(tfidfOracle)),
+    QueryDef("cu_group_sample", groupSample, Some(groupSampleOracle)),
     QueryDef("ta_bigram_ll", bigramLl, Some(bigramLlOracle)),
     QueryDef("cu_domain_mix", domainMix, Some(domainMixOracle)),
     QueryDef("cu_pipeline_e2e", curationPipeline, Some(curationPipelineOracle)),

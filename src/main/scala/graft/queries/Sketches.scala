@@ -46,7 +46,7 @@ object Sketches {
   /** The DuckDB rendering of [[h60]] over SQL expression `e`. The
     * per-digit CAST keeps the fold in BIGINT (values reach 2^60).
     */
-  private def h60Sql(e: String): String =
+  private[graft] def h60Sql(e: String): String =
     s"""list_reduce(list_transform(string_split(substr(md5($e),1,15),''),
        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b)""".stripMargin
 
@@ -393,11 +393,69 @@ object Sketches {
       .orderBy(col("key"))
   }
 
+  // ------------------------------------------------- sampled quantiles
+
+  private val QrK = 64
+
+  /** Quantile estimation from a BOUNDED consistent sample: per group,
+    * the reservoir is the [[QrK]] rows with the smallest [[h60]] hash
+    * of the row key — a uniform without-replacement sample that is (a)
+    * deterministic, so the oracle replays it row-for-row, and (b)
+    * CONSISTENT under re-execution and across overlapping queries (the
+    * same rows are sampled every time — hash-rank sampling, the same
+    * device production systems use for repeatable samples). The p50
+    * estimate is the sample's middle order statistic, reported next to
+    * the exact interpolated median so the gate pins estimator AND
+    * error surface.
+    *
+    * Scale shape: the rank filter compiles to WindowGroupLimit (top-k
+    * by hash per group, partial per shuffle side — no full sort), so
+    * O(k) rows per group cross the wire no matter the corpus; the
+    * exact column exists for the gate and would be dropped at 100 TB —
+    * the estimator never touches more than the reservoir.
+    */
+  def quantileReservoir(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("v"),
+        h60(concat_ws(":", col("l_orderkey"), col("l_linenumber"), lit("qr"))).as("rk"))
+    val sample = li
+      .withColumn("rn", row_number().over(Window.partitionBy(col("grp")).orderBy(col("rk"))))
+      .filter(col("rn") <= QrK)
+    val est = sample
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("v"), col("rk"))))
+      .filter(col("vr") === QrK / 2)
+      .select(col("grp"), col("v").cast("double").as("p50_est"))
+    val exact = li.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), round(expr("percentile(v, 0.5)"), 6).as("p50_exact"))
+    exact.join(est, "grp")
+      .select(col("grp"), col("n_rows"), col("p50_exact"), col("p50_est"))
+      .orderBy(col("grp"))
+  }
+
+  val quantileReservoirOracle: String =
+    s"""WITH s AS (
+       |  SELECT l_returnflag AS grp, l_extendedprice AS v,
+       |    ${h60Sql("CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) || ':qr'")} AS rk
+       |  FROM lineitem),
+       |samp AS (SELECT * FROM (
+       |  SELECT grp, v, rk, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY rk) AS rn FROM s)
+       |  WHERE rn <= $QrK),
+       |est AS (SELECT grp, CAST(v AS DOUBLE) AS p50_est FROM (
+       |  SELECT grp, v, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, rk) AS vr FROM samp)
+       |  WHERE vr = ${QrK / 2}),
+       |ex AS (SELECT l_returnflag AS grp, COUNT(*) AS n_rows,
+       |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact
+       |  FROM lineitem GROUP BY 1)
+       |SELECT ex.grp, n_rows, p50_exact, p50_est
+       |FROM ex JOIN est ON ex.grp = est.grp ORDER BY ex.grp""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("sk_kmv_distinct", kmvDistinct, Some(kmvOracle)),
     QueryDef("sk_kmv_agg", kmvAgg, Some(kmvOracle)),
     QueryDef("sk_countmin_topk", countMinTopk, Some(countMinOracle)),
     QueryDef("sk_bloom_semijoin", bloomSemijoin, Some(bloomOracle)),
+    QueryDef("sk_quantile_reservoir", quantileReservoir, Some(quantileReservoirOracle)),
   )
 
   /** The production-hash twins are not DuckDB-reproducible (xxhash64 /
