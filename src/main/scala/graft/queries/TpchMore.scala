@@ -60,8 +60,13 @@ object TpchMore {
     val euroOffers = offers
       .join(parts, col("l_partkey") === col("p_partkey"))
       .join(euroSupp, col("l_suppkey") === col("s_suppkey"))
-    val best = euroOffers.groupBy(col("l_partkey")).agg(min(col("min_price")).as("best_price"))
-    euroOffers.join(best, "l_partkey")
+    // per-part regional best as a WINDOW min, not groupBy+self-join:
+    // the join form re-executes the whole offers subtree for the `best`
+    // side (no exchange reuse — the aggregate diverges the plans); the
+    // window is one exchange on l_partkey over a single computation
+    val bw = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    euroOffers
+      .withColumn("best_price", min(col("min_price")).over(bw))
       .filter(col("min_price") === col("best_price"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("p_partkey"), col("p_name"),
