@@ -139,6 +139,9 @@ object ScaleBench {
       "ops_dq_checks" -> graft.queries.DataOps.dqChecks _,
       // round-8 additions
       "dd_common_passages" -> graft.queries.LlmDedup.commonPassages _,
+      "dd_dup_fraction" -> graft.queries.LlmDedup.dupFraction _,
+      "cu_group_sample" -> graft.queries.LlmCuration.groupSample _,
+      "sk_quantile_reservoir" -> graft.queries.Sketches.quantileReservoir _,
       "sim_prefix_rerank" -> graft.queries.LlmVectors.prefixRerank _,
       "q2_min_cost_supp" -> graft.queries.TpchMore.q2MinCostSupp _,
       "q9_profit_map" -> graft.queries.TpchMore.q9ProfitMap _,

@@ -709,9 +709,66 @@ object LlmDedup {
       |FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
       |ORDER BY n_docs DESC, n_occurrences DESC, gram""".stripMargin
 
+  /** Per-document duplicated-text fraction — the actionable form of
+    * [[commonPassages]] (Lee et al. threshold documents on how much of
+    * their text is covered by cross-document duplicated substrings):
+    * for every doc, the share of token positions lying inside at least
+    * one 8-token window that also occurs in another document. Docs too
+    * short for a window (or with no shared window) report 0.
+    *
+    * Scale shape: the window relation is built once; the cross-doc
+    * test is one hash aggregate on the window key semi-joined back
+    * (both sides of the semi-join are the same one-explode relation);
+    * the coverage union explodes 8 offsets ONLY for duplicated windows
+    * before a per-doc distinct count. Everything keys on window text
+    * or doc id — no pairwise term.
+    */
+  def dupFraction(s: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    val docs = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+    val wins = docs.filter(col("n_tokens") >= W)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(tk) - ${W - 1}), i -> struct(i AS pos, array_join(slice(tk, i, $W), ' ') AS gram))"))
+        .as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.gram").as("gram"))
+    val dupGrams = wins.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"))
+    val covered = wins
+      .join(dupGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (W - 1))).as("cp"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("cp")).as("n_dup_positions"))
+    docs.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
+        round(coalesce(col("n_dup_positions"), lit(0L)).cast(DoubleType) /
+          col("n_tokens"), 6).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dupFractionOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |w AS (SELECT doc_id, i AS pos, array_to_string(tk[i:i+7], ' ') AS gram
+      |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i FROM t
+      |        WHERE len(tk) >= 8)),
+      |d AS (SELECT gram FROM w GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+      |c AS (SELECT doc_id, COUNT(DISTINCT cp) AS n_dup_positions FROM (
+      |  SELECT w.doc_id, unnest(range(w.pos, w.pos + 8)) AS cp
+      |  FROM w JOIN d USING (gram)) GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+      |  COALESCE(c.n_dup_positions, 0) AS n_dup_positions,
+      |  round(CAST(COALESCE(c.n_dup_positions, 0) AS DOUBLE) / len(t.tk), 6) AS dup_frac
+      |FROM t LEFT JOIN c ON t.doc_id = c.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dd_exact_dedup", exactDedup, Some(exactDedupOracle)),
     QueryDef("dd_common_passages", commonPassages, Some(commonPassagesOracle)),
+    QueryDef("dd_dup_fraction", dupFraction, Some(dupFractionOracle)),
     QueryDef("dd_clusters", dedupClusters, Some(dedupClustersOracle)),
     QueryDef("dd_clusters_minlabel", dedupClustersMinLabel, Some(dedupClustersOracle)),
     QueryDef("dd_cluster_rep", clusterRepByQuality, Some(clusterRepByQualityOracle)),
