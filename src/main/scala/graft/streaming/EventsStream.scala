@@ -83,6 +83,15 @@ final case class FunnelBuf(views: List[Long], clicks: List[Long],
 final case class FunnelRow(user_id: Long, t_view: Option[Timestamp],
     t_click: Option[Timestamp], t_purchase: Option[Timestamp], funnel_depth: Int)
 
+/** KMV sketch state for [[EventsStream.kmvDistinctUsers]]: the ≤k
+  * smallest distinct 60-bit hashes seen so far (ascending). Top-level
+  * for the state encoder, like [[SessionState]].
+  */
+final case class KmvStreamState(hashes: List[Long])
+
+/** One cardinality estimate per event type per quiesce. */
+final case class KmvUserEstimate(event_type: String, k_seen: Int, n_est: Double)
+
 object EventsStream {
 
   val eventSchema: StructType = StructType(Seq(
@@ -205,6 +214,90 @@ object EventsStream {
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** STREAMING KMV distinct-count: per event type, an estimate of the
+    * distinct users seen over the stream's whole lifetime, held in
+    * BOUNDED state — the ≤k smallest distinct hashes, k longs per
+    * group no matter how long the stream runs (the streaming rung of
+    * the sketch family: exact streaming distinct over an unbounded
+    * horizon is an unbounded key set, which is exactly what
+    * `dropDuplicatesWithinWatermark` cannot provide past its horizon).
+    *
+    * The hash column is the SAME engine-reproducible
+    * [[graft.queries.Sketches.h60]] expression the batch sketches use,
+    * computed in the DataFrame before the typed state op — so the
+    * stateful code only maintains sorted longs, and streaming/batch
+    * parity is a column-for-column replay (EventsStreamSpec).
+    *
+    * Emission: append-once per quiesce — when the watermark passes the
+    * last activity + `quiesceMinutes`, the group emits its
+    * estimate-so-far and KEEPS the sketch (cardinality is monotone; a
+    * later burst re-arms the timeout and a later quiesce emits the
+    * updated estimate). Estimator = the batch twins' exactly:
+    * k_seen < k → exact count; else (k−1)·2^60 / kth-hash.
+    */
+  def kmvDistinctUsers(events: Dataset[Event], k: Int = 256,
+      quiesceMinutes: Int = 30): Dataset[KmvUserEstimate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val quiesceMs = quiesceMinutes * 60L * 1000L
+    val hashed = events
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_type"),
+        graft.queries.Sketches.h60(concat_ws(":", col("user_id"), lit("kmv"))).as("h"),
+        col("ts"))
+      .as[(String, Long, Timestamp)]
+
+    def fn(typ: String, rows: Iterator[(String, Long, Timestamp)],
+        state: GroupState[KmvStreamState]): Iterator[KmvUserEstimate] = {
+      if (state.hasTimedOut) {
+        val hs = state.get.hashes
+        val est =
+          if (hs.size < k) hs.size.toDouble
+          else (k - 1).toDouble * math.pow(2, 60) / hs.last.toDouble
+        // state NOT removed: the sketch is the bounded carrier of the
+        // stream's whole history; no new timeout is set, so a fully
+        // quiet group emits once, not every batch
+        Iterator.single(KmvUserEstimate(typ, hs.size, math.round(est * 1e6) / 1e6))
+      } else {
+        val batch = rows.toSeq
+        val merged = (state.getOption.map(_.hashes).getOrElse(Nil) ++ batch.map(_._2))
+          .distinct.sorted.take(k)
+        state.update(KmvStreamState(merged))
+        val lastMs = batch.map(_._3.getTime).max
+        // same watermark clamp as sessionize: a timeout at or before
+        // the current watermark is rejected by the engine
+        state.setTimeoutTimestamp(
+          math.max(lastMs + quiesceMs, state.getCurrentWatermarkMs + 1))
+        Iterator.empty
+      }
+    }
+
+    hashed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Batch twin of [[kmvDistinctUsers]] over the same rows — the exact
+    * derivation the stream must reproduce (parity spec): same hash
+    * expression, same top-k cut, same estimator.
+    */
+  def kmvDistinctUsersBatch(events: Dataset[Event], k: Int = 256): DataFrame = {
+    val hashes = events
+      .select(col("event_type"),
+        graft.queries.Sketches.h60(concat_ws(":", col("user_id"), lit("kmv"))).as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"))
+    hashes
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("int").as("k_seen"), max(col("h")).as("kth"))
+      .select(col("event_type"), col("k_seen"),
+        round(
+          when(col("k_seen") < k, col("k_seen").cast("double"))
+            .otherwise(lit((k - 1).toDouble * math.pow(2, 60)) / col("kth").cast("double")),
+          6).as("n_est"))
   }
 
   /** Streaming exact dedup: drop re-deliveries of the same event_id

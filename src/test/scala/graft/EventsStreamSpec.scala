@@ -103,6 +103,49 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming KMV distinct users: bounded state, parity with the batch sketch") {
+    val in = tmpDir("kmv-in"); val out = tmpDir("kmv-out"); val ck = tmpDir("kmv-ck")
+    // 5 distinct view users (user 1 twice — the sketch dedups by hash),
+    // 2 purchase users; the watermark-pushing sentinel is its own
+    // event_type so it can't feed or re-arm the groups under test
+    Files.writeString(Paths.get(in, "events.jsonl"), Seq(
+      ev(1, 1, "view", 1.0, "2025-07-01T10:00:00Z"),
+      ev(2, 2, "view", 1.0, "2025-07-01T10:01:00Z"),
+      ev(3, 3, "view", 1.0, "2025-07-01T10:02:00Z"),
+      ev(4, 4, "view", 1.0, "2025-07-01T10:03:00Z"),
+      ev(5, 5, "view", 1.0, "2025-07-01T10:04:00Z"),
+      ev(1, 6, "view", 1.0, "2025-07-01T10:04:30Z"),
+      ev(1, 7, "purchase", 5.0, "2025-07-01T10:05:00Z"),
+      ev(2, 8, "purchase", 5.0, "2025-07-01T10:06:00Z"),
+      ev(999, 999, "wmpush", 0.0, "2025-07-01T23:00:00Z"),
+    ).mkString("\n"))
+    import spark.implicits._
+    // k = 2 < the 5 distinct view users, so the view estimate takes the
+    // kth-hash path (not the exact-count short circuit)
+    EventsStream.runToParquet(
+      EventsStream.kmvDistinctUsers(
+        EventsStream.parse(spark.readStream.text(in)), k = 2).toDF(),
+      out, ck).awaitTermination(120000)
+    val streamed = spark.read.parquet(out).as[(String, Int, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(streamed.keySet === Set("view", "purchase")) // wmpush never quiesces
+
+    // parity: the batch twin (same hash column, same cut, same
+    // estimator) over the same parsed rows, per emitted group
+    val batch = EventsStream.kmvDistinctUsersBatch(
+      EventsStream.parse(spark.read.text(in)).toDF().as[EventsStream.Event], k = 2)
+      .as[(String, Int, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    streamed.foreach { case (typ, (kSeen, est)) =>
+      val (bk, be) = batch(typ)
+      assert(kSeen === bk, s"$typ k_seen")
+      assert(math.abs(est - be) <= 1e-6, s"$typ estimate: stream $est vs batch $be")
+    }
+    // the kth-hash path really ran: view saw 5 distinct users but holds
+    // only k = 2 hashes, and its estimate is not the exact short-circuit
+    assert(streamed("view")._1 === 2)
+    assert(streamed("purchase")._1 === 2)
+  }
+
   test("native session_window streaming: parity with the custom session engine") {
     val in = tmpDir("sw-in"); val out = tmpDir("sw-out"); val ck = tmpDir("sw-ck")
     writeInput(in)
