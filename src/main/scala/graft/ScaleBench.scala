@@ -100,7 +100,11 @@ object ScaleBench {
     val spark = Sessions.local("graft-scale")
     synthesize(spark, baseDir, x10Dir)
 
-    val timedQueries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // SPARK_GRAFT_SCALE_ONLY: comma-separated subset of timed-query
+    // names — re-measure a few rows without paying for the whole curve
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val timedQueries0: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dd_exact_dedup" -> graft.queries.LlmDedup.exactDedup _,
       "dd_ngram_jaccard" -> graft.queries.LlmDedup.ngramJaccard _,
       "dd_minhash_lsh" -> graft.queries.LlmDedup.minhashLsh _,
@@ -151,13 +155,14 @@ object ScaleBench {
       "q19_disjunctive" -> graft.queries.TpchMore.q19Disjunctive _,
       "q22_idle_customers" -> graft.queries.TpchMore.q22IdleCustomers _,
     )
+    val timedQueries = timedQueries0.filter { case (n, _) => only.forall(_.contains(n)) }
     val candidateCounts: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "ngram_prefix_pairs" -> graft.queries.LlmDedup.ngramCandidates _,
       "minhash_band_pairs" ->
         ((s: SparkSession, d: String) => graft.queries.LlmDedup.minhashCandidates(s, d)),
       "simhash_band_pairs" -> graft.queries.LlmDedup.simhashCandidates _,
       "embed_bucket_pairs" -> graft.queries.LlmVectors.embedCandidates _,
-    )
+    ).filter { case (n, _) => only.forall(_.contains(n)) }
 
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
@@ -188,7 +193,7 @@ object ScaleBench {
       "kmv_state_rows" -> graft.queries.Sketches.kmvState _,
       "countmin_state_rows" -> graft.queries.Sketches.countMinState _,
       "bloom_state_bits" -> graft.queries.Sketches.bloomState _,
-    )
+    ).filter { case (n, _) => only.forall(_.contains(n)) }
     val states = stateCounts.map { case (name, fn) =>
       def count(dir: String): Long = {
         val n = fn(spark, dir).count(); spark.catalog.clearCache(); n
@@ -202,8 +207,9 @@ object ScaleBench {
       runQuery(graft.queries.LlmDedup.dedupClusters _, dir)
       graft.queries.LlmDedup.lastStarRounds.get()
     }
-    val rounds1 = starRounds(baseDir)
-    val rounds10 = starRounds(x10Dir)
+    val measureRounds = only.forall(_.contains("star_cc_rounds"))
+    val rounds1 = if (measureRounds) starRounds(baseDir) else -1
+    val rounds10 = if (measureRounds) starRounds(x10Dir) else -1
 
     val nDocs1 = spark.read.parquet(s"$baseDir/documents.parquet").count()
     println(s"DOCS 1x=$nDocs1 10x=${nDocs1 * Copies}")
@@ -220,8 +226,9 @@ object ScaleBench {
     states.foreach { case (n, a, b) =>
       println(f"| $n | $a | $b | ${b.toDouble / a}%.1fx |")
     }
-    println(s"| star_cc_rounds | $rounds1 | $rounds10 | " +
-      f"${rounds10.toDouble / rounds1}%.1fx |")
+    if (measureRounds)
+      println(s"| star_cc_rounds | $rounds1 | $rounds10 | " +
+        f"${rounds10.toDouble / rounds1}%.1fx |")
     val tj = times.map { case (n, a, b) => s""""$n":[$a,$b]""" }.mkString(",")
     val cj = cands.map { case (n, a, b) => s""""$n":[$a,$b]""" }.mkString(",")
     val sj = states.map { case (n, a, b) => s""""$n":[$a,$b]""" }.mkString(",")
