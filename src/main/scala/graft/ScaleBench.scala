@@ -144,6 +144,7 @@ object ScaleBench {
       // round-8 additions
       "dd_common_passages" -> graft.queries.LlmDedup.commonPassages _,
       "dd_dup_fraction" -> graft.queries.LlmDedup.dupFraction _,
+      "dd_incremental_pairs" -> graft.queries.LlmDedup.ngramIncrementalPairs _,
       "cu_group_sample" -> graft.queries.LlmCuration.groupSample _,
       "sk_quantile_reservoir" -> graft.queries.Sketches.quantileReservoir _,
       "sim_prefix_rerank" -> graft.queries.LlmVectors.prefixRerank _,

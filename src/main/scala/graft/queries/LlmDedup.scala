@@ -201,7 +201,11 @@ object LlmDedup {
     }
   }
 
-  private def candidatesFromShingles(sh: DataFrame): DataFrame = {
+  /** The prefix-filtered inverted index over a shingle relation —
+    * extracted so the full self-join AND the incremental delta join
+    * build the identical index (one persisted computation).
+    */
+  private def prefixIndex(sh: DataFrame): DataFrame = {
     // document frequency as a hash aggregate (partial→final, map-side
     // combined, NO sort) joined back to the shingle relation — replaces
     // the count().over(partitionBy(sh)) window, which forced a full
@@ -225,6 +229,11 @@ object LlmDedup {
       .select(col("doc_id"), col("n_sh"), col("sh"), col("rn"))
     if (prefix.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       prefix.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    prefix
+  }
+
+  private def candidatesFromShingles(sh: DataFrame): DataFrame = {
+    val prefix = prefixIndex(sh)
     // PPJoin POSITIONAL filter (Xiao et al. 2008), pair-level exact
     // form: shingle lists are sorted by the same global (df, sh) key in
     // every doc, so a pair's FIRST shared shingle (min rn on both
@@ -271,6 +280,54 @@ object LlmDedup {
       .agg(collect_list(col("sh")).as("shs"))
     verifyPairs(candidatesFromShingles(sh), sets)
   }
+
+  /** INCREMENTAL near-dup pairs: every J >= t pair with at least one
+    * endpoint in the delta batch (deterministic membership here:
+    * doc_id % 10 == 0 — in production, the day's ingest), WITHOUT
+    * re-pairing the existing corpus against itself. This is the shape
+    * a daily 100 TB pipeline actually runs: corpus×corpus once,
+    * then delta×corpus per increment — candidate cost follows
+    * |delta| × df, not |corpus|².
+    *
+    * Exactness: prefixes come from the full-corpus (df, sh) order, so
+    * the prefix-share guarantee holds for any pair; joining
+    * delta-prefix × all-prefix reaches every delta-touching pair.
+    * Both orientations of a delta×delta pair arrive — canonicalizing
+    * endpoint-wise (least/greatest, with n/rn swapped alongside)
+    * before the per-pair min-rank aggregate makes them one group, so
+    * the positional filter sees exactly the same (rn_a, rn_b) minima
+    * as the full self-join restricted to delta-touching pairs.
+    */
+  def ngramIncrementalPairs(s: SparkSession, dir: String): DataFrame = {
+    val isDelta = (c: Column) => pmod(c, lit(10)) === 0
+    val prefix = prefixIndex(shingles(s, dir))
+    val alphaFloor = floor((col("n_a") + col("n_b")) *
+      lit(JaccardThreshold / (1 + JaccardThreshold)))
+    val aFirst = col("a.doc_id") < col("b.doc_id")
+    val candidates = prefix.filter(isDelta(col("doc_id"))).as("a")
+      .join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id") &&
+          sizeCompatible(col("a.n_sh"), col("b.n_sh")))
+      .select(
+        when(aFirst, col("a.doc_id")).otherwise(col("b.doc_id")).as("doc_a"),
+        when(aFirst, col("b.doc_id")).otherwise(col("a.doc_id")).as("doc_b"),
+        when(aFirst, col("a.n_sh")).otherwise(col("b.n_sh")).as("n_a"),
+        when(aFirst, col("b.n_sh")).otherwise(col("a.n_sh")).as("n_b"),
+        when(aFirst, col("a.rn")).otherwise(col("b.rn")).as("rn_a"),
+        when(aFirst, col("b.rn")).otherwise(col("a.rn")).as("rn_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(min(col("rn_a")).as("rn_a"), min(col("rn_b")).as("rn_b"))
+      .filter(lit(1) + least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) >= alphaFloor)
+      .select(col("doc_a"), col("doc_b"))
+    verifyPairs(candidates, docSets(s, dir))
+  }
+
+  // the batch oracle restricted to delta-touching pairs — incremental
+  // == full-run-filtered is exactly the contract being gated
+  lazy val ngramIncrementalOracle: String =
+    s"""SELECT * FROM ($ngramJaccardOracle)
+       |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // The oracle states the SEMANTICS (all size-compatible pairs at
   // J >= t over the full inverted index); the Spark side reaches the
@@ -773,6 +830,7 @@ object LlmDedup {
     QueryDef("dd_clusters_minlabel", dedupClustersMinLabel, Some(dedupClustersOracle)),
     QueryDef("dd_cluster_rep", clusterRepByQuality, Some(clusterRepByQualityOracle)),
     QueryDef("dd_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
+    QueryDef("dd_incremental_pairs", ngramIncrementalPairs, Some(ngramIncrementalOracle)),
     // NOTE data-coupled gate: minhashLsh is gated against the EXACT
     // Jaccard oracle even though LSH recall is probabilistic. With 16
     // bands of 4 the miss probability at J = 0.9 is (1 - 0.9^4)^16

@@ -192,4 +192,20 @@ class DedupExactnessSpec extends SparkSpec {
     assert(scoped == expected)
     assert(scoped.nonEmpty, "vacuous scope — pick a subset that keeps pairs")
   }
+
+  test("incremental pairs == full pairs restricted to delta-touching pairs") {
+    // the daily-ingest contract: the delta×corpus candidate join over
+    // the shared prefix index must reach exactly the full self-join's
+    // pairs that touch the delta — including delta×delta pairs, whose
+    // two join orientations must collapse to one canonical group
+    // before the positional filter
+    val dir = "/root/testdata/sf0.001"
+    val full = LlmDedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = full.filter(p => p._1 % 10 == 0 || p._2 % 10 == 0).toSet
+    val incremental = LlmDedup.ngramIncrementalPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incremental === expected)
+    assert(incremental.nonEmpty, "vacuous delta — no delta-touching pairs in testdata")
+  }
 }
