@@ -162,6 +162,7 @@ object ScaleBench {
       "minhash_band_pairs" ->
         ((s: SparkSession, d: String) => graft.queries.LlmDedup.minhashCandidates(s, d)),
       "simhash_band_pairs" -> graft.queries.LlmDedup.simhashCandidates _,
+      "incremental_delta_pairs" -> graft.queries.LlmDedup.ngramIncrementalCandidates _,
       "embed_bucket_pairs" -> graft.queries.LlmVectors.embedCandidates _,
     ).filter { case (n, _) => only.forall(_.contains(n)) }
 
