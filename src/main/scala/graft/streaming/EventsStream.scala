@@ -89,6 +89,12 @@ final case class FunnelRow(user_id: Long, t_view: Option[Timestamp],
   */
 final case class KmvStreamState(hashes: List[Long])
 
+/** Bloom state for [[EventsStream.noveltyFilter]]: one m-bit filter
+  * (as a fixed-size long array) per key-space bucket. Top-level for
+  * the state encoder.
+  */
+final case class BloomBucketState(words: Array[Long])
+
 /** One cardinality estimate per event type per quiesce. */
 final case class KmvUserEstimate(event_type: String, k_seen: Int, n_est: Double)
 
@@ -276,6 +282,68 @@ object EventsStream {
 
     hashed.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** splitmix64 — the Bloom position hash for [[noveltyFilter]]
+    * (JVM-side; the filter has no oracle, so engine reproducibility is
+    * not required — determinism across runs is, and this is a pure
+    * function of the key).
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Streaming FIRST-SEEN (novelty) filter over the stream's WHOLE
+    * lifetime with bounded state: emit each user's first event, drop
+    * the rest. `dropDuplicatesWithinWatermark` only guarantees this
+    * inside its horizon — an unbounded horizon needs an unbounded key
+    * set, unless the membership test is a sketch. State here is a
+    * Bloom filter per key-space bucket (buckets × 64 Ki bits ≈ 512 KB
+    * total at the defaults, forever), with the Bloom's one-sided
+    * error: an EMITTED event's user is definitely new (set bits never
+    * clear, so a user can never emit twice); a truly-new user can be
+    * falsely dropped at the filter's fpp (~0.2% at 4 salts, 64 Ki
+    * bits, ~6k users/bucket) — the right trade for "notify once per
+    * new entity" pipelines, where a duplicate notification is the
+    * failure and a rare miss is noise.
+    *
+    * Within a micro-batch, rows fold in (ts, event_id) order, so the
+    * FIRST occurrence is the one emitted — deterministic under
+    * AvailableNow replay (NoveltySpec pins parity with the batch
+    * first-event derivation on collision-free data).
+    */
+  def noveltyFilter(events: Dataset[Event], buckets: Int = 64,
+      bitsPerBucket: Int = 1 << 16, salts: Int = 4): Dataset[Event] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(bitsPerBucket % 64 == 0, "bitsPerBucket must be a multiple of 64")
+
+    def positions(userId: Long): Seq[Int] =
+      (1 to salts).map(i => ((mix64(userId ^ (i * 0x5DEECE66DL)) >>> 1) % bitsPerBucket).toInt)
+
+    def fn(bucket: Int, rows: Iterator[Event],
+        state: GroupState[BloomBucketState]): Iterator[Event] = {
+      val words = state.getOption.map(_.words.clone())
+        .getOrElse(new Array[Long](bitsPerBucket / 64))
+      val out = Seq.newBuilder[Event]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val pos = positions(e.user_id)
+        val seen = pos.forall(p => (words(p >> 6) & (1L << (p & 63))) != 0)
+        if (!seen) {
+          pos.foreach(p => words(p >> 6) |= (1L << (p & 63)))
+          out += e
+        }
+      }
+      state.update(BloomBucketState(words))
+      out.result().iterator
+    }
+
+    events
+      .groupByKey(e => ((mix64(e.user_id) >>> 1) % buckets).toInt)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
   /** Batch twin of [[kmvDistinctUsers]] over the same rows — the exact

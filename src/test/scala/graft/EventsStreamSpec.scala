@@ -146,6 +146,52 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed("purchase")._1 === 2)
   }
 
+  test("novelty filter: first event per user emitted exactly once, state survives runs") {
+    val in = tmpDir("nv-in"); val out = tmpDir("nv-out"); val ck = tmpDir("nv-ck")
+    def run(): Unit =
+      EventsStream.runToParquet(
+        EventsStream.noveltyFilter(EventsStream.parse(spark.readStream.text(in))).toDF(),
+        out, ck).awaitTermination(120000)
+
+    // run 1: users 1, 2, 3 with in-run duplicates — only each user's
+    // FIRST event (by ts) may emit
+    Files.writeString(Paths.get(in, "batch1.jsonl"), Seq(
+      ev(1, 1, "view", 1.0, "2025-07-01T10:00:00Z"),
+      ev(2, 2, "view", 1.0, "2025-07-01T10:01:00Z"),
+      ev(1, 3, "click", 1.0, "2025-07-01T10:02:00Z"),
+      ev(3, 4, "view", 1.0, "2025-07-01T10:03:00Z"),
+      ev(2, 5, "purchase", 1.0, "2025-07-01T10:04:00Z"),
+    ).mkString("\n"))
+    run()
+    val r1 = spark.read.parquet(out).select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r1 === Set((1L, 1L), (2L, 2L), (3L, 4L)))
+
+    // run 2 over the SAME checkpoint: users 2 and 3 return (must stay
+    // silent — the Bloom state carries the whole history), user 4 is new
+    Files.writeString(Paths.get(in, "batch2.jsonl"), Seq(
+      ev(2, 6, "view", 1.0, "2025-07-01T11:00:00Z"),
+      ev(4, 7, "view", 1.0, "2025-07-01T11:01:00Z"),
+      ev(3, 8, "click", 1.0, "2025-07-01T11:02:00Z"),
+    ).mkString("\n"))
+    run()
+    val r2 = spark.read.parquet(out).select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r2 === r1 + ((4L, 7L)))
+
+    // batch parity on this collision-free key set: emitted == the batch
+    // first-event-per-user derivation over everything ingested
+    import spark.implicits._
+    val firsts = EventsStream.parse(spark.read.text(in)).toDF()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(r2 === firsts)
+  }
+
   test("native session_window streaming: parity with the custom session engine") {
     val in = tmpDir("sw-in"); val out = tmpDir("sw-out"); val ck = tmpDir("sw-ck")
     writeInput(in)
