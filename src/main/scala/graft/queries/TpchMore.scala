@@ -212,9 +212,13 @@ object TpchMore {
       .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
     val li = Tables.t(s, dir, "lineitem")
       .join(brandParts, col("l_partkey") === col("p_partkey"))
-    val perPart = li.groupBy(col("l_partkey").as("pk"))
-      .agg(sum(qty(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("cnt"))
-    li.join(perPart, col("l_partkey") === col("pk"))
+    // the correlated per-part (sum, count) as WINDOW aggregates over
+    // the same rows — the groupBy+join form scans and joins the
+    // brand-scoped fact twice (the aggregate side defeats exchange
+    // reuse); the window is one exchange on l_partkey over one scan
+    val pw = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    li.withColumn("sum_qty", sum(qty(col("l_quantity"))).over(pw))
+      .withColumn("cnt", count(lit(1)).over(pw))
       .filter(qty(col("l_quantity")) * lit(5) * col("cnt") < col("sum_qty"))
       .agg((sum(dec(col("l_extendedprice"))).cast(DoubleType) / lit(7.0)).as("avg_yearly"))
   }
