@@ -464,9 +464,35 @@ object Sketches {
     * in round 7. They live here instead: SketchesSpec pins their
     * properties, and Bench/ScaleBench time them next to the md5 twins.
     */
+  /** [[quantileReservoir]] with the production hash: the reservoir
+    * rank is codegen'd xxhash64 instead of per-row md5 (the md5 is the
+    * oracle-reproducibility device; it is also most of the gated
+    * twin's cost). The estimator only needs a uniform ORDER, so the
+    * unsigned-order mapping of [[hxx]] serves as the rank directly.
+    */
+  def quantileReservoirXx(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("v"),
+        hxx(concat_ws(":", col("l_orderkey"), col("l_linenumber"), lit("qr"))).as("rk"))
+    val sample = li
+      .withColumn("rn", row_number().over(Window.partitionBy(col("grp")).orderBy(col("rk"))))
+      .filter(col("rn") <= QrK)
+    val est = sample
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("v"), col("rk"))))
+      .filter(col("vr") === QrK / 2)
+      .select(col("grp"), col("v").cast("double").as("p50_est"))
+    val exact = li.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), round(expr("percentile(v, 0.5)"), 6).as("p50_exact"))
+    exact.join(est, "grp")
+      .select(col("grp"), col("n_rows"), col("p50_exact"), col("p50_est"))
+      .orderBy(col("grp"))
+  }
+
   val benchOnlyDefs: Seq[QueryDef] = Seq(
     QueryDef("sk_kmv_xxhash", kmvDistinctXx, None),
     QueryDef("sk_countmin_xxhash", countMinTopkXx, None),
     QueryDef("sk_bloom_native", bloomSemijoinNative, None),
+    QueryDef("sk_quantile_xxhash", quantileReservoirXx, None),
   )
 }

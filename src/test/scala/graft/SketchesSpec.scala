@@ -104,6 +104,26 @@ class SketchesSpec extends SparkSpec {
     assert(plan.contains("might_contain"), "expected the native BloomFilter probe")
   }
 
+  test("xxhash quantile reservoir: estimate lies inside the exact interquartile range") {
+    // a 64-row uniform sample's middle order statistic misses the
+    // [p25, p75] band with probability ~2e-5; on the FIXED testdata
+    // (deterministic hash) this is a hard assertion, and it pins that
+    // the production-hash twin samples uniformly rather than, say,
+    // rank-correlating with the value column
+    val est = Sketches.quantileReservoirXx(spark, dir).collect()
+      .map(r => r.getAs[String]("grp") -> r.getAs[Double]("p50_est")).toMap
+    assert(est.nonEmpty)
+    val band = graft.Tables.t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("grp"))
+      .agg(expr("percentile(l_extendedprice, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    est.foreach { case (g, e) =>
+      val (lo, hi) = band(g)
+      assert(e >= lo && e <= hi, s"$g: p50_est $e outside exact IQR [$lo, $hi]")
+    }
+  }
+
   test("count-min estimates are one-sided: est >= exact, always") {
     val rows = Sketches.countMinTopk(spark, dir).collect()
     assert(rows.nonEmpty)
