@@ -124,6 +124,7 @@ object ScaleBench {
       "sk_kmv_xxhash" -> graft.queries.Sketches.kmvDistinctXx _,
       "sk_countmin_xxhash" -> graft.queries.Sketches.countMinTopkXx _,
       "sk_bloom_native" -> graft.queries.Sketches.bloomSemijoinNative _,
+      "sk_quantile_xxhash" -> graft.queries.Sketches.quantileReservoirXx _,
       "cu_pipeline_e2e" -> graft.queries.LlmCuration.curationPipeline _,
       "fn_percentile_suite" -> graft.queries.RelationalExt.percentileSuite _,
       "rel_scalar_subquery" -> graft.queries.RelationalExt.scalarSubquery _,
