@@ -142,6 +142,7 @@ object ScaleBench {
       "cu_upsample_epochs" -> graft.queries.TrainingPrep.upsampleEpochs _,
       "ops_profile_numeric" -> graft.queries.DataOps.profileNumeric _,
       "ops_dq_checks" -> graft.queries.DataOps.dqChecks _,
+      "ops_outlier_bounds" -> graft.queries.DataOps.outlierBounds _,
       // round-8 additions
       "dd_common_passages" -> graft.queries.LlmDedup.commonPassages _,
       "dd_dup_fraction" -> graft.queries.LlmDedup.dupFraction _,

@@ -107,8 +107,66 @@ object DataOps {
       |  FROM documents GROUP BY p HAVING COUNT(*) > 1)
       |) ORDER BY "check"""".stripMargin
 
+  /** Robust outlier report per group: median/MAD bounds (the
+    * median-absolute-deviation fence, robust where mean/stddev fences
+    * are dragged by the outliers themselves) over events.value per
+    * event type — bounds, outlier count, and share. Both statistics
+    * round(,6) BEFORE the fence comparison so interpolation ulps
+    * cannot flip boundary rows between engines.
+    *
+    * Scale shape: two grouped exact percentiles (med, then MAD of
+    * |v − med| after a broadcast-joined med) and one conditional
+    * count — three passes over a single-column projection. At 100 TB
+    * swap the exact percentiles for approx_percentile: same plan,
+    * sketch-sized state.
+    */
+  def outlierBounds(s: SparkSession, dir: String): DataFrame = {
+    // events.value is the testdata's one genuinely heavy-tailed column
+    // (~11% beyond the 3-MAD fence) — a flat column would make this a
+    // checks-pass-on-anything gate, which the house rules forbid
+    val li = Tables.t(s, dir, "events")
+      .select(col("event_type").as("grp"), col("value").as("v"))
+    val med = li.groupBy(col("grp"))
+      .agg(round(expr("percentile(v, 0.5)"), 6).as("med"))
+    val mad = li.join(med, "grp")
+      .groupBy(col("grp"), col("med"))
+      .agg(round(expr("percentile(abs(v - med), 0.5)"), 6).as("mad"))
+    val lo = round(col("med") - lit(3) * col("mad"), 6)
+    val hi = round(col("med") + lit(3) * col("mad"), 6)
+    li.join(mad, "grp")
+      .groupBy(col("grp"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v") < lo || col("v") > hi, 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("grp"), col("med"), col("mad"),
+        round(col("med") - lit(3) * col("mad"), 6).as("lo"),
+        round(col("med") + lit(3) * col("mad"), 6).as("hi"),
+        col("n_rows"), col("n_outliers"),
+        round(col("n_outliers").cast(DoubleType) / col("n_rows"), 6).as("outlier_share"))
+      .orderBy(col("grp"))
+  }
+
+  val outlierBoundsOracle: String =
+    """WITH li AS (SELECT event_type AS grp, "value" AS v FROM events),
+      |med AS (SELECT grp, round(quantile_cont(v, 0.5), 6) AS med FROM li GROUP BY 1),
+      |mad AS (SELECT li.grp, med.med,
+      |    round(quantile_cont(abs(li.v - med.med), 0.5), 6) AS mad
+      |  FROM li JOIN med ON li.grp = med.grp GROUP BY 1, 2)
+      |SELECT li.grp, mad.med, mad.mad,
+      |  round(mad.med - 3 * mad.mad, 6) AS lo,
+      |  round(mad.med + 3 * mad.mad, 6) AS hi,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN li.v < round(mad.med - 3 * mad.mad, 6)
+      |         OR li.v > round(mad.med + 3 * mad.mad, 6) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers,
+      |  round(CAST(SUM(CASE WHEN li.v < round(mad.med - 3 * mad.mad, 6)
+      |         OR li.v > round(mad.med + 3 * mad.mad, 6) THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS outlier_share
+      |FROM li JOIN mad ON li.grp = mad.grp
+      |GROUP BY 1, 2, 3 ORDER BY li.grp""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ops_profile_numeric", profileNumeric, Some(profileNumericOracle)),
     QueryDef("ops_dq_checks", dqChecks, Some(dqChecksOracle)),
+    QueryDef("ops_outlier_bounds", outlierBounds, Some(outlierBoundsOracle)),
   )
 }
