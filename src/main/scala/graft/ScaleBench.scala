@@ -157,6 +157,12 @@ object ScaleBench {
       "q17_small_qty" -> graft.queries.TpchMore.q17SmallQty _,
       "q19_disjunctive" -> graft.queries.TpchMore.q19Disjunctive _,
       "q22_idle_customers" -> graft.queries.TpchMore.q22IdleCustomers _,
+      // final TPC-H tranche (round 8)
+      "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
+      "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,
+      "q12_priority_class" -> graft.queries.TpchFinal.q12PriorityClass _,
+      "q16_supplier_cnt" -> graft.queries.TpchFinal.q16SupplierCnt _,
+      "q20_dominant_supp" -> graft.queries.TpchFinal.q20DominantSupp _,
     )
     val timedQueries = timedQueries0.filter { case (n, _) => only.forall(_.contains(n)) }
     val candidateCounts: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(

@@ -39,7 +39,8 @@ object SparkEntry {
         graft.queries.Subqueries.defs ++
         graft.queries.TrainingPrep.defs ++
         graft.queries.DataOps.defs ++
-        graft.queries.TpchMore.defs
+        graft.queries.TpchMore.defs ++
+        graft.queries.TpchFinal.defs
     // a name collision would silently shrink the correctness gate
     // (toMap keeps the last duplicate) — fail loudly instead; the
     // bench-only names share the namespace (Bench times both sets)

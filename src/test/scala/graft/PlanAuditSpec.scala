@@ -67,6 +67,9 @@ class PlanAuditSpec extends SparkSpec {
       "j4_band_join",
       "q7_nation_trade", // nation dim: fixed 25 rows at every scale factor
       "q11_value_share", // same fixed 25-row nation dim
+      // TpchFinal: q8 broadcasts nation (×2 aliases) + region, q20 the
+      // NATION_7-filtered nation — all spec-constant 25/5-row dims
+      "q8_market_share", "q20_dominant_supp",
       // PQ codebook (M*K = 128 rows x 8 doubles, constant) and the
       // per-query ADC lookup table (NQueries * M * K rows, constant)
       "sim_pq_adc",
