@@ -157,6 +157,9 @@ object ScaleBench {
       "q17_small_qty" -> graft.queries.TpchMore.q17SmallQty _,
       "q19_disjunctive" -> graft.queries.TpchMore.q19Disjunctive _,
       "q22_idle_customers" -> graft.queries.TpchMore.q22IdleCustomers _,
+      "ta_vocab_stats" -> graft.queries.LlmCuration.vocabStats _,
+      "cu_cdc_chunk" -> graft.queries.TrainingPrep.cdcChunk _,
+      "ops_fuzzy_link" -> graft.queries.DataOps.fuzzyLink _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

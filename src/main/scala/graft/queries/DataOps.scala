@@ -164,8 +164,55 @@ object DataOps {
       |FROM li JOIN mad ON li.grp = mad.grp
       |GROUP BY 1, 2, 3 ORDER BY li.grp""".stripMargin
 
+  /** Blocked fuzzy record linkage over part names — the
+    * entity-resolution primitive (candidate generation by BLOCKING,
+    * verification by edit distance) that a pipeline needs wherever the
+    * same real-world entity arrives under near-identical spellings.
+    * Block key = the name's noun (second token: a stable attribute);
+    * within a block, distinct name pairs whose adjectives sit within
+    * levenshtein 2 are emitted with their distance.
+    *
+    * Scale shape: the quadratic is confined to blocks — the join key
+    * is the noun, so candidate pairs are |block|² per noun instead of
+    * n² over the catalog, and `a < b` halves them. Distinct-names
+    * first: the pair space is over the VOCABULARY of names (catalog-
+    * sized), never over row counts. Skewed blocks (one noun dominating
+    * the catalog) fall under AQE's skew-join splitting like any other
+    * key.
+    */
+  def fuzzyLink(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.t(s, dir, "part")
+      .select(col("p_name")).distinct()
+      .select(col("p_name"),
+        element_at(split(col("p_name"), " "), 1).as("adj"),
+        element_at(split(col("p_name"), " "), 2).as("noun"))
+    val a = names.select(col("p_name").as("name_a"), col("adj").as("adj_a"),
+      col("noun").as("block"))
+    val b = names.select(col("p_name").as("name_b"), col("adj").as("adj_b"),
+      col("noun").as("block"))
+    a.join(b, "block")
+      .filter(col("name_a") < col("name_b"))
+      .select(col("block"), col("name_a"), col("name_b"),
+        levenshtein(col("adj_a"), col("adj_b")).cast(LongType).as("dist"))
+      .filter(col("dist") <= 2)
+      .orderBy(col("block"), col("name_a"), col("name_b"))
+  }
+
+  val fuzzyLinkOracle: String =
+    """WITH names AS (
+      |  SELECT DISTINCT p_name,
+      |    string_split(p_name, ' ')[1] AS adj,
+      |    string_split(p_name, ' ')[2] AS noun
+      |  FROM part)
+      |SELECT a.noun AS block, a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.adj, b.adj) AS BIGINT) AS dist
+      |FROM names a JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+      |WHERE levenshtein(a.adj, b.adj) <= 2
+      |ORDER BY block, name_a, name_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ops_profile_numeric", profileNumeric, Some(profileNumericOracle)),
+    QueryDef("ops_fuzzy_link", fuzzyLink, Some(fuzzyLinkOracle)),
     QueryDef("ops_dq_checks", dqChecks, Some(dqChecksOracle)),
     QueryDef("ops_outlier_bounds", outlierBounds, Some(outlierBoundsOracle)),
   )

@@ -446,7 +446,55 @@ object LlmCuration {
        |WHERE sample_rank <= $GroupSampleK
        |ORDER BY source, sample_rank""".stripMargin
 
+  /** Corpus vocabulary profile per language: type/token counts, hapax
+    * share, and the Zipf head (share of the single most frequent
+    * word). The classic corpus-health readout — a collapsing
+    * type-token ratio or an outsized head flags boilerplate-flooded or
+    * template-generated text before it reaches training.
+    *
+    * Determinism: every statistic is a ratio of exact integer counts,
+    * rounded at 6 only on output. No arg-max column crosses the
+    * boundary (top-word TIES would be engine-order-dependent; the top
+    * COUNT is unique-valued by construction).
+    *
+    * Scale shape: explode → (lang, word) hash aggregate (map-side
+    * partial absorbs the Zipf head before the exchange) → per-lang
+    * rollup of L rows. The wire carries vocabulary-sized data, never
+    * the corpus.
+    */
+  def vocabStats(s: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.t(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    wc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(col("cnt")).as("n_tokens"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax_cnt"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col("lang"), col("vocab_size"), col("n_tokens"), col("hapax_cnt"),
+        round(col("hapax_cnt").cast(DoubleType) / col("vocab_size"), 6).as("hapax_ratio"),
+        round(col("top_cnt").cast(DoubleType) / col("n_tokens"), 6).as("top_share"),
+        round(col("vocab_size").cast(DoubleType) / col("n_tokens"), 6).as("type_token_ratio"))
+      .orderBy(col("lang"))
+  }
+
+  val vocabStatsOracle: String =
+    """WITH wc AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      |cnts AS (SELECT lang, w, COUNT(*) AS cnt FROM wc GROUP BY 1, 2)
+      |SELECT lang,
+      |  CAST(COUNT(*) AS BIGINT) AS vocab_size,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_cnt,
+      |  round(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS hapax_ratio,
+      |  round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_share,
+      |  round(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS type_token_ratio
+      |FROM cnts GROUP BY 1 ORDER BY lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ta_vocab_stats", vocabStats, Some(vocabStatsOracle)),
     QueryDef("ta_tfidf", tfidf, Some(tfidfOracle)),
     QueryDef("cu_group_sample", groupSample, Some(groupSampleOracle)),
     QueryDef("ta_bigram_ll", bigramLl, Some(bigramLlOracle)),

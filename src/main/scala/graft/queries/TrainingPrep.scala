@@ -186,7 +186,68 @@ object TrainingPrep {
       |FROM documents d JOIN f USING (source)
       |ORDER BY doc_id, epoch""".stripMargin
 
+  /** Content-defined chunking (CDC) dedup hits: documents split at
+    * ROLLING-HASH boundaries (a token starts a new chunk when its md5
+    * leads with hex 0/1 — expected chunk length 8 tokens), then chunks
+    * whose exact text recurs anywhere in the corpus are surfaced with
+    * their copy counts. Unlike fixed windows ([[chunkSliding]]), CDC
+    * boundaries RESYNCHRONIZE after insertions/deletions — the same
+    * passage shifted by k tokens still produces identical chunks, so
+    * shared passages dedup regardless of offset (the property
+    * rsync/LBFS-style chunking is built on).
+    *
+    * Scale shape: chunk assembly is a pure per-row array program —
+    * boundary positions via filter over the token index sequence,
+    * chunk texts via zip_with over adjacent boundaries — so the ONLY
+    * exchange is the final chunk-key aggregate, and the wire carries
+    * 16-byte keys + counts, not text (the md5 key crosses the shuffle;
+    * the chunk text never leaves the map side).
+    */
+  def cdcChunk(s: SparkSession, dir: String): DataFrame = {
+    val tk = col("tk")
+    val n = size(tk)
+    // chunk starts: position 1 unconditionally, then every boundary
+    // token. The seed start makes the zip below total for n >= 1.
+    val starts = concat(array(lit(1)),
+      filter(sequence(lit(2), n),
+        i => substring(md5(element_at(tk, i).cast(BinaryType)), 1, 1).isin("0", "1")))
+    val ends = concat(slice(starts, lit(2), size(starts) - 1), array(n + 1))
+    val chunks = zip_with(starts, ends, (st, en) => array_join(slice(tk, st, en - st), " "))
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(n >= 1)
+      .select(col("doc_id"), explode(chunks).as("ctext"))
+      .select(col("doc_id"),
+        md5(col("ctext").cast(BinaryType)).as("chunk_key"),
+        size(split(col("ctext"), " ")).cast(LongType).as("n_tokens"))
+      .groupBy(col("chunk_key"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_copies"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("n_copies").desc, col("chunk_key"))
+  }
+
+  private val cdcOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |fl AS (SELECT doc_id, pos, w,
+      |  CASE WHEN pos > 1 AND substr(md5(w), 1, 1) IN ('0', '1')
+      |    THEN 1 ELSE 0 END AS b FROM tk),
+      |ch AS (SELECT doc_id, pos, w,
+      |  SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS cid FROM fl),
+      |chunks AS (
+      |  SELECT doc_id, cid, string_agg(w, ' ' ORDER BY pos) AS ctext,
+      |    COUNT(*) AS n_tok
+      |  FROM ch GROUP BY 1, 2)
+      |SELECT md5(ctext) AS chunk_key, CAST(n_tok AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_copies,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM chunks GROUP BY 1, 2 HAVING COUNT(*) > 1
+      |ORDER BY n_copies DESC, chunk_key""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("cu_cdc_chunk", cdcChunk, Some(cdcOracle)),
     QueryDef("cu_chunk_sliding", chunkSliding, Some(chunkOracle)),
     QueryDef("cu_contamination", contamination, Some(contaminationOracle)),
     QueryDef("cu_upsample_epochs", upsampleEpochs, Some(upsampleOracle)),

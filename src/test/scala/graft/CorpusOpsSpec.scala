@@ -1,0 +1,78 @@
+package graft
+
+import graft.queries.{DataOps, LlmCuration, TrainingPrep}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-8 corpus-statistics operators — the
+  * properties their DuckDB oracles can't express: CDC boundary
+  * resynchronization under prefix shifts, fuzzy-link blocking
+  * soundness, and vocabulary-statistic algebra.
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("vocab stats: ratios bounded, hapax <= vocab <= tokens, all langs present") {
+    val rows = LlmCuration.vocabStats(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("lang")).toSet === Set("en", "fr", "es", "de", "zh"))
+    rows.foreach { r =>
+      val (v, t, h) = (r.getAs[Long]("vocab_size"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("hapax_cnt"))
+      assert(h <= v && v <= t, r.toString)
+      Seq("hapax_ratio", "top_share", "type_token_ratio").foreach { c =>
+        val x = r.getAs[Double](c)
+        assert(x >= 0.0 && x <= 1.0, s"$c out of range: $r")
+      }
+    }
+  }
+
+  /** The property fixed-window chunking lacks and CDC exists to
+    * provide: insert a prefix, and after the first boundary the chunk
+    * stream realigns, so the shared suffix dedups against the
+    * unshifted original.
+    */
+  test("CDC chunking resynchronizes after a prefix insertion") {
+    val text = ("alpha beta gamma delta " * 24).trim // 96 tokens
+    val shifted = "zig zag zog " + text
+    val tmp = tmpDir("cdc")
+    val docs = Seq((1L, text), (2L, shifted))
+    spark.createDataFrame(docs).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val hits = TrainingPrep.cdcChunk(spark, tmp).collect()
+    // the two docs must share at least one identical chunk spanning
+    // both (n_docs == 2): the boundary positions depend only on token
+    // CONTENT, so the 3-token offset cannot keep the streams apart
+    assert(hits.exists(_.getAs[Long]("n_docs") == 2L),
+      s"no cross-doc chunk survived the shift: ${hits.mkString("; ")}")
+  }
+
+  test("CDC chunks partition each document: token counts re-add to doc length") {
+    // over the real corpus: sum of chunk tokens (INCLUDING singletons,
+    // so rebuild without the >1 filter) equals total corpus tokens
+    val docs = Tables.t(spark, dir, "documents")
+    val total = docs.select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    val tk = col("tk")
+    val n = size(tk)
+    val starts = concat(array(lit(1)),
+      filter(sequence(lit(2), n), i =>
+        substring(md5(element_at(tk, i).cast("binary")), 1, 1).isin("0", "1")))
+    val ends = concat(slice(starts, lit(2), size(starts) - 1), array(n + 1))
+    val chunks = zip_with(starts, ends, (st, en) => en - st)
+    val chunked = docs.select(split(col("text"), " ").as("tk"))
+      .select(explode(chunks).as("len"))
+      .agg(sum(col("len"))).head.getLong(0)
+    assert(chunked === total, s"chunks must partition tokens: $chunked vs $total")
+  }
+
+  test("fuzzy link: pairs stay inside their block, ordered, within distance") {
+    val rows = DataOps.fuzzyLink(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty, "the fuzzy matcher must find catalog near-names")
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("name_a"), r.getAs[String]("name_b"))
+      assert(a < b, "canonical pair order")
+      assert(a.split(" ")(1) === b.split(" ")(1), "block key (noun) must agree")
+      assert(r.getAs[Long]("dist") <= 2L)
+      assert(a.split(" ")(0) !== b.split(" ")(0), "identical names can't pair (a<b)")
+    }
+  }
+}
