@@ -160,6 +160,33 @@ object EventsStream {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("total_value"))
 
+  /** Stream-STATIC dimension enrichment — the bread-and-butter
+    * streaming pattern the rest of this file's stateful operators sit
+    * on top of: each micro-batch of the event stream joins a static
+    * dimension (event_type → category, weight), then aggregates the
+    * weighted value per category in watermarked tumbling windows.
+    *
+    * Semantics Spark gives this for free (and the spec pins): the
+    * static side is planned per micro-batch as an ordinary broadcast
+    * equi-join — no state store involvement, no watermark on the dim —
+    * and the stateful windowed agg downstream behaves exactly as in
+    * [[windowedCounts]]. An INNER join, so events missing from the dim
+    * drop (the tested policy, mirroring [[parse]]'s dirty-row filter).
+    *
+    * At scale: the dim is the small side by construction (a category
+    * table), so every micro-batch pays one broadcast probe — never a
+    * shuffle of the stream.
+    */
+  def enrichedWindowedValue(events: Dataset[Event], dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), "event_type")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("category"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value") * col("weight")).as("weighted_value"))
+      .select(col("w.start").as("window_start"), col("category"),
+        col("n_events"), col("weighted_value"))
+
   /** Custom session state: per-user sessions closed by a 30-minute
     * event-time gap. flatMapGroupsWithState with EventTimeTimeout —
     * state evicts itself when the watermark passes last-event + gap,

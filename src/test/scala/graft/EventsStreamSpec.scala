@@ -237,6 +237,37 @@ class EventsStreamSpec extends SparkSpec {
     ))
   }
 
+  test("stream-static dim enrichment: broadcast join per micro-batch, parity with batch") {
+    val in = tmpDir("en-in"); val out = tmpDir("en-out"); val ck = tmpDir("en-ck")
+    writeInput(in)
+    import spark.implicits._
+    val dim = Seq(("view", "browse", 2.0), ("purchase", "conversion", 10.0))
+      .toDF("event_type", "category", "weight")
+    EventsStream.runToParquet(
+      EventsStream.enrichedWindowedValue(
+        EventsStream.parse(spark.readStream.text(in)), dim),
+      out, ck).awaitTermination(120000)
+    val got = spark.read.parquet(out)
+      .select(date_format(col("window_start"), "HH:mm").as("w"),
+        col("category"), col("n_events"), col("weighted_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // batch parity on the same finalized windows: views weight 2.0,
+    // purchases weight 10.0; the 23:00 sentinel window never finalizes
+    assert(got === Set(
+      ("10:00", "browse", 2L, 6.0),        // values 1+2 → (1+2)*2
+      ("10:00", "conversion", 1L, 100.0),  // 10*10
+      ("10:05", "browse", 1L, 6.0),        // 3*2
+      ("11:00", "browse", 1L, 18.0),       // 9*2
+    ))
+    // and the join really is the static-broadcast shape: no state-store
+    // operator for the join itself (only the windowed agg downstream)
+    val plan = EventsStream.enrichedWindowedValue(
+      EventsStream.parse(spark.readStream.text(in)), dim)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("ResolvedHint"), "dim must carry the broadcast hint")
+  }
+
   test("dropDuplicatesWithinWatermark: re-delivered event ids collapse to one") {
     val in = tmpDir("dd-in"); val out = tmpDir("dd-out"); val ck = tmpDir("dd-ck")
     val withDups = base ++ Seq(
