@@ -158,6 +158,7 @@ object ScaleBench {
       "q19_disjunctive" -> graft.queries.TpchMore.q19Disjunctive _,
       "q22_idle_customers" -> graft.queries.TpchMore.q22IdleCustomers _,
       "ta_vocab_stats" -> graft.queries.LlmCuration.vocabStats _,
+      "cu_weighted_sample" -> graft.queries.LlmCuration.weightedSample _,
       "cu_cdc_chunk" -> graft.queries.TrainingPrep.cdcChunk _,
       "ops_fuzzy_link" -> graft.queries.DataOps.fuzzyLink _,
       // final TPC-H tranche (round 8)

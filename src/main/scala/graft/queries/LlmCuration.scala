@@ -446,6 +446,52 @@ object LlmCuration {
        |WHERE sample_rank <= $GroupSampleK
        |ORDER BY source, sample_rank""".stripMargin
 
+  /** WEIGHTED without-replacement sample per group — Efraimidis-
+    * Spirakis A-ES (IPL 2006) with the hash standing in for the
+    * random draw: each doc gets u = (h60+1)/2^60 ∈ (0,1], key =
+    * ln(u)/w (equivalent to ranking by u^(1/w)), and the top
+    * [[WeightedSampleK]] keys per source win. Weight = n_chars, so
+    * longer documents are proportionally likelier — the
+    * token-budget-aware mixture sampler (sampling documents uniformly
+    * UNDERWEIGHTS long documents' tokens; A-ES by length samples
+    * tokens uniformly), deterministic and replayable like
+    * [[groupSample]].
+    *
+    * Cross-engine note: ln is the one libm call crossing a RANKING
+    * (not a rounded output); keys are 60-bit-hash-spread doubles, so
+    * a sub-ulp divergence would need two keys within ~1e-13 relative
+    * — never observed at gate scale, and the rank (not the key)
+    * crosses the output boundary.
+    *
+    * Scale shape: identical to [[groupSample]] — WindowGroupLimit
+    * keeps O(k) rows per group on the wire regardless of skew.
+    */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = (Sketches.h60(concat_ws(":", col("doc_id"), lit("ws"))) + 1)
+      .cast(DoubleType) / lit(1152921504606846976.0) // 2^60
+    val key = log(u) / col("n_chars")
+    Tables.t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"), key.as("key"))
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("key").desc, col("doc_id"))).cast(LongType))
+      .filter(col("sample_rank") <= WeightedSampleK)
+      .select(col("source"), col("sample_rank"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("sample_rank"))
+  }
+
+  private val WeightedSampleK = 8
+
+  val weightedSampleOracle: String =
+    s"""SELECT source, sample_rank, doc_id, n_chars FROM (
+       |  SELECT source, doc_id, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY ln((${Sketches.h60Sql("CAST(doc_id AS VARCHAR) || ':ws'")} + 1)
+       |          / 1152921504606846976.0) / n_chars DESC,
+       |        doc_id) AS sample_rank
+       |  FROM documents)
+       |WHERE sample_rank <= $WeightedSampleK
+       |ORDER BY source, sample_rank""".stripMargin
+
   /** Corpus vocabulary profile per language: type/token counts, hapax
     * share, and the Zipf head (share of the single most frequent
     * word). The classic corpus-health readout — a collapsing
@@ -497,6 +543,7 @@ object LlmCuration {
     QueryDef("ta_vocab_stats", vocabStats, Some(vocabStatsOracle)),
     QueryDef("ta_tfidf", tfidf, Some(tfidfOracle)),
     QueryDef("cu_group_sample", groupSample, Some(groupSampleOracle)),
+    QueryDef("cu_weighted_sample", weightedSample, Some(weightedSampleOracle)),
     QueryDef("ta_bigram_ll", bigramLl, Some(bigramLlOracle)),
     QueryDef("cu_domain_mix", domainMix, Some(domainMixOracle)),
     QueryDef("cu_pipeline_e2e", curationPipeline, Some(curationPipelineOracle)),

@@ -64,6 +64,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(chunked === total, s"chunks must partition tokens: $chunked vs $total")
   }
 
+  test("weighted sample: length-biased — sampled docs are longer than the corpus mean") {
+    val sf01 = "/root/testdata/sf0.01"
+    val sampled = LlmCuration.weightedSample(spark, sf01)
+      .agg(avg(col("n_chars"))).head.getDouble(0)
+    val corpus = Tables.t(spark, sf01, "documents")
+      .agg(avg(col("n_chars"))).head.getDouble(0)
+    // A-ES by n_chars makes longer docs proportionally likelier; on
+    // this fixed corpus + fixed hash the gap is deterministic and wide
+    assert(sampled > corpus,
+      s"weighting must bias the sample long: sampled=$sampled corpus=$corpus")
+    // exactly k per group, ranks contiguous
+    val perGroup = LlmCuration.weightedSample(spark, sf01)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"), max(col("sample_rank")).as("mx"))
+      .collect()
+    perGroup.foreach { r =>
+      assert(r.getAs[Long]("n") === 8L && r.getAs[Long]("mx") === 8L, r.toString)
+    }
+  }
+
   test("fuzzy link: pairs stay inside their block, ordered, within distance") {
     val rows = DataOps.fuzzyLink(spark, "/root/testdata/sf0.01").collect()
     assert(rows.nonEmpty, "the fuzzy matcher must find catalog near-names")
