@@ -143,6 +143,7 @@ object ScaleBench {
       "ops_profile_numeric" -> graft.queries.DataOps.profileNumeric _,
       "ops_dq_checks" -> graft.queries.DataOps.dqChecks _,
       "ops_outlier_bounds" -> graft.queries.DataOps.outlierBounds _,
+      "ops_histogram" -> graft.queries.DataOps.histogram _,
       // round-8 additions
       "dd_common_passages" -> graft.queries.LlmDedup.commonPassages _,
       "dd_dup_fraction" -> graft.queries.LlmDedup.dupFraction _,

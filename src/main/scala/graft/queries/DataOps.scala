@@ -164,6 +164,42 @@ object DataOps {
       |FROM li JOIN mad ON li.grp = mad.grp
       |GROUP BY 1, 2, 3 ORDER BY li.grp""".stripMargin
 
+  /** Equi-width histogram of `l_extendedprice` per return flag — the
+    * distribution readout the one-row-per-column profiler
+    * ([[profileNumeric]]) can't give. Bucketing is EXACT integer
+    * arithmetic: prices are 2-decimal, so bucket = cents ÷ width_cents
+    * in BIGINT — no floating boundary for engines to disagree on
+    * (DuckDB lacks width_bucket; both engines share integer division).
+    *
+    * Scale shape: one scan, one (flag, bucket) hash aggregate with
+    * map-side combine into ≤ flags × buckets cells — the wire carries
+    * the histogram, never the rows.
+    */
+  def histogram(s: SparkSession, dir: String): DataFrame = {
+    val widthCents = 11000L * 100L // 10 buckets over [0, 110000.00)
+    val cents = round(col("l_extendedprice") * 100).cast(LongType)
+    Tables.t(s, dir, "lineitem")
+      .select(col("l_returnflag"), (cents / widthCents).cast(LongType).as("bucket"),
+        col("l_extendedprice"))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+      .select(col("l_returnflag"), col("bucket"),
+        (col("bucket") * lit(11000L)).cast(DoubleType).as("bucket_lo"),
+        col("n_rows"), col("sum_price"))
+      .orderBy(col("l_returnflag"), col("bucket"))
+  }
+
+  val histogramOracle: String =
+    """SELECT l_returnflag,
+      |  CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 1100000 AS bucket,
+      |  CAST((CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 1100000) * 11000
+      |    AS DOUBLE) AS bucket_lo,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |GROUP BY 1, 2 ORDER BY l_returnflag, bucket""".stripMargin
+
   /** Blocked fuzzy record linkage over part names — the
     * entity-resolution primitive (candidate generation by BLOCKING,
     * verification by edit distance) that a pipeline needs wherever the
@@ -213,6 +249,7 @@ object DataOps {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ops_profile_numeric", profileNumeric, Some(profileNumericOracle)),
     QueryDef("ops_fuzzy_link", fuzzyLink, Some(fuzzyLinkOracle)),
+    QueryDef("ops_histogram", histogram, Some(histogramOracle)),
     QueryDef("ops_dq_checks", dqChecks, Some(dqChecksOracle)),
     QueryDef("ops_outlier_bounds", outlierBounds, Some(outlierBoundsOracle)),
   )
