@@ -50,8 +50,11 @@ class TpchFinalSpec extends SparkSpec {
     val rows = TpchFinal.q12PriorityClass(spark, dir).collect()
     assert(rows.nonEmpty)
     val plan = TpchFinal.q12PriorityClass(spark, dir).queryExecution.executedPlan.toString
-    val joins = plan.linesIterator.count(_.trim.matches("^[+:*-]*\\s*[A-Za-z]*Join.*"))
-    assert(joins <= 1, s"q12 must join once, got $joins:\n${plan.take(1200)}")
+    // exactly ONE join node: the CASE-split must not become a second
+    // join (and `=== 1`, not `<= 1`, keeps the count non-vacuous
+    // against plan-format drift)
+    val joins = plan.linesIterator.count(_.contains("Join"))
+    assert(joins === 1, s"q12 must join exactly once, got $joins:\n${plan.take(1200)}")
   }
 
   test("q16: NOT-IN exclusion compiles to an anti join and provably removes suppliers") {
