@@ -49,12 +49,41 @@ object AsOfJoin {
       .drop("__t", "__side", "__p")
   }
 
+  /** The NATIVE as-of path — [[graft.plans.AsOfJoinPlan]] planned by
+    * [[graft.plans.AsOfJoinStrategy]] into the sort-merge
+    * [[graft.plans.AsOfJoinExec]] (each side shuffles only itself;
+    * O(1) merge state; left order preserved). Same key-name-on-both-
+    * sides contract and `<=` tie semantics as [[asOf]] — the spec
+    * proves row-level equivalence, and `j3_asof_native` gates this
+    * exec against DuckDB's own ASOF LEFT JOIN.
+    */
+  def nativeAsOf(left: DataFrame, right: DataFrame, key: String, leftTime: String,
+      rightTime: String, payload: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    graft.functions.VectorFunctions.register(spark) // idempotent; adds the strategy
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(pl: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      pl.output.find(_.name == n).getOrElse(sys.error(s"no column $n"))
+    val (lk, rk) = (attr(lp, key), attr(rp, key))
+    val (lt, rt) = (attr(lp, leftTime), attr(rp, rightTime))
+    // the merge compares raw ordinal values — mixed physical types
+    // (date int vs timestamp long) would compare garbage, so insist
+    // the caller aligns them (no silent coercion in a custom node)
+    require(lk.dataType == rk.dataType,
+      s"as-of key types differ: ${lk.dataType} vs ${rk.dataType}")
+    require(lt.dataType == rt.dataType,
+      s"as-of time types differ: ${lt.dataType} vs ${rt.dataType}")
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      graft.plans.AsOfJoinPlan(lp, rp, lk, rk, lt, rt, payload.map(attr(rp, _))))
+  }
+
   /** j3: every event enriched with the user's latest order state as of
     * the event date (orders pre-aggregated per (custkey, date); right
     * side restricted to custkey < 100 so the no-history null path is
     * real, not vacuous).
     */
-  def eventsAsOfOrders(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def j3Sides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val orders = Tables.t(s, dir, "orders")
       .filter(col("o_custkey") < 100)
       .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("order_date"))
@@ -62,7 +91,31 @@ object AsOfJoin {
       .withColumn("last_order_date", col("order_date"))
     val events = Tables.t(s, dir, "events")
       .select(col("event_id"), col("user_id"), to_date(col("ts")).as("event_date"))
+    (events, orders)
+  }
+
+  def eventsAsOfOrders(s: SparkSession, dir: String): DataFrame = {
+    val (events, orders) = j3Sides(s, dir)
     asOf(events, orders, "user_id", "event_date", "order_date",
+      Seq("last_order_date", "last_order_price"))
+      .select(col("event_id"), col("user_id"), col("event_date"),
+        col("last_order_date"), col("last_order_price"))
+      .orderBy(col("event_id"))
+  }
+
+  /** The same j3 query through the native exec — gated against the
+    * identical DuckDB ASOF oracle, so the custom operator's output is
+    * pinned cell-for-cell by an independent engine's native ASOF.
+    */
+  def eventsAsOfOrdersNative(s: SparkSession, dir: String): DataFrame = {
+    val (events, orders) = j3Sides(s, dir)
+    // align the time types explicitly (event_date is DATE, order_date
+    // TIMESTAMP_NTZ — both midnights, so `<=` semantics are unchanged;
+    // the composition path gets the same coercion implicitly from
+    // unionByName)
+    val eventsTs = events.withColumn("event_ts",
+      col("event_date").cast(org.apache.spark.sql.types.TimestampNTZType))
+    nativeAsOf(eventsTs, orders, "user_id", "event_ts", "order_date",
       Seq("last_order_date", "last_order_price"))
       .select(col("event_id"), col("user_id"), col("event_date"),
         col("last_order_date"), col("last_order_price"))
@@ -86,5 +139,6 @@ object AsOfJoin {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("j3_asof_join", eventsAsOfOrders, Some(eventsAsOfOrdersOracle)),
+    QueryDef("j3_asof_native", eventsAsOfOrdersNative, Some(eventsAsOfOrdersOracle)),
   )
 }
