@@ -162,6 +162,10 @@ object ScaleBench {
       "cu_weighted_sample" -> graft.queries.LlmCuration.weightedSample _,
       "cu_cdc_chunk" -> graft.queries.TrainingPrep.cdcChunk _,
       "ops_fuzzy_link" -> graft.queries.DataOps.fuzzyLink _,
+      // native as-of exec vs its union+window composition twin — the
+      // growth row pair that shows what the custom operator buys
+      "j3_asof_join" -> graft.queries.AsOfJoin.eventsAsOfOrders _,
+      "j3_asof_native" -> graft.queries.AsOfJoin.eventsAsOfOrdersNative _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,
