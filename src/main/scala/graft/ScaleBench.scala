@@ -166,6 +166,11 @@ object ScaleBench {
       // growth row pair that shows what the custom operator buys
       "j3_asof_join" -> graft.queries.AsOfJoin.eventsAsOfOrders _,
       "j3_asof_native" -> graft.queries.AsOfJoin.eventsAsOfOrdersNative _,
+      // retrieval / graph / time-series (late round 8)
+      "ta_bm25_topk" -> graft.queries.Retrieval.bm25TopK _,
+      "gr_pagerank" -> graft.queries.Graph.pageRank _,
+      "st_ohlc_bars" -> graft.queries.StreamingGates.ohlcBars _,
+      "st_transitions" -> graft.queries.StreamingGates.transitionMatrix _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

@@ -40,7 +40,9 @@ object SparkEntry {
         graft.queries.TrainingPrep.defs ++
         graft.queries.DataOps.defs ++
         graft.queries.TpchMore.defs ++
-        graft.queries.TpchFinal.defs
+        graft.queries.TpchFinal.defs ++
+        graft.queries.Retrieval.defs ++
+        graft.queries.Graph.defs
     // a name collision would silently shrink the correctness gate
     // (toMap keeps the last duplicate) — fail loudly instead; the
     // bench-only names share the namespace (Bench times both sets)

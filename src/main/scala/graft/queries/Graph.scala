@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Relational graph analytics beyond connected components (star-CC in
+  * [[LlmDedup]]): PageRank over the customer↔supplier trade graph —
+  * the importance ranking a marketplace runs over exactly this edge
+  * set. The iteration is the standard Pregel shape expressed
+  * relationally: contributions = ranks ⋈ edges on src, new ranks = one
+  * hash aggregate on dst.
+  *
+  * ALL rank arithmetic is fixed-point BIGINT (rank mass scaled by
+  * 1e12, integer division for the out-degree split and the damping)
+  * so five iterations produce BIT-IDENTICAL results on any engine —
+  * no float summation-order dependence, which a cross-engine gate on
+  * an iterative double computation could never survive.
+  */
+object Graph {
+
+  private val Scale = 1000000000000L // rank mass fixed-point scale
+  private val Iters = 5
+
+  /** 5-iteration PageRank (d = 0.85) over the bipartite trade graph:
+    * nodes are customers (2k) and suppliers (2k+1), symmetric edges
+    * for every distinct (customer, supplier) trade in orders⋈lineitem.
+    * Symmetry guarantees every node has in- and out-degree ≥ 1, so no
+    * dangling-mass term and a constant node set across iterations.
+    *
+    * Scale shape: the edge build is the fact join that produces it —
+    * distinct (cust, supp) pairs, edge-count-sized from there on. Each
+    * iteration shuffles the rank relation (node-sized, ≪ edges) onto
+    * the edge partitioning, then aggregates contributions with map-side
+    * combine. Five iterations = five small shuffles; at 100 TB the
+    * edge relation is partitioned by src once and every join reuses
+    * that layout, with [[graft.plans.Checkpoint]] available to truncate
+    * the growing lineage exactly as star-CC does.
+    */
+  def pageRank(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").cast(LongType).as("cust"))
+    val li = Tables.t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey").cast(LongType).as("supp"))
+    val trade = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("cust") * 2).as("c"), (col("supp") * 2 + 1).as("p"))
+      .distinct()
+    // the edge relation is STATIC across iterations — persist it once
+    // or every iteration re-runs the fact join that built it (the
+    // plan showed 6 orders/lineitem scans unpersisted). Same
+    // discipline as the dedup family: Bench's clearCache pays the
+    // persist per measurement.
+    val edges = trade.select(col("c").as("src"), col("p").as("dst"))
+      .unionByName(trade.select(col("p").as("src"), col("c").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // bounded driver scalar: node count (symmetric edges → every node
+    // appears as a src, so outdeg IS the node relation)
+    val n = outdeg.count()
+    val base = (Scale * 3L / 20L) / n // (1 - d) * Scale / n, d = 0.85
+    val edgesD = edges.join(outdeg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = outdeg.select(col("src").as("node"), lit(Scale / n).as("rank"))
+    for (_ <- 1 to Iters) {
+      ranks = edgesD.join(ranks, edgesD("src") === ranks("node"))
+        .select(col("dst"), expr("rank div outdeg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
+        .select(col("dst").as("node"),
+          (lit(base) + expr("(85 * m) div 100")).as("rank"))
+    }
+    ranks
+      .select(
+        when(col("node") % 2 === 0, "customer").otherwise("supplier").as("kind"),
+        expr("node div 2").as("key"), col("rank"))
+      .orderBy(col("rank").desc, col("kind"), col("key"))
+  }
+
+  // DuckDB SUM(BIGINT) yields HUGEINT — every iteration casts it back
+  // so the fixed-point arithmetic stays in the same BIGINT domain as
+  // the Spark side.
+  val pageRankOracle: String = {
+    val iter = (i: Int, prev: String) =>
+      s"""r$i AS (SELECT e.dst AS node,
+         |    base.b + (85 * CAST(SUM(r.rank // d.outdeg) AS BIGINT)) // 100 AS rank
+         |  FROM e JOIN $prev r ON e.src = r.node JOIN d ON e.src = d.src
+         |  CROSS JOIN base GROUP BY e.dst, base.b)"""
+    s"""WITH trade AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS c,
+       |    CAST(l_suppkey AS BIGINT) * 2 + 1 AS p
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT c AS src, p AS dst FROM trade
+       |  UNION ALL SELECT p AS src, c AS dst FROM trade),
+       |d AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM d),
+       |base AS (SELECT ($Scale * 3 // 20) // n AS b, $Scale // n AS r FROM n),
+       |r0 AS (SELECT d.src AS node, base.r AS rank FROM d CROSS JOIN base),
+       |${(1 to Iters).map(i => iter(i, s"r${i - 1}")).mkString(",\n")}
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  node // 2 AS key, rank
+       |FROM r$Iters ORDER BY rank DESC, kind, key""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("gr_pagerank", pageRank, Some(pageRankOracle)),
+  )
+}

