@@ -601,6 +601,25 @@ object Relational {
       | CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Unpivot (wide → long melt), the inverse reshaping of [[pivotAgg]]:
+    * part's two numeric attributes become (metric, value) rows via
+    * Spark's native unpivot (Catalyst `Expand` — one scan, row count ×
+    * number of measures, no shuffle at all until the output sort).
+    */
+  def unpivotLong(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "part")
+      .select(col("p_partkey"), col("p_size").cast(DoubleType).as("size"),
+        col("p_retailprice").cast(DoubleType).as("retailprice"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+        "metric", "value")
+      .orderBy(col("p_partkey"), col("metric"))
+
+  val unpivotLongOracle: String =
+    """SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS "value" FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'retailprice', CAST(p_retailprice AS DOUBLE) FROM part
+      |ORDER BY p_partkey, metric""".stripMargin
+
   /** SCD2 interval derivation — the standard slowly-changing-dimension
     * transform: a per-key ordered event/snapshot stream becomes
     * validity intervals via lead() (valid_to = next change's timestamp,
@@ -682,5 +701,6 @@ object Relational {
     QueryDef("join_full", fullOuterJoin, Some(fullOuterJoinOracle)),
     QueryDef("w3_range_frame", rangeFrameWindow, Some(rangeFrameWindowOracle)),
     QueryDef("pivot_agg", pivotAgg, Some(pivotAggOracle)),
+    QueryDef("rel_unpivot", unpivotLong, Some(unpivotLongOracle)),
   )
 }

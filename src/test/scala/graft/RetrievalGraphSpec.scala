@@ -77,6 +77,23 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(keys.distinct.length == keys.length, "duplicate bars")
   }
 
+  test("association rules: lift is symmetric, confidence bounded, support <= confidence") {
+    val rows = graft.queries.Basket.assocRules(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byPair = rows.map(r => (r.getAs[String]("ante"), r.getAs[String]("cons")) -> r).toMap
+    rows.foreach { r =>
+      val (a, c) = (r.getAs[String]("ante"), r.getAs[String]("cons"))
+      val conf = r.getAs[Double]("confidence")
+      assert(conf > 0 && conf <= 1, s"confidence out of range: $r")
+      assert(r.getAs[Double]("support") <= conf + 1e-9, s"support > confidence: $r")
+      // lift(a→b) = lift(b→a) by definition (n_ab·N / (n_a·n_b));
+      // the reverse rule exists whenever the forward one does
+      byPair.get((c, a)).foreach { rev =>
+        assert(math.abs(r.getAs[Double]("lift") - rev.getAs[Double]("lift")) < 2e-6)
+      }
+    }
+  }
+
   test("transition matrix: per-from probabilities sum to 1 within rounding") {
     val rows = StreamingGates.transitionMatrix(spark, dir).collect()
     assert(rows.nonEmpty)
