@@ -172,6 +172,8 @@ object ScaleBench {
       "st_ohlc_bars" -> graft.queries.StreamingGates.ohlcBars _,
       "st_transitions" -> graft.queries.StreamingGates.transitionMatrix _,
       "bk_assoc_rules" -> graft.queries.Basket.assocRules _,
+      "gr_khop" -> graft.queries.Graph.kHop _,
+      "st_top_paths" -> graft.queries.StreamingGates.topPaths _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

@@ -38,7 +38,14 @@ object Graph {
     * that layout, with [[graft.plans.Checkpoint]] available to truncate
     * the growing lineage exactly as star-CC does.
     */
-  def pageRank(s: SparkSession, dir: String): DataFrame = {
+  /** Symmetric (customer 2k ↔ supplier 2k+1) trade edges, PERSISTED:
+    * the edge relation is static across iterations of any traversal —
+    * unpersisted, every iteration re-runs the fact join that built it
+    * (the plan showed 6 orders/lineitem scans). Same discipline as the
+    * dedup family: Bench's clearCache pays the persist per
+    * measurement.
+    */
+  private[queries] def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey").cast(LongType).as("cust"))
     val li = Tables.t(s, dir, "lineitem")
@@ -46,14 +53,13 @@ object Graph {
     val trade = orders.join(li, col("o_orderkey") === col("l_orderkey"))
       .select((col("cust") * 2).as("c"), (col("supp") * 2 + 1).as("p"))
       .distinct()
-    // the edge relation is STATIC across iterations — persist it once
-    // or every iteration re-runs the fact join that built it (the
-    // plan showed 6 orders/lineitem scans unpersisted). Same
-    // discipline as the dedup family: Bench's clearCache pays the
-    // persist per measurement.
-    val edges = trade.select(col("c").as("src"), col("p").as("dst"))
+    trade.select(col("c").as("src"), col("p").as("dst"))
       .unionByName(trade.select(col("p").as("src"), col("c").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def pageRank(s: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(s, dir)
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // bounded driver scalar: node count (symmetric edges → every node
     // appears as a src, so outdeg IS the node relation)
@@ -100,7 +106,72 @@ object Graph {
        |FROM r$Iters ORDER BY rank DESC, kind, key""".stripMargin
   }
 
+  private val Hops = 3
+
+  /** K-hop reachability: minimum hop distance from the seed set (the
+    * suppliers of nation 0) to every node within [[Hops]] hops of the
+    * trade graph — frontier-style BFS expressed relationally. Each
+    * round expands the CURRENT distance relation along the persisted
+    * edge set and folds with min-per-node, so reached nodes carry
+    * their first (shortest) hop and re-reached nodes never grow the
+    * relation. All arithmetic integer → bit-exact across engines.
+    *
+    * Scale shape: round i joins a node-bounded distance relation
+    * against the edges on src — frontier-sized work per round, the
+    * min-fold is a hash aggregate with map-side combine, and the edge
+    * relation is the SAME persisted artifact [[pageRank]] traverses.
+    */
+  def kHop(s: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(s, dir)
+    val supplier = Tables.t(s, dir, "supplier")
+    // seed nation = the smallest nation key PRESENT among suppliers:
+    // nation 0 has no suppliers at the smallest scale factors, a fixed
+    // literal would make the seed set empty there (bounded driver
+    // scalar; the oracle uses the equivalent scalar subquery)
+    val seedNation = supplier.agg(min(col("s_nationkey"))).head()
+      .get(0).asInstanceOf[Number].longValue
+    val seeds = supplier
+      .filter(col("s_nationkey") === seedNation)
+      .select((col("s_suppkey").cast(LongType) * 2 + 1).as("node"),
+        lit(0L).as("hop"))
+    var dist = seeds
+    for (_ <- 1 to Hops) {
+      val expanded = edges.join(dist, edges("src") === dist("node"))
+        .select(col("dst").as("node"), (col("hop") + 1L).as("hop"))
+      dist = dist.unionByName(expanded)
+        .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+    }
+    dist
+      .select(
+        when(col("node") % 2 === 0, "customer").otherwise("supplier").as("kind"),
+        expr("node div 2").as("key"), col("hop"))
+      .orderBy(col("hop"), col("kind"), col("key"))
+  }
+
+  val kHopOracle: String = {
+    val round = (i: Int, prev: String) =>
+      s"""d$i AS (SELECT node, MIN(hop) AS hop FROM (
+         |    SELECT node, hop FROM $prev
+         |    UNION ALL
+         |    SELECT e.dst AS node, r.hop + 1 AS hop
+         |    FROM e JOIN $prev r ON e.src = r.node) GROUP BY node)"""
+    s"""WITH trade AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS c,
+       |    CAST(l_suppkey AS BIGINT) * 2 + 1 AS p
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT c AS src, p AS dst FROM trade
+       |  UNION ALL SELECT p AS src, c AS dst FROM trade),
+       |d0 AS (SELECT CAST(s_suppkey AS BIGINT) * 2 + 1 AS node,
+       |    CAST(0 AS BIGINT) AS hop
+       |  FROM supplier
+       |  WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM supplier)),
+       |${(1 to Hops).map(i => round(i, s"d${i - 1}")).mkString(",\n")}
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  node // 2 AS key, hop
+       |FROM d$Hops ORDER BY hop, kind, key""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("gr_pagerank", pageRank, Some(pageRankOracle)),
+    QueryDef("gr_khop", kHop, Some(kHopOracle)),
   )
 }

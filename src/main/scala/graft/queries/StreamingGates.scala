@@ -426,10 +426,43 @@ object StreamingGates {
       |  round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS p
       |FROM c ORDER BY from_type, to_type""".stripMargin
 
+  /** Top 3-step event paths: the most frequent (e₁ → e₂ → e₃)
+    * type sequences across user histories — second-order sequence
+    * mining one rung above [[transitionMatrix]]'s first-order pairs.
+    * Two leads over the same per-user (ts, event_id) window produce
+    * each consecutive triple in ONE window pass (no self-joins); the
+    * top-10 is a TakeOrderedAndProject, never a global sort.
+    */
+  def topPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("step1"))
+      .withColumn("step2", lead(col("step1"), 1).over(w))
+      .withColumn("step3", lead(col("step1"), 2).over(w))
+      .filter(col("step3").isNotNull)
+      .groupBy(col("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(10)
+  }
+
+  val topPathsOracle: String =
+    """WITH t AS (SELECT event_type AS step1,
+      |    LEAD(event_type, 1) OVER w AS step2,
+      |    LEAD(event_type, 2) OVER w AS step3
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT step1, step2, step3, COUNT(*) AS n
+      |FROM t WHERE step3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n DESC, step1, step2, step3 LIMIT 10""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("st_windowed_agg", windowedAgg, Some(windowedAggOracle)),
     QueryDef("st_ohlc_bars", ohlcBars, Some(ohlcBarsOracle)),
     QueryDef("st_transitions", transitionMatrix, Some(transitionMatrixOracle)),
+    QueryDef("st_top_paths", topPaths, Some(topPathsOracle)),
     QueryDef("st_session_window", sessionWindowNative, Some(sessionWindowNativeOracle)),
     QueryDef("st_sliding_window", slidingWindowAgg, Some(slidingWindowAggOracle)),
     QueryDef("st_funnel", funnelBatch, Some(funnelOracle)),

@@ -142,6 +142,31 @@ object EventsStream {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** OHLC bars as a stream — the streaming twin of the batch
+    * `st_ohlc_bars` gate ([[graft.queries.StreamingGates.ohlcBars]]):
+    * per event_type per 1-hour event-time window, open/close via
+    * min_by/max_by on the deterministic (ts, event_id) key —
+    * COMMUTATIVE aggregates, so they fold into streaming state in any
+    * arrival order, where the batch twin's first/last-over-window
+    * formulation could not stream. High/low/count/total are plain
+    * aggregates. Append mode: a bar emits exactly once when the
+    * watermark passes the hour.
+    */
+  def ohlcBars(events: Dataset[Event]): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("w.start").as("bar_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"), col("total_value"))
+
   /** Spark's NATIVE session-window aggregation as the streaming twin
     * of [[sessionize]]: the built-in SessionWindow state merges
     * per-user sessions on the same 30-minute gap (half-open — an event

@@ -52,6 +52,50 @@ class EventsStreamSpec extends SparkSpec {
     ))
   }
 
+  test("streaming OHLC bars: open/close by event-time order, append-once, batch parity") {
+    val in = tmpDir("oh-in"); val out = tmpDir("oh-out"); val ck = tmpDir("oh-ck")
+    writeInput(in)
+    EventsStream.runToParquet(
+      EventsStream.ohlcBars(EventsStream.parse(spark.readStream.text(in))),
+      out, ck).awaitTermination(120000)
+
+    val bars = spark.read.parquet(out)
+      .select(date_format(col("bar_start"), "HH:mm").as("b"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+    // hour 10: views 1.0@10:00:30, 2.0@10:01:10, 3.0@10:07 →
+    // open=first-by-time=1.0, close=last=3.0, high=3.0, low=1.0;
+    // the purchase is its own single-event bar. Hour 11: one view.
+    // The sentinel's 23:00 bar is NOT finalized (watermark 22:50).
+    assert(bars === Set(
+      ("10:00", "view", 1.0, 3.0, 1.0, 3.0, 3L),
+      ("10:00", "purchase", 10.0, 10.0, 10.0, 10.0, 1L),
+      ("11:00", "view", 9.0, 9.0, 9.0, 9.0, 1L),
+    ))
+
+    // parity with the batch gate's first/last-over-window formulation:
+    // the same events through the batch expressions yield the same bars
+    import org.apache.spark.sql.expressions.Window
+    val parsed = EventsStream.parse(spark.read.text(in).select(col("value"))).toDF()
+      .filter(col("user_id") =!= 99) // finalized hours only
+    val w = Window.partitionBy(col("event_type"), date_trunc("hour", col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+    val batch = parsed
+      .withColumn("open", first(col("value")).over(w))
+      .withColumn("close", last(col("value")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bar_start"))
+      .agg(min(col("open")).as("open"), max(col("value")).as("high"),
+        min(col("value")).as("low"), min(col("close")).as("close"),
+        count(lit(1)).as("n_events"))
+      .select(date_format(col("bar_start"), "HH:mm"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+    assert(batch === bars)
+  }
+
   test("sessionize: 30-min gap closes sessions, state evicts by timeout") {
     val in = tmpDir("ss-in"); val out = tmpDir("ss-out"); val ck = tmpDir("ss-ck")
     writeInput(in)

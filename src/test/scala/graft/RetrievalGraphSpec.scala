@@ -77,6 +77,34 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(keys.distinct.length == keys.length, "duplicate bars")
   }
 
+  test("k-hop BFS: bipartite parity per hop, seeds are the min-nation suppliers") {
+    val rows = Graph.kHop(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hop = r.getAs[Long]("hop")
+      assert(hop >= 0 && hop <= 3)
+      // the trade graph is bipartite: even hops land on suppliers
+      // (the seed side), odd hops on customers
+      val expected = if (hop % 2 == 0) "supplier" else "customer"
+      assert(r.getAs[String]("kind") == expected, s"parity violated: $r")
+    }
+    val seeds = rows.filter(_.getAs[Long]("hop") == 0L).map(_.getAs[Long]("key")).toSet
+    val sup = Tables.t(spark, dir, "supplier")
+    val seedNation = sup.agg(min(col("s_nationkey"))).head()
+      .get(0).asInstanceOf[Number].longValue
+    val expectedSeeds = sup.filter(col("s_nationkey") === seedNation)
+      .select(col("s_suppkey").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(seeds == expectedSeeds, "hop-0 set is not the seed set")
+  }
+
+  test("top paths: at most 10 rows, counts positive and non-increasing") {
+    val rows = StreamingGates.topPaths(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.forall(_ > 0))
+    ns.sliding(2).foreach { case Array(a, b) => assert(a >= b) case _ => }
+  }
+
   test("association rules: lift is symmetric, confidence bounded, support <= confidence") {
     val rows = graft.queries.Basket.assocRules(spark, dir).collect()
     assert(rows.nonEmpty)
