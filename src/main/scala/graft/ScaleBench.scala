@@ -174,6 +174,7 @@ object ScaleBench {
       "bk_assoc_rules" -> graft.queries.Basket.assocRules _,
       "gr_khop" -> graft.queries.Graph.kHop _,
       "st_top_paths" -> graft.queries.StreamingGates.topPaths _,
+      "ops_rfm_segments" -> graft.queries.DataOps.rfmSegments _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

@@ -246,8 +246,62 @@ object DataOps {
       |WHERE levenshtein(a.adj, b.adj) <= 2
       |ORDER BY block, name_a, name_b""".stripMargin
 
+  /** RFM customer segmentation — recency / frequency / monetary
+    * scoring over purchase events, the standard marketing segmentation.
+    * Scores use FIXED business thresholds, not data quantiles: the
+    * quantile variant needs a global ntile sort over all users, while
+    * thresholds keep the whole query one hash aggregate per user — the
+    * scale-honest form (threshold calibration is an offline step over
+    * the profiler's output, not a per-query global sort). Recency is
+    * exact integer days ((anchor − last) // 86400s in epoch micros —
+    * no calendar-day engine divergence), the monetary sum is
+    * DECIMAL-exact, and the anchor is the corpus max timestamp (the
+    * same bounded driver scalar device as tfidf's N).
+    */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.t(s, dir, "events")
+    val anchorMicros = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    def score(c: org.apache.spark.sql.Column, hi: Long, mid: Long) =
+      when(c >= hi, 3).when(c >= mid, 2).otherwise(1)
+    val rScore = score(lit(30L) - col("recency_days"), 23L, 16L) // ≤7d → 3, ≤14d → 2
+    val fScore = score(col("frequency"), 20L, 10L)
+    val mScore = score(col("monetary"), 800L, 400L)
+    events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("monetary"))
+      // integer `div`, not `/`: double division rounded then truncated
+      // can cross an integer boundary the oracle's floor `//` doesn't
+      .withColumn("recency_days",
+        expr(s"($anchorMicros - last_us) div 86400000000"))
+      .select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
+        concat(lit("R"), rScore, lit("F"), fScore, lit("M"), mScore).as("segment"))
+      .orderBy(col("user_id"))
+  }
+
+  val rfmSegmentsOracle: String =
+    """WITH anchor AS (SELECT MAX(epoch_us(ts)) AS a FROM events),
+      |rfm AS (
+      |  SELECT user_id,
+      |    CAST((anchor.a - MAX(epoch_us(ts))) // 86400000000 AS BIGINT) AS recency_days,
+      |    COUNT(*) AS frequency,
+      |    CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      |  FROM events CROSS JOIN anchor
+      |  WHERE event_type = 'purchase'
+      |  GROUP BY user_id, anchor.a)
+      |SELECT user_id, recency_days, frequency, monetary,
+      |  'R' || (CASE WHEN 30 - recency_days >= 23 THEN 3
+      |               WHEN 30 - recency_days >= 16 THEN 2 ELSE 1 END)
+      |  || 'F' || (CASE WHEN frequency >= 20 THEN 3
+      |                  WHEN frequency >= 10 THEN 2 ELSE 1 END)
+      |  || 'M' || (CASE WHEN monetary >= 800 THEN 3
+      |                  WHEN monetary >= 400 THEN 2 ELSE 1 END) AS segment
+      |FROM rfm ORDER BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ops_profile_numeric", profileNumeric, Some(profileNumericOracle)),
+    QueryDef("ops_rfm_segments", rfmSegments, Some(rfmSegmentsOracle)),
     QueryDef("ops_fuzzy_link", fuzzyLink, Some(fuzzyLinkOracle)),
     QueryDef("ops_histogram", histogram, Some(histogramOracle)),
     QueryDef("ops_dq_checks", dqChecks, Some(dqChecksOracle)),

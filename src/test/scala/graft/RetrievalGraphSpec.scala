@@ -122,6 +122,23 @@ class RetrievalGraphSpec extends SparkSpec {
     }
   }
 
+  test("RFM: segments are well-formed and the corpus is non-degenerate across scores") {
+    val rows = graft.queries.DataOps.rfmSegments(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val seg = "R([123])F([123])M([123])".r
+    rows.foreach { r =>
+      assert(r.getAs[Long]("recency_days") >= 0)
+      assert(r.getAs[Long]("frequency") > 0)
+      r.getAs[String]("segment") match {
+        case seg(_, _, _) => ()
+        case other => fail(s"malformed segment: $other")
+      }
+    }
+    // a threshold set that maps every user to one bucket would make
+    // the gate pass on anything — require real spread
+    assert(rows.map(_.getAs[String]("segment")).distinct.length > 1)
+  }
+
   test("transition matrix: per-from probabilities sum to 1 within rounding") {
     val rows = StreamingGates.transitionMatrix(spark, dir).collect()
     assert(rows.nonEmpty)
