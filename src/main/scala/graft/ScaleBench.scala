@@ -260,7 +260,10 @@ object ScaleBench {
     val tj = times.map { case (n, a, b) => s""""$n":[$a,$b]""" }.mkString(",")
     val cj = cands.map { case (n, a, b) => s""""$n":[$a,$b]""" }.mkString(",")
     val sj = states.map { case (n, a, b) => s""""$n":[$a,$b]""" }.mkString(",")
-    println(s"""{"metric":"scale_curve","copies":$Copies,"times":{$tj},"candidates":{$cj},"state":{$sj},"star_rounds":[$rounds1,$rounds10]}""")
+    // star_rounds only when measured — a merged-per-key consumer must
+    // not overwrite real round counts with the -1 sentinel
+    val sr = if (measureRounds) s""","star_rounds":[$rounds1,$rounds10]""" else ""
+    println(s"""{"metric":"scale_curve","copies":$Copies,"times":{$tj},"candidates":{$cj},"state":{$sj}$sr}""")
     spark.stop()
   }
 }

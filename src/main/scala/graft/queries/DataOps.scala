@@ -179,8 +179,14 @@ object DataOps {
     val widthCents = 11000L * 100L // 10 buckets over [0, 110000.00)
     val cents = round(col("l_extendedprice") * 100).cast(LongType)
     Tables.t(s, dir, "lineitem")
-      .select(col("l_returnflag"), (cents / widthCents).cast(LongType).as("bucket"),
-        col("l_extendedprice"))
+      // integer `div`, not `/`: Column division evaluates in DOUBLE and
+      // truncates back, which only coincides with the oracle's `//`
+      // while cents stays under 2^53 — `div` IS the documented BIGINT
+      // arithmetic at any magnitude
+      .select(col("l_returnflag"),
+        cents.as("cents"), col("l_extendedprice"))
+      .select(col("l_returnflag"),
+        expr(s"cents div $widthCents").as("bucket"), col("l_extendedprice"))
       .groupBy(col("l_returnflag"), col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
@@ -219,9 +225,12 @@ object DataOps {
   def fuzzyLink(s: SparkSession, dir: String): DataFrame = {
     val names = Tables.t(s, dir, "part")
       .select(col("p_name")).distinct()
+      // try_element_at: a single-token name has no noun — it must drop
+      // out of the blocking join (null key), not crash the query under
+      // ANSI mode; matches the oracle's NULL-returning list index
       .select(col("p_name"),
-        element_at(split(col("p_name"), " "), 1).as("adj"),
-        element_at(split(col("p_name"), " "), 2).as("noun"))
+        try_element_at(split(col("p_name"), " "), lit(1)).as("adj"),
+        try_element_at(split(col("p_name"), " "), lit(2)).as("noun"))
     val a = names.select(col("p_name").as("name_a"), col("adj").as("adj_a"),
       col("noun").as("block"))
     val b = names.select(col("p_name").as("name_b"), col("adj").as("adj_b"),

@@ -414,10 +414,14 @@ object Sketches {
     * exact column exists for the gate and would be dropped at 100 TB —
     * the estimator never touches more than the reservoir.
     */
-  def quantileReservoir(s: SparkSession, dir: String): DataFrame = {
+  // one estimator body for both hash twins: any estimator change
+  // (the middle-order-statistic pick, the sample window) applies to
+  // the gated md5 twin and the bench xxhash twin identically
+  private def quantileReservoirWith(s: SparkSession, dir: String,
+      rank: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val li = Tables.t(s, dir, "lineitem")
       .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("v"),
-        h60(concat_ws(":", col("l_orderkey"), col("l_linenumber"), lit("qr"))).as("rk"))
+        rank(concat_ws(":", col("l_orderkey"), col("l_linenumber"), lit("qr"))).as("rk"))
     val sample = li
       .withColumn("rn", row_number().over(Window.partitionBy(col("grp")).orderBy(col("rk"))))
       .filter(col("rn") <= QrK)
@@ -432,6 +436,9 @@ object Sketches {
       .select(col("grp"), col("n_rows"), col("p50_exact"), col("p50_est"))
       .orderBy(col("grp"))
   }
+
+  def quantileReservoir(s: SparkSession, dir: String): DataFrame =
+    quantileReservoirWith(s, dir, h60)
 
   val quantileReservoirOracle: String =
     s"""WITH s AS (
@@ -470,24 +477,8 @@ object Sketches {
     * twin's cost). The estimator only needs a uniform ORDER, so the
     * unsigned-order mapping of [[hxx]] serves as the rank directly.
     */
-  def quantileReservoirXx(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.t(s, dir, "lineitem")
-      .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("v"),
-        hxx(concat_ws(":", col("l_orderkey"), col("l_linenumber"), lit("qr"))).as("rk"))
-    val sample = li
-      .withColumn("rn", row_number().over(Window.partitionBy(col("grp")).orderBy(col("rk"))))
-      .filter(col("rn") <= QrK)
-    val est = sample
-      .withColumn("vr", row_number().over(
-        Window.partitionBy(col("grp")).orderBy(col("v"), col("rk"))))
-      .filter(col("vr") === QrK / 2)
-      .select(col("grp"), col("v").cast("double").as("p50_est"))
-    val exact = li.groupBy(col("grp"))
-      .agg(count(lit(1)).as("n_rows"), round(expr("percentile(v, 0.5)"), 6).as("p50_exact"))
-    exact.join(est, "grp")
-      .select(col("grp"), col("n_rows"), col("p50_exact"), col("p50_est"))
-      .orderBy(col("grp"))
-  }
+  def quantileReservoirXx(s: SparkSession, dir: String): DataFrame =
+    quantileReservoirWith(s, dir, hxx)
 
   val benchOnlyDefs: Seq[QueryDef] = Seq(
     QueryDef("sk_kmv_xxhash", kmvDistinctXx, None),

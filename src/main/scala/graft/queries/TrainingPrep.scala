@@ -208,8 +208,13 @@ object TrainingPrep {
     val n = size(tk)
     // chunk starts: position 1 unconditionally, then every boundary
     // token. The seed start makes the zip below total for n >= 1.
+    // sequence(2, n) REVERSES to [2, 1] when n = 1 (negative step) and
+    // element_at(tk, 2) on a 1-token doc is an out-of-bounds read —
+    // a crash under ANSI mode — so the candidate positions must be
+    // empty for single-token docs (same load-bearing guard as
+    // commonPassages' shingle sequence).
     val starts = concat(array(lit(1)),
-      filter(sequence(lit(2), n),
+      filter(when(n >= 2, sequence(lit(2), n)).otherwise(array().cast("array<int>")),
         i => substring(md5(element_at(tk, i).cast(BinaryType)), 1, 1).isin("0", "1")))
     val ends = concat(slice(starts, lit(2), size(starts) - 1), array(n + 1))
     val chunks = zip_with(starts, ends, (st, en) => array_join(slice(tk, st, en - st), " "))

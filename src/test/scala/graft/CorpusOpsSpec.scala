@@ -46,6 +46,20 @@ class CorpusOpsSpec extends SparkSpec {
       s"no cross-doc chunk survived the shift: ${hits.mkString("; ")}")
   }
 
+  test("CDC chunking is total for single-token documents (no reversed sequence read)") {
+    // sequence(2, 1) reverses to [2, 1] — unguarded, element_at(tk, 2)
+    // on a 1-token doc is an out-of-bounds read (a crash under ANSI
+    // mode). The doc must flow through as one un-deduped chunk.
+    val tmp = tmpDir("cdc1")
+    val docs = Seq((1L, "solo"), (2L, "solo"), (3L, "alpha beta"))
+    spark.createDataFrame(docs).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val hits = TrainingPrep.cdcChunk(spark, tmp).collect()
+    // the two 1-token docs share the identical chunk "solo"
+    assert(hits.exists(r => r.getAs[Long]("n_tokens") == 1L &&
+      r.getAs[Long]("n_docs") == 2L), s"1-token chunk lost: ${hits.mkString("; ")}")
+  }
+
   test("CDC chunks partition each document: token counts re-add to doc length") {
     // over the real corpus: sum of chunk tokens (INCLUDING singletons,
     // so rebuild without the >1 filter) equals total corpus tokens
