@@ -137,8 +137,57 @@ object AsOfJoin {
       |  ON ev.user_id = od.user_id AND od.order_date <= ev.event_date
       |ORDER BY event_id""".stripMargin
 
+  // splits the testdata's staleness range for real: events sit in
+  // 2024-01, the as-of-matched order dates in 1998-10..2001-07, so
+  // 8500 days (≈ back to late 2000) nulls ~30% of matched states and
+  // keeps the rest — either extreme would gate the operator vacuously
+  private val ToleranceDays = 8500
+
+  /** As-of with a MAX-STALENESS tolerance — the feature-store variant:
+    * state older than [[ToleranceDays]] at event time is as good as no
+    * state (a model must not train on a stale feature as if it were
+    * current). Same one-shuffle as-of pass, then the staleness bound
+    * nulls BOTH payload fields together (a half-nulled state row would
+    * fabricate a feature vector that never existed).
+    */
+  def eventsAsOfOrdersTolerance(s: SparkSession, dir: String): DataFrame = {
+    val fresh = col("last_order_date") >=
+      (col("event_date").cast(org.apache.spark.sql.types.TimestampNTZType)
+        - expr(s"INTERVAL $ToleranceDays DAY"))
+    val (events, orders) = j3Sides(s, dir)
+    asOf(events, orders, "user_id", "event_date", "order_date",
+      Seq("last_order_date", "last_order_price"))
+      .select(col("event_id"), col("user_id"), col("event_date"),
+        when(fresh, col("last_order_date")).as("last_order_date"),
+        when(fresh, col("last_order_price")).as("last_order_price"))
+      .orderBy(col("event_id"))
+  }
+
+  val eventsAsOfOrdersToleranceOracle: String =
+    s"""WITH od AS (
+       |  SELECT o_custkey AS user_id, o_orderdate AS order_date,
+       |    MAX(o_totalprice) AS last_order_price
+       |  FROM orders WHERE o_custkey < 100 GROUP BY 1, 2),
+       |ev AS (
+       |  SELECT event_id, user_id,
+       |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date
+       |  FROM events),
+       |base AS (
+       |  SELECT ev.event_id, ev.user_id, ev.event_date,
+       |    od.order_date AS last_order_date, od.last_order_price
+       |  FROM ev ASOF LEFT JOIN od
+       |    ON ev.user_id = od.user_id AND od.order_date <= ev.event_date)
+       |SELECT event_id, user_id, event_date,
+       |  CASE WHEN last_order_date >= CAST(event_date AS TIMESTAMP)
+       |      - INTERVAL $ToleranceDays DAY THEN last_order_date END AS last_order_date,
+       |  CASE WHEN last_order_date >= CAST(event_date AS TIMESTAMP)
+       |      - INTERVAL $ToleranceDays DAY THEN last_order_price END AS last_order_price
+       |FROM base ORDER BY event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("j3_asof_join", eventsAsOfOrders, Some(eventsAsOfOrdersOracle)),
     QueryDef("j3_asof_native", eventsAsOfOrdersNative, Some(eventsAsOfOrdersOracle)),
+    QueryDef("j5_asof_tolerance", eventsAsOfOrdersTolerance,
+      Some(eventsAsOfOrdersToleranceOracle)),
   )
 }

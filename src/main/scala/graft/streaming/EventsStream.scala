@@ -27,6 +27,9 @@ import java.sql.Timestamp
   */
 final case class SessionState(start: Long, end: Long, n: Long, total: Double)
 
+/** Last-seen event per user for the streaming transition emitter. */
+final case class TransState(lastTs: Long, lastId: Long, lastType: String)
+
 /** Buffered step timestamps (epoch ms) + last-activity time for
   * [[EventsStream.funnel]] — top-level for the state encoder, like
   * [[SessionState]].
@@ -211,6 +214,62 @@ object EventsStream {
         sum(col("value") * col("weight")).as("weighted_value"))
       .select(col("w.start").as("window_start"), col("category"),
         col("n_events"), col("weighted_value"))
+
+  final case class TransPair(user_id: Long, from_type: String,
+      to_type: String, ts: Timestamp)
+
+  /** Streaming twin of the batch `st_transitions` gate's PAIR layer:
+    * per user, each event is paired with its predecessor and the
+    * (from → to) transition emits incrementally — O(1) state per user
+    * (the last seen event), evicted [[horizonMinutes]] after the last
+    * event. Downstream, the same groupBy that the batch gate runs
+    * turns pairs into the transition matrix.
+    *
+    * Ordering policy (tested): rows are merged in (ts, event_id) order
+    * within a micro-batch; a cross-batch straggler OLDER than the
+    * state's last event is DROPPED, not retro-inserted — the emitted
+    * pair stream is append-only, so a late event cannot invalidate a
+    * transition already emitted.
+    */
+  def transitionPairs(events: Dataset[Event],
+      horizonMinutes: Int = 1440): Dataset[TransPair] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fn(userId: Long, rows: Iterator[Event],
+        state: GroupState[TransState]): Iterator[TransPair] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val out = Seq.newBuilder[TransPair]
+        var last = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          last match {
+            case Some(s) if t > s.lastTs || (t == s.lastTs && e.event_id > s.lastId) =>
+              out += TransPair(userId, s.lastType, e.event_type, e.ts)
+              last = Some(TransState(t, e.event_id, e.event_type))
+            case Some(_) => () // out-of-order straggler: dropped by policy
+            case None =>
+              last = Some(TransState(t, e.event_id, e.event_type))
+          }
+        }
+        last.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(math.max(s.lastTs + horizonMinutes * 60000L,
+            state.getCurrentWatermarkMs + 1))
+        }
+        out.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 
   /** Custom session state: per-user sessions closed by a 30-minute
     * event-time gap. flatMapGroupsWithState with EventTimeTimeout —

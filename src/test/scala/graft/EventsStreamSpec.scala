@@ -96,6 +96,34 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch === bars)
   }
 
+  test("streaming transition pairs: batch parity on the fixture, O(1) state per user") {
+    val in = tmpDir("tp-in"); val out = tmpDir("tp-out"); val ck = tmpDir("tp-ck")
+    writeInput(in)
+    import spark.implicits._
+    EventsStream.runToParquet(
+      EventsStream.transitionPairs(EventsStream.parse(spark.readStream.text(in))).toDF(),
+      out, ck).awaitTermination(120000)
+
+    val pairs = spark.read.parquet(out)
+      .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // user 1's chain view(1)→view(2)→view(4)→view(5) = 3 view→view
+    // transitions; users 2 and 99 are single-event (no pair)
+    assert(pairs === Set(("view", "view", 3L)))
+
+    // batch parity: the same events through the batch gate's lead
+    // formulation yield the same (from, to, n) relation
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = EventsStream.parse(spark.read.text(in).select(col("value"))).toDF()
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(batch === pairs)
+  }
+
   test("sessionize: 30-min gap closes sessions, state evicts by timeout") {
     val in = tmpDir("ss-in"); val out = tmpDir("ss-out"); val ck = tmpDir("ss-ck")
     writeInput(in)

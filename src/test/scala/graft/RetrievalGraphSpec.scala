@@ -122,6 +122,23 @@ class RetrievalGraphSpec extends SparkSpec {
     }
   }
 
+  test("as-of tolerance: stale states null atomically, strictly more nulls than plain as-of") {
+    val plain = graft.queries.AsOfJoin.eventsAsOfOrders(spark, dir).collect()
+    val tol = graft.queries.AsOfJoin.eventsAsOfOrdersTolerance(spark, dir).collect()
+    assert(plain.length == tol.length)
+    val plainNulls = plain.count(_.isNullAt(plain.head.fieldIndex("last_order_price")))
+    val tolNulls = tol.count(_.isNullAt(tol.head.fieldIndex("last_order_price")))
+    // the bound must BITE (strictly more nulls) without nulling
+    // everything (some state survives as fresh)
+    assert(tolNulls > plainNulls, s"tolerance never fired: $tolNulls vs $plainNulls")
+    assert(tolNulls < tol.length, "tolerance nulled every row — vacuous gate")
+    // atomicity: date and price are null together, never half a state
+    tol.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("last_order_date")) ==
+        r.isNullAt(r.fieldIndex("last_order_price")), s"half-nulled state: $r")
+    }
+  }
+
   test("RFM: segments are well-formed and the corpus is non-degenerate across scores") {
     val rows = graft.queries.DataOps.rfmSegments(spark, dir).collect()
     assert(rows.nonEmpty)
