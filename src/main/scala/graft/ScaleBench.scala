@@ -166,6 +166,7 @@ object ScaleBench {
       // growth row pair that shows what the custom operator buys
       "j3_asof_join" -> graft.queries.AsOfJoin.eventsAsOfOrders _,
       "j3_asof_native" -> graft.queries.AsOfJoin.eventsAsOfOrdersNative _,
+      "j5_asof_tolerance" -> graft.queries.AsOfJoin.eventsAsOfOrdersTolerance _,
       // retrieval / graph / time-series (late round 8)
       "ta_bm25_topk" -> graft.queries.Retrieval.bm25TopK _,
       "gr_pagerank" -> graft.queries.Graph.pageRank _,
