@@ -38,25 +38,48 @@ object Graph {
     * that layout, with [[graft.plans.Checkpoint]] available to truncate
     * the growing lineage exactly as star-CC does.
     */
-  /** Symmetric (customer 2k ↔ supplier 2k+1) trade edges, PERSISTED:
-    * the edge relation is static across iterations of any traversal —
-    * unpersisted, every iteration re-runs the fact join that built it
-    * (the plan showed 6 orders/lineitem scans). Same discipline as the
-    * dedup family: Bench's clearCache pays the persist per
-    * measurement.
+  /** Symmetric (customer 2k ↔ supplier 2k+1) trade edges, PERSISTED
+    * over a CHECKPOINT-TRUNCATED pair build: the distinct (cust, supp)
+    * relation — the expensive orders⋈lineitem product of the build —
+    * is materialized once through [[graft.plans.Checkpoint.truncate]],
+    * so the persisted edge union's lineage bottoms out at a compact
+    * edge-sized artifact. Without the truncation, a cache eviction
+    * under memory pressure re-derives the edges by re-running the fact
+    * join per iteration (the r8 driver bench showed exactly that
+    * failure mode: 23.9 s contended vs 4.9-9.2 s quiet); with it, a
+    * miss re-reads checkpoint blocks.
+    *
+    * Lifecycle: like the dedup family, callers are expected to
+    * `spark.catalog.clearCache()` (Bench does, per measurement) or
+    * reuse the session-wide cached entry — the CacheManager dedupes
+    * plan-identical persists, so repeated calls pin ONE entry, not one
+    * per call.
     */
-  private[queries] def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey").cast(LongType).as("cust"))
     val li = Tables.t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey").cast(LongType).as("supp"))
-    val trade = orders.join(li, col("o_orderkey") === col("l_orderkey"))
-      .select((col("cust") * 2).as("c"), (col("supp") * 2 + 1).as("p"))
-      .distinct()
+    val trade = graft.plans.Checkpoint.truncate(
+      orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("cust") * 2).as("c"), (col("supp") * 2 + 1).as("p"))
+        .distinct())
     trade.select(col("c").as("src"), col("p").as("dst"))
       .unionByName(trade.select(col("p").as("src"), col("c").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
+
+  /** Salting knob for the per-iteration contribution join: `0`/unset =
+    * plain shuffle join. In THIS schema the customer side's degree is
+    * bounded by the supplier dim, but a supplier node's degree grows
+    * with the customer count — i.e. with the data — so a power-law
+    * supplier would concentrate one reduce task at 100 TB. Setting the
+    * conf to N spreads each hot src over N tasks via
+    * [[graft.operators.Skew.saltedJoin]] (rank side replicated N ways —
+    * node-sized, so the replication is cheap; the edge side is never
+    * duplicated). SkewGraphSpec proves bit-identical ranks either way.
+    */
+  val SaltsConf = "graft.graph.salts"
 
   def pageRank(s: SparkSession, dir: String): DataFrame = {
     val edges = tradeEdges(s, dir)
@@ -67,9 +90,15 @@ object Graph {
     val base = (Scale * 3L / 20L) / n // (1 - d) * Scale / n, d = 0.85
     val edgesD = edges.join(outdeg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val salts = s.conf.get(SaltsConf, "0").toInt
     var ranks = outdeg.select(col("src").as("node"), lit(Scale / n).as("rank"))
     for (_ <- 1 to Iters) {
-      ranks = edgesD.join(ranks, edgesD("src") === ranks("node"))
+      val contrib =
+        if (salts > 1)
+          graft.operators.Skew.saltedJoin(edgesD,
+            ranks.withColumnRenamed("node", "src"), "src", col("dst"), salts)
+        else edgesD.join(ranks, edgesD("src") === ranks("node"))
+      ranks = contrib
         .select(col("dst"), expr("rank div outdeg").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
         .select(col("dst").as("node"),
@@ -108,21 +137,23 @@ object Graph {
 
   private val Hops = 3
 
-  /** K-hop reachability: minimum hop distance from the seed set (the
-    * suppliers of nation 0) to every node within [[Hops]] hops of the
-    * trade graph — frontier-style BFS expressed relationally. Each
-    * round expands the CURRENT distance relation along the persisted
-    * edge set and folds with min-per-node, so reached nodes carry
-    * their first (shortest) hop and re-reached nodes never grow the
-    * relation. All arithmetic integer → bit-exact across engines.
-    *
-    * Scale shape: round i joins a node-bounded distance relation
-    * against the edges on src — frontier-sized work per round, the
-    * min-fold is a hash aggregate with map-side combine, and the edge
-    * relation is the SAME persisted artifact [[pageRank]] traverses.
+  /** One BFS round: expand ONLY the delta frontier (nodes first
+    * reached last round) along the edges, then anti-join the settled
+    * set away — nodes already reached carry their first (= minimum)
+    * hop and are never re-expanded. The per-round join input is
+    * frontier-sized by construction; SkewGraphSpec asserts the
+    * LeftAnti in the plan.
     */
-  def kHop(s: SparkSession, dir: String): DataFrame = {
-    val edges = tradeEdges(s, dir)
+  private[graft] def frontierStep(edges: DataFrame, frontier: DataFrame,
+      settled: DataFrame): DataFrame = {
+    val expanded = edges.join(frontier, edges("src") === frontier("node"))
+      .select(col("dst").as("node"), (col("hop") + 1L).as("hop"))
+      .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+    expanded.join(settled.select(col("node").as("__settled")),
+      expanded("node") === col("__settled"), "left_anti")
+  }
+
+  private[graft] def kHopSeeds(s: SparkSession, dir: String): DataFrame = {
     val supplier = Tables.t(s, dir, "supplier")
     // seed nation = the smallest nation key PRESENT among suppliers:
     // nation 0 has no suppliers at the smallest scale factors, a fixed
@@ -130,18 +161,43 @@ object Graph {
     // scalar; the oracle uses the equivalent scalar subquery)
     val seedNation = supplier.agg(min(col("s_nationkey"))).head()
       .get(0).asInstanceOf[Number].longValue
-    val seeds = supplier
+    supplier
       .filter(col("s_nationkey") === seedNation)
       .select((col("s_suppkey").cast(LongType) * 2 + 1).as("node"),
         lit(0L).as("hop"))
-    var dist = seeds
+  }
+
+  /** K-hop reachability: minimum hop distance from the seed set (the
+    * suppliers of the smallest supplier-bearing nation) to every node
+    * within [[Hops]] hops of the trade graph — DELTA-FRONTIER BFS.
+    * Each round expands only the rows first reached in the previous
+    * round ([[frontierStep]]: edge join on the frontier, LeftAnti
+    * against the settled set), checkpoint-truncates the new frontier,
+    * and unions it into the settled relation. A node's hop is set the
+    * round it is first reached — BFS order makes that the minimum —
+    * so the settled relation never needs a re-fold. All arithmetic
+    * integer → bit-exact across engines.
+    *
+    * Scale shape: round i's join input is the FRONTIER, not the full
+    * reached set (at depth k on 100 TB the reached set approaches the
+    * node count while the frontier shrinks past the graph's effective
+    * diameter — reached-set expansion is the classic quadratic-ish
+    * trap this shape avoids). Each frontier is truncated via
+    * [[graft.plans.Checkpoint]] so the per-round plan stays flat, and
+    * the edge relation is the SAME persisted artifact [[pageRank]]
+    * traverses.
+    */
+  def kHop(s: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(s, dir)
+    val seeds = kHopSeeds(s, dir)
+    var settled = seeds
+    var frontier = seeds
     for (_ <- 1 to Hops) {
-      val expanded = edges.join(dist, edges("src") === dist("node"))
-        .select(col("dst").as("node"), (col("hop") + 1L).as("hop"))
-      dist = dist.unionByName(expanded)
-        .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+      frontier = graft.plans.Checkpoint.truncate(
+        frontierStep(edges, frontier, settled))
+      settled = settled.unionByName(frontier)
     }
-    dist
+    settled
       .select(
         when(col("node") % 2 === 0, "customer").otherwise("supplier").as("kind"),
         expr("node div 2").as("key"), col("hop"))

@@ -340,34 +340,33 @@ object StreamingGates {
   /** OHLC downsampling: per event_type per hour, open/high/low/close
     * of `value` plus count and DECIMAL-exact total — the time-series
     * compaction (candlestick bars, metric rollups) every monitoring or
-    * market pipeline runs as its first stage. Open/close are windowed
-    * order statistics with the deterministic (ts, event_id) tie-break;
-    * high/low/count/sum are plain aggregates.
+    * market pipeline runs as its first stage. ONE aggregate:
+    * open/close are `min_by`/`max_by` over the deterministic
+    * (ts, event_id) ordering key — (ts, event_id) is globally unique,
+    * so the pick is exact, the same A1-argMax discipline the engine
+    * uses everywhere — computed in the SAME aggregate as
+    * high/low/count/sum.
     *
-    * Scale shape: one shuffle on (type, hour); the window sorts only
-    * within each bucket's partition and the aggregate collapses to
-    * types × hours rows — the wire carries bars, not events. The
-    * streaming twin is the same groupBy under a watermark with
-    * min_by/max_by for open/close.
+    * Scale shape: the r8 version shuffled the FULL fact onto
+    * (type, hour) and ran two window passes before aggregating; this
+    * shape partial-aggregates below the exchange, so the wire carries
+    * bars, not events — the dominant cost at 100 TB. Spark plans the
+    * struct-keyed min_by as a SortAggregate (a struct aggregation
+    * buffer is not hash-aggregable), so a per-partition sort on the
+    * two GROUP columns remains — cheaper than the window's
+    * four-column sort, with no per-row window-frame evaluation, and
+    * no Window node (SkewGraphSpec pins both properties plus the
+    * bars-on-the-wire exchange position). The streaming twin is the
+    * same groupBy under a watermark with the same min_by/max_by state.
     */
   def ohlcBars(s: SparkSession, dir: String): DataFrame = {
-    val bucket = date_trunc("hour", col("ts")).as("bar_start")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type"), date_trunc("hour", col("ts")))
-      .orderBy(col("ts"), col("event_id"))
+    val ordKey = struct(col("ts"), col("event_id"))
     Tables.t(s, dir, "events")
-      .select(col("event_type"), bucket, col("value").as("v"),
-        col("ts"), col("event_id"))
-      .withColumn("open", first(col("v")).over(w))
-      .withColumn("close", last(col("v")).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("event_type"), col("bar_start"))
-          .orderBy(col("ts"), col("event_id"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("bar_start"),
+        col("value").as("v"), col("ts"), col("event_id"))
       .groupBy(col("event_type"), col("bar_start"))
-      .agg(min(col("open")).as("open"), max(col("v")).as("high"),
-        min(col("v")).as("low"), min(col("close")).as("close"),
+      .agg(min_by(col("v"), ordKey).as("open"), max(col("v")).as("high"),
+        min(col("v")).as("low"), max_by(col("v"), ordKey).as("close"),
         count(lit(1)).as("n_events"),
         sum(col("v").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
       .orderBy(col("event_type"), col("bar_start"))

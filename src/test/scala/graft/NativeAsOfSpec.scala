@@ -64,4 +64,31 @@ class NativeAsOfSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("time types differ"))
   }
+
+  test("ambiguous column names are rejected, not silently first-match bound") {
+    import spark.implicits._
+    val left = Seq((1L, 2L)).toDF("k", "t")
+    val dup = Seq((1L, 2L, "a")).toDF("k", "t", "state")
+      .select(col("k"), col("t"), col("state"), lit("b").as("state"))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.nativeAsOf(left, dup, "k", "t", "t", Seq("state"))
+    }
+    assert(e.getMessage.contains("must bind exactly once"))
+  }
+
+  test("self-join lineage (shared exprIds) is rejected with a fix hint") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, "a")).toDF("k", "t", "state")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.nativeAsOf(df, df, "k", "t", "t", Seq("state"))
+    }
+    assert(e.getMessage.contains("share attribute lineage"))
+  }
+
+  test("the tolerance variant rides the native exec, not the composition") {
+    val plan = AsOfJoin.eventsAsOfOrdersTolerance(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin "), plan.take(800))
+    assert(!plan.contains("Union"), "tolerance must not fall back to the union+window path")
+  }
 }

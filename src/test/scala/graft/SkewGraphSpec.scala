@@ -1,0 +1,103 @@
+package graft
+
+import graft.queries.{Graph, StreamingGates}
+import org.apache.spark.sql.functions._
+
+/** Round-9 plan/scale contracts for the graph family and the OHLC
+  * rewrite: the DuckDB gates pin VALUES; these pin the SHAPES the
+  * scale claims rest on — salted-contribution equivalence, the
+  * frontier-sized k-hop expansion, and the window-free OHLC aggregate.
+  */
+class SkewGraphSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("PageRank: salted contribution join is bit-identical to the plain join") {
+    def run(): Array[String] = Graph.pageRank(spark, dir).collect().map(_.toString)
+    val plain = run()
+    spark.conf.set(Graph.SaltsConf, "8")
+    try {
+      val salted = run()
+      assert(plain.nonEmpty && salted.sameElements(plain),
+        "salting must redistribute work, never change a single rank")
+    } finally {
+      spark.conf.unset(Graph.SaltsConf)
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("k-hop expansion is frontier-sized: LeftAnti settles reached nodes out of the round") {
+    val edges = Graph.tradeEdges(spark, dir)
+    val seeds = Graph.kHopSeeds(spark, dir)
+    val step = Graph.frontierStep(edges, seeds, seeds)
+    val plan = step.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"round expansion must anti-join the settled set away:\n${plan.take(800)}")
+    spark.catalog.clearCache()
+  }
+
+  test("k-hop frontiers are disjoint, shrink past the graph's effective diameter, and union to the result") {
+    val edges = Graph.tradeEdges(spark, dir)
+    val seeds = Graph.kHopSeeds(spark, dir)
+    var settled = seeds
+    var frontier = seeds
+    val sizes = scala.collection.mutable.ArrayBuffer(frontier.count())
+    for (_ <- 1 to 3) {
+      frontier = Graph.frontierStep(edges, frontier, settled).localCheckpoint()
+      // disjointness: a frontier node is by definition first-reached
+      assert(frontier.join(settled, Seq("node"), "left_semi").count() == 0)
+      settled = settled.unionByName(frontier)
+      sizes += frontier.count()
+    }
+    // the dense bipartite trade graph saturates fast: the last delta
+    // frontier must be a small fraction of the reached set — the
+    // number a reached-set expansion would re-join instead
+    val reached = settled.count()
+    assert(sizes.last < reached / 2,
+      s"frontier ${sizes.last} vs reached $reached — expansion not delta-sized")
+    // and the loop's union must reproduce kHop exactly
+    val viaLoop = settled.select(col("node"), col("hop"))
+      .collect().map(_.toString).sorted
+    val viaOp = Graph.kHop(spark, dir)
+      .select((when(col("kind") === "customer", col("key") * 2)
+        .otherwise(col("key") * 2 + 1)).as("node"), col("hop"))
+      .collect().map(_.toString).sorted
+    assert(viaLoop.sameElements(viaOp))
+    spark.catalog.clearCache()
+  }
+
+  test("k-hop BFS equals a driver-side reference BFS at sf0.001") {
+    val edgeList = Graph.tradeEdges(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val adj = edgeList.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val seeds = Graph.kHopSeeds(spark, dir).collect().map(_.getLong(0)).toSet
+    val dist = scala.collection.mutable.Map(seeds.map(_ -> 0L).toSeq: _*)
+    var frontier = seeds
+    for (h <- 1L to 3L) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Array.empty[Long]))
+        .filterNot(dist.contains)
+      frontier.foreach(dist(_) = h)
+    }
+    val got = Graph.kHop(spark, dir).collect().map { r =>
+      val node = if (r.getString(0) == "customer") r.getLong(1) * 2 else r.getLong(1) * 2 + 1
+      node -> r.getLong(2)
+    }.toMap
+    assert(got == dist.toMap, "relational BFS diverges from reference BFS")
+    spark.catalog.clearCache()
+  }
+
+  test("OHLC: no window pass, and the exchange carries bars (partial agg below it)") {
+    val plan = StreamingGates.ohlcBars(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"OHLC must not spend a window:\n${plan.take(800)}")
+    // struct-keyed min_by buffers aren't hash-aggregable, so Spark
+    // plans a SortAggregate — the scale property to pin is the WIRE:
+    // the partial aggregate must sit below the hash exchange, so the
+    // shuffle moves types×hours bars, never the fact (the r8 window
+    // shape shuffled every event)
+    val lines = plan.linesIterator.toVector
+    val exIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    val partialIdx = lines.indexWhere(_.contains("partial_min_by"))
+    assert(exIdx >= 0 && partialIdx > exIdx,
+      s"partial aggregate must be below the exchange:\n${plan.take(1200)}")
+  }
+}
