@@ -176,6 +176,9 @@ object ScaleBench {
       "gr_khop" -> graft.queries.Graph.kHop _,
       "st_top_paths" -> graft.queries.StreamingGates.topPaths _,
       "ops_rfm_segments" -> graft.queries.DataOps.rfmSegments _,
+      // round-9 additions
+      "gr_triangles" -> graft.queries.Graph.coTriangles _,
+      "cu_dsir_weights" -> graft.queries.LlmCuration.dsirWeights _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

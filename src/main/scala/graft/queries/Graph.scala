@@ -226,8 +226,105 @@ object Graph {
        |FROM d$Hops ORDER BY hop, kind, key""".stripMargin
   }
 
+  /** Per-node triangle counts + local clustering coefficient over the
+    * part CO-OCCURRENCE graph (parts appearing together in an order) —
+    * the cohesion metric behind community detection, recommendation
+    * neighborhoods, and graph-quality audits. The algorithm is the
+    * standard DEGENERACY-ORIENTED wedge join: orient every edge from
+    * the lower (degree, id) endpoint to the higher, enumerate wedges
+    * only at each triangle's minimum corner, and close them against
+    * the oriented edge set — each triangle is counted exactly once,
+    * and a node's wedge fanout is its ORIENTED out-degree, which the
+    * orientation bounds by O(√m) on any graph (the classic
+    * Chiba–Nishizeki / Schank–Wagner bound), not by the raw degree a
+    * power-law hub would bring.
+    *
+    * Scale shape: pair generation is per-order-bounded quadratic
+    * (≤ items²/order, the basket discipline — never parts²); every
+    * join is an equi hash join on node keys; the corner explode is
+    * triangle-sized. All counts integer → bit-exact; the coefficient
+    * is a rounded ratio of exact integers.
+    */
+  def coTriangles(s: SparkSession, dir: String): DataFrame = {
+    val it = Tables.t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").cast(LongType).as("p"))
+      .distinct()
+    // persisted: consumed by the degree aggregate AND the orientation
+    // join — unpersisted, the per-order self-join runs once per
+    // consumer (same clearCache lifecycle as tradeEdges)
+    val pairs = it.as("a").join(it.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("x"), col("b.p").as("y"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = pairs.select(col("x").as("node"))
+      .unionByName(pairs.select(col("y").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val fwd = col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y"))
+    val ed = pairs
+      .join(deg.select(col("node").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("node").as("y"), col("deg").as("dy")), "y")
+      .select(
+        when(fwd, col("x")).otherwise(col("y")).as("src"),
+        when(fwd, col("y")).otherwise(col("x")).as("dst"),
+        when(fwd, col("dy")).otherwise(col("dx")).as("dd"))
+      // persisted: the oriented edge set feeds both wedge sides and
+      // the closing join — three consumers of one edge-sized artifact
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e1 = ed.select(col("src").as("a"), col("dst").as("b"), col("dd").as("db"))
+    val e2 = ed.select(col("src").as("a2"), col("dst").as("c"), col("dd").as("dc"))
+    val wedges = e1.join(e2, col("a") === col("a2") &&
+        (col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c"))))
+    val tris = wedges
+      .join(ed.select(col("src").as("b2"), col("dst").as("c2")),
+        col("b") === col("b2") && col("c") === col("c2"))
+      .select(col("a"), col("b"), col("c"))
+    val corners = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    deg.join(corners, Seq("node"), "left")
+      .select(col("node"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("coeff",
+        when(col("deg") > 1,
+          round(lit(2.0) * col("tri") / (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(lit(0.0)))
+      .orderBy(col("node"))
+  }
+
+  val coTrianglesOracle: String =
+    """WITH it AS (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+      |  FROM lineitem),
+      |pr AS (SELECT DISTINCT a.p AS x, b.p AS y
+      |  FROM it a JOIN it b ON a.o = b.o AND a.p < b.p),
+      |deg AS (SELECT node, COUNT(*) AS deg FROM (
+      |    SELECT x AS node FROM pr UNION ALL SELECT y AS node FROM pr)
+      |  GROUP BY 1),
+      |ed AS (SELECT
+      |    CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND pr.x < pr.y)
+      |      THEN pr.x ELSE pr.y END AS src,
+      |    CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND pr.x < pr.y)
+      |      THEN pr.y ELSE pr.x END AS dst,
+      |    CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND pr.x < pr.y)
+      |      THEN dy.deg ELSE dx.deg END AS dd
+      |  FROM pr JOIN deg dx ON pr.x = dx.node JOIN deg dy ON pr.y = dy.node),
+      |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |  FROM ed e1 JOIN ed e2 ON e1.src = e2.src
+      |    AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst))
+      |  JOIN ed e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+      |corners AS (SELECT node, COUNT(*) AS tri FROM (
+      |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri)
+      |  GROUP BY 1)
+      |SELECT d.node, d.deg, COALESCE(c.tri, CAST(0 AS BIGINT)) AS tri,
+      |  CASE WHEN d.deg > 1
+      |    THEN round(2.0 * COALESCE(c.tri, 0) / (d.deg * (d.deg - 1)), 6)
+      |    ELSE 0.0 END AS coeff
+      |FROM deg d LEFT JOIN corners c ON d.node = c.node
+      |ORDER BY d.node""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("gr_pagerank", pageRank, Some(pageRankOracle)),
     QueryDef("gr_khop", kHop, Some(kHopOracle)),
+    QueryDef("gr_triangles", coTriangles, Some(coTrianglesOracle)),
   )
 }

@@ -539,7 +539,77 @@ object LlmCuration {
       |  round(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS type_token_ratio
       |FROM cnts GROUP BY 1 ORDER BY lang""".stripMargin
 
+  private val DsirKeep = 5
+
+  /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every document by the log likelihood ratio of a
+    * TARGET-domain unigram LM against the RAW-pool LM — here the
+    * target is the `lang = 'en'` slice, the stand-in for "looks like
+    * the domain I want to train on" — with add-1 smoothing over the
+    * joint vocabulary so out-of-target tokens score finitely. The
+    * deterministic selection variant: per-source top-[[DsirKeep]] by
+    * weight (the paper resamples with Gumbel noise; a cross-engine
+    * gate needs the noise-free rank, and per-shard budgets are how a
+    * production mixture is allocated anyway).
+    *
+    * Scale shape: ONE vocab-sized count relation carries both LM
+    * numerators (a conditional count beside the raw count — the
+    * target slice is never re-scanned), one token-keyed join streams
+    * the corpus once, per-doc decimal log-sums make the weight
+    * bit-stable (unigram-LL discipline), and the keep rank is a
+    * per-source WindowGroupLimit — no global sort at any width.
+    */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(split(col("text"), " ")).as("token"))
+    val freq = tok.groupBy(col("token")).agg(
+      count(lit(1)).as("cr"),
+      count(when(col("lang") === "en", 1)).as("ct"))
+    // bounded driver scalars: the two token totals + vocab size
+    val totRow = freq.agg(sum(col("cr")), sum(col("ct")), count(lit(1))).head()
+    val (totR, totT, v) = (totRow.getLong(0), totRow.getLong(1), totRow.getLong(2))
+    val ratio = log(
+      ((col("ct") + 1.0) / lit((totT + v).toDouble)) /
+        ((col("cr") + 1.0) / lit((totR + v).toDouble)))
+    val weights = tok.join(freq, "token")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(ratio.cast(DecimalType(38, 12))).cast(DoubleType).as("w"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        round(col("w"), 6).as("weight"))
+    // rank over the ROUNDED weight (ties broken by doc_id) so the
+    // keep flag can never depend on sub-round ulps
+    val wRank = Window.partitionBy(col("source"))
+      .orderBy(col("weight").desc, col("doc_id"))
+    weights
+      .withColumn("keep", row_number().over(wRank) <= DsirKeep)
+      .orderBy(col("doc_id"))
+  }
+
+  val dsirWeightsOracle: String =
+    s"""WITH tok AS (SELECT doc_id, source, lang,
+       |    unnest(string_split(text, ' ')) AS token FROM documents),
+       |freq AS (SELECT token, COUNT(*) AS cr,
+       |    COUNT(CASE WHEN lang = 'en' THEN 1 END) AS ct
+       |  FROM tok GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt,
+       |    COUNT(*) AS v FROM freq),
+       |w AS (SELECT t.doc_id, t.source, COUNT(*) AS n_tokens,
+       |    round(CAST(SUM(CAST(ln(
+       |      ((f.ct + 1.0) / CAST(tot.tt + tot.v AS DOUBLE)) /
+       |      ((f.cr + 1.0) / CAST(tot.tr + tot.v AS DOUBLE))
+       |    ) AS DECIMAL(38,12))) AS DOUBLE), 6) AS weight
+       |  FROM tok t JOIN freq f USING (token) CROSS JOIN tot
+       |  GROUP BY t.doc_id, t.source)
+       |SELECT doc_id, source, n_tokens, weight,
+       |  (row_number() OVER (PARTITION BY source
+       |     ORDER BY weight DESC, doc_id) <= $DsirKeep) AS keep
+       |FROM w ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("cu_dsir_weights", dsirWeights, Some(dsirWeightsOracle)),
     QueryDef("ta_vocab_stats", vocabStats, Some(vocabStatsOracle)),
     QueryDef("ta_tfidf", tfidf, Some(tfidfOracle)),
     QueryDef("cu_group_sample", groupSample, Some(groupSampleOracle)),

@@ -85,6 +85,58 @@ class SkewGraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("triangles: equals a driver-side brute-force count at sf0.001, coeff in [0,1]") {
+    val rows = Graph.coTriangles(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // reference: adjacency sets + per-node common-neighbor counting
+    val edges = scala.collection.mutable.Set.empty[(Long, Long)]
+    Tables.t(spark, dir, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey").cast("long"))
+      .collect().groupBy(_.getLong(0)).foreach { case (_, rs) =>
+        val ps = rs.map(_.getLong(1)).distinct.sorted
+        for (i <- ps.indices; j <- i + 1 until ps.length) edges += ((ps(i), ps(j)))
+      }
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u, scala.collection.mutable.Set.empty) += v
+      adj.getOrElseUpdate(v, scala.collection.mutable.Set.empty) += u
+    }
+    val refTri = adj.keys.map { n =>
+      val ns = adj(n)
+      n -> ns.toSeq.combinations(2).count { case Seq(x, y) => adj(x).contains(y) }
+    }.toMap
+    rows.foreach { r =>
+      val (node, degV, tri, coeff) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(degV == adj(node).size.toLong, s"degree mismatch at $node")
+      assert(tri == refTri(node).toLong, s"triangle count mismatch at $node: $tri vs ${refTri(node)}")
+      assert(coeff >= 0.0 && coeff <= 1.0, s"coefficient out of range: $r")
+    }
+    // each triangle contributes one corner count to three nodes
+    assert(rows.map(_.getLong(2)).sum % 3 == 0)
+  }
+
+  test("DSIR: target-domain docs weigh higher on average; per-source keeps are capped") {
+    val rows = graft.queries.LlmCuration.dsirWeights(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    val langBy = Tables.t(spark, "/root/testdata/sf0.01", "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (en, rest) = rows.partition(r => langBy(r.getLong(0)) == "en")
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Double]("weight")).sum / rs.length
+    // the method's point: likelihood-ratio weights separate the target
+    // domain from the pool
+    assert(mean(en) > mean(rest),
+      s"DSIR failed to separate: en ${mean(en)} vs rest ${mean(rest)}")
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val kept = rs.count(_.getAs[Boolean]("keep"))
+      assert(kept <= 5, s"source $src keeps $kept > 5")
+      assert(kept > 0, s"source $src keeps nothing")
+    }
+  }
+
   test("OHLC: no window pass, and the exchange carries bars (partial agg below it)") {
     val plan = StreamingGates.ohlcBars(spark, dir)
       .queryExecution.executedPlan.toString
