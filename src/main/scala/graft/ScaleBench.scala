@@ -179,6 +179,8 @@ object ScaleBench {
       // round-9 additions
       "gr_triangles" -> graft.queries.Graph.coTriangles _,
       "cu_dsir_weights" -> graft.queries.LlmCuration.dsirWeights _,
+      "st_ewma" -> graft.queries.StreamingGates.ewmaSmooth _,
+      "ops_winsorize" -> graft.queries.DataOps.winsorize _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

@@ -308,7 +308,46 @@ object DataOps {
       |                  WHEN monetary >= 400 THEN 2 ELSE 1 END) AS segment
       |FROM rfm ORDER BY user_id""".stripMargin
 
+  /** Winsorization: clip `value` to its per-event_type [p5, p95]
+    * band — the standard robust pre-processing before training on
+    * heavy-tailed features (the MAD fences in [[outlierBounds]] FLAG
+    * outliers; this APPLIES the repair row-level). Bounds are exact
+    * interpolated percentiles rounded to 6 places BEFORE the
+    * comparison, the same ulp-hardening as the outlier fences — a raw
+    * value compares against identical rounded bounds on any engine.
+    *
+    * Scale shape: one group aggregate produces an event_type-sized
+    * bounds relation (5 rows) that AQE broadcasts back onto the fact;
+    * the clip is a pure projection. No window over the fact, no sort.
+    */
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.05)"), 6).as("p05"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"))
+    ev.select(col("event_id"), col("event_type"), col("value"))
+      .join(bounds, "event_type")
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 6).as("value"),
+        round(least(greatest(col("value"), col("p05")), col("p95")), 6)
+          .as("winsorized"),
+        (col("value") < col("p05") || col("value") > col("p95")).as("clipped"))
+      .orderBy(col("event_id"))
+  }
+
+  val winsorizeOracle: String =
+    """WITH b AS (SELECT event_type,
+      |    round(quantile_cont("value", 0.05), 6) AS p05,
+      |    round(quantile_cont("value", 0.95), 6) AS p95
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_id, e.event_type, round(e."value", 6) AS value,
+      |  round(least(greatest(e."value", b.p05), b.p95), 6) AS winsorized,
+      |  (e."value" < b.p05 OR e."value" > b.p95) AS clipped
+      |FROM events e JOIN b USING (event_type)
+      |ORDER BY e.event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ops_winsorize", winsorize, Some(winsorizeOracle)),
     QueryDef("ops_profile_numeric", profileNumeric, Some(profileNumericOracle)),
     QueryDef("ops_rfm_segments", rfmSegments, Some(rfmSegmentsOracle)),
     QueryDef("ops_fuzzy_link", fuzzyLink, Some(fuzzyLinkOracle)),

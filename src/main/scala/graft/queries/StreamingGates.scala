@@ -457,7 +457,67 @@ object StreamingGates {
       |GROUP BY 1, 2, 3
       |ORDER BY n DESC, step1, step2, step3 LIMIT 10""".stripMargin
 
+  /** round(0.9^k * 1e6) for k = 0..7 — INTEGER literals, so both
+    * engines weight with exactly the same constants (a float pow(0.9,k)
+    * could differ in the last ulp and shift a rounded output).
+    */
+  private val EwmaWeights = Seq(1000000L, 900000L, 810000L, 729000L,
+    656100L, 590490L, 531441L, 478297L)
+
+  /** Exponentially-weighted moving average of `value` per user over
+    * the deterministic (ts, event_id) order — the classic time-series
+    * smoother (α = 0.1), in its FINITE-LOOKBACK form: the weight tail
+    * beyond 8 steps is < 5% of the mass, and truncating it turns the
+    * unbounded recurrence (which no engine-portable SQL can express
+    * deterministically) into a fixed linear combination of lags with
+    * integer weights — bit-stable across engines, and at the stream
+    * head the normalizer shrinks to the available terms, so early rows
+    * are true averages of what exists rather than biased toward zero.
+    *
+    * Scale shape: one shuffle on user_id, ONE window pass for all
+    * eight lags (same frame), then a pure projection — no state
+    * beyond the 8-row window, no second pass.
+    */
+  def ewmaSmooth(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val base = Tables.t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value").as("v"))
+    val lagged = EwmaWeights.indices.tail.foldLeft(base)((df, k) =>
+      df.withColumn(s"__l$k", lag(col("v"), k).over(w)))
+    def term(k: Int) = if (k == 0) col("v") else col(s"__l$k")
+    val num = EwmaWeights.zipWithIndex.map { case (wt, k) =>
+      when(term(k).isNotNull, term(k) * lit(wt.toDouble)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val den = EwmaWeights.zipWithIndex.map { case (wt, k) =>
+      when(term(k).isNotNull, lit(wt.toDouble)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    lagged
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("v"), 6).as("value"), round(num / den, 6).as("ewma"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  val ewmaSmoothOracle: String = {
+    val terms = EwmaWeights.zipWithIndex.map { case (wt, k) =>
+      val t = if (k == 0) "v" else s"lag(v, $k) OVER w"
+      s"(CASE WHEN $t IS NOT NULL THEN $t * $wt.0 ELSE 0.0 END)"
+    }
+    val dens = EwmaWeights.zipWithIndex.map { case (wt, k) =>
+      val t = if (k == 0) "v" else s"lag(v, $k) OVER w"
+      s"(CASE WHEN $t IS NOT NULL THEN $wt.0 ELSE 0.0 END)"
+    }
+    s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+       |    "value" AS v FROM events)
+       |SELECT user_id, ts, event_id, round(v, 6) AS value,
+       |  round((${terms.mkString(" + ")}) /
+       |        (${dens.mkString(" + ")}), 6) AS ewma
+       |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |ORDER BY user_id, ts, event_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st_ewma", ewmaSmooth, Some(ewmaSmoothOracle)),
     QueryDef("st_windowed_agg", windowedAgg, Some(windowedAggOracle)),
     QueryDef("st_ohlc_bars", ohlcBars, Some(ohlcBarsOracle)),
     QueryDef("st_transitions", transitionMatrix, Some(transitionMatrixOracle)),

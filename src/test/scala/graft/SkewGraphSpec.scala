@@ -137,6 +137,39 @@ class SkewGraphSpec extends SparkSpec {
     }
   }
 
+  test("EWMA: first event per user is its own average; smoothing stays inside the local band") {
+    val rows = StreamingGates.ewmaSmooth(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (_, rs) =>
+      // rows arrive ordered (user, ts, event_id) from the query's sort
+      val vals = rs.map(_.getAs[Double]("value"))
+      val ewma = rs.map(_.getAs[Double]("ewma"))
+      assert(math.abs(ewma.head - vals.head) < 1e-9,
+        "head EWMA must equal the first value (normalizer = available mass)")
+      ewma.indices.foreach { i =>
+        val window = vals.slice(math.max(0, i - 7), i + 1)
+        assert(ewma(i) >= window.min - 1e-6 && ewma(i) <= window.max + 1e-6,
+          s"EWMA left its 8-step band at row $i")
+      }
+    }
+  }
+
+  test("winsorize: values inside the band pass through; ~10% of rows clip") {
+    val rows = graft.queries.DataOps.winsorize(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, w, clipped) = (r.getAs[Double]("value"),
+        r.getAs[Double]("winsorized"), r.getAs[Boolean]("clipped"))
+      if (!clipped) assert(math.abs(v - w) < 1e-9, s"unclipped row changed: $r")
+      else assert(math.abs(v - w) > 0, s"clipped row unchanged: $r")
+    }
+    val frac = rows.count(_.getAs[Boolean]("clipped")).toDouble / rows.length
+    // p5/p95 fences clip ~10% by construction; a band this wide still
+    // catches a broken percentile (0% or 50% would both fail)
+    assert(frac > 0.05 && frac < 0.15, s"clip fraction $frac out of band")
+  }
+
   test("OHLC: no window pass, and the exchange carries bars (partial agg below it)") {
     val plan = StreamingGates.ohlcBars(spark, dir)
       .queryExecution.executedPlan.toString
