@@ -461,7 +461,7 @@ object StreamingGates {
     * engines weight with exactly the same constants (a float pow(0.9,k)
     * could differ in the last ulp and shift a rounded output).
     */
-  private val EwmaWeights = Seq(1000000L, 900000L, 810000L, 729000L,
+  private[graft] val EwmaWeights = Seq(1000000L, 900000L, 810000L, 729000L,
     656100L, 590490L, 531441L, 478297L)
 
   /** Exponentially-weighted moving average of `value` per user over
@@ -478,11 +478,12 @@ object StreamingGates {
     * eight lags (same frame), then a pure projection — no state
     * beyond the 8-row window, no second pass.
     */
-  def ewmaSmooth(s: SparkSession, dir: String): DataFrame = {
+  /** The EWMA projection over any (user_id, ts, event_id, v) relation —
+    * shared by the batch gate and the streaming twin's parity spec.
+    */
+  private[graft] def ewmaOver(base: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val base = Tables.t(s, dir, "events")
-      .select(col("user_id"), col("ts"), col("event_id"), col("value").as("v"))
     val lagged = EwmaWeights.indices.tail.foldLeft(base)((df, k) =>
       df.withColumn(s"__l$k", lag(col("v"), k).over(w)))
     def term(k: Int) = if (k == 0) col("v") else col(s"__l$k")
@@ -492,11 +493,14 @@ object StreamingGates {
     val den = EwmaWeights.zipWithIndex.map { case (wt, k) =>
       when(term(k).isNotNull, lit(wt.toDouble)).otherwise(lit(0.0))
     }.reduce(_ + _)
-    lagged
-      .select(col("user_id"), col("ts"), col("event_id"),
-        round(col("v"), 6).as("value"), round(num / den, 6).as("ewma"))
-      .orderBy(col("user_id"), col("ts"), col("event_id"))
+    lagged.select(col("user_id"), col("ts"), col("event_id"),
+      round(col("v"), 6).as("value"), round(num / den, 6).as("ewma"))
   }
+
+  def ewmaSmooth(s: SparkSession, dir: String): DataFrame =
+    ewmaOver(Tables.t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value").as("v")))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
 
   val ewmaSmoothOracle: String = {
     val terms = EwmaWeights.zipWithIndex.map { case (wt, k) =>

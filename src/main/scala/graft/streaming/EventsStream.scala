@@ -30,6 +30,11 @@ final case class SessionState(start: Long, end: Long, n: Long, total: Double)
 /** Last-seen event per user for the streaming transition emitter. */
 final case class TransState(lastTs: Long, lastId: Long, lastType: String)
 
+/** Last ≤8 points per user (parallel lists, oldest first) for the
+  * streaming EWMA emitter — top-level for the state encoder.
+  */
+final case class EwmaBuf(ts: List[Long], ids: List[Long], vs: List[Double])
+
 /** Buffered step timestamps (epoch ms) + last-activity time for
   * [[EventsStream.funnel]] — top-level for the state encoder, like
   * [[SessionState]].
@@ -259,6 +264,79 @@ object EventsStream {
         last.foreach { s =>
           state.update(s)
           state.setTimeoutTimestamp(math.max(s.lastTs + horizonMinutes * 60000L,
+            state.getCurrentWatermarkMs + 1))
+        }
+        out.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  final case class EwmaPoint(user_id: Long, ts: Timestamp, event_id: Long,
+      value: Double, ewma: Double)
+
+  /** Streaming twin of the batch `st_ewma` gate: per-user
+    * finite-lookback EWMA emitted per event, with the last ≤8 points
+    * held in [[EwmaBuf]] state — O(1) state per user forever, evicted
+    * by event-time timeout after `horizonMinutes` of silence. The
+    * arithmetic REPLAYS the batch expression exactly (same integer
+    * weights, same k-ascending double summation order, same HALF_UP
+    * rounding), so under `AvailableNow` replay the emitted points are
+    * bit-equal to the batch projection (EventsStreamSpec parity).
+    * Same straggler policy as [[transitionPairs]]: an event at or
+    * before the buffer's newest point is dropped — at a live source
+    * the smoothed sequence is arrival-order within the policy, the
+    * documented cross-batch caveat.
+    */
+  def ewma(events: Dataset[Event], horizonMinutes: Int = 1440): Dataset[EwmaPoint] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val weights = graft.queries.StreamingGates.EwmaWeights
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    def fn(userId: Long, rows: Iterator[Event],
+        state: GroupState[EwmaBuf]): Iterator[EwmaPoint] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var buf = state.getOption.getOrElse(EwmaBuf(Nil, Nil, Nil))
+        val out = Seq.newBuilder[EwmaPoint]
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          val inOrder = buf.ts.isEmpty || t > buf.ts.last ||
+            (t == buf.ts.last && e.event_id > buf.ids.last)
+          if (inOrder) {
+            buf = EwmaBuf((buf.ts :+ t).takeRight(weights.length),
+              (buf.ids :+ e.event_id).takeRight(weights.length),
+              (buf.vs :+ e.value).takeRight(weights.length))
+            // mirror the batch column's summation: k = 0 (current)
+            // ascending, zero contribution where no lag exists
+            var num = 0.0
+            var den = 0.0
+            val n = buf.vs.length
+            for (k <- weights.indices) {
+              if (k < n) {
+                num += buf.vs(n - 1 - k) * weights(k).toDouble
+                den += weights(k).toDouble
+              } else {
+                num += 0.0
+                den += 0.0
+              }
+            }
+            out += EwmaPoint(userId, e.ts, e.event_id,
+              round6(e.value), round6(num / den))
+          } // out-of-order straggler: dropped by policy
+        }
+        if (buf.ts.nonEmpty) {
+          state.update(buf)
+          state.setTimeoutTimestamp(math.max(buf.ts.last + horizonMinutes * 60000L,
             state.getCurrentWatermarkMs + 1))
         }
         out.result().iterator

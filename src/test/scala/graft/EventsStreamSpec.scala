@@ -124,6 +124,33 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch === pairs)
   }
 
+  test("streaming EWMA: batch parity on the fixture, head point is its own average") {
+    val in = tmpDir("ew-in"); val out = tmpDir("ew-out"); val ck = tmpDir("ew-ck")
+    writeInput(in)
+    import spark.implicits._
+    EventsStream.runToParquet(
+      EventsStream.ewma(EventsStream.parse(spark.readStream.text(in))).toDF(),
+      out, ck).awaitTermination(120000)
+
+    val got = spark.read.parquet(out)
+      .select(col("user_id"), col("event_id"), col("value"), col("ewma"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    // batch parity: the same events through the batch gate's shared
+    // lag projection yield bit-equal smoothed points
+    val batch = graft.queries.StreamingGates.ewmaOver(
+      EventsStream.parse(spark.read.text(in).select(col("value"))).toDF()
+        .select(col("user_id"), col("ts"), col("event_id"), col("value").as("v")))
+      .select(col("user_id"), col("event_id"), col("value"), col("ewma"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    assert(got === batch)
+    // single-event users smooth to themselves
+    assert(got.filter(_._1 == 2L).map(p => (p._3, p._4)) === Set((10.0, 10.0)))
+    // user 1's second point: (2*1e6 + 1*9e5) / 1.9e6 rounded
+    assert(got.contains((1L, 2L, 2.0, 1.526316)))
+  }
+
   test("sessionize: 30-min gap closes sessions, state evicts by timeout") {
     val in = tmpDir("ss-in"); val out = tmpDir("ss-out"); val ck = tmpDir("ss-ck")
     writeInput(in)
