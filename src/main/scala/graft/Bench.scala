@@ -115,11 +115,13 @@ object Bench {
     val qs = times.map { case (k, v) => s"${jstr(k)}:${d3(v)}" }.mkString("{", ",", "}")
     val total = times.values.sum
     val pt = passTotals.map(d3).mkString("[", ",", "]")
-    // errors key only when non-empty; sf as basename — keep lines lean
+    // errors key only when non-empty; sf as basename — keep lines lean.
+    // n_errors rides along even in the full line so no parser can read
+    // an errored run as green without noticing (ADVICE r10 #1).
     val es =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
-        .mkString(""""errors":{""", ",", "},")
+        .mkString(s""""n_errors":${errors.size},"errors":{""", ",", "},")
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val fullLine =
       s"""{"metric":"total","value":${d3(total)},"unit":"sec","pass_walls":$pt,"queries":$qs,$es"sf":"$sfName"}"""
@@ -164,5 +166,16 @@ object Bench {
     if (compactLine ne fullLine) println(fullLine)
     println(compactLine)
     spark.stop()
+    // A bench with ANY failed query is a failed bench run: round 10
+    // recorded rc=0 + a '[success]' tail while 27 queries errored, and
+    // the artifact was committed as a green round (ADVICE r10 #1). The
+    // metric lines above still print (partial numbers are useful for
+    // diagnosis) but the process exits nonzero so the driver's rc field
+    // flags the round.
+    if (errors.nonEmpty) {
+      System.err.println(
+        s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

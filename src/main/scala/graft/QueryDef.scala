@@ -19,15 +19,26 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is nanosecond parquet, which Spark 4 rejects outright.
-      // The session (built via graft.Sessions) sets
-      // spark.sql.legacy.parquet.nanosAsLong=true so nanos arrive as
-      // long; truncating to a microsecond timestamp matches DuckDB's
-      // CAST(ts AS TIMESTAMP), so both engines see identical instants.
-      // (testdata timestamps are all post-epoch, so integer DIV == floor.)
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      // events.ts has shipped as BOTH nanosecond parquet (rounds 1-9,
+      // arriving as LONG under spark.sql.legacy.parquet.nanosAsLong=true)
+      // and plain microsecond parquet (round 10+, arriving as a
+      // timestamp). Guard on the ACTUAL column type instead of assuming
+      // one encoding — the unconditional `ts DIV 1000` broke all 27
+      // events queries in round 10 when the data switched to micros
+      // (ADVICE r10 #3). Every branch lands on session-zone TIMESTAMP
+      // truncated to micros, which matches DuckDB's CAST(ts AS
+      // TIMESTAMP) — both engines see identical instants (session tz is
+      // UTC; testdata is post-epoch so integer DIV == floor).
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types._
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType    => df
+        case other => throw new IllegalStateException(
+          s"events.ts: expected LONG (nanosAsLong), TIMESTAMP_NTZ, or " +
+            s"TIMESTAMP, got $other — new testdata encoding needs a branch here")
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 }

@@ -12,13 +12,15 @@ object Verify {
     // (unset = the full surface, which is what the driver runs)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: ${failed(name)}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -37,6 +39,21 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Round 10 lesson (ADVICE r10 #1/#2): a query that fails to execute
+    // must fail the ROUND, not silently vanish from the compare (27
+    // events queries were dropped from CORRECTNESS_r10 and the file
+    // read as 100% pass). Dump the failures where the driver can see
+    // them and exit nonzero so the artifact records a failed run.
+    if (failed.nonEmpty) {
+      val ferr = failed.map { case (k, v) => s"${q(k)}: ${q(v.take(300))}" }
+        .mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/verify_errors.json"), ferr)
+      System.err.println(
+        s"[verify] ${failed.size} queries FAILED to execute: " +
+          failed.keys.mkString(", "))
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

@@ -23,6 +23,23 @@ object Graph {
   private val Scale = 1000000000000L // rank mass fixed-point scale
   private val Iters = 5
 
+  /** Self-releasing persist lifecycle (VERDICT r9 #3): every public
+    * graph query eagerly materializes its node-sized result through
+    * [[graft.plans.Checkpoint.truncate]] and THEN unpersists the
+    * edge-sized intermediates it pinned — so a long-lived interactive
+    * session is left with ZERO CacheManager entries per call, not four
+    * MEMORY_AND_DISK relations per data directory. The truncated
+    * result no longer references the persisted frames (its lineage
+    * bottoms out at the checkpoint), which is what makes the unpersist
+    * safe. The `*Plan` siblings expose the un-truncated plans so
+    * PlanAuditSpec still audits the REAL dataflow, not a LogicalRDD.
+    */
+  private def finalized(result: DataFrame, pinned: DataFrame*): DataFrame = {
+    val out = graft.plans.Checkpoint.truncate(result)
+    pinned.foreach(_.unpersist())
+    out
+  }
+
   /** 5-iteration PageRank (d = 0.85) over the bipartite trade graph:
     * nodes are customers (2k) and suppliers (2k+1), symmetric edges
     * for every distinct (customer, supplier) trade in orders⋈lineitem.
@@ -49,11 +66,13 @@ object Graph {
     * failure mode: 23.9 s contended vs 4.9-9.2 s quiet); with it, a
     * miss re-reads checkpoint blocks.
     *
-    * Lifecycle: like the dedup family, callers are expected to
-    * `spark.catalog.clearCache()` (Bench does, per measurement) or
-    * reuse the session-wide cached entry — the CacheManager dedupes
-    * plan-identical persists, so repeated calls pin ONE entry, not one
-    * per call.
+    * Lifecycle: SELF-RELEASING — every public query that pins this
+    * relation unpersists it in [[finalized]] once the truncated result
+    * is materialized, so nothing stays pinned after the query returns
+    * (SkewGraphSpec "graph queries leave no pinned cache entries").
+    * Within one call the CacheManager dedupes plan-identical persists,
+    * so pageRank's two handles (edges, edgesD) are distinct entries but
+    * repeated calls never accumulate.
     */
   private[graft] def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.t(s, dir, "orders")
@@ -82,6 +101,12 @@ object Graph {
   val SaltsConf = "graft.graph.salts"
 
   def pageRank(s: SparkSession, dir: String): DataFrame = {
+    val (result, pinned) = pageRankPlan(s, dir)
+    finalized(result, pinned: _*)
+  }
+
+  /** Lazy plan + the frames it pins — audit surface and [[pageRank]] body. */
+  private[graft] def pageRankPlan(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     val edges = tradeEdges(s, dir)
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // bounded driver scalar: node count (symmetric edges → every node
@@ -104,11 +129,12 @@ object Graph {
         .select(col("dst").as("node"),
           (lit(base) + expr("(85 * m) div 100")).as("rank"))
     }
-    ranks
+    val out = ranks
       .select(
         when(col("node") % 2 === 0, "customer").otherwise("supplier").as("kind"),
         expr("node div 2").as("key"), col("rank"))
       .orderBy(col("rank").desc, col("kind"), col("key"))
+    (out, Seq(edges, edgesD))
   }
 
   // DuckDB SUM(BIGINT) yields HUGEINT — every iteration casts it back
@@ -188,6 +214,11 @@ object Graph {
     * traverses.
     */
   def kHop(s: SparkSession, dir: String): DataFrame = {
+    val (result, pinned) = kHopPlan(s, dir)
+    finalized(result, pinned: _*)
+  }
+
+  private[graft] def kHopPlan(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     val edges = tradeEdges(s, dir)
     val seeds = kHopSeeds(s, dir)
     var settled = seeds
@@ -197,11 +228,12 @@ object Graph {
         frontierStep(edges, frontier, settled))
       settled = settled.unionByName(frontier)
     }
-    settled
+    val out = settled
       .select(
         when(col("node") % 2 === 0, "customer").otherwise("supplier").as("kind"),
         expr("node div 2").as("key"), col("hop"))
       .orderBy(col("hop"), col("kind"), col("key"))
+    (out, Seq(edges))
   }
 
   val kHopOracle: String = {
@@ -246,12 +278,17 @@ object Graph {
     * is a rounded ratio of exact integers.
     */
   def coTriangles(s: SparkSession, dir: String): DataFrame = {
+    val (result, pinned) = coTrianglesPlan(s, dir)
+    finalized(result, pinned: _*)
+  }
+
+  private[graft] def coTrianglesPlan(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     val it = Tables.t(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").cast(LongType).as("p"))
       .distinct()
     // persisted: consumed by the degree aggregate AND the orientation
     // join — unpersisted, the per-order self-join runs once per
-    // consumer (same clearCache lifecycle as tradeEdges)
+    // consumer (released by finalized() once the result materializes)
     val pairs = it.as("a").join(it.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .select(col("a.p").as("x"), col("b.p").as("y"))
@@ -282,13 +319,14 @@ object Graph {
     val corners = tris
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("tri"))
-    deg.join(corners, Seq("node"), "left")
+    val out = deg.join(corners, Seq("node"), "left")
       .select(col("node"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
       .withColumn("coeff",
         when(col("deg") > 1,
           round(lit(2.0) * col("tri") / (col("deg") * (col("deg") - 1)), 6))
           .otherwise(lit(0.0)))
       .orderBy(col("node"))
+    (out, Seq(pairs, ed))
   }
 
   val coTrianglesOracle: String =

@@ -559,6 +559,26 @@ object LlmCuration {
     * the corpus once, per-doc decimal log-sums make the weight
     * bit-stable (unigram-LL discipline), and the keep rank is a
     * per-source WindowGroupLimit — no global sort at any width.
+    *
+    * ==Cross-engine float determinism policy (VERDICT r9 #7)==
+    * The ONLY float operations this gate trusts across engines are
+    * IEEE-754 double basics with exact or platform-pinned results:
+    * `ln` of a rational whose numerator/denominator are exact integers
+    * (JVM `StrictMath.log` and DuckDB both delegate to the platform
+    * libm; agreement is empirical, which is why it is DEFENDED, not
+    * assumed), multiplication/division of doubles, and `round(x, 6)`.
+    * The defenses that make a libm last-ulp disagreement measure-zero:
+    * (1) every SUM over floats is replaced by a SUM over exact
+    * DECIMAL(38,.) fixups of the per-term values, so summation order —
+    * the actual cross-engine hazard — can never reorder mass;
+    * (2) outputs are rounded to 6 dp, so two engines must disagree by
+    * ≥ 5e-7 RELATIVE to flip a cell, when libm disagreement is ~1e-16;
+    * (3) every rank/top-k over a float ranks the ROUNDED value with an
+    * integer-key tiebreak, so a sub-round-off disagreement cannot
+    * reorder the kept set. A new float operator follows this recipe:
+    * decimal partials, round-6 outputs, rank-over-rounded — or it is
+    * bench-only (the xxhash64 twins' path). Same policy:
+    * [[graft.queries.StreamingGates.ewmaOver]].
     */
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.t(s, dir, "documents")

@@ -477,6 +477,20 @@ object StreamingGates {
     * Scale shape: one shuffle on user_id, ONE window pass for all
     * eight lags (same frame), then a pure projection — no state
     * beyond the 8-row window, no second pass.
+    *
+    * ==Cross-engine float determinism policy (VERDICT r9 #7)==
+    * This gate relies on NO cross-engine libm agreement at all: the
+    * weights are integer literals (never `pow(0.9, k)`), and the
+    * numerator/denominator are FIXED-ARITY, FIXED-ORDER chains of
+    * double `*`/`+` — IEEE-754 requires both engines to produce the
+    * identical bit pattern for the same operation sequence, and the
+    * textual `w0*v + w1*l1 + ...` shape pins the same left-fold order
+    * in Spark and DuckDB. `round(_, 6)` then makes even a hypothetical
+    * ulp leak (e.g. an engine fusing into FMA) a measure-zero event:
+    * a flip needs ~5e-7 relative disagreement vs ~1e-16 available.
+    * The full recipe for float operators (decimal partials for
+    * variable-arity sums, round-6 outputs, rank-over-rounded) is
+    * documented at [[graft.queries.LlmCuration.dsirWeights]].
     */
   /** The EWMA projection over any (user_id, ts, event_id, v) relation —
     * shared by the batch gate and the streaming twin's parity spec.
