@@ -94,10 +94,86 @@ object ScaleBench {
     done.createNewFile()
   }
 
+  /** 10×-PARTS variant corpus for the graph family (VERDICT r9 #5):
+    * the main 10× corpus replicates ORDERS onto a fixed 20k-part
+    * catalog, which DENSIFIES the part co-occurrence graph — the
+    * worst case for edge count. This variant replicates lineitem with
+    * BOTH part and order keys offset per replica, producing 10
+    * disjoint copies of the same graph: nodes ×10, edges ×10,
+    * triangles ×10, density CONSTANT — the vocabulary-growth regime a
+    * growing catalog actually produces. Only lineitem is written;
+    * [[graft.queries.Graph.coTriangles]] reads nothing else.
+    */
+  def synthesizePartsX10(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+    val done = new java.io.File(outDir, "_DONE")
+    if (done.exists() && new java.io.File(outDir, "lineitem.parquet").exists()) return
+    val ks = explode(sequence(lit(0), lit(Copies - 1))).as("k")
+    Tables.t(spark, baseDir, "lineitem").withColumn("k", ks)
+      .withColumn("l_partkey", col("l_partkey") + col("k") * IdOffset)
+      .withColumn("l_orderkey", col("l_orderkey") + col("k") * IdOffset)
+      .drop("k")
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    done.createNewFile()
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val x10Dir = args.headOption.getOrElse("/tmp/graft_scale_x10")
     val spark = Sessions.local("graft-scale")
+
+    // SPARK_GRAFT_SCALE_PARTSX10=<dir>: measure the graph family's
+    // node-growth regime instead of the default curve — one table,
+    // then exit (the two regimes are separate runs on purpose: each
+    // row should be measured on an otherwise idle JVM)
+    // SPARK_GRAFT_SCALE_IVFDELTA=1: time the incremental IVF ingest
+    // (delta assigned against the STORED frozen centroids) vs the full
+    // index rebuild (re-train + re-code the corpus) at the base sf —
+    // the VERDICT r9 #4 done-criterion row (10% delta ≪ rebuild)
+    if (sys.env.contains("SPARK_GRAFT_SCALE_IVFDELTA")) {
+      val lv = graft.queries.LlmVectors
+      val base = lv.embRelation(spark, baseDir)
+      // the persisted index artifact: materialized once, reused per
+      // increment (production keeps this in the lake)
+      val frozen = graft.plans.Checkpoint.truncate(lv.ivfFrozenCentroids(base))
+      def run(df: => DataFrame): Double = {
+        val t0 = System.nanoTime()
+        df.write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run(lv.ivfDeltaCodesFrom(base, frozen)); run(lv.ivfFullCodes(spark, baseDir)) // warmup
+      val tDelta = run(lv.ivfDeltaCodesFrom(base, frozen))
+      val tFull = run(lv.ivfFullCodes(spark, baseDir))
+      val nDelta = lv.ivfDeltaCodesFrom(base, frozen).count()
+      val nFull = lv.ivfFullCodes(spark, baseDir).count()
+      println("| ingest arm | rows coded | wall s |")
+      println("|---|---|---|")
+      println(f"| delta append (frozen centroids) | $nDelta | $tDelta%.2f |")
+      println(f"| full rebuild (train + re-code) | $nFull | $tFull%.2f |")
+      println(f"""{"metric":"scale_ivfdelta","delta_rows":$nDelta,"full_rows":$nFull,"delta_s":$tDelta%.3f,"full_s":$tFull%.3f}""")
+      spark.stop()
+      return
+    }
+
+    sys.env.get("SPARK_GRAFT_SCALE_PARTSX10").foreach { pDir =>
+      synthesizePartsX10(spark, baseDir, pDir)
+      def run(dir: String): Double = {
+        val t0 = System.nanoTime()
+        graft.queries.Graph.coTriangles(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run(baseDir) // warmup
+      val t1 = run(baseDir)
+      val t10 = run(pDir)
+      println("| query | t(1x) s | t(10x-parts) s | time ratio |")
+      println("|---|---|---|---|")
+      println(f"| gr_triangles | $t1%.2f | $t10%.2f | ${t10 / t1}%.1fx |")
+      println(f"""{"metric":"scale_partsx10","gr_triangles_1x":$t1%.3f,"gr_triangles_10x_parts":$t10%.3f}""")
+      spark.stop()
+      return
+    }
     synthesize(spark, baseDir, x10Dir)
 
     // SPARK_GRAFT_SCALE_ONLY: comma-separated subset of timed-query
@@ -176,6 +252,8 @@ object ScaleBench {
       "gr_khop" -> graft.queries.Graph.kHop _,
       "st_top_paths" -> graft.queries.StreamingGates.topPaths _,
       "ops_rfm_segments" -> graft.queries.DataOps.rfmSegments _,
+      // round-11 additions
+      "sim_ivf_delta" -> graft.queries.LlmVectors.ivfDeltaTopk _,
       // round-9 additions
       "gr_triangles" -> graft.queries.Graph.coTriangles _,
       "cu_dsir_weights" -> graft.queries.LlmCuration.dsirWeights _,

@@ -335,6 +335,156 @@ object LlmVectors {
        |SELECT q_id, rank, vec_id, round(cos, 6) AS cosine
        |FROM scored WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
 
+  /** Delta slice of the corpus for the incremental-ingest gate: every
+    * 10th vector — the same 10%-delta discipline the dedup family's
+    * `ngramIncrementalPairs` uses (`doc_id % 10 = 0`).
+    */
+  private def isDeltaVec(c: Column): Column = pmod(c, lit(10)) === 0
+
+  /** Frozen-codebook centroids for [[ivfDeltaTopk]]: seeded and
+    * Lloyd-trained on the EXISTING corpus only (delta excluded), so the
+    * index structure is a pure function of what was already ingested —
+    * the artifact a production pipeline persists between increments.
+    * Seeds are the first [[IvfClusters]] existing vectors by id (cell
+    * label = vec_id, a monotone relabel of the oracle's dense
+    * ROW_NUMBER-1 cells, as in [[ivfTopk]]).
+    */
+  private[graft] def ivfFrozenCentroids(base: DataFrame): DataFrame = {
+    val existing = base.filter(!isDeltaVec(col("vec_id")))
+    val seeds = existing.orderBy(col("vec_id")).limit(IvfClusters)
+      .select(col("vec_id").as("cell"), col("emb").as("cemb"), col("nrm").as("cnrm"))
+    lloydCentroids(existing.filter(col("vec_id") % TrainMod === 0), seeds)
+  }
+
+  /** The INGEST pass of the incremental index: assign ONLY the delta
+    * against the frozen centroids — delta-sized input, one broadcast
+    * assignment, no Lloyd step, no corpus scan. This is the relation a
+    * daily job appends to the stored codes; ScaleBench times it against
+    * the full rebuild ([[ivfTopk]]'s train+assign) to pin the claim
+    * that maintenance cost follows the DELTA (VERDICT r9 #4).
+    */
+  private[graft] def ivfDeltaCodes(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    ivfDeltaCodesFrom(base, ivfFrozenCentroids(base))
+  }
+
+  /** Delta assignment against an ALREADY-MATERIALIZED centroid
+    * relation — the shape ScaleBench times: production stores the
+    * trained centroids between increments, so the measured ingest cost
+    * must exclude (re)training, exactly as FAISS `add()` does.
+    */
+  private[graft] def ivfDeltaCodesFrom(base: DataFrame, centroids: DataFrame): DataFrame =
+    assignCells(base.filter(isDeltaVec(col("vec_id"))), centroids, 1)
+
+  /** The full-rebuild comparison arm: train centroids from scratch and
+    * re-code the ENTIRE corpus — what a pipeline without incremental
+    * maintenance pays per ingest.
+    */
+  private[graft] def ivfFullCodes(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    val seeds = base.filter(col("vec_id") < IvfClusters)
+      .select(col("vec_id").as("cell"), col("emb").as("cemb"), col("nrm").as("cnrm"))
+    assignCells(base, lloydCentroids(base.filter(col("vec_id") % TrainMod === 0), seeds), 1)
+  }
+
+  private[graft] def embRelation(s: SparkSession, dir: String): DataFrame = emb(s, dir)
+
+  /** INCREMENTAL IVF ANN top-k (VERDICT r9 #4 — the daily-ingest story
+    * for similarity, mirroring the dedup family's incremental shape):
+    * centroids are trained on the EXISTING corpus and FROZEN; the delta
+    * (10% of vectors) is assigned to those centroids in a delta-sized
+    * append pass (never re-training, never re-coding the corpus);
+    * search probes the frozen cells over existing ∪ delta codes. The
+    * union of the two assignment passes is value-identical to assigning
+    * the whole corpus against the frozen centroids (assignment is
+    * per-row), which is what lets the DuckDB oracle replay the pipeline
+    * as one pass — while the Spark plan keeps the operational
+    * append shape.
+    *
+    * FAISS's documented add-after-train contract: `add()` encodes new
+    * vectors against the trained quantizer without touching existing
+    * codes; periodic re-train only when the distribution drifts. Search
+    * quality vs the re-trained index is gated in LlmOpsSpec (recall
+    * parity) — on this corpus the frozen-centroid index returns
+    * near-identical top-k.
+    *
+    * Scale shape: ingest cost is |delta| × K broadcast dot products +
+    * one delta-sized WindowGroupLimit — at 100 TB with a 1% daily
+    * delta, 1% of the rebuild's assignment work and NONE of its
+    * training scan. Search is unchanged from [[ivfTopk]]: nProbe/K of
+    * the corpus per query.
+    */
+  def ivfDeltaTopk(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    val centroids = ivfFrozenCentroids(base)
+    // operational append: existing codes (index-time) ∪ delta codes
+    // (ingest-time), both against the SAME frozen centroid relation
+    val codes = assignCells(base.filter(!isDeltaVec(col("vec_id"))), centroids, 1)
+      .unionByName(assignCells(base.filter(isDeltaVec(col("vec_id"))), centroids, 1))
+    val indexed = base.join(codes, "vec_id")
+    val queries = base.filter(col("vec_id") < NQueries)
+    val probed = queries
+      .join(assignCells(queries, centroids, IvfProbes), "vec_id")
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell"))
+    val cos = dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("cos"), 9).desc, col("vec_id"))
+    indexed.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** [[ivfTopkOracle]] with the index TRAINED ON THE EXISTING SLICE
+    * only (`vec_id % 10 <> 0` in seeds and the Lloyd sample); code
+    * assignment and search replay over the full corpus against those
+    * frozen centroids — per-row assignment makes the one-pass replay
+    * value-identical to Spark's existing∪delta append.
+    */
+  val ivfDeltaTopkOracle: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, emb AS cemb
+       |  FROM (SELECT vec_id, emb FROM v WHERE vec_id % 10 <> 0
+       |        ORDER BY vec_id LIMIT $IvfClusters)),
+       |a0 AS (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT v.vec_id, v.emb, s.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(list_cosine_similarity(v.emb, s.cemb), 9) DESC, s.cell) AS rn
+       |    FROM v CROSS JOIN seeds s
+       |    WHERE v.vec_id % $TrainMod = 0 AND v.vec_id % 10 <> 0) WHERE rn = 1),
+       |dims AS (SELECT cell, unnest(range(1, len(emb) + 1)) AS dim, unnest(emb) AS x FROM a0),
+       |cent AS (
+       |  SELECT cell, list(m ORDER BY dim) AS cemb FROM (
+       |    SELECT cell, dim,
+       |      CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+       |    FROM dims GROUP BY cell, dim) GROUP BY cell),
+       |assigned AS (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT v.vec_id, v.emb, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(list_cosine_similarity(v.emb, c.cemb), 9) DESC, c.cell) AS rn
+       |    FROM v CROSS JOIN cent c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NQueries),
+       |probes AS (
+       |  SELECT q_id, q_emb, cell FROM (
+       |    SELECT q.q_id, q.q_emb, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |        ORDER BY round(list_cosine_similarity(q.q_emb, c.cemb), 9) DESC, c.cell) AS rn
+       |    FROM q CROSS JOIN cent c) WHERE rn <= $IvfProbes),
+       |scored AS (
+       |  SELECT p.q_id, x.vec_id,
+       |    list_cosine_similarity(x.emb, p.q_emb) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY p.q_id
+       |      ORDER BY round(list_cosine_similarity(x.emb, p.q_emb), 9) DESC, x.vec_id) AS rank
+       |  FROM assigned x JOIN probes p ON x.cell = p.cell AND x.vec_id <> p.q_id)
+       |SELECT q_id, rank, vec_id, round(cos, 6) AS cosine
+       |FROM scored WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
   // The sign-LSH path is a pure function of the data (coordinate
   // hyperplanes, no randomness), so its banded candidate semantics are
   // expressible in SQL: a candidate pair shares at least one of the 4
@@ -758,6 +908,7 @@ object LlmVectors {
     QueryDef("sim_range_search", rangeSearch, Some(rangeSearchOracle)),
     QueryDef("sim_ann_lsh", annTopk, Some(annTopkOracle)),
     QueryDef("sim_ivf_topk", ivfTopk, Some(ivfTopkOracle)),
+    QueryDef("sim_ivf_delta", ivfDeltaTopk, Some(ivfDeltaTopkOracle)),
     QueryDef("dd_embed_neardup", embedNearDup, Some(embedNearDupOracle)),
   )
 }

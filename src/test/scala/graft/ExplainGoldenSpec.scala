@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Golden plan-shape assertions for the five most expensive queries in
+  * the bench (VERDICT r9 #6): each pins the specific plan devices its
+  * cost model rests on, so a future plan regression — a lost persist,
+  * a lost checkpoint truncation, a resurrected Window, a broadcast
+  * flip into a nested-loop join — fails a TEST instead of surfacing as
+  * an unexplained bench inflation. Complements PlanAuditSpec (which
+  * forbids globally-bad shapes everywhere); this spec requires the
+  * good shapes to be PRESENT where a query's scale claim needs them.
+  */
+class ExplainGoldenSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def count(plan: String, marker: String): Int =
+    plan.sliding(marker.length).count(_ == marker)
+
+  test("gr_triangles: both intermediates cached, no window, no nested loop") {
+    val plan = executed(graft.queries.Graph.coTrianglesPlan(spark, dir)._1)
+    // pairs feeds deg + the orientation join; ed feeds both wedge
+    // sides + the closing join — a lost persist re-runs the per-order
+    // self-join per consumer (the exact r8 pagerank failure mode)
+    assert(count(plan, "InMemoryTableScan") >= 4,
+      s"expected >=4 cached scans (pairs x2, ed x3):\n${plan.take(1000)}")
+    assert(!plan.contains("Window"), "triangles must never spend a window pass")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    spark.catalog.clearCache()
+  }
+
+  test("gr_pagerank: checkpoint-truncated edges under the cache, 5 cached iteration scans") {
+    val plan = executed(graft.queries.Graph.pageRankPlan(spark, dir)._1)
+    // the r8 23.9s regression was cache eviction re-running the
+    // orders⋈lineitem edge build: the persisted relations must bottom
+    // out at a checkpoint artifact (scan of an existing RDD), never at
+    // the fact join
+    assert(plan.contains("ExistingRDD"),
+      s"edge build must be checkpoint-truncated:\n${plan.take(1000)}")
+    assert(count(plan, "InMemoryTableScan") >= 5,
+      "each of the 5 iterations must consume the CACHED edgesD relation")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    spark.catalog.clearCache()
+  }
+
+  test("dd_cluster_rep: star-CC labels ride a checkpoint; one ranking window") {
+    val plan = executed(graft.queries.LlmDedup.clusterRepByQuality(spark, dir))
+    assert(plan.contains("ExistingRDD"),
+      "label loop must be checkpoint-truncated (star-CC rounds)")
+    assert(plan.contains("Window"), "rep selection is a per-label rank window")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    spark.catalog.clearCache()
+  }
+
+  test("dd_incremental_pairs: candidate generation is an equi join, never a product") {
+    val plan = executed(graft.queries.LlmDedup.ngramIncrementalPairs(spark, dir))
+    // the delta×corpus candidate join must stay keyed on the shingle
+    // (hash-partitioned equi join); a broadcast flip into a nested
+    // loop or a product is the quadratic trap the prefix index exists
+    // to avoid
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"candidate join must be an equi join:\n${plan.take(1000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    spark.catalog.clearCache()
+  }
+
+  test("cu_pipeline_e2e: survivor stage is materialized once (checkpoint boundary)") {
+    val plan = executed(graft.queries.LlmCuration.curationPipeline(spark, dir))
+    // the quality+dedup survivor corpus feeds four consumers; the
+    // measured-in-r8 regression mode is losing the eager truncate and
+    // re-running the Gopher DAG per consumer
+    assert(plan.contains("ExistingRDD"),
+      s"survivor stage must be checkpoint-materialized:\n${plan.take(1000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    spark.catalog.clearCache()
+  }
+}

@@ -25,6 +25,8 @@ class PlanAuditSpec extends SparkSpec {
   //   matrix in RAM on every worker.
   private val bnljAllowed =
     Set("sim_topk_exact", "sim_range_search", "dd_embed_neardup", "sim_ivf_topk",
+      // incremental IVF: same broadcast centroid probe, frozen codebook
+      "sim_ivf_delta",
       // coarse pass of the rerank cascade: same broadcast-query scan
       // as sim_topk_exact, on 16-dim prefixes
       "sim_prefix_rerank",
@@ -88,6 +90,8 @@ class PlanAuditSpec extends SparkSpec {
       // IVFPQ: the same constant codebook/ADC-table broadcasts plus the
       // NQueries * nProbe probe list
       "sim_ivfpq_topk",
+      // incremental IVF: same constant probe-list broadcast as sim_ivf_topk
+      "sim_ivf_delta",
       // BM25 query relation: <= NQueries rows by a literal limit
       "ta_bm25_topk",
 
