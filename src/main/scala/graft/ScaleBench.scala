@@ -254,6 +254,9 @@ object ScaleBench {
       "ops_rfm_segments" -> graft.queries.DataOps.rfmSegments _,
       // round-11 additions
       "sim_ivf_delta" -> graft.queries.LlmVectors.ivfDeltaTopk _,
+      "dd_containment" -> graft.queries.LlmDedup.containmentPairs _,
+      "cu_ccnet_buckets" -> graft.queries.LlmCuration.ccnetBuckets _,
+      "st_seasonal_naive" -> graft.queries.StreamingGates.seasonalNaive _,
       // round-9 additions
       "gr_triangles" -> graft.queries.Graph.coTriangles _,
       "cu_dsir_weights" -> graft.queries.LlmCuration.dsirWeights _,

@@ -191,6 +191,61 @@ case class BigramShingles(child: Expression)
     copy(child = newChild)
 }
 
+/** Width-parameterized sibling of [[BigramShingles]]: distinct
+  * word-w-gram shingles per doc as generator rows (n_sh, sh), set size
+  * first so joins can size-filter before any explode-side shuffle.
+  * Longer shingles are the containment family's working width (Broder
+  * 1997 used ~10-grams): on a small-vocabulary corpus bigram df is
+  * huge and an inverted index over bigrams degenerates toward
+  * quadratic, while w >= 4 keeps shingle frequency — and with it
+  * candidate volume — near the true-pair count.
+  */
+case class NgramShingles(child: Expression, width: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(width >= 2, s"ngram_shingles width must be >= 2, got $width")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ngram_shingles requires array<string>, got ${other.simpleString}")
+  }
+
+  override def elementSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_sh", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("sh", org.apache.spark.sql.types.StringType)))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null) return Iterator.empty
+    val n = arr.numElements()
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val set = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]
+    var i = 0
+    while (i <= n - width) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](width)
+      var j = 0
+      while (j < width) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      set.add(org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts.toIndexedSeq: _*))
+      i += 1
+    }
+    val nSh = set.size
+    val it = set.iterator()
+    new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+      override def hasNext: Boolean = it.hasNext
+      override def next(): org.apache.spark.sql.catalyst.InternalRow =
+        org.apache.spark.sql.catalyst.InternalRow(nSh, it.next())
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration: once per session (idempotent) for local use, plus the
   * `spark.sql.extensions=graft.functions.GraftExtensions` path for a
   * real cluster.
@@ -209,6 +264,10 @@ object VectorFunctions {
     (FunctionIdentifier("bigram_shingles"),
       new ExpressionInfo(classOf[BigramShingles].getName, "bigram_shingles"),
       (children: Seq[Expression]) => BigramShingles(children.head)),
+    (FunctionIdentifier("ngram_shingles"),
+      new ExpressionInfo(classOf[NgramShingles].getName, "ngram_shingles"),
+      (children: Seq[Expression]) => NgramShingles(children(0),
+        children(1).eval().asInstanceOf[Int])),
     // Spark's NATIVE BloomFilter sketch pair (the machinery behind
     // runtime row-level filtering), surfaced as session functions so
     // the sketch family's production twin builds its membership index

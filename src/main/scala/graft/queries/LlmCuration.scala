@@ -209,6 +209,59 @@ object LlmCuration {
       |FROM tok t JOIN freq f USING (token) CROSS JOIN tot
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  /** CCNet-style per-language perplexity bucketing (Wenzek et al.
+    * 2019, arXiv:1911.00359): score each document against ITS
+    * LANGUAGE'S unigram LM (per-lang frequency relation — CCNet scores
+    * with a per-language KenLM), then split every language into
+    * head / middle / tail terciles by score. Training mixtures keep
+    * head+middle and drop or down-weight tail — the classic
+    * perplexity-based quality gate. Terciles via ntile(3) over the
+    * ROUNDED score with doc_id tie-break (rank-over-rounded float
+    * policy, [[dsirWeights]]).
+    *
+    * Scale shape: the LM is a (lang × vocab) hash aggregate, the
+    * scoring join streams tokens once (same shape as [[unigramLl]]),
+    * and the tercile window sorts DOC-level rows per language — corpus
+    * cardinality, not token cardinality, through the one sort.
+    */
+  def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+    val freq = tok.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("cnt"))
+    val tot = tok.groupBy(col("lang"))
+      .agg(count(lit(1)).cast(DoubleType).as("lang_total"))
+    val scored = tok.join(freq, Seq("lang", "token")).join(tot, "lang")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg((sum(log(col("cnt") / col("lang_total")).cast(DecimalType(38, 12)))
+        .cast(DoubleType) / count(lit(1))).as("ll"))
+      .select(col("doc_id"), col("lang"), round(col("ll"), 6).as("avg_ll"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("avg_ll").desc, col("doc_id"))
+    scored
+      .withColumn("t", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("avg_ll"),
+        when(col("t") === 1, "head").when(col("t") === 2, "middle")
+          .otherwise("tail").as("band"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ccnetBucketsOracle: String =
+    """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |freq AS (SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS lang_total FROM tok GROUP BY 1),
+      |ll AS (
+      |  SELECT t.doc_id, t.lang,
+      |    round(CAST(SUM(CAST(ln(f.cnt / tt.lang_total) AS DECIMAL(38,12))) AS DOUBLE)
+      |      / COUNT(*), 6) AS avg_ll
+      |  FROM tok t JOIN freq f ON t.lang = f.lang AND t.token = f.token
+      |  JOIN tot tt ON t.lang = tt.lang
+      |  GROUP BY 1, 2)
+      |SELECT doc_id, lang, avg_ll,
+      |  CASE NTILE(3) OVER (PARTITION BY lang ORDER BY avg_ll DESC, doc_id)
+      |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS band
+      |FROM ll ORDER BY doc_id""".stripMargin
+
   /** The END-TO-END curation pipeline a training-data run executes,
     * composed from the library's own stages in their production order:
     * Gopher-rule quality filter → exact dedup (keep the lowest doc_id
@@ -641,5 +694,6 @@ object LlmCuration {
     QueryDef("cu_split_leak", splitLeak, Some(splitLeakOracle)),
     QueryDef("cu_pack_sequences", packSequences, Some(packSequencesOracle)),
     QueryDef("ta_unigram_ll", unigramLl, Some(unigramLlOracle)),
+    QueryDef("cu_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsOracle)),
   )
 }

@@ -337,6 +337,116 @@ object LlmDedup {
        |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** DIRECTIONAL containment near-dup pairs (Broder 1997, "On the
+    * resemblance and containment of documents"): C(A→B) =
+    * |Sh(A) ∩ Sh(B)| / |Sh(A)| ≥ 0.8 — the ASYMMETRIC sibling of
+    * Jaccard that catches sub-document duplication (a doc quoted or
+    * embedded inside a larger one), which symmetric J ≥ t structurally
+    * cannot: J of a small doc inside a 10× larger one is ≤ 0.1 however
+    * exact the inclusion. The standard boilerplate/quotation screen in
+    * web-corpus curation.
+    *
+    * Candidate generation is the ASYMMETRIC prefix filter: C ≥ t needs
+    * overlap ≥ ceil(t·n_inner), so any qualifying pair shares one of
+    * the inner doc's first n − ceil(t·n) + 1 shingles in the global
+    * (df, sh) order — the inner PREFIX joins the outer FULL index
+    * (the outer side admits no per-doc prefix: its bound depends on
+    * the partner). One directional size filter (n_outer ≥ t·n_inner —
+    * overlap can't exceed the smaller set) prunes before the group.
+    * All threshold comparisons in exact integer form (t = 4/5:
+    * `inter*5 >= n*4`, ceil(t·n) = `(4n+4) div 5`) so no engine's
+    * float rounding can flip a boundary pair — see the float policy
+    * at [[LlmCuration.dsirWeights]].
+    *
+    * Scale shape: candidate volume is Σ_sh prefixDf(sh)·df(sh) —
+    * the inner prefix keeps only each doc's rarest ~20% of shingles,
+    * so hot shingles never pair quadratically; verification re-joins
+    * payload sets per unique candidate, as [[verifyPairs]].
+    */
+  private val ContainWidth = 4
+
+  // memoized like shingleCache: the containment join references the
+  // 4-gram relation from five sides (df, ranked, prefix, full index,
+  // verify sets)
+  private val containShingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** 4-token shingles for containment — WIDTH MATTERS: on this
+    * corpus's small vocabulary, bigram document frequency averages
+    * ~275, and measured candidate volume at sf0.1 was 6.7M pairs for
+    * 512 true pairs (27% of quadratic — the inverted index
+    * degenerates). At width 4 the shingle space is combinatorial in
+    * the vocabulary, df collapses toward 1, and the measured candidate
+    * relation is EXACTLY the 511 true pairs. Same reason Broder used
+    * ~10-grams and ExactSubstr uses 8-token windows.
+    */
+  private def containShingles(s: SparkSession, dir: String): DataFrame = {
+    containShingleCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) containShingleCache.remove(k)
+    }
+    val df = containShingleCache.getOrElseUpdate((s, dir), {
+      graft.functions.VectorFunctions.register(s)
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"),
+          call_function("ngram_shingles", col("tk"), lit(ContainWidth)))
+        .select(col("doc_id"), col("n_sh"), xxhash64(col("sh")).as("sh"))
+    })
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
+
+  def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    containmentFromShingles(containShingles(s, dir))
+
+  private[graft] def containmentFromShingles(sh: DataFrame): DataFrame = {
+    val dfRel = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfRel, "sh")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+    val innerPrefix = ranked
+      .filter(col("rn") <= col("n_sh") - expr("(4 * n_sh + 4) div 5") + 1)
+      .select(col("doc_id").as("inner_id"), col("n_sh").as("n_inner"), col("sh"))
+    val cands = innerPrefix
+      .join(sh.select(col("doc_id").as("outer_id"), col("n_sh").as("n_outer"), col("sh")),
+        "sh")
+      .filter(col("inner_id") =!= col("outer_id") &&
+        col("n_outer") * 5 >= col("n_inner") * 4)
+      .select(col("inner_id"), col("n_inner"), col("outer_id")).distinct()
+    val sets = sh.groupBy(col("doc_id"), col("n_sh"))
+      .agg(collect_list(col("sh")).as("shs"))
+    cands
+      .join(sets.select(col("doc_id").as("inner_id"), col("shs").as("si")), "inner_id")
+      .join(sets.select(col("doc_id").as("outer_id"), col("shs").as("so")), "outer_id")
+      .withColumn("inter", size(array_intersect(col("si"), col("so"))))
+      .filter(col("inter") * 5 >= col("n_inner") * 4)
+      .select(col("inner_id"), col("outer_id"),
+        round(col("inter").cast(DoubleType) / col("n_inner"), 6).as("containment"))
+      .orderBy(col("inner_id"), col("outer_id"))
+  }
+
+  // semantics stated quadratically over the full inverted index; the
+  // Spark side must reach the identical directional set through the
+  // asymmetric prefix filter
+  val containmentPairsOracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |s AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM (
+       |  SELECT doc_id,
+       |    list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+       |      for i in range(1, len(tk) - 2)]) AS shs
+       |  FROM t)),
+       |co AS (SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+       |    a.n_sh AS n_inner, COUNT(*) AS inter
+       |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+       |  WHERE b.n_sh * 5 >= a.n_sh * 4
+       |  GROUP BY 1, 2, 3)
+       |SELECT inner_id, outer_id,
+       |  round(CAST(inter AS DOUBLE) / n_inner, 6) AS containment
+       |FROM co WHERE inter * 5 >= n_inner * 4
+       |ORDER BY inner_id, outer_id""".stripMargin
+
   // The oracle states the SEMANTICS (all size-compatible pairs at
   // J >= t over the full inverted index); the Spark side reaches the
   // same set through the prefix filter, which is the point being gated.
@@ -838,6 +948,7 @@ object LlmDedup {
     QueryDef("dd_clusters_minlabel", dedupClustersMinLabel, Some(dedupClustersOracle)),
     QueryDef("dd_cluster_rep", clusterRepByQuality, Some(clusterRepByQualityOracle)),
     QueryDef("dd_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
+    QueryDef("dd_containment", containmentPairs, Some(containmentPairsOracle)),
     QueryDef("dd_incremental_pairs", ngramIncrementalPairs, Some(ngramIncrementalOracle)),
     // NOTE data-coupled gate: minhashLsh is gated against the EXACT
     // Jaccard oracle even though LSH recall is probabilistic. With 16

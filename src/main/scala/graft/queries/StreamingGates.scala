@@ -534,7 +534,77 @@ object StreamingGates {
        |ORDER BY user_id, ts, event_id""".stripMargin
   }
 
+  /** Seasonal-naive forecast evaluation per event type (the standard
+    * forecasting baseline and the denominator of MASE, Hyndman &
+    * Koehler 2006): hourly mean-value bars; forecast(t) = bar(t−24h)
+    * (CALENDAR lag via a self-join on hour − 24h, not a row lag — a
+    * missing hour must not shift the season); the naive baseline is
+    * bar(t−1h). Per type: MAE of both forecasts over the hours where
+    * both exist, and their ratio (MASE-style skill score — < 1 means
+    * daily seasonality beats persistence). Bars are decimal-summed
+    * means rounded to 6 dp BEFORE differencing, so every downstream
+    * abs-difference is an exact operation on identical inputs in both
+    * engines ([[LlmCuration.dsirWeights]] float policy).
+    *
+    * Scale shape: ONE hash aggregate collapses the fact to
+    * types×hours bars; the two lag joins and the final aggregate run
+    * on the bar relation (720 rows per type-month regardless of event
+    * volume) — the fact is never touched again.
+    */
+  def seasonalNaive(s: SparkSession, dir: String): DataFrame = {
+    val bars = Tables.t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(round(sum(col("value").cast(DecimalType(38, 12))).cast(DoubleType) /
+        count(lit(1)), 6).as("bar"))
+    // self-join of the bar relation: rename EVERY column on the lag
+    // sides — shared attribute ids from the common `bars` plan make
+    // qualified drops ambiguous
+    val prev = bars.select(col("event_type").as("p_type"),
+      col("hour").as("p_hour"), col("bar").as("naive"))
+    val season = bars.select(col("event_type").as("s_type"),
+      col("hour").as("s_hour"), col("bar").as("seasonal"))
+    val joined = bars
+      .join(prev, col("p_type") === col("event_type") &&
+        col("p_hour") === col("hour") - expr("INTERVAL 1 HOUR"))
+      .join(season, col("s_type") === col("event_type") &&
+        col("s_hour") === col("hour") - expr("INTERVAL 24 HOURS"))
+    val mae = (c: org.apache.spark.sql.Column) =>
+      sum(abs(col("bar") - c).cast(DecimalType(38, 12))).cast(DoubleType) /
+        count(lit(1))
+    joined.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        mae(col("naive")).as("mn"), mae(col("seasonal")).as("ms"))
+      .select(col("event_type"), col("n_eval"),
+        round(col("mn"), 6).as("mae_naive"),
+        round(col("ms"), 6).as("mae_seasonal"),
+        when(col("mn") > 0, round(col("ms") / col("mn"), 6)).as("mase"))
+      .orderBy(col("event_type"))
+  }
+
+  val seasonalNaiveOracle: String =
+    """WITH bars AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+      |    round(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS bar
+      |  FROM events GROUP BY 1, 2),
+      |j AS (
+      |  SELECT b.event_type, b.bar, p.bar AS naive, s.bar AS seasonal
+      |  FROM bars b
+      |  JOIN bars p ON p.event_type = b.event_type
+      |    AND p.hour = b.hour - INTERVAL 1 HOUR
+      |  JOIN bars s ON s.event_type = b.event_type
+      |    AND s.hour = b.hour - INTERVAL 24 HOUR),
+      |m AS (
+      |  SELECT event_type, COUNT(*) AS n_eval,
+      |    CAST(SUM(CAST(abs(bar - naive) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mn,
+      |    CAST(SUM(CAST(abs(bar - seasonal) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS ms
+      |  FROM j GROUP BY 1)
+      |SELECT event_type, n_eval, round(mn, 6) AS mae_naive,
+      |  round(ms, 6) AS mae_seasonal,
+      |  CASE WHEN mn > 0 THEN round(ms / mn, 6) END AS mase
+      |FROM m ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st_seasonal_naive", seasonalNaive, Some(seasonalNaiveOracle)),
     QueryDef("st_ewma", ewmaSmooth, Some(ewmaSmoothOracle)),
     QueryDef("st_windowed_agg", windowedAgg, Some(windowedAggOracle)),
     QueryDef("st_ohlc_bars", ohlcBars, Some(ohlcBarsOracle)),

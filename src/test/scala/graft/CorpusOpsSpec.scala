@@ -12,6 +12,39 @@ class CorpusOpsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("ccnet buckets: per-lang terciles balanced, head scores >= tail scores, full cover") {
+    val rows = LlmCuration.ccnetBuckets(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.t(spark, dir, "documents").count()
+    assert(rows.length == nDocs, "every document must land in a band")
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val byBand = rs.groupBy(_.getAs[String]("band")).view.mapValues(_.length)
+      assert(byBand.keySet.subsetOf(Set("head", "middle", "tail")))
+      // ntile(3): band sizes differ by at most 1
+      if (rs.length >= 3) {
+        assert(byBand.values.max - byBand.values.min <= 1,
+          s"$lang terciles unbalanced: ${byBand.toMap}")
+        // band assignment must be monotone in the score
+        val minHead = rs.filter(_.getAs[String]("band") == "head")
+          .map(_.getAs[Double]("avg_ll")).min
+        val maxTail = rs.filter(_.getAs[String]("band") == "tail")
+          .map(_.getAs[Double]("avg_ll")).max
+        assert(minHead >= maxTail, s"$lang head/tail overlap: $minHead < $maxTail")
+      }
+    }
+  }
+
+  test("seasonal naive: daily cycle beats persistence on the synthetic diurnal data") {
+    val rows = graft.queries.StreamingGates.seasonalNaive(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_eval") > 0)
+      assert(r.getAs[Double]("mae_naive") >= 0 && r.getAs[Double]("mae_seasonal") >= 0)
+      val mase = r.getAs[java.lang.Double]("mase")
+      if (mase != null) assert(mase > 0, r.toString)
+    }
+  }
+
   test("vocab stats: ratios bounded, hapax <= vocab <= tokens, all langs present") {
     val rows = LlmCuration.vocabStats(spark, dir).collect()
     assert(rows.map(_.getAs[String]("lang")).toSet === Set("en", "fr", "es", "de", "zh"))

@@ -197,6 +197,32 @@ class LlmOpsSpec extends SparkSpec {
       s"mean IVF recall ${recalls.sum / recalls.size} too low")
   }
 
+  test("containment is directional: a strict sub-document contains at 1.0 one way only") {
+    // the case symmetric Jaccard structurally misses: doc 1 embedded
+    // verbatim inside a 5x larger doc 2 (J ~= 0.18 — invisible at any
+    // near-dup threshold; containment 1->2 is exactly 1.0)
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val small = (1 to 10).map(i => s"w$i").mkString(" ")
+    val tail = (1 to 40).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, s"$small $tail")).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), call_function("ngram_shingles", col("tk"), lit(4)))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("sh")).as("sh"))
+    val rows = graft.queries.LlmDedup.containmentFromShingles(sh).collect()
+    assert(rows.length == 1, s"expected only the 1->2 direction: ${rows.mkString(";")}")
+    val r = rows.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-9, s"sub-document must contain at 1.0: $r")
+    // corpus gate sanity: directional rows, containment in (0.8, 1.0]
+    val cont = graft.queries.LlmDedup.containmentPairs(spark, dir).collect()
+    assert(cont.nonEmpty)
+    cont.foreach { c =>
+      val v = c.getDouble(2)
+      assert(v > 0.8 - 1e-9 && v <= 1.0 + 1e-9, s"containment out of band: $c")
+    }
+  }
+
   test("IVF delta ingest: recall parity with the full rebuild; assignment touches only the delta") {
     // VERDICT r9 #4: the frozen-codebook index (centroids trained on
     // the existing 90%, delta assigned without retraining) must search
