@@ -257,6 +257,7 @@ object ScaleBench {
       "dd_containment" -> graft.queries.LlmDedup.containmentPairs _,
       "cu_ccnet_buckets" -> graft.queries.LlmCuration.ccnetBuckets _,
       "st_seasonal_naive" -> graft.queries.StreamingGates.seasonalNaive _,
+      "gr_kcore" -> graft.queries.Graph.kCore _,
       // round-9 additions
       "gr_triangles" -> graft.queries.Graph.coTriangles _,
       "cu_dsir_weights" -> graft.queries.LlmCuration.dsirWeights _,
