@@ -346,7 +346,59 @@ object DataOps {
       |FROM events e JOIN b USING (event_type)
       |ORDER BY e.event_id""".stripMargin
 
+  private val NumShards = 8
+
+  /** RENDEZVOUS (highest-random-weight) shard assignment (Thaler &
+    * Ravishankar 1998) — the stable-sharding primitive of a
+    * distributed pipeline: doc → argmax over shards of
+    * h(doc_id ":" shard). Unlike `hash(doc) % N`, changing the shard
+    * count relocates ONLY the docs the new shard wins (≈ 1/(N+1) of
+    * the corpus) instead of reshuffling nearly everything — the
+    * property that keeps a 100 TB re-shard from rewriting the lake
+    * (DataOpsShardSpec measures exactly this: 8→9 moves ~1/9, and
+    * every mover lands on the NEW shard).
+    *
+    * Scale shape: the argmax is a higher-order `aggregate` fold over
+    * `sequence(0, N-1)` INSIDE the projection — per-row pure compute,
+    * no explode, no window, no shuffle; the plan is one scan + one
+    * project at any corpus size. Hash is the engine-reproducible h60
+    * (md5-folded 60-bit int, [[Sketches.h60]]); ties (2⁻⁶⁰) keep the
+    * LOWER shard in both engines (strict-> fold here, w DESC, shard
+    * ASC rank in the oracle).
+    */
+  def shardAssign(s: SparkSession, dir: String): DataFrame =
+    shardAssignN(s, dir, NumShards)
+
+  private[graft] def shardAssignN(s: SparkSession, dir: String, n: Int): DataFrame = {
+    val w = (shard: org.apache.spark.sql.Column) => Sketches.h60(
+      concat(col("doc_id").cast(StringType), lit(":"), shard.cast(StringType)))
+    Tables.t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("best",
+        aggregate(sequence(lit(0), lit(n - 1)),
+          struct(lit(Long.MinValue).as("w"), lit(-1).as("shard")),
+          (acc, i) => {
+            val wi = w(i)
+            when(wi > acc.getField("w"),
+              struct(wi.as("w"), i.as("shard"))).otherwise(acc)
+          }))
+      .select(col("doc_id"), col("best.shard").as("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val shardAssignOracle: String =
+    s"""WITH cand AS (
+       |  SELECT doc_id, shard,
+       |    ${Sketches.h60Sql("CAST(doc_id AS VARCHAR) || ':' || CAST(shard AS VARCHAR)")} AS w
+       |  FROM documents, (SELECT unnest(range(0, $NumShards)) AS shard)),
+       |ranked AS (
+       |  SELECT doc_id, shard,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w DESC, shard) AS rn
+       |  FROM cand)
+       |SELECT doc_id, CAST(shard AS INT) AS shard FROM ranked
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ops_shard_assign", shardAssign, Some(shardAssignOracle)),
     QueryDef("ops_winsorize", winsorize, Some(winsorizeOracle)),
     QueryDef("ops_profile_numeric", profileNumeric, Some(profileNumericOracle)),
     QueryDef("ops_rfm_segments", rfmSegments, Some(rfmSegmentsOracle)),

@@ -12,6 +12,26 @@ class CorpusOpsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("rendezvous sharding: 8→9 moves only the new shard's winners (~1/9), nothing else") {
+    val at8 = DataOps.shardAssignN(spark, dir, 8).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val at9 = DataOps.shardAssignN(spark, dir, 9).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(at8.keySet == at9.keySet)
+    // balance at 8: no shard more than 2x the uniform share
+    val byShard = at8.values.groupBy(identity).view.mapValues(_.size)
+    assert(byShard.size == 8 && byShard.values.max <= at8.size / 8 * 2,
+      s"unbalanced: ${byShard.toMap}")
+    val moved = at8.keys.filter(d => at8(d) != at9(d)).toSeq
+    // THE rendezvous property: a doc moves iff the NEW shard (8) wins
+    // its rendezvous — movers all land on 8, stayers keep their shard
+    moved.foreach(d => assert(at9(d) == 8,
+      s"doc $d moved to ${at9(d)}, not the new shard — HRW violated"))
+    val frac = moved.size.toDouble / at8.size
+    assert(frac > 0.03 && frac < 0.25,
+      s"moved fraction $frac implausible for 1/9 expectation")
+  }
+
   test("ccnet buckets: per-lang terciles balanced, head scores >= tail scores, full cover") {
     val rows = LlmCuration.ccnetBuckets(spark, dir).collect()
     assert(rows.nonEmpty)
