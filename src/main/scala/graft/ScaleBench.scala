@@ -259,6 +259,7 @@ object ScaleBench {
       "st_seasonal_naive" -> graft.queries.StreamingGates.seasonalNaive _,
       "gr_kcore" -> graft.queries.Graph.kCore _,
       "ops_shard_assign" -> graft.queries.DataOps.shardAssign _,
+      "st_cusum_shift" -> graft.queries.StreamingGates.cusumShift _,
       // round-9 additions
       "gr_triangles" -> graft.queries.Graph.coTriangles _,
       "cu_dsir_weights" -> graft.queries.LlmCuration.dsirWeights _,

@@ -603,7 +603,78 @@ object StreamingGates {
       |  CASE WHEN mn > 0 THEN round(ms / mn, 6) END AS mase
       |FROM m ORDER BY event_type""".stripMargin
 
+  /** CUSUM mean-shift LOCATOR per event type (Page 1954's cumulative
+    * sum, in its retrospective change-point-estimation form): over the
+    * hourly bar series, the hour t* maximizing |Σ_{i≤t}(b_i − mean)|
+    * is the classic estimator of where a level shift happened, with
+    * the normalized magnitude as the drift score — the batch audit
+    * behind data-drift monitoring.
+    *
+    * INTEGER-EXACT throughout (float policy, [[LlmCuration.dsirWeights]]):
+    * bars are fixed to micro-units (round(bar·1e6) → BIGINT), and the
+    * deviation is scaled by the per-type bar count — dev_i = n·b6_i −
+    * Σb6 — so the cumulative sum is a BIGINT fold with no division
+    * before the final rounded magnitude. Cumulative double summation
+    * would be summation-ORDER-dependent across engines; BIGINT isn't.
+    *
+    * Scale shape: one fact-collapsing aggregate to bars, one window
+    * pass over the bar relation (types×hours rows), one rank —
+    * nothing after the first aggregate touches the fact.
+    */
+  def cusumShift(s: SparkSession, dir: String): DataFrame =
+    cusumOverBars(Tables.t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(round(sum(col("value").cast(DecimalType(38, 12))).cast(DoubleType) /
+        count(lit(1)), 6).as("bar")))
+
+  /** The locator over any (event_type, hour, bar) relation — shared by
+    * the gate and the constructed-shift spec (CorpusOpsSpec plants a
+    * known level shift and asserts the located hour).
+    */
+  private[graft] def cusumOverBars(barsIn: DataFrame): DataFrame = {
+    val bars = barsIn.withColumn("b6", round(col("bar") * 1e6).cast(LongType))
+    val tot = bars.groupBy(col("event_type").as("t_type"))
+      .agg(sum(col("b6")).as("s6"), count(lit(1)).as("n"))
+    val wcs = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cs = bars.join(tot, col("t_type") === col("event_type")).drop("t_type")
+      .withColumn("dev", col("b6") * col("n") - col("s6"))
+      .withColumn("cusum", sum(col("dev")).over(wcs))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(abs(col("cusum")).desc, col("hour"))
+    cs.withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("hour").as("shift_hour"),
+        round(abs(col("cusum")).cast(DoubleType) / (col("n") * 1e6), 6)
+          .as("drift_mag"))
+      .orderBy(col("event_type"))
+  }
+
+  val cusumShiftOracle: String =
+    """WITH bars AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+      |    CAST(round(round(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+      |      / COUNT(*), 6) * 1e6) AS BIGINT) AS b6
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT event_type, SUM(b6) AS s6, COUNT(*) AS n
+      |  FROM bars GROUP BY 1),
+      |cs AS (
+      |  SELECT b.event_type, b.hour,
+      |    SUM(b.b6 * t.n - t.s6) OVER (PARTITION BY b.event_type
+      |      ORDER BY b.hour ROWS UNBOUNDED PRECEDING) AS cusum, t.n
+      |  FROM bars b JOIN tot t USING (event_type)),
+      |r AS (
+      |  SELECT event_type, hour, cusum, n,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY abs(cusum) DESC, hour) AS rn
+      |  FROM cs)
+      |SELECT event_type, hour AS shift_hour,
+      |  round(CAST(abs(cusum) AS DOUBLE) / (n * 1e6), 6) AS drift_mag
+      |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st_cusum_shift", cusumShift, Some(cusumShiftOracle)),
     QueryDef("st_seasonal_naive", seasonalNaive, Some(seasonalNaiveOracle)),
     QueryDef("st_ewma", ewmaSmooth, Some(ewmaSmoothOracle)),
     QueryDef("st_windowed_agg", windowedAgg, Some(windowedAggOracle)),

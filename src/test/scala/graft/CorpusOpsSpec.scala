@@ -12,6 +12,28 @@ class CorpusOpsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("CUSUM locator finds a planted level shift at the exact boundary hour") {
+    import spark.implicits._
+    // 100 hourly bars at level 10.0, then 100 at 12.0: max |cusum| of
+    // (b - mean) lands exactly at the last pre-shift hour (index 99)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val bars = (0 until 200).map { h =>
+      ("shifted", new java.sql.Timestamp(t0.getTime + h * 3600L * 1000),
+        if (h < 100) 10.0 else 12.0)
+    }.toDF("event_type", "hour", "bar")
+    val rows = graft.queries.StreamingGates.cusumOverBars(bars).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getTimestamp(1).getTime == t0.getTime + 99 * 3600L * 1000,
+      s"shift located at ${r.getTimestamp(1)}, expected hour 99")
+    // magnitude: at the boundary, cusum = 100 * (10 - 11) = -100 units
+    assert(math.abs(r.getDouble(2) - 100.0) < 1e-6, r.toString)
+    // and the corpus gate is well-formed
+    val gate = graft.queries.StreamingGates.cusumShift(spark, dir).collect()
+    assert(gate.nonEmpty)
+    gate.foreach(g => assert(g.getDouble(2) >= 0.0))
+  }
+
   test("rendezvous sharding: 8→9 moves only the new shard's winners (~1/9), nothing else") {
     val at8 = DataOps.shardAssignN(spark, dir, 8).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
