@@ -260,6 +260,7 @@ object ScaleBench {
       "gr_kcore" -> graft.queries.Graph.kCore _,
       "ops_shard_assign" -> graft.queries.DataOps.shardAssign _,
       "st_cusum_shift" -> graft.queries.StreamingGates.cusumShift _,
+      "dd_semdedup_keep" -> graft.queries.LlmVectors.semdedupKeep _,
       // round-9 additions
       "gr_triangles" -> graft.queries.Graph.coTriangles _,
       "cu_dsir_weights" -> graft.queries.LlmCuration.dsirWeights _,

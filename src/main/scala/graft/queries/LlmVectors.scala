@@ -193,12 +193,21 @@ object LlmVectors {
     * deliberate broadcast in this family (whitelisted in PlanAuditSpec
     * with this justification).
     */
-  private[graft] def embedCandidates(s: SparkSession, dir: String): DataFrame = {
+  /** The √n-cell centroid relation behind the SemDeDup family —
+    * shared by candidate blocking ([[embedCandidates]]) and the
+    * keep-rule's centroid-similarity metric ([[semdedupKeep]]).
+    */
+  private[graft] def nearDupCentroids(s: SparkSession, dir: String): DataFrame = {
     val base = emb(s, dir)
     val k = math.max(16L, math.floor(math.sqrt(base.count().toDouble)).toLong)
     val seeds = base.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"), col("emb").as("cemb"), col("nrm").as("cnrm"))
-    val cent = lloydCentroids(base.filter(col("vec_id") % TrainMod === 0), seeds)
+    lloydCentroids(base.filter(col("vec_id") % TrainMod === 0), seeds)
+  }
+
+  private[graft] def embedCandidates(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    val cent = nearDupCentroids(s, dir)
     val assigned = assignCells(base, cent, NearDupProbes)
     assigned.as("x")
       .join(assigned.as("y"),
@@ -544,6 +553,101 @@ object LlmVectors {
        |FROM cand c JOIN v a ON c.vec_a = a.vec_id JOIN v b ON c.vec_b = b.vec_id
        |WHERE round(list_cosine_similarity(a.emb, b.emb), 9) >= CAST($NearDupCos AS DOUBLE)
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** The COMPLETE SemDeDup pipeline (Abbas et al. 2023,
+    * arXiv:2303.09540) as one gate — [[embedNearDup]] produces the
+    * pair relation; this runs the paper's full keep rule over it:
+    * connected-component duplicate groups (star-CC over the cosine ≥ τ
+    * pairs, the same O(log n) engine the text family uses), and within
+    * each group KEEP the member with the LOWEST cosine similarity to
+    * its cluster centroid — the paper's diversity-maximizing choice
+    * (§3: "we keep the example with the lowest cosine similarity to
+    * the cluster centroid"). Singletons keep themselves. Output is the
+    * full per-vector relation (cluster label, centroid similarity,
+    * keep flag) so downstream mixtures can filter or re-weight.
+    *
+    * Determinism: group labels are min-ids (integer); the keep rank
+    * orders on the round-9 centroid similarity — the SAME rounded
+    * value the cell assignment ranked on — with vec_id tie-break.
+    *
+    * Scale shape: pairs and labels are the embedNearDup/star-CC
+    * shapes (blocked candidates, O(log n) rounds); the keep rank is
+    * one WindowGroupLimit-sized window over the vector relation.
+    */
+  def semdedupKeep(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    val cent = nearDupCentroids(s, dir)
+    val primary = assignCells(base, cent, 1)
+    val simToCent = primary.join(cent, "cell").join(base, "vec_id")
+      .select(col("vec_id"),
+        round(dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")), 9).as("csim"))
+    val pairs = embedNearDup(s, dir)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+    val labels = LlmDedup.starLabels(pairs)
+    val lab = base.select(col("vec_id"))
+      .join(labels.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("label"), col("vec_id")).as("cluster"))
+    val w = Window.partitionBy(col("cluster")).orderBy(col("csim").asc, col("vec_id"))
+    lab.join(simToCent, "vec_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("vec_id"), col("cluster"),
+        round(col("csim"), 6).as("cent_sim"), col("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** [[embedNearDupOracle]]'s index/pair CTEs + a recursive-CTE
+    * closure for the duplicate groups + the keep rank.
+    */
+  val semdedupKeepOracle: String =
+    s"""WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |kk AS (SELECT GREATEST(16, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS k FROM v),
+       |seeds AS (SELECT vec_id AS cell, emb AS cemb FROM v, kk WHERE vec_id < kk.k),
+       |a0 AS (SELECT vec_id, cell FROM (
+       |  SELECT v.vec_id, s.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY round(list_cosine_similarity(v.emb, s.cemb), 9) DESC, s.cell) AS rn
+       |  FROM v CROSS JOIN seeds s WHERE v.vec_id % $TrainMod = 0) WHERE rn = 1),
+       |dims AS (SELECT a0.cell, unnest(range(1, len(v.emb) + 1)) AS dim, unnest(v.emb) AS x
+       |  FROM a0 JOIN v USING (vec_id)),
+       |cent AS (
+       |  SELECT cell, list(m ORDER BY dim) AS cemb FROM (
+       |    SELECT cell, dim,
+       |      CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+       |    FROM dims GROUP BY cell, dim) GROUP BY cell),
+       |a1 AS (SELECT vec_id, cell FROM (
+       |  SELECT v.vec_id, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY round(list_cosine_similarity(v.emb, c.cemb), 9) DESC, c.cell) AS rn
+       |  FROM v CROSS JOIN cent c) WHERE rn <= $NearDupProbes),
+       |ap AS (SELECT vec_id, cell FROM (
+       |  SELECT v.vec_id, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY round(list_cosine_similarity(v.emb, c.cemb), 9) DESC, c.cell) AS rn
+       |  FROM v CROSS JOIN cent c) WHERE rn = 1),
+       |cs AS (SELECT ap.vec_id,
+       |    round(list_cosine_similarity(v.emb, c.cemb), 9) AS csim
+       |  FROM ap JOIN v USING (vec_id) JOIN cent c ON ap.cell = c.cell),
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM a1 x JOIN a1 y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+       |prs AS (SELECT c.vec_a, c.vec_b
+       |  FROM cand c JOIN v a ON c.vec_a = a.vec_id JOIN v b ON c.vec_b = b.vec_id
+       |  WHERE round(list_cosine_similarity(a.emb, b.emb), 9) >= CAST($NearDupCos AS DOUBLE)),
+       |edges AS (SELECT vec_a AS a, vec_b AS b FROM prs
+       |  UNION SELECT vec_b, vec_a FROM prs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |labels AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS label
+       |  FROM reach GROUP BY a),
+       |lab AS (SELECT v.vec_id, COALESCE(l.label, v.vec_id) AS cluster
+       |  FROM v LEFT JOIN labels l ON v.vec_id = l.vec_id),
+       |r AS (SELECT lab.vec_id, lab.cluster, cs.csim,
+       |    ROW_NUMBER() OVER (PARTITION BY lab.cluster
+       |      ORDER BY cs.csim ASC, lab.vec_id) AS rn
+       |  FROM lab JOIN cs USING (vec_id))
+       |SELECT vec_id, cluster, round(csim, 6) AS cent_sim, rn = 1 AS keep
+       |FROM r ORDER BY vec_id""".stripMargin
 
   private val RangeCos = 0.3
 
@@ -910,5 +1014,6 @@ object LlmVectors {
     QueryDef("sim_ivf_topk", ivfTopk, Some(ivfTopkOracle)),
     QueryDef("sim_ivf_delta", ivfDeltaTopk, Some(ivfDeltaTopkOracle)),
     QueryDef("dd_embed_neardup", embedNearDup, Some(embedNearDupOracle)),
+    QueryDef("dd_semdedup_keep", semdedupKeep, Some(semdedupKeepOracle)),
   )
 }

@@ -256,6 +256,26 @@ class LlmOpsSpec extends SparkSpec {
       "delta ingest must assign exactly the delta vectors")
   }
 
+  test("semdedup keep rule: one keeper per cluster, keeper is the min-centroid-sim member") {
+    val rows = LlmVectors.semdedupKeep(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (c, members) =>
+      val keepers = members.filter(_.getBoolean(3))
+      assert(keepers.length == 1, s"cluster $c keeps ${keepers.length}")
+      // paper's rule: lowest centroid similarity wins (vec_id tiebreak)
+      val best = members.minBy(m => (m.getDouble(2), m.getLong(0)))
+      assert(keepers.head.getLong(0) == best.getLong(0),
+        s"cluster $c kept ${keepers.head.getLong(0)}, rule says ${best.getLong(0)}")
+    }
+    // every near-dup pair shares a cluster; singletons are their own
+    val cl = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    LlmVectors.embedNearDup(spark, dir).collect().foreach { p =>
+      assert(cl(p.getLong(0)) == cl(p.getLong(1)),
+        s"pair (${p.getLong(0)},${p.getLong(1)}) split across clusters")
+    }
+  }
+
   test("embed near-dup: subset of exact >=0.4 pairs with exact cosines") {
     val pairs = LlmVectors.embedNearDup(spark, dir).collect()
     assert(pairs.nonEmpty)

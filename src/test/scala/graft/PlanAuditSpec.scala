@@ -25,6 +25,8 @@ class PlanAuditSpec extends SparkSpec {
   //   matrix in RAM on every worker.
   private val bnljAllowed =
     Set("sim_topk_exact", "sim_range_search", "dd_embed_neardup", "sim_ivf_topk",
+      // SemDeDup keep rule: same centroid-table broadcast as dd_embed_neardup
+      "dd_semdedup_keep",
       // incremental IVF: same broadcast centroid probe, frozen codebook
       "sim_ivf_delta",
       // coarse pass of the rerank cascade: same broadcast-query scan
@@ -95,7 +97,8 @@ class PlanAuditSpec extends SparkSpec {
       // BM25 query relation: <= NQueries rows by a literal limit
       "ta_bm25_topk",
 
-      "dd_embed_neardup") // centroid index table, K ≈ √n — see bnljAllowed
+      "dd_embed_neardup", // centroid index table, K ≈ √n — see bnljAllowed
+      "dd_semdedup_keep") // same centroid broadcasts via assignCells
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>
