@@ -400,6 +400,56 @@ object LlmCuration {
       ).orderBy(col("source"))
   }
 
+  /** TEMPERATURE-scaled sampling mixture (the multilingual-LM rule
+    * from mBERT / XLM-R, Conneau et al. 2019 §3.1: q_i ∝ p_i^α,
+    * α = 0.7): exponentiating the token shares below 1 flattens the
+    * mixture — high-resource sources are down-sampled, low-resource
+    * up-sampled — without inverting it the way [[domainMix]]'s
+    * uniform-target weights do. Output per source: raw share,
+    * α-scaled share, and the resulting per-token sampling factor
+    * (q_i / p_i — >1 means upsampled).
+    *
+    * Float policy ([[dsirWeights]]): p^α is the one libm-dependent op
+    * (pow, like DSIR's ln — both engines' doubles agree on these
+    * inputs and the round-6 output makes a last-ulp flip
+    * measure-zero); the share normalizations are single ordered
+    * divisions over decimal-summed integer token counts.
+    */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.7
+    val w = Window.partitionBy()
+    Tables.t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " "))).as("n_tokens"))
+      .withColumn("p", col("n_tokens").cast(DoubleType) /
+        sum(col("n_tokens")).over(w))
+      .withColumn("pa", pow(col("p"), lit(alpha)))
+      // decimal window sum: 20 double additions in engine-chosen order
+      // would be the one summation-order hazard here (float policy)
+      .withColumn("z",
+        sum(col("pa").cast(DecimalType(38, 12))).over(w).cast(DoubleType))
+      .select(col("source"), col("n_tokens"),
+        round(col("p"), 6).as("share"),
+        round(col("pa") / col("z"), 6).as("temp_share"),
+        round(col("pa") / col("z") / col("p"), 6).as("sample_factor"))
+      .orderBy(col("source"))
+  }
+
+  val temperatureMixOracle: String =
+    """WITH agg AS (
+      |  SELECT source, SUM(len(string_split(text, ' '))) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |p AS (SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |    CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS p
+      |  FROM agg),
+      |q AS (SELECT source, n_tokens, p, pow(p, 0.7) AS pa FROM p),
+      |z AS (SELECT *, CAST(SUM(CAST(pa AS DECIMAL(38,12))) OVER () AS DOUBLE) AS z
+      |  FROM q)
+      |SELECT source, n_tokens, round(p, 6) AS share,
+      |  round(pa / z, 6) AS temp_share,
+      |  round(pa / z / p, 6) AS sample_factor
+      |FROM z ORDER BY source""".stripMargin
+
   val domainMixOracle: String =
     """WITH agg AS (
       |  SELECT source, COUNT(*) AS n_docs,
@@ -695,5 +745,6 @@ object LlmCuration {
     QueryDef("cu_pack_sequences", packSequences, Some(packSequencesOracle)),
     QueryDef("ta_unigram_ll", unigramLl, Some(unigramLlOracle)),
     QueryDef("cu_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsOracle)),
+    QueryDef("cu_temperature_mix", temperatureMix, Some(temperatureMixOracle)),
   )
 }

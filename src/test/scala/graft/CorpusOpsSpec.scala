@@ -12,6 +12,25 @@ class CorpusOpsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("temperature mixture flattens: shares sum to 1, factors cross 1 in the right direction") {
+    val rows = LlmCuration.temperatureMix(spark, dir).collect()
+    assert(rows.nonEmpty)
+    def spread(c: String) = {
+      val v = rows.map(_.getAs[Double](c)); v.max / v.min
+    }
+    // α < 1 compresses the share ratio — the operator's whole point
+    assert(spread("temp_share") < spread("share"),
+      s"temperature failed to flatten: ${spread("temp_share")} !< ${spread("share")}")
+    assert(math.abs(rows.map(_.getAs[Double]("temp_share")).sum - 1.0) < 1e-3)
+    // below-average sources upsample (factor > 1), above-average downsample
+    val mean = 1.0 / rows.length
+    rows.foreach { r =>
+      val (p, f) = (r.getAs[Double]("share"), r.getAs[Double]("sample_factor"))
+      if (p < mean * 0.8) assert(f > 1.0, s"low-resource not upsampled: $r")
+      if (p > mean * 1.2) assert(f < 1.0, s"high-resource not downsampled: $r")
+    }
+  }
+
   test("CUSUM locator finds a planted level shift at the exact boundary hour") {
     import spark.implicits._
     // 100 hourly bars at level 10.0, then 100 at 12.0: max |cusum| of
