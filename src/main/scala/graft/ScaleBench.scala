@@ -262,6 +262,7 @@ object ScaleBench {
       "st_cusum_shift" -> graft.queries.StreamingGates.cusumShift _,
       "dd_semdedup_keep" -> graft.queries.LlmVectors.semdedupKeep _,
       "cu_temperature_mix" -> graft.queries.LlmCuration.temperatureMix _,
+      "gr_sim_neighbors" -> graft.queries.Graph.jaccardNeighbors _,
       // round-9 additions
       "gr_triangles" -> graft.queries.Graph.coTriangles _,
       "cu_dsir_weights" -> graft.queries.LlmCuration.dsirWeights _,

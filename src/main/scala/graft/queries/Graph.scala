@@ -394,7 +394,26 @@ object Graph {
     finalized(result, pinned: _*)
   }
 
-  private[graft] def kCorePlan(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+  /** Support denominator: the threshold is RELATIVE to order volume —
+    * max([[CoreMinSupport]], ceildiv(n_orders, 75000)) — because an
+    * absolute min-support on a growing fact degenerates (at 10× orders
+    * the support-2 relation exploded 335×, and frequent-itemset mining
+    * always states support as a fraction for exactly this reason).
+    * Integer ceildiv so both engines compute the identical threshold;
+    * at the gate (sf0.01) and bench (sf0.1) scales the relative term
+    * rounds to the floor of 2, so semantics there are unchanged.
+    */
+  private val SupportPerOrders = 75000L
+
+  /** Symmetric co-occurrence edges at volume-relative support —
+    * shared by [[kCore]] and [[jaccardNeighbors]]; checkpoint-truncated
+    * so both consumers start from a compact edge artifact.
+    */
+  private[graft] def supportEdges(s: SparkSession, dir: String): DataFrame = {
+    // bounded driver scalar: parquet row-count metadata
+    val nOrders = Tables.t(s, dir, "orders").count()
+    val minSup = math.max(CoreMinSupport.toLong,
+      (nOrders + SupportPerOrders - 1) / SupportPerOrders)
     val it = Tables.t(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").cast(LongType).as("p"))
       .distinct()
@@ -402,10 +421,18 @@ object Graph {
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("x"), col("b.p").as("y"))
       .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= CoreMinSupport)
-    var edges = graft.plans.Checkpoint.truncate(
+      .filter(col("w") >= minSup)
+    graft.plans.Checkpoint.truncate(
       pr.select(col("x").as("src"), col("y").as("dst"))
         .unionByName(pr.select(col("y").as("src"), col("x").as("dst"))))
+  }
+
+  /** The oracle rendering of [[supportEdges]]'s threshold. */
+  private def minSupSql: String =
+    s"GREATEST($CoreMinSupport, ((SELECT COUNT(*) FROM orders) + ${SupportPerOrders - 1}) // $SupportPerOrders)"
+
+  private[graft] def kCorePlan(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+    var edges = supportEdges(s, dir)
     for (_ <- 1 to CoreRounds) {
       val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= CoreK)
@@ -438,7 +465,7 @@ object Graph {
        |  FROM lineitem),
        |pr AS (SELECT a.p AS x, b.p AS y FROM it a JOIN it b
        |  ON a.o = b.o AND a.p < b.p
-       |  GROUP BY 1, 2 HAVING COUNT(*) >= $CoreMinSupport),
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupSql),
        |e0 AS MATERIALIZED (SELECT x AS src, y AS dst FROM pr
        |  UNION ALL SELECT y AS src, x AS dst FROM pr),
        |n0 AS MATERIALIZED (SELECT src FROM e0 GROUP BY src),
@@ -450,10 +477,81 @@ object Graph {
        |GROUP BY 1 ORDER BY node""".stripMargin
   }
 
+  private val SimTopK = 3
+
+  /** Link-prediction / similar-items scores: top-[[SimTopK]] neighbors
+    * per node by NEIGHBOR-SET JACCARD — |N(a)∩N(b)| / |N(a)∪N(b)| —
+    * over the same support-thresholded co-occurrence graph [[kCore]]
+    * peels (Liben-Nowell & Kleinberg 2003's common-neighbor family;
+    * the "customers also bought" primitive). Candidates are node pairs
+    * sharing ≥1 neighbor (one wedge join on the hub column), common
+    * counts and degrees are integer hash aggregates, and the only
+    * division is the final displayed score — rank orders on the
+    * round-9 value with the neighbor id as tie-break.
+    *
+    * Scale shape: wedge volume is Σ_w deg(w)² over the THRESHOLDED
+    * graph (support pruning caps hub degree growth — the same device
+    * that keeps kCore's rounds edge-sized); degrees join back
+    * node-keyed; the top-k compiles to WindowGroupLimit.
+    */
+  def jaccardNeighbors(s: SparkSession, dir: String): DataFrame = {
+    val edges = supportEdges(s, dir)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val cn = edges.select(col("src").as("w"), col("dst").as("a"))
+      .join(edges.select(col("src").as("w2"), col("dst").as("b")),
+        col("w") === col("w2") && col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+    val scored = cn
+      .join(deg.select(col("src").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("src").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"), col("cn"), col("da"), col("db"))
+    val both = scored.select(col("a").as("node"), col("b").as("nbr"),
+        col("cn"), col("da").as("dn"), col("db").as("dob"))
+      .unionByName(scored.select(col("b").as("node"), col("a").as("nbr"),
+        col("cn"), col("db").as("dn"), col("da").as("dob")))
+    val j = col("cn").cast(org.apache.spark.sql.types.DoubleType) /
+      (col("dn") + col("dob") - col("cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(round(j, 9).desc, col("nbr"))
+    both.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= SimTopK)
+      .select(col("node"), col("rank"), col("nbr"), round(j, 6).as("jaccard"))
+      .orderBy(col("node"), col("rank"))
+  }
+
+  val jaccardNeighborsOracle: String =
+    s"""WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+       |    CAST(l_partkey AS BIGINT) AS p FROM lineitem),
+       |pr AS (SELECT a.p AS x, b.p AS y FROM it a JOIN it b
+       |  ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupSql),
+       |e AS MATERIALIZED (SELECT x AS src, y AS dst FROM pr
+       |  UNION ALL SELECT y AS src, x AS dst FROM pr),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+       |cn AS (SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS cn
+       |  FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+       |  GROUP BY 1, 2),
+       |bidir AS (
+       |  SELECT a AS node, b AS nbr, cn,
+       |    da.deg AS dn, db.deg AS dob FROM cn
+       |    JOIN deg da ON cn.a = da.src JOIN deg db ON cn.b = db.src
+       |  UNION ALL
+       |  SELECT b AS node, a AS nbr, cn,
+       |    db.deg AS dn, da.deg AS dob FROM cn
+       |    JOIN deg da ON cn.a = da.src JOIN deg db ON cn.b = db.src),
+       |r AS (SELECT node, nbr,
+       |    CAST(cn AS DOUBLE) / (dn + dob - cn) AS j,
+       |    ROW_NUMBER() OVER (PARTITION BY node
+       |      ORDER BY round(CAST(cn AS DOUBLE) / (dn + dob - cn), 9) DESC, nbr) AS rank
+       |  FROM bidir)
+       |SELECT node, rank, nbr, round(j, 6) AS jaccard
+       |FROM r WHERE rank <= $SimTopK ORDER BY node, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("gr_pagerank", pageRank, Some(pageRankOracle)),
     QueryDef("gr_khop", kHop, Some(kHopOracle)),
     QueryDef("gr_triangles", coTriangles, Some(coTrianglesOracle)),
     QueryDef("gr_kcore", kCore, Some(kCoreOracle)),
+    QueryDef("gr_sim_neighbors", jaccardNeighbors, Some(jaccardNeighborsOracle)),
   )
 }
