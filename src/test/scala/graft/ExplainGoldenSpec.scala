@@ -68,6 +68,17 @@ class ExplainGoldenSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dd_semdedup_keep: labels ride a checkpoint; keep rank is one window; no product") {
+    val plan = executed(graft.queries.LlmVectors.semdedupKeep(spark, dir))
+    // the star-CC label loop must enter the plan as its truncated
+    // artifact, not as a re-derivation of the pair join per consumer
+    assert(plan.contains("ExistingRDD"),
+      s"duplicate groups must be checkpoint-materialized:\n${plan.take(1000)}")
+    assert(plan.contains("Window"), "keep selection is a per-cluster rank window")
+    assert(!plan.contains("CartesianProduct"))
+    spark.catalog.clearCache()
+  }
+
   test("cu_pipeline_e2e: survivor stage is materialized once (checkpoint boundary)") {
     val plan = executed(graft.queries.LlmCuration.curationPipeline(spark, dir))
     // the quality+dedup survivor corpus feeds four consumers; the
