@@ -263,6 +263,8 @@ object ScaleBench {
       "dd_semdedup_keep" -> graft.queries.LlmVectors.semdedupKeep _,
       "cu_temperature_mix" -> graft.queries.LlmCuration.temperatureMix _,
       "gr_sim_neighbors" -> graft.queries.Graph.jaccardNeighbors _,
+      "ta_zipf_fit" -> graft.queries.LlmCuration.zipfFit _,
+      "st_lag_autocorr" -> graft.queries.StreamingGates.lagAutocorr _,
       // round-9 additions
       "gr_triangles" -> graft.queries.Graph.coTriangles _,
       "cu_dsir_weights" -> graft.queries.LlmCuration.dsirWeights _,

@@ -400,6 +400,76 @@ object LlmCuration {
       ).orderBy(col("source"))
   }
 
+  /** Per-language ZIPF-LAW FIT — ordinary least squares of
+    * ln(frequency) on ln(rank) over each language's token frequency
+    * table (Zipf 1949: natural text slopes ≈ −1; a corpus whose slope
+    * drifts far from −1 is template-heavy or shredded — the
+    * distributional-health audit beside [[vocabStats]]'s point
+    * statistics). Doubles as the library's deterministic OLS recipe:
+    * the four moment sums (Σx, Σy, Σxy, Σx²; Σy² for r²) aggregate as
+    * DECIMAL(38,12) — summation-order-independent — and the
+    * slope/intercept/r² formulas are then fixed-order double
+    * arithmetic on those exact sums, so both engines compute
+    * identical statistics (float policy: [[dsirWeights]]; Spark's
+    * built-in `regr_slope` et al. accumulate doubles in partition
+    * order and could not be cross-engine-gated).
+    *
+    * Scale shape: one token hash aggregate, one per-language rank
+    * window over the vocab relation, one moments hash aggregate —
+    * vocab-sized everything after the first aggregate.
+    */
+  def zipfFit(s: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.t(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("cnt").desc, col("token"))
+    val xy = freq.withColumn("rank", row_number().over(w))
+      .select(col("lang"),
+        log(col("rank").cast(DoubleType)).as("x"),
+        log(col("cnt").cast(DoubleType)).as("y"))
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(38, 12))).cast(DoubleType)
+    val m = xy.groupBy(col("lang")).agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsum(col("x") * col("y")).as("sxy"),
+      dsum(col("x") * col("x")).as("sxx"),
+      dsum(col("y") * col("y")).as("syy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    m.select(col("lang"), col("n").cast("long").as("vocab"),
+        round(cov / vx, 6).as("slope"),
+        round((col("sy") - (cov / vx) * col("sx")) / col("n"), 6).as("intercept"),
+        round((cov * cov) / (vx * vy), 6).as("r2"))
+      .orderBy(col("lang"))
+  }
+
+  val zipfFitOracle: String =
+    """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |freq AS (SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+      |xy AS (SELECT lang,
+      |    ln(CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY cnt DESC, token) AS DOUBLE)) AS x,
+      |    ln(CAST(cnt AS DOUBLE)) AS y
+      |  FROM freq),
+      |m AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+      |  FROM xy GROUP BY 1)
+      |SELECT lang, CAST(n AS BIGINT) AS vocab,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+      |    AS intercept,
+      |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+      |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      |FROM m ORDER BY lang""".stripMargin
+
   /** TEMPERATURE-scaled sampling mixture (the multilingual-LM rule
     * from mBERT / XLM-R, Conneau et al. 2019 §3.1: q_i ∝ p_i^α,
     * α = 0.7): exponentiating the token shares below 1 flattens the
@@ -746,5 +816,6 @@ object LlmCuration {
     QueryDef("ta_unigram_ll", unigramLl, Some(unigramLlOracle)),
     QueryDef("cu_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsOracle)),
     QueryDef("cu_temperature_mix", temperatureMix, Some(temperatureMixOracle)),
+    QueryDef("ta_zipf_fit", zipfFit, Some(zipfFitOracle)),
   )
 }

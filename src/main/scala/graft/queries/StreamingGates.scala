@@ -551,11 +551,17 @@ object StreamingGates {
     * on the bar relation (720 rows per type-month regardless of event
     * volume) — the fact is never touched again.
     */
-  def seasonalNaive(s: SparkSession, dir: String): DataFrame = {
-    val bars = Tables.t(s, dir, "events")
+  /** Hourly decimal-mean bars — the fact-collapsing first stage shared
+    * by [[seasonalNaive]], [[cusumShift]], and [[lagAutocorr]].
+    */
+  private[graft] def hourlyBars(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
       .agg(round(sum(col("value").cast(DecimalType(38, 12))).cast(DoubleType) /
         count(lit(1)), 6).as("bar"))
+
+  def seasonalNaive(s: SparkSession, dir: String): DataFrame = {
+    val bars = hourlyBars(s, dir)
     // self-join of the bar relation: rename EVERY column on the lag
     // sides — shared attribute ids from the common `bars` plan make
     // qualified drops ambiguous
@@ -622,10 +628,7 @@ object StreamingGates {
     * nothing after the first aggregate touches the fact.
     */
   def cusumShift(s: SparkSession, dir: String): DataFrame =
-    cusumOverBars(Tables.t(s, dir, "events")
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
-      .agg(round(sum(col("value").cast(DecimalType(38, 12))).cast(DoubleType) /
-        count(lit(1)), 6).as("bar")))
+    cusumOverBars(hourlyBars(s, dir))
 
   /** The locator over any (event_type, hour, bar) relation — shared by
     * the gate and the constructed-shift spec (CorpusOpsSpec plants a
@@ -673,7 +676,69 @@ object StreamingGates {
       |  round(CAST(abs(cusum) AS DOUBLE) / (n * 1e6), 6) AS drift_mag
       |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  private val AutocorrLags = Seq(1, 24)
+
+  /** Lag-k AUTOCORRELATION of the hourly bar series per event type
+    * (k = 1 and 24 — persistence and daily seasonality, the two
+    * structure tests behind [[seasonalNaive]]'s skill score): Pearson
+    * correlation of bar(t) with bar(t−k) over CALENDAR-lag pairs
+    * (self-join on hour − k, as seasonalNaive — a missing hour must
+    * not shift the alignment). The moments (Σx, Σy, Σxy, Σx², Σy²)
+    * aggregate as DECIMAL — summation-order-independent — and r is
+    * then one fixed-order double formula over the exact sums, the
+    * same deterministic-OLS recipe as [[LlmCuration.zipfFit]]
+    * (Spark's built-in `corr` accumulates doubles in partition order
+    * and could not be cross-engine-gated).
+    */
+  def lagAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val bars = hourlyBars(s, dir)
+    val lagged = bars.select(col("event_type").as("l_type"),
+      col("hour").as("l_hour"), col("bar").as("y"))
+    val pairs = AutocorrLags.map { k =>
+      bars.join(lagged, col("l_type") === col("event_type") &&
+          col("l_hour") === col("hour") - expr(s"INTERVAL $k HOURS"))
+        .select(col("event_type"), lit(k).as("lag"), col("bar").as("x"), col("y"))
+    }.reduce(_ unionByName _)
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(38, 12))).cast(DoubleType)
+    val m = pairs.groupBy(col("event_type"), col("lag")).agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsum(col("x") * col("y")).as("sxy"),
+      dsum(col("x") * col("x")).as("sxx"),
+      dsum(col("y") * col("y")).as("syy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    m.select(col("event_type"), col("lag"), col("n").cast("long").as("n_pairs"),
+        round(cov / sqrt(vx * vy), 6).as("autocorr"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  val lagAutocorrOracle: String =
+    """WITH bars AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+      |    round(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS bar
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT b.event_type, k.lag, b.bar AS x, l.bar AS y
+      |  FROM (SELECT unnest([1, 24]) AS lag) k, bars b, bars l
+      |  WHERE l.event_type = b.event_type
+      |    AND l.hour = b.hour - CAST(k.lag AS INTEGER) * INTERVAL 1 HOUR),
+      |m AS (SELECT event_type, lag, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+      |  FROM pairs GROUP BY 1, 2)
+      |SELECT event_type, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+      |  round((n * sxy - sx * sy)
+      |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS autocorr
+      |FROM m ORDER BY event_type, lag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st_lag_autocorr", lagAutocorr, Some(lagAutocorrOracle)),
     QueryDef("st_cusum_shift", cusumShift, Some(cusumShiftOracle)),
     QueryDef("st_seasonal_naive", seasonalNaive, Some(seasonalNaiveOracle)),
     QueryDef("st_ewma", ewmaSmooth, Some(ewmaSmoothOracle)),

@@ -12,6 +12,44 @@ class CorpusOpsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("zipf fit: negative slope, r2 in (0,1], equals a driver-side OLS") {
+    val rows = LlmCuration.zipfFit(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) < 0, s"zipf slope must be negative: $r")
+      val r2 = r.getDouble(4)
+      assert(r2 > 0.0 && r2 <= 1.0 + 1e-9, s"r2 out of range: $r")
+    }
+    // driver-side reference OLS over one language's (rank, freq) table
+    val lang = rows.head.getString(0)
+    val freqs = Tables.t(spark, dir, "documents")
+      .filter(col("lang") === lang)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }
+    val xs = freqs.indices.map(i => math.log(i + 1.0))
+    val ys = freqs.map(f => math.log(f._2.toDouble))
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val got = rows.find(_.getString(0) == lang).get.getDouble(2)
+    assert(math.abs(got - slope) < 1e-4, s"$lang slope $got vs reference $slope")
+  }
+
+  test("lag autocorrelation: values in [-1,1]; the diurnal synthetic data correlates at lag 24") {
+    val rows = graft.queries.StreamingGates.lagAutocorr(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ac = r.getDouble(3)
+      assert(ac >= -1.0 - 1e-9 && ac <= 1.0 + 1e-9, r.toString)
+      assert(r.getLong(2) > 0)
+    }
+    assert(rows.map(_.getInt(1)).toSet == Set(1, 24))
+  }
+
   test("temperature mixture flattens: shares sum to 1, factors cross 1 in the right direction") {
     val rows = LlmCuration.temperatureMix(spark, dir).collect()
     assert(rows.nonEmpty)
