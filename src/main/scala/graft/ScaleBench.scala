@@ -265,6 +265,7 @@ object ScaleBench {
       "gr_sim_neighbors" -> graft.queries.Graph.jaccardNeighbors _,
       "ta_zipf_fit" -> graft.queries.LlmCuration.zipfFit _,
       "st_lag_autocorr" -> graft.queries.StreamingGates.lagAutocorr _,
+      "ops_ks_drift" -> graft.queries.DataOps.ksDrift _,
       // round-9 additions
       "gr_triangles" -> graft.queries.Graph.coTriangles _,
       "cu_dsir_weights" -> graft.queries.LlmCuration.dsirWeights _,

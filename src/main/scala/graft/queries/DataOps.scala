@@ -397,7 +397,98 @@ object DataOps {
        |SELECT doc_id, CAST(shard AS INT) AS shard FROM ranked
        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Per-segment KOLMOGOROV–SMIRNOV drift: for each event type, the
+    * two-sample KS distance between ITS value distribution and the
+    * rest of the corpus — max over thresholds of |ECDF_s − ECDF_rest|
+    * — the classic distribution-shift test behind segment-drift
+    * monitoring (which segment no longer looks like the population).
+    *
+    * INTEGER-EXACT (float policy, [[LlmCuration.dsirWeights]]): values
+    * bucket to exact centi-units (round(value·100) → BIGINT), ECDFs
+    * are cumulative BIGINT counts over the bucket grid, and the max
+    * compares the CROSS-SCALED form |cum_s·n_rest − cum_rest·n_s| —
+    * no division until the single rounded output. The argmax bucket
+    * (reported as `at_value`) ties to the smallest bucket.
+    *
+    * Scale shape: one fact hash-aggregate to (type × bucket) counts;
+    * the grid completion is types × distinct buckets (bounded by the
+    * 2-dp value domain, not the fact); cumulative windows sort the
+    * grid per type. Nothing after the first aggregate is fact-sized.
+    */
+  def ksDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast(LongType).as("b"))
+    val counts = e.groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("c"))
+    val buckets = counts.select(col("b")).distinct()
+    val types = counts.select(col("event_type")).distinct()
+    val grid = types.crossJoin(buckets)
+      .join(counts, Seq("event_type", "b"), "left")
+      .select(col("event_type"), col("b"), coalesce(col("c"), lit(0L)).as("c"))
+    val allB = counts.groupBy(col("b")).agg(sum(col("c")).as("c_all"))
+    val nS = counts.groupBy(col("event_type")).agg(sum(col("c")).as("n_s"))
+    // bounded driver scalar: total event count
+    val nAll = Tables.t(s, dir, "events").count()
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wa = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cums = grid
+      .withColumn("cum_s", sum(col("c")).over(wc))
+      .join(allB.withColumn("cum_all", sum(col("c_all")).over(wa)).select(col("b"), col("cum_all")), "b")
+      .join(nS, "event_type")
+      .withColumn("d_scaled",
+        abs(col("cum_s") * (lit(nAll) - col("n_s")) -
+          (col("cum_all") - col("cum_s")) * col("n_s")))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("d_scaled").desc, col("b"))
+    cums.withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n_s"),
+        round(col("d_scaled").cast(DoubleType) /
+          (col("n_s") * (lit(nAll) - col("n_s"))).cast(DoubleType), 6).as("ks_stat"),
+        round(col("b").cast(DoubleType) / 100, 6).as("at_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val ksDriftOracle: String =
+    """WITH e AS (SELECT event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS b FROM events),
+      |counts AS (SELECT event_type, b, COUNT(*) AS c FROM e GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT t.event_type, bk.b, COALESCE(c.c, 0) AS c
+      |  FROM (SELECT DISTINCT event_type FROM counts) t
+      |  CROSS JOIN (SELECT DISTINCT b FROM counts) bk
+      |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.b = bk.b),
+      |allb AS (SELECT b, SUM(c) AS c_all FROM counts GROUP BY 1),
+      |ns AS (SELECT event_type, SUM(c) AS n_s FROM counts GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_all FROM e),
+      |allc AS (SELECT b,
+      |    SUM(c_all) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum_all
+      |  FROM allb),
+      |cums AS (
+      |  SELECT g.event_type, g.b,
+      |    SUM(g.c) OVER (PARTITION BY g.event_type ORDER BY g.b
+      |      ROWS UNBOUNDED PRECEDING) AS cum_s,
+      |    a.cum_all
+      |  FROM grid g JOIN allc a ON g.b = a.b),
+      |d AS (
+      |  SELECT c.event_type, c.b, ns.n_s, n.n_all,
+      |    abs(CAST(c.cum_s AS BIGINT) * (n.n_all - ns.n_s)
+      |      - (CAST(c.cum_all AS BIGINT) - CAST(c.cum_s AS BIGINT)) * ns.n_s) AS d_scaled,
+      |    ROW_NUMBER() OVER (PARTITION BY c.event_type
+      |      ORDER BY abs(CAST(c.cum_s AS BIGINT) * (n.n_all - ns.n_s)
+      |        - (CAST(c.cum_all AS BIGINT) - CAST(c.cum_s AS BIGINT)) * ns.n_s) DESC,
+      |        c.b) AS rn
+      |  FROM cums c JOIN ns ON c.event_type = ns.event_type CROSS JOIN n)
+      |SELECT event_type, CAST(n_s AS BIGINT) AS n_s,
+      |  round(CAST(d_scaled AS DOUBLE)
+      |    / (CAST(n_s AS DOUBLE) * (n_all - n_s)), 6) AS ks_stat,
+      |  round(CAST(b AS DOUBLE) / 100, 6) AS at_value
+      |FROM d WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ops_ks_drift", ksDrift, Some(ksDriftOracle)),
     QueryDef("ops_shard_assign", shardAssign, Some(shardAssignOracle)),
     QueryDef("ops_winsorize", winsorize, Some(winsorizeOracle)),
     QueryDef("ops_profile_numeric", profileNumeric, Some(profileNumericOracle)),

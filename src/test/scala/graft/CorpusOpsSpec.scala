@@ -12,6 +12,31 @@ class CorpusOpsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("KS drift: stat in [0,1], equals a driver-side exact two-sample KS per type") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = DataOps.ksDrift(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0, r.toString))
+    // driver-side reference: exact D = max |ECDF_s - ECDF_rest| over
+    // the same centi-unit buckets
+    val all = Tables.t(spark, sf01, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val buckets = all.map(_._2).distinct.sorted
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val mine = all.filter(_._1 == t).map(_._2)
+      val rest = all.filter(_._1 != t).map(_._2)
+      val d = buckets.map { thr =>
+        val fs = mine.count(_ <= thr).toDouble / mine.length
+        val fr = rest.count(_ <= thr).toDouble / rest.length
+        math.abs(fs - fr)
+      }.max
+      assert(math.abs(r.getDouble(2) - d) < 1e-5,
+        s"$t: ks ${r.getDouble(2)} vs reference $d")
+    }
+  }
+
   test("zipf fit: negative slope, r2 in (0,1], equals a driver-side OLS") {
     val rows = LlmCuration.zipfFit(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -36,6 +36,9 @@ class PlanAuditSpec extends SparkSpec {
       "sim_ivfpq_topk",
       // 1-row bounds relation × distinct event types — grid generation
       "st_gap_fill",
+      // ECDF grid: the 5-row event-type domain × distinct value
+      // buckets — the same bounded grid-generation shape
+      "ops_ks_drift",
       // 4-row literal band dimension, lo<=x<hi non-equi lookup
       "j4_band_join")
 
