@@ -266,6 +266,7 @@ object ScaleBench {
       "ta_zipf_fit" -> graft.queries.LlmCuration.zipfFit _,
       "st_lag_autocorr" -> graft.queries.StreamingGates.lagAutocorr _,
       "ops_ks_drift" -> graft.queries.DataOps.ksDrift _,
+      "ops_psi_drift" -> graft.queries.DataOps.psiDrift _,
       // round-9 additions
       "gr_triangles" -> graft.queries.Graph.coTriangles _,
       "cu_dsir_weights" -> graft.queries.LlmCuration.dsirWeights _,

@@ -487,7 +487,107 @@ object DataOps {
       |  round(CAST(b AS DOUBLE) / 100, 6) AS at_value
       |FROM d WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  /** Per-segment POPULATION STABILITY INDEX — the other industry drift
+    * metric beside [[ksDrift]] (model-monitoring convention: PSI < 0.1
+    * stable, > 0.25 action): bin each event type's values by the
+    * DECILE fences of the rest-of-corpus distribution (reference-
+    * quantile bins, the standard construction), then
+    * PSI = Σ_bins (p_i − q_i)·ln(p_i / q_i) with add-one smoothing so
+    * empty bins stay finite.
+    *
+    * Determinism: fences are the exact interpolated percentiles both
+    * engines already agree on (`fn_percentile_suite` gates the
+    * equivalence), ROUNDED to 6 dp before any comparison; binning is
+    * an integer fold over the fence array; shares are single ordered
+    * divisions of integers; the 10-term PSI sum aggregates as DECIMAL
+    * (ln per the [[LlmCuration.dsirWeights]] policy).
+    *
+    * Scale shape: one fact pass for the per-(type,bucket) counts, the
+    * rest×type relation is |types| broadcast filters of the SAME
+    * bucket-count relation (domain-bounded, never the fact), fences
+    * are per-type sorts of bucket counts, and the PSI sum runs over
+    * types × 10 rows.
+    */
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast(LongType).as("b"))
+    val types = e.select(col("event_type").as("t")).distinct()
+    // rest side per type: the 5-row type domain broadcast against the fact
+    val rest = broadcast(types).join(e, col("event_type") =!= col("t"))
+      .select(col("t"), col("b"))
+    val fences = rest.groupBy(col("t"))
+      .agg(transform(
+        expr("percentile(b, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"),
+        f => round(f, 6)).as("f"))
+    val binOf = aggregate(col("f"), lit(0),
+      (acc, x) => acc + when(col("b").cast(DoubleType) > x, 1).otherwise(0))
+    val own = e.select(col("event_type").as("t"), col("b")).join(fences, "t")
+      .select(col("t"), binOf.as("bin"))
+      .groupBy(col("t"), col("bin")).agg(count(lit(1)).as("c_own"))
+    val oth = rest.join(fences, "t")
+      .select(col("t"), binOf.as("bin"))
+      .groupBy(col("t"), col("bin")).agg(count(lit(1)).as("c_rest"))
+    val grid = types.crossJoin(
+        s.range(0, 10).toDF("bin").select(col("bin").cast("int").as("bin")))
+      .join(own, Seq("t", "bin"), "left")
+      .join(oth, Seq("t", "bin"), "left")
+      .select(col("t"), col("bin"),
+        coalesce(col("c_own"), lit(0L)).as("c_own"),
+        coalesce(col("c_rest"), lit(0L)).as("c_rest"))
+    val tot = grid.groupBy(col("t"))
+      .agg(sum(col("c_own")).as("n_own"), sum(col("c_rest")).as("n_rest"))
+    val p = (col("c_own") + 1).cast(DoubleType) / (col("n_own") + 10).cast(DoubleType)
+    val q = (col("c_rest") + 1).cast(DoubleType) / (col("n_rest") + 10).cast(DoubleType)
+    grid.join(tot, "t")
+      .select(col("t"), ((p - q) * log(p / q)).as("term"))
+      .groupBy(col("t"))
+      .agg(round(sum(col("term").cast(DecimalType(38, 12))).cast(DoubleType), 6).as("psi"))
+      .select(col("t").as("event_type"), col("psi"))
+      .orderBy(col("event_type"))
+  }
+
+  val psiDriftOracle: String =
+    """WITH e AS (SELECT event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS b FROM events),
+      |types AS (SELECT DISTINCT event_type AS t FROM e),
+      |rest AS (SELECT types.t, e.b FROM types JOIN e ON e.event_type <> types.t),
+      |fences AS (SELECT t,
+      |    list_transform(quantile_cont(b, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+      |      f -> round(f, 6)) AS f
+      |  FROM rest GROUP BY 1),
+      |own AS (
+      |  SELECT e.event_type AS t,
+      |    list_sum(list_transform(fences.f,
+      |      x -> CASE WHEN CAST(e.b AS DOUBLE) > x THEN 1 ELSE 0 END)) AS bin,
+      |    COUNT(*) AS c_own
+      |  FROM e JOIN fences ON e.event_type = fences.t GROUP BY 1, 2),
+      |oth AS (
+      |  SELECT rest.t,
+      |    list_sum(list_transform(fences.f,
+      |      x -> CASE WHEN CAST(rest.b AS DOUBLE) > x THEN 1 ELSE 0 END)) AS bin,
+      |    COUNT(*) AS c_rest
+      |  FROM rest JOIN fences ON rest.t = fences.t GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT ty.t, bn.bin,
+      |    COALESCE(own.c_own, 0) AS c_own, COALESCE(oth.c_rest, 0) AS c_rest
+      |  FROM types ty CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) bn
+      |  LEFT JOIN own ON own.t = ty.t AND own.bin = bn.bin
+      |  LEFT JOIN oth ON oth.t = ty.t AND oth.bin = bn.bin),
+      |tot AS (SELECT t, SUM(c_own) AS n_own, SUM(c_rest) AS n_rest
+      |  FROM grid GROUP BY 1),
+      |terms AS (
+      |  SELECT g.t,
+      |    (CAST(g.c_own + 1 AS DOUBLE) / (tot.n_own + 10)
+      |      - CAST(g.c_rest + 1 AS DOUBLE) / (tot.n_rest + 10))
+      |    * ln((CAST(g.c_own + 1 AS DOUBLE) / (tot.n_own + 10))
+      |        / (CAST(g.c_rest + 1 AS DOUBLE) / (tot.n_rest + 10))) AS term
+      |  FROM grid g JOIN tot ON g.t = tot.t)
+      |SELECT t AS event_type,
+      |  round(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6) AS psi
+      |FROM terms GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ops_psi_drift", psiDrift, Some(psiDriftOracle)),
     QueryDef("ops_ks_drift", ksDrift, Some(ksDriftOracle)),
     QueryDef("ops_shard_assign", shardAssign, Some(shardAssignOracle)),
     QueryDef("ops_winsorize", winsorize, Some(winsorizeOracle)),

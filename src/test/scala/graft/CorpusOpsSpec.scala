@@ -12,6 +12,36 @@ class CorpusOpsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("PSI drift: non-negative, equals a driver-side reference computation") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = DataOps.psiDrift(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(1) >= 0.0, r.toString))
+    // reference PSI for one type, same construction
+    val all = Tables.t(spark, sf01, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val t = rows.head.getString(0)
+    val own = all.filter(_._1 == t).map(_._2.toDouble).sorted
+    val rest = all.filter(_._1 != t).map(_._2.toDouble).sorted
+    def pct(v: Array[Double], q: Double): Double = {
+      val pos = q * (v.length - 1)
+      val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+      math.rint((v(lo) + (v(hi) - v(lo)) * (pos - lo)) * 1e6) / 1e6
+    }
+    val fences = (1 to 9).map(k => pct(rest, k / 10.0))
+    def bins(v: Array[Double]) =
+      v.groupBy(x => fences.count(x > _)).view.mapValues(_.length).toMap
+    val (bo, br) = (bins(own), bins(rest))
+    val psi = (0 until 10).map { i =>
+      val p = (bo.getOrElse(i, 0) + 1).toDouble / (own.length + 10)
+      val q = (br.getOrElse(i, 0) + 1).toDouble / (rest.length + 10)
+      (p - q) * math.log(p / q)
+    }.sum
+    val got = rows.find(_.getString(0) == t).get.getDouble(1)
+    assert(math.abs(got - psi) < 1e-5, s"$t: psi $got vs reference $psi")
+  }
+
   test("KS drift: stat in [0,1], equals a driver-side exact two-sample KS per type") {
     val sf01 = "/root/testdata/sf0.01"
     val rows = DataOps.ksDrift(spark, sf01).collect()

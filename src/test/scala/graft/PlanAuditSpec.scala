@@ -39,6 +39,9 @@ class PlanAuditSpec extends SparkSpec {
       // ECDF grid: the 5-row event-type domain × distinct value
       // buckets — the same bounded grid-generation shape
       "ops_ks_drift",
+      // PSI rest-relation: 5-row type domain × fact on a != residual,
+      // and the 10-bin grid — both domain-bounded
+      "ops_psi_drift",
       // 4-row literal band dimension, lo<=x<hi non-equi lookup
       "j4_band_join")
 
@@ -99,6 +102,8 @@ class PlanAuditSpec extends SparkSpec {
       "sim_ivf_delta",
       // BM25 query relation: <= NQueries rows by a literal limit
       "ta_bm25_topk",
+      // PSI: the 5-row event-type domain broadcast for the rest join
+      "ops_psi_drift",
 
       "dd_embed_neardup", // centroid index table, K ≈ √n — see bnljAllowed
       "dd_semdedup_keep") // same centroid broadcasts via assignCells
