@@ -12,6 +12,32 @@ class CorpusOpsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("ngram_shingles: matches a reference sliding-window set on random token arrays") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 50).map { i =>
+      val n = rnd.nextInt(30) // includes < width arrays (empty shingle set)
+      (i.toLong, (0 until n).map(_ => s"w${rnd.nextInt(6)}").mkString(" "))
+    }
+    for (width <- Seq(2, 4, 7)) {
+      val got = docs.toDF("doc_id", "text")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), call_function("ngram_shingles", col("tk"), lit(width)))
+        .collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(rs => (rs.head.getInt(1), rs.map(_.getString(2)).toSet)).toMap
+      docs.foreach { case (id, text) =>
+        val tk = if (text.isEmpty) Array.empty[String] else text.split(" ")
+        val want = tk.sliding(width).filter(_.length == width)
+          .map(_.mkString(" ")).toSet
+        val (nSh, shs) = got.getOrElse(id, (0, Set.empty[String]))
+        assert(shs == want, s"doc $id width $width: $shs != $want")
+        assert(nSh == want.size, s"doc $id width $width: n_sh $nSh != ${want.size}")
+      }
+    }
+  }
+
   test("PSI drift: non-negative, equals a driver-side reference computation") {
     val sf01 = "/root/testdata/sf0.01"
     val rows = DataOps.psiDrift(spark, sf01).collect()
