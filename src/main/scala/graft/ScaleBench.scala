@@ -267,6 +267,7 @@ object ScaleBench {
       "st_lag_autocorr" -> graft.queries.StreamingGates.lagAutocorr _,
       "ops_ks_drift" -> graft.queries.DataOps.ksDrift _,
       "ops_psi_drift" -> graft.queries.DataOps.psiDrift _,
+      "gr_adamic_adar" -> graft.queries.Graph.adamicAdar _,
       // round-9 additions
       "gr_triangles" -> graft.queries.Graph.coTriangles _,
       "cu_dsir_weights" -> graft.queries.LlmCuration.dsirWeights _,

@@ -547,11 +547,78 @@ object Graph {
        |SELECT node, rank, nbr, round(j, 6) AS jaccard
        |FROM r WHERE rank <= $SimTopK ORDER BY node, rank""".stripMargin
 
+  /** ADAMIC–ADAR link-prediction scores (Adamic & Adar 2003) — the
+    * rarity-weighted sibling of [[jaccardNeighbors]]: common neighbors
+    * count 1/ln(deg(w)) each, so a hub shared with everyone
+    * contributes almost nothing while a rare shared neighbor
+    * dominates — empirically the strongest of the classic
+    * common-neighbor predictors. Every hub in a wedge has degree ≥ 2
+    * by construction (it neighbors both endpoints), so ln(deg) > 0
+    * always. Per-pair scores are DECIMAL sums of the per-hub
+    * 1/ln(deg) doubles — summation-order-independent — ranked on the
+    * round-9 value with the neighbor id tie-break (float policy:
+    * [[LlmCuration.dsirWeights]]).
+    *
+    * Scale shape: identical to [[jaccardNeighbors]] — one wedge join
+    * on the hub column of the volume-relative-support graph, with the
+    * hub's degree joined ONCE onto the edge relation before wedging.
+    */
+  def adamicAdar(s: SparkSession, dir: String): DataFrame = {
+    val edges = supportEdges(s, dir)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // a degree-1 hub cannot be a COMMON neighbor (a wedge needs edges
+    // to both endpoints), so dropping it changes no score — and under
+    // ANSI SQL the 1/ln(1) projection would error before the wedge
+    // join could discard the row
+    val ed = edges.join(deg.filter(col("deg") > 1), "src")
+      .select(col("src").as("w"), col("dst"), (lit(1.0) / log(col("deg"))).as("inv"))
+    val aa = ed.select(col("w"), col("dst").as("a"), col("inv"))
+      .join(ed.select(col("w").as("w2"), col("dst").as("b")),
+        col("w") === col("w2") && col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("inv").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+        .cast(org.apache.spark.sql.types.DoubleType).as("aa"))
+    val bidir = aa.select(col("a").as("node"), col("b").as("nbr"), col("aa"))
+      .unionByName(aa.select(col("b").as("node"), col("a").as("nbr"), col("aa")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(round(col("aa"), 9).desc, col("nbr"))
+    bidir.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= SimTopK)
+      .select(col("node"), col("rank"), col("nbr"), round(col("aa"), 6).as("aa"))
+      .orderBy(col("node"), col("rank"))
+  }
+
+  val adamicAdarOracle: String =
+    s"""WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+       |    CAST(l_partkey AS BIGINT) AS p FROM lineitem),
+       |pr AS (SELECT a.p AS x, b.p AS y FROM it a JOIN it b
+       |  ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupSql),
+       |e AS MATERIALIZED (SELECT x AS src, y AS dst FROM pr
+       |  UNION ALL SELECT y AS src, x AS dst FROM pr),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+       |ed AS (SELECT e.src AS w, e.dst, 1.0 / ln(deg.deg) AS inv
+       |  FROM e JOIN deg ON e.src = deg.src WHERE deg.deg > 1),
+       |aa AS (SELECT e1.dst AS a, e2.dst AS b,
+       |    CAST(SUM(CAST(e1.inv AS DECIMAL(38,12))) AS DOUBLE) AS aa
+       |  FROM ed e1 JOIN ed e2 ON e1.w = e2.w AND e1.dst < e2.dst
+       |  GROUP BY 1, 2),
+       |bidir AS (
+       |  SELECT a AS node, b AS nbr, aa FROM aa
+       |  UNION ALL SELECT b AS node, a AS nbr, aa FROM aa),
+       |r AS (SELECT node, nbr, aa,
+       |    ROW_NUMBER() OVER (PARTITION BY node
+       |      ORDER BY round(aa, 9) DESC, nbr) AS rank
+       |  FROM bidir)
+       |SELECT node, rank, nbr, round(aa, 6) AS aa
+       |FROM r WHERE rank <= $SimTopK ORDER BY node, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("gr_pagerank", pageRank, Some(pageRankOracle)),
     QueryDef("gr_khop", kHop, Some(kHopOracle)),
     QueryDef("gr_triangles", coTriangles, Some(coTrianglesOracle)),
     QueryDef("gr_kcore", kCore, Some(kCoreOracle)),
     QueryDef("gr_sim_neighbors", jaccardNeighbors, Some(jaccardNeighborsOracle)),
+    QueryDef("gr_adamic_adar", adamicAdar, Some(adamicAdarOracle)),
   )
 }

@@ -166,6 +166,22 @@ class SkewGraphSpec extends SparkSpec {
     }
   }
 
+  test("adamic-adar: positive scores matching a driver-side rarity-weighted sum") {
+    val rows = Graph.adamicAdar(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    Graph.supportEdges(spark, dir).collect().foreach { e =>
+      adj(e.getLong(0)) = adj(e.getLong(0)) + e.getLong(1)
+    }
+    rows.foreach { r =>
+      val (a, b, got) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      assert(got > 0.0, r.toString)
+      val want = adj(a).intersect(adj(b)).toSeq
+        .map(w => 1.0 / math.log(adj(w).size.toDouble)).sum
+      assert(math.abs(got - want) < 1e-5, s"AA($a,$b) = $got, reference $want")
+    }
+  }
+
   test("graph queries leave no pinned cache entries (self-releasing persists)") {
     // VERDICT r9 #3: tradeEdges/edgesD/pairs/ed pinned four
     // MEMORY_AND_DISK entries per data dir for the session lifetime;
