@@ -268,6 +268,7 @@ object ScaleBench {
       "ops_ks_drift" -> graft.queries.DataOps.ksDrift _,
       "ops_psi_drift" -> graft.queries.DataOps.psiDrift _,
       "gr_adamic_adar" -> graft.queries.Graph.adamicAdar _,
+      "st_hourly_quantiles" -> graft.queries.StreamingGates.hourlyQuantiles _,
       // round-9 additions
       "gr_triangles" -> graft.queries.Graph.coTriangles _,
       "cu_dsir_weights" -> graft.queries.LlmCuration.dsirWeights _,

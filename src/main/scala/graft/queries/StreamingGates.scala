@@ -737,7 +737,35 @@ object StreamingGates {
       |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS autocorr
       |FROM m ORDER BY event_type, lag""".stripMargin
 
+  /** Hourly QUANTILE bars per event type — the latency-percentile
+    * downsample every observability pipeline runs (p50/p95/p99 per
+    * bucket) beside [[ohlcBars]]' extremes: one hash aggregate with
+    * three exact interpolated percentiles, each ROUNDED to 6 dp (the
+    * cross-engine percentile equivalence is already gated by
+    * `fn_percentile_suite`; rounding keeps interpolation ulps out of
+    * the hash compare). At 100 TB the same plan carries
+    * approx_percentile sketches — bucket-sized state either way.
+    */
+  def hourlyQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy(col("event_type"), col("hour"))
+
+  val hourlyQuantilesOracle: String =
+    """SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+      |  COUNT(*) AS n_events,
+      |  round(quantile_cont("value", 0.5), 6) AS p50,
+      |  round(quantile_cont("value", 0.95), 6) AS p95,
+      |  round(quantile_cont("value", 0.99), 6) AS p99
+      |FROM events GROUP BY 1, 2
+      |ORDER BY event_type, hour""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st_hourly_quantiles", hourlyQuantiles, Some(hourlyQuantilesOracle)),
     QueryDef("st_lag_autocorr", lagAutocorr, Some(lagAutocorrOracle)),
     QueryDef("st_cusum_shift", cusumShift, Some(cusumShiftOracle)),
     QueryDef("st_seasonal_naive", seasonalNaive, Some(seasonalNaiveOracle)),
