@@ -586,7 +586,87 @@ object DataOps {
       |  round(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6) AS psi
       |FROM terms GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Benford's-law first-digit conformance per `l_returnflag` — the
+    * classic forensic data-quality screen (Benford 1938; Nigrini 2012)
+    * run over `l_extendedprice`: observed first-significant-digit
+    * frequencies against the log10(1+1/d) expectation, with the
+    * per-digit chi-square contribution so a reviewer sees WHICH digit
+    * drives any deviation. Synthetic uniform-ish prices are expected to
+    * FAIL Benford — the gate proves the screen detects non-conformance,
+    * not that the data conforms.
+    *
+    * Float policy ([[LlmCuration.dsirWeights]] scaladoc): the digit is
+    * INTEGER-derived — round(price·100) → BIGINT → first character —
+    * so bucketing is cross-engine exact; the nine expected frequencies
+    * are hardcoded round-6 literals (no libm log10 at query time); the
+    * two output doubles divide/multiply exact integers by those
+    * literals in the same order on both engines and are rounded to 6.
+    *
+    * Scale shape: ONE fact scan → hash aggregate on (flag, digit) —
+    * map-side combined, ≤ |flags|·9 groups — then the digit-domain
+    * completion and totals run on the aggregate (a flags×9 grid), so
+    * nothing after the first aggregate is fact-sized. At 100 TB this
+    * is a pure map-combine aggregate: no window, no second scan.
+    */
+  private val BenfordExp: Seq[(Int, Double)] = Seq(
+    1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.096910,
+    5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
+    9 -> 0.045757)
+
+  def benford(s: SparkSession, dir: String): DataFrame = {
+    val digit = substring(
+      round(col("l_extendedprice") * 100).cast(LongType).cast(StringType), 1, 1)
+      .cast(IntegerType)
+    val counts = Tables.t(s, dir, "lineitem")
+      .select(col("l_returnflag"), digit.as("digit"))
+      .groupBy(col("l_returnflag"), col("digit")).agg(count(lit(1)).as("n"))
+    val grid = counts.select(col("l_returnflag")).distinct()
+      .crossJoin(s.range(1, 10).select(col("id").cast(IntegerType).as("digit")))
+      .join(counts, Seq("l_returnflag", "digit"), "left")
+      .select(col("l_returnflag"), col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val tot = counts.groupBy(col("l_returnflag")).agg(sum(col("n")).as("total_n"))
+    val expFrac = BenfordExp.foldLeft(lit(0.0)) { case (acc, (d, p)) =>
+      when(col("digit") === d, lit(p)).otherwise(acc) }
+    val expN = col("total_n").cast(DoubleType) * col("exp_frac")
+    grid.join(tot, Seq("l_returnflag"))
+      .withColumn("exp_frac", expFrac)
+      .select(col("l_returnflag"), col("digit"), col("n"), col("total_n"),
+        round(col("n").cast(DoubleType) / col("total_n"), 6).as("obs_frac"),
+        col("exp_frac"),
+        round((col("n").cast(DoubleType) - expN) * (col("n").cast(DoubleType) - expN)
+          / expN, 6).as("chi2_part"))
+      .orderBy(col("l_returnflag"), col("digit"))
+  }
+
+  val benfordOracle: String = {
+    val expCase = BenfordExp.map { case (d, p) =>
+      s"WHEN $d THEN CAST($p AS DOUBLE)" }.mkString(" ")
+    s"""WITH counts AS (
+       |  SELECT l_returnflag,
+       |    CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR),
+       |      1, 1) AS INT) AS digit,
+       |    COUNT(*) AS n
+       |  FROM lineitem GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT f.l_returnflag, d.digit, COALESCE(c.n, 0) AS n
+       |  FROM (SELECT DISTINCT l_returnflag FROM counts) f
+       |  CROSS JOIN (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit) d
+       |  LEFT JOIN counts c ON c.l_returnflag = f.l_returnflag AND c.digit = d.digit),
+       |tot AS (SELECT l_returnflag, CAST(SUM(n) AS BIGINT) AS total_n
+       |  FROM counts GROUP BY 1)
+       |SELECT g.l_returnflag, g.digit, g.n, tot.total_n,
+       |  round(CAST(g.n AS DOUBLE) / tot.total_n, 6) AS obs_frac,
+       |  CASE g.digit $expCase END AS exp_frac,
+       |  round((CAST(g.n AS DOUBLE) - CAST(tot.total_n AS DOUBLE) * (CASE g.digit $expCase END))
+       |      * (CAST(g.n AS DOUBLE) - CAST(tot.total_n AS DOUBLE) * (CASE g.digit $expCase END))
+       |    / (CAST(tot.total_n AS DOUBLE) * (CASE g.digit $expCase END)), 6) AS chi2_part
+       |FROM grid g JOIN tot ON g.l_returnflag = tot.l_returnflag
+       |ORDER BY g.l_returnflag, g.digit""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ops_benford", benford, Some(benfordOracle)),
     QueryDef("ops_psi_drift", psiDrift, Some(psiDriftOracle)),
     QueryDef("ops_ks_drift", ksDrift, Some(ksDriftOracle)),
     QueryDef("ops_shard_assign", shardAssign, Some(shardAssignOracle)),

@@ -130,7 +130,46 @@ object RelationalExt {
       |  round(max(l_quantity), 6) AS p_max
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** LATERAL correlated-subquery top-N-per-group: for every nation, its
+    * two highest-balance customers, written as SQL text with a
+    * `LATERAL (... ORDER BY ... LIMIT 2)` derived table — the SQL
+    * surface (reference 002:47-58 runs analyst SQL against registered
+    * views) where per-row subqueries with LIMIT are the idiom.
+    *
+    * Engine feature under test: Catalyst's DecorrelateInnerQuery turns
+    * the per-nation LIMIT subquery into ONE windowed filter
+    * (row_number ≤ 2 partitioned by the correlation key) joined back —
+    * the plan you would hand-write — instead of |nation| subquery
+    * executions. The 25-row nation side then broadcasts. Ties broken
+    * by c_custkey so the gate is deterministic.
+    *
+    * Scale shape: one customer shuffle on c_nationkey for the window,
+    * one broadcast join; nothing else is fact-sized. At 100 TB the
+    * window partitions by the group key across executors — no
+    * single-partition window, no driver loop over groups.
+    */
+  def lateralTopN(s: SparkSession, dir: String): DataFrame = {
+    Tables.t(s, dir, "nation").createOrReplaceTempView("lat_nation")
+    Tables.t(s, dir, "customer").createOrReplaceTempView("lat_customer")
+    s.sql(
+      """SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+        |FROM lat_nation n,
+        |LATERAL (SELECT c_custkey, c_name, c_acctbal FROM lat_customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
+  }
+
+  val lateralTopNOracle: String =
+    """SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+      |FROM nation n,
+      |LATERAL (SELECT c_custkey, c_name, c_acctbal FROM customer c
+      |         WHERE c.c_nationkey = n.n_nationkey
+      |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("rel_lateral_topn", lateralTopN, Some(lateralTopNOracle)),
     QueryDef("q7_nation_trade", q7NationTrade, Some(q7Oracle)),
     QueryDef("rel_scalar_subquery", scalarSubquery, Some(scalarSubqueryOracle)),
     QueryDef("fn_percentile_suite", percentileSuite, Some(percentileOracle)),

@@ -764,7 +764,64 @@ object StreamingGates {
       |FROM events GROUP BY 1, 2
       |ORDER BY event_type, hour""".stripMargin
 
+  /** Median/MAD ANOMALY SCREEN per event type (Hampel's robust outlier
+    * identifier — Leys et al. 2013's recommended default over the
+    * mean±kσ rule, which outliers themselves corrupt): per-type median
+    * and median-absolute-deviation of the hourly bars, every bar
+    * scored |bar − median| / MAD, flagged when the deviation exceeds
+    * 3·MAD. All bars are emitted with their score (not just the
+    * flagged ones) so downstream alerting can re-threshold without a
+    * second pass, and so the gate is non-degenerate even on a quiet
+    * series.
+    *
+    * Float policy ([[LlmCuration.dsirWeights]]): bars are round-6
+    * means; the median of ≤744 rounded bars and the MAD are each
+    * rounded to 6 before ANY comparison, so the flag and the score
+    * compare identical doubles on both engines (exact interpolated
+    * percentile parity is already gated by `fn_percentile_suite`).
+    *
+    * Scale shape: one fact-collapsing hash aggregate to bars; both
+    * percentile aggregates and the scoring join run on the bar
+    * relation (types × hours), never the fact. At 100 TB the medians
+    * swap to approx_percentile — same two-aggregate shape, sketch
+    * state.
+    */
+  def madAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val bars = hourlyBars(s, dir)
+    val med = bars.groupBy(col("event_type").as("m_type"))
+      .agg(round(expr("percentile(bar, 0.5)"), 6).as("med"))
+    val dev = bars.join(med, col("m_type") === col("event_type")).drop("m_type")
+      .withColumn("dev", round(abs(col("bar") - col("med")), 6))
+    val mad = dev.groupBy(col("event_type").as("d_type"))
+      .agg(round(expr("percentile(dev, 0.5)"), 6).as("mad"))
+    dev.join(mad, col("d_type") === col("event_type")).drop("d_type")
+      .select(col("event_type"), col("hour"), col("bar"), col("med"), col("mad"),
+        when(col("mad") > 0, round(col("dev") / col("mad"), 6)).as("score"),
+        (col("dev") > col("mad") * 3).as("is_anomaly"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  val madAnomalyOracle: String =
+    """WITH bars AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+      |    round(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS bar
+      |  FROM events GROUP BY 1, 2),
+      |med AS (SELECT event_type, round(quantile_cont(bar, 0.5), 6) AS med
+      |  FROM bars GROUP BY 1),
+      |dev AS (
+      |  SELECT b.event_type, b.hour, b.bar, m.med,
+      |    round(abs(b.bar - m.med), 6) AS dev
+      |  FROM bars b JOIN med m USING (event_type)),
+      |mad AS (SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT d.event_type, d.hour, d.bar, d.med, a.mad,
+      |  CASE WHEN a.mad > 0 THEN round(d.dev / a.mad, 6) END AS score,
+      |  (d.dev > a.mad * 3) AS is_anomaly
+      |FROM dev d JOIN mad a USING (event_type)
+      |ORDER BY d.event_type, d.hour""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st_mad_anomaly", madAnomaly, Some(madAnomalyOracle)),
     QueryDef("st_hourly_quantiles", hourlyQuantiles, Some(hourlyQuantilesOracle)),
     QueryDef("st_lag_autocorr", lagAutocorr, Some(lagAutocorrOracle)),
     QueryDef("st_cusum_shift", cusumShift, Some(cusumShiftOracle)),

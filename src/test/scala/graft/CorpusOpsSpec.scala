@@ -310,6 +310,53 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("Benford screen: complete digit grid, fractions sum to 1, chi2 matches a driver reference") {
+    val rows = DataOps.benford(spark, "/root/testdata/sf0.01").collect()
+    val byFlag = rows.groupBy(_.getString(0))
+    byFlag.foreach { case (flag, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to 9), s"$flag: digit grid incomplete")
+      assert(rs.map(_.getLong(2)).sum === rs.head.getLong(3), s"$flag: counts must sum to total")
+      val fracSum = rs.map(_.getDouble(4)).sum
+      assert(math.abs(fracSum - 1.0) < 1e-4, s"$flag: obs_frac sums to $fracSum")
+      rs.foreach(r => assert(r.getDouble(6) >= 0.0, s"chi2 part negative: $r"))
+    }
+    // driver-side reference on one flag: first digit from the cents string
+    val flag = byFlag.keys.min
+    val prices = Tables.t(spark, "/root/testdata/sf0.01", "lineitem")
+      .filter(col("l_returnflag") === flag).select(col("l_extendedprice"))
+      .collect().map(_.getDouble(0))
+    val wantCounts = prices.map(p => math.rint(p * 100).toLong.toString.head.asDigit)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    byFlag(flag).foreach { r =>
+      assert(r.getLong(2) === wantCounts.getOrElse(r.getInt(1), 0L), r.toString)
+    }
+    // the synthetic uniform prices must FAIL Benford loudly — the screen detects
+    assert(rows.map(_.getDouble(6)).sum > 100.0, "uniform prices must not conform")
+  }
+
+  test("MAD anomaly screen: flags agree with the 3-MAD rule, medians are genuine medians") {
+    import graft.queries.StreamingGates
+    val rows = StreamingGates.madAnomaly(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (t, rs) =>
+      val med = rs.head.getDouble(3)
+      val mad = rs.head.getDouble(4)
+      // median property: at least half the bars on each side (within rounding)
+      val below = rs.count(_.getDouble(2) <= med)
+      val above = rs.count(_.getDouble(2) >= med)
+      assert(below >= rs.length / 2 && above >= rs.length / 2, s"$t: med=$med not a median")
+      rs.foreach { r =>
+        val dev = math.rint(math.abs(r.getDouble(2) - med) * 1e6) / 1e6
+        assert(r.getBoolean(6) === (dev > mad * 3), s"flag mismatch: $r")
+        if (mad > 0)
+          assert(math.abs(r.getDouble(5) - math.rint(dev / mad * 1e6) / 1e6) < 1e-9, r.toString)
+      }
+    }
+    // non-degenerate on this corpus: both flagged and unflagged bars exist
+    assert(rows.exists(_.getBoolean(6)) && rows.exists(!_.getBoolean(6)))
+  }
+
   test("fuzzy link: pairs stay inside their block, ordered, within distance") {
     val rows = DataOps.fuzzyLink(spark, "/root/testdata/sf0.01").collect()
     assert(rows.nonEmpty, "the fuzzy matcher must find catalog near-names")

@@ -40,4 +40,25 @@ class RelationalExtSpec extends SparkSpec {
       assert(mn <= p25 && p25 <= p50 && p50 <= p90 && p90 <= mx, r.toString)
     }
   }
+
+  test("LATERAL LIMIT subquery decorrelates to WindowGroupLimit, matches the window form") {
+    val df = RelationalExt.lateralTopN(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the engine feature under gate: no per-outer-row subquery loop —
+    // ONE group-limit window (map-side Partial before the shuffle)
+    assert(plan.contains("WindowGroupLimit"), plan.linesIterator.take(8).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"), "lateral must not fall back to a product")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1)))
+    // reference: hand-written row_number window over the same tables
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val want = Tables.t(spark, dir, "customer")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .join(Tables.t(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got.toSet === want)
+    assert(got.groupBy(_._1).values.forall(_.length <= 2), "at most 2 per nation")
+  }
 }
