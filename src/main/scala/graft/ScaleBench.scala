@@ -269,6 +269,10 @@ object ScaleBench {
       "ops_psi_drift" -> graft.queries.DataOps.psiDrift _,
       "gr_adamic_adar" -> graft.queries.Graph.adamicAdar _,
       "st_hourly_quantiles" -> graft.queries.StreamingGates.hourlyQuantiles _,
+      // late round-11 additions
+      "ops_benford" -> graft.queries.DataOps.benford _,
+      "rel_lateral_topn" -> graft.queries.RelationalExt.lateralTopN _,
+      "st_mad_anomaly" -> graft.queries.StreamingGates.madAnomaly _,
       // round-9 additions
       "gr_triangles" -> graft.queries.Graph.coTriangles _,
       "cu_dsir_weights" -> graft.queries.LlmCuration.dsirWeights _,
