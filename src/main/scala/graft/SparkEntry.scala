@@ -43,7 +43,8 @@ object SparkEntry {
         graft.queries.TpchFinal.defs ++
         graft.queries.Retrieval.defs ++
         graft.queries.Graph.defs ++
-        graft.queries.Basket.defs
+        graft.queries.Basket.defs ++
+        graft.queries.StatOps.defs
     // a name collision would silently shrink the correctness gate
     // (toMap keeps the last duplicate) — fail loudly instead; the
     // bench-only names share the namespace (Bench times both sets)

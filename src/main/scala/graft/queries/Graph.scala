@@ -613,6 +613,88 @@ object Graph {
        |SELECT node, rank, nbr, round(aa, 6) AS aa
        |FROM r WHERE rank <= $SimTopK ORDER BY node, rank""".stripMargin
 
+  private val SalsaIters = 2
+
+  /** SALSA hub/authority scores over the DIRECTED bipartite trade
+    * graph (Lempel & Moran 2001 — the degree-normalized HITS variant:
+    * each step is a stochastic walk, so score mass is conserved and
+    * the fixed-point BIGINT arithmetic of [[pageRank]] carries over
+    * unchanged; plain HITS would need a global L2 normalization per
+    * step, which no integer scheme survives cross-engine). Customers
+    * are hubs (they "point at" the suppliers they buy from), suppliers
+    * are authorities; [[SalsaIters]] forward/backward sweeps:
+    * auth(p) = Σ_c hub(c) div outdeg(c), hub(c) = Σ_p auth(p) div
+    * indeg(p). All arithmetic is Scale-scaled integer division —
+    * bit-identical on any engine, like PageRank.
+    *
+    * Scale shape: the distinct trade build is the fact join (same
+    * checkpoint-truncated artifact discipline as [[tradeEdges]]);
+    * each sweep joins the node-sized score relation onto the edge
+    * relation and hash-aggregates with map-side combine — PageRank's
+    * exact per-iteration cost, four small shuffles total. The degree
+    * relations are node-sized and reused across sweeps.
+    */
+  def salsa(s: SparkSession, dir: String): DataFrame = {
+    val (result, pinned) = salsaPlan(s, dir)
+    finalized(result, pinned: _*)
+  }
+
+  /** Lazy plan + pinned frames — audit surface and [[salsa]] body. */
+  private[graft] def salsaPlan(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+    val orders = Tables.t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").cast(LongType).as("c"))
+    val li = Tables.t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey").cast(LongType).as("p"))
+    val trade = graft.plans.Checkpoint.truncate(
+      orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("c"), col("p")).distinct())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outdeg = trade.groupBy(col("c")).agg(count(lit(1)).as("outdeg"))
+    val indeg = trade.groupBy(col("p")).agg(count(lit(1)).as("indeg"))
+    // bounded driver scalar: hub-side node count (uniform start mass)
+    val nC = outdeg.count()
+    var hub = outdeg.select(col("c"), lit(Scale / nC).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to SalsaIters) {
+      auth = trade.join(hub, "c").join(outdeg, "c")
+        .select(col("p"), expr("h div outdeg").as("contrib"))
+        .groupBy(col("p")).agg(sum(col("contrib")).as("a"))
+      hub = trade.join(auth, "p").join(indeg, "p")
+        .select(col("c"), expr("a div indeg").as("contrib"))
+        .groupBy(col("c")).agg(sum(col("contrib")).as("h"))
+    }
+    val out = auth.select(lit("supplier").as("kind"), col("p").as("key"),
+        col("a").as("score"))
+      .unionByName(hub.select(lit("customer").as("kind"), col("c").as("key"),
+        col("h").as("score")))
+      .orderBy(col("score").desc, col("kind"), col("key"))
+    (out, Seq(trade))
+  }
+
+  // DuckDB SUM(BIGINT) → HUGEINT: cast each sweep back to BIGINT so
+  // the fixed-point domain matches the Spark side (pageRank discipline)
+  val salsaOracle: String = {
+    val sweep = (i: Int, prevHub: String) =>
+      s"""a$i AS (SELECT t.p, CAST(SUM(h.h // od.outdeg) AS BIGINT) AS a
+         |  FROM trade t JOIN $prevHub h ON t.c = h.c
+         |  JOIN od ON t.c = od.c GROUP BY 1),
+         |h$i AS (SELECT t.c, CAST(SUM(a.a // ind.indeg) AS BIGINT) AS h
+         |  FROM trade t JOIN a$i a ON t.p = a.p
+         |  JOIN ind ON t.p = ind.p GROUP BY 1)"""
+    s"""WITH trade AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+       |    CAST(l_suppkey AS BIGINT) AS p
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |od AS (SELECT c, COUNT(*) AS outdeg FROM trade GROUP BY 1),
+       |ind AS (SELECT p, COUNT(*) AS indeg FROM trade GROUP BY 1),
+       |nc AS (SELECT COUNT(*) AS n FROM od),
+       |h0 AS (SELECT od.c, $Scale // nc.n AS h FROM od CROSS JOIN nc),
+       |${(1 to SalsaIters).map(i => sweep(i, s"h${i - 1}")).mkString(",\n")}
+       |SELECT 'supplier' AS kind, p AS key, a AS score FROM a$SalsaIters
+       |UNION ALL
+       |SELECT 'customer' AS kind, c AS key, h AS score FROM h$SalsaIters
+       |ORDER BY score DESC, kind, key""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("gr_pagerank", pageRank, Some(pageRankOracle)),
     QueryDef("gr_khop", kHop, Some(kHopOracle)),
@@ -620,5 +702,6 @@ object Graph {
     QueryDef("gr_kcore", kCore, Some(kCoreOracle)),
     QueryDef("gr_sim_neighbors", jaccardNeighbors, Some(jaccardNeighborsOracle)),
     QueryDef("gr_adamic_adar", adamicAdar, Some(adamicAdarOracle)),
+    QueryDef("gr_salsa", salsa, Some(salsaOracle)),
   )
 }

@@ -580,6 +580,76 @@ object LlmCuration {
       |FROM bg b JOIN cb USING (prev, w) JOIN cp USING (prev)
       |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
 
+  private val NpmiMinCount = 10
+
+  /** NPMI collocation extraction (Bouma 2009 — normalized pointwise
+    * mutual information): for every adjacent bigram with corpus count
+    * ≥ [[NpmiMinCount]], npmi = ln(p(xy)/(p(x)·p(y))) / −ln p(xy),
+    * with all probabilities relative to the bigram-position total —
+    * the standard corpus-linguistics screen for multiword expressions
+    * ("New York"-style units a tokenizer or a dedup shingler should
+    * treat atomically), normalized to [−1, 1] so thresholds transfer
+    * across corpus sizes (raw PMI grows with ln N). The per-position
+    * marginals (occurrences as FIRST resp. SECOND element) share the
+    * bigram denominator, keeping the statistic a pure function of the
+    * bigram relation. Complements [[bigramLl]]: that scores DOCUMENTS
+    * by transition likelihood; this scores PAIRS by association.
+    *
+    * Float policy ([[dsirWeights]]): counts are exact integers; the
+    * two ln() calls and the divisions happen once per output row in
+    * the same written order on both engines (libm agreement + round-6
+    * makes a last-ulp flip measure-zero).
+    *
+    * Scale shape: one token-position explode → one map-combined hash
+    * aggregate to the bigram relation; the marginal relations derive
+    * from the AGGREGATE (GROUP BY prev / GROUP BY w over counts), not
+    * from a second fact pass, and the min-count filter prunes the
+    * join input to the frequent tail. Nothing after the first
+    * aggregate is corpus-sized.
+    */
+  def npmiColloc(s: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val len2 = greatest(size(t) - 1, lit(0))
+    val bg = Tables.t(s, dir, "documents")
+      .select(explode(zip_with(
+        slice(t, lit(1), len2), slice(t, lit(2), len2),
+        (a, b) => struct(a.as("prev"), b.as("w")))).as("bg"))
+      .select(col("bg.prev").as("prev"), col("bg.w").as("w"))
+    val cb = bg.groupBy(col("prev"), col("w")).agg(count(lit(1)).as("n_pair"))
+    val cp = cb.groupBy(col("prev")).agg(sum(col("n_pair")).as("n_first"))
+    val cw = cb.groupBy(col("w")).agg(sum(col("n_pair")).as("n_second"))
+    val tot = cb.agg(sum(col("n_pair")).as("big_b"))
+    cb.filter(col("n_pair") >= NpmiMinCount)
+      .join(cp, "prev").join(cw, "w")
+      .crossJoin(broadcast(tot))
+      .select(col("prev"), col("w"), col("n_pair"), col("n_first"),
+        col("n_second"),
+        round(log(col("n_pair").cast(DoubleType) * col("big_b").cast(DoubleType)
+            / (col("n_first").cast(DoubleType) * col("n_second").cast(DoubleType)))
+          / log(col("big_b").cast(DoubleType) / col("n_pair").cast(DoubleType)),
+          6).as("npmi"))
+      .orderBy(col("prev"), col("w"))
+  }
+
+  val npmiCollocOracle: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |bg AS (SELECT t[i] AS prev, t[i + 1] AS w
+       |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tok)),
+       |cb AS (SELECT prev, w, COUNT(*) AS n_pair FROM bg GROUP BY 1, 2),
+       |cp AS (SELECT prev, CAST(SUM(n_pair) AS BIGINT) AS n_first
+       |  FROM cb GROUP BY 1),
+       |cw AS (SELECT w, CAST(SUM(n_pair) AS BIGINT) AS n_second
+       |  FROM cb GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS big_b FROM cb)
+       |SELECT cb.prev, cb.w, cb.n_pair, cp.n_first, cw.n_second,
+       |  round(ln(CAST(cb.n_pair AS DOUBLE) * CAST(tot.big_b AS DOUBLE)
+       |      / (CAST(cp.n_first AS DOUBLE) * CAST(cw.n_second AS DOUBLE)))
+       |    / ln(CAST(tot.big_b AS DOUBLE) / CAST(cb.n_pair AS DOUBLE)), 6)
+       |    AS npmi
+       |FROM cb JOIN cp USING (prev) JOIN cw USING (w) CROSS JOIN tot
+       |WHERE cb.n_pair >= $NpmiMinCount
+       |ORDER BY cb.prev, cb.w""".stripMargin
+
   /** Per-group bounded reservoir sample by hash rank: for each source,
     * the [[GroupSampleK]] docs with the smallest [[Sketches.h60]] hash
     * of the doc id — a uniform without-replacement sample per group
@@ -817,5 +887,6 @@ object LlmCuration {
     QueryDef("cu_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsOracle)),
     QueryDef("cu_temperature_mix", temperatureMix, Some(temperatureMixOracle)),
     QueryDef("ta_zipf_fit", zipfFit, Some(zipfFitOracle)),
+    QueryDef("ta_npmi_colloc", npmiColloc, Some(npmiCollocOracle)),
   )
 }

@@ -1,0 +1,397 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Statistical-analysis surface: the inference and concentration
+  * diagnostics an analytics warehouse layers over the relational core —
+  * inequality/concentration (Gini), robust location (trimmed mean),
+  * categorical association (chi-square + Cramér's V), monotone
+  * correlation (Spearman), and experiment readout (two-proportion
+  * A/B lift). Reference scope: ravelytics ships aggregate dashboards
+  * over exactly these shapes (002_create_techno_views.sql's grouped
+  * summaries); these are their inferential complements, built to the
+  * same oracle-gated determinism discipline.
+  *
+  * Float policy (shared recipe, [[LlmCuration.dsirWeights]]): every
+  * statistic keeps counts/ranks/cents in exact integer or
+  * DECIMAL(38,0) arithmetic through ALL aggregation, then crosses to
+  * DOUBLE once, in a single expression whose operation order is
+  * written identically in the Spark plan and the DuckDB oracle;
+  * `sqrt` is IEEE-754 correctly rounded in both engines, so identical
+  * double inputs give identical outputs; results are round-6.
+  */
+object StatOps {
+
+  /** Gini coefficient of customer order spend per market segment —
+    * the revenue-concentration diagnostic (Gini 1912; the "how skewed
+    * is my key distribution" number that decides whether a 100 TB
+    * join needs salting). Formula over ascending-sorted spend x_1..x_n:
+    * G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i). Ties contribute
+    * Σ i·x over the tie block, which is invariant under any ordering
+    * within the block, so the (cents, custkey) sort is deterministic
+    * AND tie-order-independent.
+    *
+    * Determinism: spend is exact cents (round(price·100) → BIGINT,
+    * the [[DataOps.benford]] device), row_number is integer, both
+    * sums aggregate as DECIMAL(38,0); one double division at the end.
+    *
+    * Scale shape: one fact hash aggregate (custkey cents), one
+    * broadcast dim join for the segment, one customer-sized window
+    * per segment (never fact-sized), final 5-row aggregate. At 100 TB
+    * the window sorts |customers|/|segments| rows per partition — the
+    * dimension's cardinality, not the fact's.
+    */
+  def gini(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.t(s, dir, "orders")
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast(LongType).as("c"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("c").cast(DecimalType(38, 0))).cast(LongType).as("cents"))
+    // no broadcast hint on customer: catalog-sized, AQE picks the
+    // strategy (a forced hint OOMs the driver at 100 TB — PlanAuditSpec)
+    val seg = spend
+      .join(Tables.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("cents"), col("o_custkey"))))
+    seg.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents").cast(DecimalType(38, 0))).as("s"),
+        sum((col("rn") * col("cents")).cast(DecimalType(38, 0))).as("s1"))
+      .select(col("c_mktsegment"), col("n_customers"),
+        col("s").cast(LongType).as("total_cents"),
+        round((lit(2) * col("s1") - (col("n_customers") + 1) * col("s"))
+          .cast(DoubleType)
+          / (col("n_customers") * col("s")).cast(DoubleType), 6).as("gini"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val giniOracle: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |seg AS (
+      |  SELECT c.c_mktsegment, s.o_custkey, s.cents,
+      |    row_number() OVER (PARTITION BY c.c_mktsegment
+      |      ORDER BY s.cents, s.o_custkey) AS rn
+      |  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey)
+      |SELECT c_mktsegment, COUNT(*) AS n_customers,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+      |  round(CAST(2 * SUM(rn * cents) - (COUNT(*) + 1) * SUM(cents) AS DOUBLE)
+      |    / CAST(COUNT(*) * SUM(cents) AS DOUBLE), 6) AS gini
+      |FROM seg GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
+  /** Per-type trimmed mean of event values — [[DataOps.winsorize]]'s
+    * robust-location sibling: where winsorize CLIPS the tails to the
+    * fences, the trimmed mean DROPS them (10% each side) and averages
+    * the interior — the location estimate a metrics pipeline reports
+    * when heavy tails would swamp a plain mean. Fences are the same
+    * round-6-rounded exact percentiles as winsorize (boundary
+    * membership can't flip on a last-ulp disagreement); the interior
+    * mean sums exact micro-units (round(value·1e6) → BIGINT →
+    * DECIMAL(38,0)) and divides once in double.
+    *
+    * Scale shape: one grouped exact percentile pass (swap for
+    * approx_percentile at 100 TB — same plan), one broadcast-back of
+    * the 5-row fence relation, one map-combined hash aggregate.
+    */
+  def trimmedMean(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+    val fences = ev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.1)"), 6).as("lo"),
+        round(expr("percentile(value, 0.9)"), 6).as("hi"))
+    ev.select(col("event_type"), col("value"),
+        round(col("value") * 1000000).cast(LongType).as("vm"))
+      .join(broadcast(fences), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value") >= col("lo") && col("value") <= col("hi"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when(col("value") >= col("lo") && col("value") <= col("hi"),
+          col("vm").cast(DecimalType(38, 0)))).as("sm"))
+      .select(col("event_type"), col("n_events"), col("n_kept"),
+        round(col("sm").cast(DoubleType) / col("n_kept").cast(DoubleType)
+          / 1000000.0, 6).as("trimmed_mean"))
+      .orderBy(col("event_type"))
+  }
+
+  val trimmedMeanOracle: String =
+    """WITH f AS (SELECT event_type,
+      |    round(quantile_cont("value", 0.1), 6) AS lo,
+      |    round(quantile_cont("value", 0.9), 6) AS hi
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN e."value" >= f.lo AND e."value" <= f.hi
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  round(CAST(SUM(CASE WHEN e."value" >= f.lo AND e."value" <= f.hi
+      |      THEN CAST(round(e."value" * 1000000) AS BIGINT) END) AS DOUBLE)
+      |    / CAST(SUM(CASE WHEN e."value" >= f.lo AND e."value" <= f.hi
+      |      THEN 1 ELSE 0 END) AS DOUBLE) / 1000000.0, 6) AS trimmed_mean
+      |FROM events e JOIN f USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
+  /** Chi-square test of independence between market segment and order
+    * priority (Pearson 1900), with Cramér's V (1946) as the
+    * normalized effect size — the "are these two categoricals
+    * actually related" screen a feature-selection pass runs before
+    * paying for a high-cardinality crossed feature. Output is the
+    * full completed contingency grid (zero cells included, the
+    * [[DataOps.benford]] grid-completion device) with per-cell
+    * expected counts and chi-square contributions, plus the grid-wide
+    * statistic and V on every row so a reviewer sees both the verdict
+    * and WHICH cells drive it.
+    *
+    * Determinism: observed counts and row/column/grand totals are
+    * exact integers; expected = CAST(rt·ct AS DOUBLE)/N is one
+    * division; per-cell contributions cross-engine-identical doubles;
+    * the grid total sums those as DECIMAL(38,12) (order-independent,
+    * float policy) before the final sqrt.
+    *
+    * Scale shape: one fact hash aggregate to the 5×5 grid; everything
+    * downstream (totals via window sums, V) runs on ≤25 rows.
+    */
+  def chi2Assoc(s: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.t(s, dir, "orders")
+      .join(Tables.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("pri"))
+    val counts = joined.groupBy(col("seg"), col("pri")).agg(count(lit(1)).as("n"))
+    // domain-bounded grid completion (the benford device): broadcast
+    // the priority domain so the cross join plans as a bounded BNLJ,
+    // never a CartesianProduct
+    val grid = counts.select(col("seg")).distinct()
+      .crossJoin(broadcast(counts.select(col("pri")).distinct()))
+      .join(counts, Seq("seg", "pri"), "left")
+      .select(col("seg"), col("pri"), coalesce(col("n"), lit(0L)).as("n"))
+    val wAll = Window.partitionBy()
+    val dims = grid.agg(countDistinct(col("seg")).as("r"),
+      countDistinct(col("pri")).as("c"))
+    val expected = (sum(col("n")).over(Window.partitionBy(col("seg")))
+      * sum(col("n")).over(Window.partitionBy(col("pri")))).cast(DoubleType) /
+      sum(col("n")).over(wAll).cast(DoubleType)
+    val withParts = grid
+      .withColumn("big_n", sum(col("n")).over(wAll))
+      .withColumn("e", expected)
+      .withColumn("part",
+        (col("n").cast(DoubleType) - col("e")) *
+          (col("n").cast(DoubleType) - col("e")) / col("e"))
+      .withColumn("chi2",
+        sum(col("part").cast(DecimalType(38, 12))).over(wAll).cast(DoubleType))
+    withParts.crossJoin(broadcast(dims))
+      .select(col("seg").as("c_mktsegment"), col("pri").as("o_orderpriority"),
+        col("n"), round(col("e"), 6).as("expected"),
+        round(col("part"), 6).as("chi2_part"),
+        round(col("chi2"), 6).as("chi2"),
+        round(sqrt(col("chi2") /
+          (col("big_n") * (least(col("r"), col("c")) - 1)).cast(DoubleType)), 6)
+          .as("cramers_v"))
+      .orderBy(col("c_mktsegment"), col("o_orderpriority"))
+  }
+
+  val chi2AssocOracle: String =
+    """WITH j AS (
+      |  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |counts AS (SELECT seg, pri, COUNT(*) AS n FROM j GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT sg.seg, pr.pri, COALESCE(c.n, 0) AS n
+      |  FROM (SELECT DISTINCT seg FROM counts) sg
+      |  CROSS JOIN (SELECT DISTINCT pri FROM counts) pr
+      |  LEFT JOIN counts c ON c.seg = sg.seg AND c.pri = pr.pri),
+      |dims AS (SELECT COUNT(DISTINCT seg) AS r, COUNT(DISTINCT pri) AS c
+      |  FROM grid),
+      |parts AS (
+      |  SELECT seg, pri, n,
+      |    SUM(n) OVER () AS big_n,
+      |    CAST(SUM(n) OVER (PARTITION BY seg) * SUM(n) OVER (PARTITION BY pri)
+      |        AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS e
+      |  FROM grid),
+      |p2 AS (
+      |  SELECT *,
+      |    (CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e AS part
+      |  FROM parts),
+      |p3 AS (
+      |  SELECT *,
+      |    CAST(SUM(CAST(part AS DECIMAL(38,12))) OVER () AS DOUBLE) AS chi2
+      |  FROM p2)
+      |SELECT p3.seg AS c_mktsegment, p3.pri AS o_orderpriority, p3.n,
+      |  round(p3.e, 6) AS expected, round(p3.part, 6) AS chi2_part,
+      |  round(p3.chi2, 6) AS chi2,
+      |  round(sqrt(p3.chi2
+      |    / CAST(p3.big_n * (least(dims.r, dims.c) - 1) AS DOUBLE)), 6)
+      |    AS cramers_v
+      |FROM p3 CROSS JOIN dims
+      |ORDER BY c_mktsegment, o_orderpriority""".stripMargin
+
+  /** Spearman rank correlation (1904) between order value and order
+    * width (lineitem count) per priority class — the monotone-
+    * association readout that survives the heavy-tailed price
+    * distribution a Pearson-on-raw-values would be dominated by.
+    * Ranks use the standard mid-rank tie treatment, carried as the
+    * INTEGER 2·rank_avg = 2·rank_min + tie_count − 1 so the tie
+    * averaging never leaves exact arithmetic (the ×2 scaling cancels
+    * in the correlation); the five moment sums aggregate as
+    * DECIMAL(38,0) and the Pearson-on-ranks formula crosses to double
+    * once: ρ = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)).
+    *
+    * Scale shape: one fact aggregate (lines per order), a broadcast-
+    * free order-sized join, two order-sized rank windows per group,
+    * one 5-row moment aggregate. At 100 TB the windows sort
+    * |orders|/|priorities| rows — order-book-sized, map-combined
+    * moments after that.
+    */
+  def spearman(s: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("y"))
+    val xy = Tables.t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast(LongType).as("x"))
+      .join(lines, col("o_orderkey") === col("l_orderkey"))
+    val rx2 = (lit(2) * rank().over(
+      Window.partitionBy(col("pri")).orderBy(col("x")))
+      + count(lit(1)).over(Window.partitionBy(col("pri"), col("x"))) - 1)
+      .cast(LongType)
+    val ry2 = (lit(2) * rank().over(
+      Window.partitionBy(col("pri")).orderBy(col("y")))
+      + count(lit(1)).over(Window.partitionBy(col("pri"), col("y"))) - 1)
+      .cast(LongType)
+    val d = DecimalType(38, 0)
+    xy.select(col("pri"), rx2.as("rx"), ry2.as("ry"))
+      .groupBy(col("pri"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx").cast(d)).as("sx"), sum(col("ry").cast(d)).as("sy"),
+        sum((col("rx") * col("rx")).cast(d)).as("sxx"),
+        sum((col("ry") * col("ry")).cast(d)).as("syy"),
+        sum((col("rx") * col("ry")).cast(d)).as("sxy"))
+      .select(col("pri").as("o_orderpriority"), col("n").as("n_orders"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType))),
+          6).as("rho"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val spearmanOracle: String =
+    """WITH lines AS (
+      |  SELECT l_orderkey, COUNT(*) AS y FROM lineitem GROUP BY 1),
+      |xy AS (
+      |  SELECT o.o_orderpriority AS pri,
+      |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS x, l.y
+      |  FROM orders o JOIN lines l ON o.o_orderkey = l.l_orderkey),
+      |r AS (
+      |  SELECT pri,
+      |    CAST(2 * rank() OVER (PARTITION BY pri ORDER BY x)
+      |      + COUNT(*) OVER (PARTITION BY pri, x) - 1 AS BIGINT) AS rx,
+      |    CAST(2 * rank() OVER (PARTITION BY pri ORDER BY y)
+      |      + COUNT(*) OVER (PARTITION BY pri, y) - 1 AS BIGINT) AS ry
+      |  FROM xy),
+      |m AS (
+      |  SELECT pri, COUNT(*) AS n,
+      |    SUM(CAST(rx AS DECIMAL(38,0))) AS sx,
+      |    SUM(CAST(ry AS DECIMAL(38,0))) AS sy,
+      |    SUM(CAST(rx * rx AS DECIMAL(38,0))) AS sxx,
+      |    SUM(CAST(ry * ry AS DECIMAL(38,0))) AS syy,
+      |    SUM(CAST(rx * ry AS DECIMAL(38,0))) AS sxy
+      |  FROM r GROUP BY 1)
+      |SELECT pri AS o_orderpriority, n AS n_orders,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho
+      |FROM m ORDER BY o_orderpriority""".stripMargin
+
+  /** Two-proportion A/B experiment readout over the event stream:
+    * user_id parity assigns the arm (the deterministic stand-in for a
+    * production bucketing hash), per-user conversion = "ever fired a
+    * high-value purchase" (props.k ≥ 95 — every user fires SOME
+    * purchase at these event densities, so plain any-purchase
+    * conversion saturates both arms at 100% and the pooled variance
+    * degenerates to zero), and the output is the single experiment row an
+    * analyst reads: per-arm denominators and conversions, rates, the
+    * absolute and relative lift, and the pooled two-proportion
+    * z-statistic (the standard large-sample test; Fleiss, Levin &
+    * Paik 2003 §3). Conversion counts are exact integers; the rates,
+    * lift, and z cross to double in one expression written
+    * identically in both engines (sqrt is IEEE-exact).
+    *
+    * Scale shape: one fact hash aggregate to users (map-combined
+    * max-flag), one 2-row aggregate, one projected row. Nothing after
+    * the first aggregate is fact-sized; at 100 TB this is the
+    * canonical two-pass funnel readout.
+    */
+  def abLift(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          get_json_object(col("props"), "$.k").cast(IntegerType) >= 95, 1L)
+        .otherwise(0L)).as("conv"))
+      .select(when(col("user_id") % 2 === 0, "A").otherwise("B").as("arm"),
+        col("conv"))
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val row = arms.agg(
+      sum(when(col("arm") === "A", col("n"))).as("n_a"),
+      sum(when(col("arm") === "A", col("c"))).as("conv_a"),
+      sum(when(col("arm") === "B", col("n"))).as("n_b"),
+      sum(when(col("arm") === "B", col("c"))).as("conv_b"))
+    val pA = col("conv_a").cast(DoubleType) / col("n_a").cast(DoubleType)
+    val pB = col("conv_b").cast(DoubleType) / col("n_b").cast(DoubleType)
+    val pHat = (col("conv_a") + col("conv_b")).cast(DoubleType) /
+      (col("n_a") + col("n_b")).cast(DoubleType)
+    row.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(pA, 6).as("p_a"), round(pB, 6).as("p_b"),
+      round(pA - pB, 6).as("abs_lift"),
+      round(pA / pB, 6).as("rel_lift"),
+      round((pA - pB) / sqrt(pHat * (lit(1.0) - pHat) *
+        (lit(1.0) / col("n_a").cast(DoubleType)
+          + lit(1.0) / col("n_b").cast(DoubleType))), 6).as("z_score"))
+  }
+
+  val abLiftOracle: String =
+    """WITH users AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'purchase'
+      |      AND TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) >= 95
+      |      THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1),
+      |arms AS (
+      |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+      |    COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c
+      |  FROM users GROUP BY 1),
+      |row0 AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm = 'A' THEN n END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 'A' THEN c END) AS BIGINT) AS conv_a,
+      |    CAST(SUM(CASE WHEN arm = 'B' THEN n END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN arm = 'B' THEN c END) AS BIGINT) AS conv_b
+      |  FROM arms)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |  round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS p_a,
+      |  round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS p_b,
+      |  round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |    - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS abs_lift,
+      |  round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+      |    / (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)), 6) AS rel_lift,
+      |  round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |      - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+      |    AS z_score
+      |FROM row0""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("ops_gini", gini, Some(giniOracle)),
+    QueryDef("ops_trimmed_mean", trimmedMean, Some(trimmedMeanOracle)),
+    QueryDef("ops_chi2_assoc", chi2Assoc, Some(chi2AssocOracle)),
+    QueryDef("ops_spearman", spearman, Some(spearmanOracle)),
+    QueryDef("ops_ab_lift", abLift, Some(abLiftOracle)),
+  )
+}

@@ -820,7 +820,76 @@ object StreamingGates {
       |FROM dev d JOIN mad a USING (event_type)
       |ORDER BY d.event_type, d.hour""".stripMargin
 
+  /** Per-user-day TIME-WEIGHTED average value (TWAP — the standard
+    * market-data bar statistic, and the correct mean whenever samples
+    * arrive irregularly: an arithmetic mean over-weights bursts; the
+    * time-weighted one weights each observation by how long it was
+    * "in force", i.e. until the next observation). Each event's weight
+    * is the integer microsecond gap to the user's next event that day
+    * (lead over (ts, event_id) — the id breaks timestamp ties
+    * identically on both engines); the day's last event has no
+    * successor and drops out, exactly the bar-close convention.
+    *
+    * Float policy ([[graft.queries.LlmCuration.dsirWeights]]): values
+    * are exact micro-units (round(value·1e6) → BIGINT), weights exact
+    * micros; the weighted sum multiplies DECIMAL(38,0)×BIGINT (a
+    * BIGINT product can overflow at day-scale gaps: 8.6e10 µs × 4.9e8
+    * micro-units ≈ 4e19 > 2^63) and divides once in double.
+    * Degenerate all-zero-span days (every event at the same µs) are
+    * filtered relationally on both engines, so the ANSI division
+    * can't trap.
+    *
+    * Scale shape: one fact-sized window partitioned by (user, day) —
+    * the streaming-friendly partitioning: state per key is one lag —
+    * then a map-combined hash aggregate to user-days. No global sort,
+    * no second fact pass. The streaming twin of this shape is a
+    * flatMapGroupsWithState carrying the previous event per user
+    * ([[graft.streaming.EventsStream]] EWMA pattern).
+    */
+  def twap(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"),
+        col("event_id"), round(col("value") * 1000000).cast(LongType).as("vm"))
+      .withColumn("dur_us",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .filter(col("dur_us").isNotNull)
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur_us").cast(DecimalType(38, 0))).cast(LongType).as("span_us"),
+        sum(col("vm").cast(DecimalType(38, 0)) * col("dur_us")).as("wsum"))
+      .filter(col("span_us") > 0)
+      .select(col("user_id"), col("day"), col("n_intervals"), col("span_us"),
+        round(col("wsum").cast(DoubleType) / col("span_us").cast(DoubleType)
+          / 1000000.0, 6).as("twap"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val twapOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+      |    CAST(round("value" * 1000000) AS BIGINT) AS vm
+      |  FROM events),
+      |gaps AS (
+      |  SELECT user_id, day, vm,
+      |    epoch_us(lead(ts) OVER (PARTITION BY user_id, day
+      |      ORDER BY ts, event_id)) - epoch_us(ts) AS dur_us
+      |  FROM e),
+      |agg AS (
+      |  SELECT user_id, day, COUNT(*) AS n_intervals,
+      |    CAST(SUM(dur_us) AS BIGINT) AS span_us,
+      |    SUM(CAST(vm AS DECIMAL(38,0)) * dur_us) AS wsum
+      |  FROM gaps WHERE dur_us IS NOT NULL GROUP BY 1, 2)
+      |SELECT user_id, day, n_intervals, span_us,
+      |  round(CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE)
+      |    / 1000000.0, 6) AS twap
+      |FROM agg WHERE span_us > 0
+      |ORDER BY user_id, day""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st_twap", twap, Some(twapOracle)),
     QueryDef("st_mad_anomaly", madAnomaly, Some(madAnomalyOracle)),
     QueryDef("st_hourly_quantiles", hourlyQuantiles, Some(hourlyQuantilesOracle)),
     QueryDef("st_lag_autocorr", lagAutocorr, Some(lagAutocorrOracle)),

@@ -43,7 +43,15 @@ class PlanAuditSpec extends SparkSpec {
       // and the 10-bin grid — both domain-bounded
       "ops_psi_drift",
       // 4-row literal band dimension, lo<=x<hi non-equi lookup
-      "j4_band_join")
+      "j4_band_join",
+      // flags × literal 9-digit range grid completion — both sides
+      // domain-bounded (the digit side is a 9-row literal)
+      "ops_benford",
+      // segment × priority contingency grid completion + the 1-row
+      // dims aggregate — all domain-bounded
+      "ops_chi2_assoc",
+      // 1-row bigram-total aggregate broadcast onto the pair relation
+      "ta_npmi_colloc")
 
   // the oracle-less bench-only twins stay under the same plan audit:
   // they run in every bench even though they left the correctness map
@@ -56,6 +64,7 @@ class PlanAuditSpec extends SparkSpec {
       "gr_pagerank" -> ((s, d) => graft.queries.Graph.pageRankPlan(s, d)._1),
       "gr_khop" -> ((s, d) => graft.queries.Graph.kHopPlan(s, d)._1),
       "gr_triangles" -> ((s, d) => graft.queries.Graph.coTrianglesPlan(s, d)._1),
+      "gr_salsa" -> ((s, d) => graft.queries.Graph.salsaPlan(s, d)._1),
     )
 
   private def auditSurface: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
@@ -106,7 +115,13 @@ class PlanAuditSpec extends SparkSpec {
       "ops_psi_drift",
 
       "dd_embed_neardup", // centroid index table, K ≈ √n — see bnljAllowed
-      "dd_semdedup_keep") // same centroid broadcasts via assignCells
+      "dd_semdedup_keep", // same centroid broadcasts via assignCells
+      // 5-row per-type fence relation broadcast back (the psi precedent)
+      "ops_trimmed_mean",
+      // 5-row priority domain for grid completion + the 1-row dims agg
+      "ops_chi2_assoc",
+      // 1-row bigram-total aggregate
+      "ta_npmi_colloc")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>

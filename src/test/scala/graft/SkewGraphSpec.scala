@@ -91,8 +91,8 @@ class SkewGraphSpec extends SparkSpec {
     // reference: adjacency sets + per-node common-neighbor counting
     val edges = scala.collection.mutable.Set.empty[(Long, Long)]
     Tables.t(spark, dir, "lineitem")
-      .select(org.apache.spark.sql.functions.col("l_orderkey"),
-        org.apache.spark.sql.functions.col("l_partkey").cast("long"))
+      .select(col("l_orderkey"),
+        col("l_partkey").cast("long"))
       .collect().groupBy(_.getLong(0)).foreach { case (_, rs) =>
         val ps = rs.map(_.getLong(1)).distinct.sorted
         for (i <- ps.indices; j <- i + 1 until ps.length) edges += ((ps(i), ps(j)))
@@ -188,7 +188,7 @@ class SkewGraphSpec extends SparkSpec {
     // finalized() must release them once the truncated result lands
     spark.catalog.clearCache()
     Seq(Graph.pageRank(spark, dir), Graph.kHop(spark, dir),
-      Graph.coTriangles(spark, dir)).foreach { df =>
+      Graph.coTriangles(spark, dir), Graph.salsa(spark, dir)).foreach { df =>
       assert(spark.sharedState.cacheManager.isEmpty,
         "a graph query returned with cache entries still pinned")
       // the released result must still be fully consumable
@@ -197,12 +197,44 @@ class SkewGraphSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("SALSA: equals a driver-side integer replay; walk mass is conserved up to truncation") {
+    val got = Graph.salsa(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val trade = Tables.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val scale = 1000000000000L
+    val outdeg = trade.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val indeg = trade.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    var hub = outdeg.keys.map(c => c -> scale / outdeg.size).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      auth = trade.groupBy(_._2).view.mapValues(
+        _.map { case (c, _) => hub(c) / outdeg(c) }.sum).toMap
+      hub = trade.groupBy(_._1).view.mapValues(
+        _.map { case (_, p) => auth(p) / indeg(p) }.sum).toMap
+    }
+    assert(got.size === auth.size + hub.size)
+    auth.foreach { case (p, a) => assert(got(("supplier", p)) === a, s"supplier $p") }
+    hub.foreach { case (c, h) => assert(got(("customer", c)) === h, s"customer $c") }
+    // each integer division truncates < 1 unit per edge per sweep:
+    // 4 sweeps → total mass within 4·|E| of the starting Scale
+    val mass = hub.values.sum
+    val startMass = (scale / outdeg.size) * outdeg.size
+    assert(mass <= startMass && mass >= startMass - 4L * trade.length,
+      s"mass $mass vs start $startMass, E=${trade.length}")
+  }
+
   test("DSIR: target-domain docs weigh higher on average; per-source keeps are capped") {
     val rows = graft.queries.LlmCuration.dsirWeights(spark, "/root/testdata/sf0.01").collect()
     assert(rows.nonEmpty)
     val langBy = Tables.t(spark, "/root/testdata/sf0.01", "documents")
-      .select(org.apache.spark.sql.functions.col("doc_id"),
-        org.apache.spark.sql.functions.col("lang"))
+      .select(col("doc_id"),
+        col("lang"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val (en, rest) = rows.partition(r => langBy(r.getLong(0)) == "en")
     def mean(rs: Array[org.apache.spark.sql.Row]) =

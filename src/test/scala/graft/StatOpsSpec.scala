@@ -1,0 +1,205 @@
+package graft
+
+import graft.queries.StatOps
+import org.apache.spark.sql.functions._
+
+/** Invariants for the statistical-analysis operators beyond what their
+  * DuckDB oracles pin: closed-form identities re-derived driver-side
+  * from the raw data (exact integer arithmetic mirroring the operators'
+  * own float policy), plus the structural properties (complete grids,
+  * bounded statistics) a hash-match alone wouldn't explain.
+  */
+class StatOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("gini: bounded, complete, and equal to a driver-side reference per segment") {
+    val rows = StatOps.gini(spark, dir).collect()
+    assert(rows.map(_.getString(0)).distinct.length === rows.length)
+    rows.foreach { r =>
+      val g = r.getDouble(3)
+      assert(g >= 0.0 && g < 1.0, s"gini out of range: $r")
+    }
+    // driver reference: exact integer formula over collected spends
+    val spends = Tables.t(spark, dir, "orders")
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .groupBy("o_custkey").agg(sum(col("c")).as("cents"))
+      .join(Tables.t(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("cents")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    rows.foreach { r =>
+      val xs = spends(r.getString(0))
+      val n = xs.length.toLong
+      val s = xs.map(BigInt(_)).sum
+      val s1 = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      val want = math.rint(((2 * s1 - (n + 1) * s).toDouble / (n * s).toDouble) * 1e6) / 1e6
+      assert(r.getLong(1) === n && math.abs(r.getDouble(3) - want) < 1e-9,
+        s"$r vs $want")
+    }
+  }
+
+  test("trimmed mean: interior location, ~80% kept, agrees with a fence-filtered reference") {
+    val rows = StatOps.trimmedMean(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val fences = Tables.t(spark, dir, "events").groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.1)"), 6).as("lo"),
+        round(expr("percentile(value, 0.9)"), 6).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val vals = Tables.t(spark, dir, "events")
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1))).toMap
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val (lo, hi) = fences(t)
+      val kept = vals(t).filter(v => v >= lo && v <= hi)
+      assert(r.getLong(2) === kept.length.toLong, s"$t n_kept")
+      // ~80% interior (exact percentiles on ~2000 values)
+      assert(kept.length.toDouble / vals(t).length > 0.75 &&
+        kept.length.toDouble / vals(t).length < 0.85, s"$t kept fraction")
+      val want = math.rint(kept.map(v => math.rint(v * 1e6).toLong)
+        .map(BigInt(_)).sum.toDouble / kept.length.toDouble / 1e6 * 1e6) / 1e6
+      assert(math.abs(r.getDouble(3) - want) < 1e-9, s"$t: ${r.getDouble(3)} vs $want")
+      assert(r.getDouble(3) >= lo && r.getDouble(3) <= hi, s"$t: mean outside fences")
+    }
+  }
+
+  test("chi2: complete grid, marginal-consistent expectations, V in [0,1]") {
+    val rows = StatOps.chi2Assoc(spark, dir).collect()
+    val segs = rows.map(_.getString(0)).distinct
+    val pris = rows.map(_.getString(1)).distinct
+    assert(rows.length === segs.length * pris.length, "grid incomplete")
+    val n = rows.map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val rowTot = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val colTot = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val bigN = n.values.sum
+    rows.foreach { r =>
+      val e = (rowTot(r.getString(0)) * colTot(r.getString(1))).toDouble / bigN.toDouble
+      assert(math.abs(r.getDouble(3) - math.rint(e * 1e6) / 1e6) < 1e-9, s"expected: $r vs $e")
+      assert(r.getDouble(4) >= 0.0)
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0, s"cramers_v: $r")
+    }
+    // chi2 column is the (decimal) sum of the unrounded parts — re-derive
+    val parts = rows.map { r =>
+      val e = (rowTot(r.getString(0)) * colTot(r.getString(1))).toDouble / bigN.toDouble
+      val d = r.getLong(2).toDouble - e
+      d * d / e
+    }
+    assert(math.abs(rows.head.getDouble(5) - math.rint(parts.sum * 1e6) / 1e6) < 1e-5)
+  }
+
+  test("spearman: within [-1,1] and equal to an exact mid-rank reference") {
+    val rows = StatOps.spearman(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val data = Tables.t(spark, dir, "orders")
+      .join(Tables.t(spark, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("y")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("x"), col("y"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2)))).toMap
+    def ranks2(xs: Seq[Long]): Map[Long, Long] = {
+      // 2*mid-rank = 2*min_rank + ties - 1, exactly the operator's carry
+      val sorted = xs.sorted
+      val minRank = sorted.zipWithIndex.groupBy(_._1)
+        .view.mapValues(g => (g.map(_._2).min + 1).toLong).toMap
+      val cnt = xs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      xs.distinct.map(v => v -> (2 * minRank(v) + cnt(v) - 1)).toMap
+    }
+    rows.foreach { r =>
+      val rho = r.getDouble(2)
+      assert(rho >= -1.0 && rho <= 1.0, s"$r")
+      val pts = data(r.getString(0))
+      val rx = ranks2(pts.map(_._1))
+      val ry = ranks2(pts.map(_._2))
+      val n = BigInt(pts.length)
+      val xs = pts.map(p => BigInt(rx(p._1)))
+      val ys = pts.map(p => BigInt(ry(p._2)))
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxx = xs.map(v => v * v).sum
+      val syy = ys.map(v => v * v).sum
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val want = (n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble))
+      assert(math.abs(rho - math.rint(want * 1e6) / 1e6) < 1e-9,
+        s"${r.getString(0)}: $rho vs $want")
+    }
+  }
+
+  test("twap: equals an exact interval-weighted reference; bounded by the day's extremes") {
+    import graft.queries.StreamingGates
+    val small = "/root/testdata/sf0.001"
+    val rows = StreamingGates.twap(spark, small).collect()
+    assert(rows.nonEmpty)
+    val events = Tables.t(spark, small, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val byDay = events.groupBy(e => (e._1, e._2.toInstant
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate))
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getDate(1).toLocalDate)
+      val es = byDay(key).sortBy(e => (us(e._2), e._3))
+      val gaps = es.sliding(2).collect { case Array(a, b) =>
+        (math.rint(a._4 * 1e6).toLong, us(b._2) - us(a._2))
+      }.toSeq
+      val span = gaps.map(_._2).sum
+      assert(r.getLong(3) === span, s"span: $r")
+      assert(r.getLong(2) === gaps.length.toLong, s"n_intervals: $r")
+      val want = math.rint(gaps.map { case (vm, d) => BigInt(vm) * BigInt(d) }.sum.toDouble
+        / span.toDouble / 1e6 * 1e6) / 1e6
+      assert(math.abs(r.getDouble(4) - want) < 1e-9, s"twap: $r vs $want")
+      // bounded by the day's interior extremes (last event excluded)
+      val vs = es.dropRight(1).map(_._4)
+      assert(r.getDouble(4) >= vs.min - 1e-6 && r.getDouble(4) <= vs.max + 1e-6, r.toString)
+    }
+  }
+
+  test("npmi collocations: bounded to [-1,1], min-count respected, exact reference") {
+    import graft.queries.LlmCuration
+    val small = "/root/testdata/sf0.001"
+    val rows = LlmCuration.npmiColloc(spark, small).collect()
+    assert(rows.nonEmpty)
+    // reference counts from the raw corpus
+    val bigrams = Tables.t(spark, small, "documents")
+      .select(col("text")).collect().flatMap { r =>
+        val t = r.getString(0).split(" ")
+        t.dropRight(1).zip(t.drop(1))
+      }
+    val cb = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cp = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cw = bigrams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val b = bigrams.length.toLong
+    assert(rows.length === cb.count(_._2 >= 10), "output must be exactly the >=10 pairs")
+    rows.foreach { r =>
+      val (p, w) = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) >= 10, s"min count: $r")
+      assert(r.getLong(2) === cb((p, w)) && r.getLong(3) === cp(p) &&
+        r.getLong(4) === cw(w), s"counts: $r")
+      val want = math.rint(math.log(r.getLong(2).toDouble * b /
+        (cp(p).toDouble * cw(w).toDouble)) /
+        math.log(b.toDouble / r.getLong(2).toDouble) * 1e6) / 1e6
+      assert(math.abs(r.getDouble(5) - want) < 1e-9, s"$r vs $want")
+      assert(r.getDouble(5) >= -1.0 && r.getDouble(5) <= 1.0, r.toString)
+    }
+  }
+
+  test("ab lift: arms partition the users, z matches the pooled formula, sign agrees") {
+    val r = StatOps.abLift(spark, dir).collect().head
+    val (nA, cA, nB, cB) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val users = Tables.t(spark, dir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(nA + nB === users, "arms must partition the user set")
+    assert(cA <= nA && cB <= nB && cA > 0 && cB > 0, "conversion must be interior")
+    val (pA, pB) = (cA.toDouble / nA.toDouble, cB.toDouble / nB.toDouble)
+    assert(pA > 0 && pA < 1 && pB > 0 && pB < 1, "rates must be interior (z well-defined)")
+    val pHat = (cA + cB).toDouble / (nA + nB).toDouble
+    val z = (pA - pB) / math.sqrt(pHat * (1.0 - pHat) * (1.0 / nA + 1.0 / nB))
+    assert(math.abs(r.getDouble(8) - math.rint(z * 1e6) / 1e6) < 1e-9, s"z: $r vs $z")
+    assert(math.signum(r.getDouble(8)) === math.signum(r.getDouble(6)), "z sign vs lift sign")
+  }
+}
