@@ -278,6 +278,17 @@ object ScaleBench {
       "cu_dsir_weights" -> graft.queries.LlmCuration.dsirWeights _,
       "st_ewma" -> graft.queries.StreamingGates.ewmaSmooth _,
       "ops_winsorize" -> graft.queries.DataOps.winsorize _,
+      // round-11 statistical surface
+      "ops_gini" -> graft.queries.StatOps.gini _,
+      "ops_trimmed_mean" -> graft.queries.StatOps.trimmedMean _,
+      "ops_chi2_assoc" -> graft.queries.StatOps.chi2Assoc _,
+      "ops_spearman" -> graft.queries.StatOps.spearman _,
+      "ops_ab_lift" -> graft.queries.StatOps.abLift _,
+      "gr_salsa" -> graft.queries.Graph.salsa _,
+      "st_twap" -> graft.queries.StreamingGates.twap _,
+      "ta_npmi_colloc" -> graft.queries.LlmCuration.npmiColloc _,
+      "ops_mannwhitney" -> graft.queries.StatOps.mannWhitney _,
+      "gr_label_prop" -> graft.queries.Graph.labelProp _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

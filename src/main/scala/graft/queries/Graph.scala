@@ -613,6 +613,82 @@ object Graph {
        |SELECT node, rank, nbr, round(aa, 6) AS aa
        |FROM r WHERE rank <= $SimTopK ORDER BY node, rank""".stripMargin
 
+  private val LpaRounds = 3
+
+  /** Synchronous label-propagation community detection (Raghavan,
+    * Albert & Kumara 2007) over the thresholded co-occurrence support
+    * graph ([[supportEdges]] — the same graph k-core and the
+    * similarity family analyze): every node starts as its own label;
+    * each round it adopts the most frequent label among its neighbors,
+    * ties broken by the SMALLEST label — the deterministic variant of
+    * the usual random tie-break, run for a FIXED [[LpaRounds]] sweeps
+    * so the fixpoint question (plain LPA can oscillate under
+    * synchronous updates) never arises and the oracle can replay the
+    * exact rounds. Output: each node's community plus the community
+    * size — the partition a catalog team reads as "product families".
+    *
+    * Scale shape: per round, one edge⋈label join (label relation is
+    * node-sized) and one (node, label) hash aggregate, then a
+    * node-sized argmax window — PageRank's per-iteration cost with a
+    * top-1 WindowGroupLimit instead of a sum. Lineage is
+    * checkpoint-truncated per round ([[graft.plans.Checkpoint]]), the
+    * star-CC discipline.
+    */
+  def labelProp(s: SparkSession, dir: String): DataFrame = {
+    val (result, pinned) = labelPropPlan(s, dir)
+    finalized(result, pinned: _*)
+  }
+
+  /** Lazy plan + pinned frames — audit surface and [[labelProp]] body. */
+  private[graft] def labelPropPlan(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+    val edges = supportEdges(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (r <- 1 to LpaRounds) {
+      val counts = edges
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("n"))
+      val next = counts
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+            .orderBy(col("n").desc, col("label"))))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("label"))
+      labels = if (r < LpaRounds) graft.plans.Checkpoint.truncate(next) else next
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    val out = labels.join(sizes, "label")
+      .select(col("node"), col("label").as("community"), col("n_members"))
+      .orderBy(col("node"))
+    (out, Seq(edges))
+  }
+
+  val labelPropOracle: String = {
+    val round = (i: Int, prev: String) =>
+      s"""l$i AS (
+         |  SELECT src AS node, label FROM (
+         |    SELECT e.src, l.label, COUNT(*) AS n,
+         |      ROW_NUMBER() OVER (PARTITION BY e.src
+         |        ORDER BY COUNT(*) DESC, l.label) AS rn
+         |    FROM e JOIN $prev l ON e.dst = l.node
+         |    GROUP BY e.src, l.label)
+         |  WHERE rn = 1)"""
+    s"""WITH it AS (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+       |  FROM lineitem),
+       |pr AS (SELECT a.p AS x, b.p AS y, COUNT(*) AS w
+       |  FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupSql),
+       |e AS (SELECT x AS src, y AS dst FROM pr
+       |  UNION ALL SELECT y AS src, x AS dst FROM pr),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |${(1 to LpaRounds).map(i => round(i, s"l${i - 1}")).mkString(",\n")},
+       |sizes AS (SELECT label, COUNT(*) AS n_members FROM l$LpaRounds GROUP BY 1)
+       |SELECT l.node, l.label AS community, sizes.n_members
+       |FROM l$LpaRounds l JOIN sizes USING (label)
+       |ORDER BY l.node""".stripMargin
+  }
+
   private val SalsaIters = 2
 
   /** SALSA hub/authority scores over the DIRECTED bipartite trade
@@ -703,5 +779,6 @@ object Graph {
     QueryDef("gr_sim_neighbors", jaccardNeighbors, Some(jaccardNeighborsOracle)),
     QueryDef("gr_adamic_adar", adamicAdar, Some(adamicAdarOracle)),
     QueryDef("gr_salsa", salsa, Some(salsaOracle)),
+    QueryDef("gr_label_prop", labelProp, Some(labelPropOracle)),
   )
 }

@@ -387,11 +387,91 @@ object StatOps {
       |    AS z_score
       |FROM row0""".stripMargin
 
+  /** Mann–Whitney U rank-sum test (1947) of event value between the
+    * two [[abLift]] arms, per event type — the nonparametric
+    * complement to the proportion z-test: does arm A's CONTINUOUS
+    * metric stochastically dominate arm B's, with no normality
+    * assumption a heavy-tailed value column would violate. Mid-ranks
+    * ride the same INTEGER 2·rank carry as [[spearman]]; U_A derives
+    * from the rank sum (U = R_A − n_A(n_A+1)/2, kept as the exact
+    * even/odd-safe half of an integer), and the z-statistic uses the
+    * tie-corrected variance n_A·n_B/12 · ((N+1) − Σ(t³−t)/(N(N−1)))
+    * (Lehmann 1975), with the tie spectrum Σ(t³−t) summed exactly
+    * from integer tie counts.
+    *
+    * Scale shape: one fact-sized rank window per type (the spearman
+    * shape), one map-combined aggregate for the rank sums, one
+    * aggregate over the DISTINCT-value relation for the tie spectrum;
+    * the final formula runs on 5 rows.
+    */
+  def mannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+      .select(col("event_type").as("t"),
+        when(col("user_id") % 2 === 0, "A").otherwise("B").as("arm"),
+        col("value"))
+    val r2 = (lit(2) * rank().over(
+      Window.partitionBy(col("t")).orderBy(col("value")))
+      + count(lit(1)).over(Window.partitionBy(col("t"), col("value"))) - 1)
+      .cast(LongType)
+    val d = DecimalType(38, 0)
+    val agg = ev.withColumn("r2", r2)
+      .groupBy(col("t"))
+      .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === "A", col("r2").cast(d))).as("s2a"))
+    val ties = ev.groupBy(col("t"), col("value")).agg(count(lit(1)).as("tt"))
+      .groupBy(col("t"))
+      .agg(sum((col("tt") * col("tt") * col("tt") - col("tt")).cast(d)).as("tie3"))
+    val num2 = col("s2a") - col("n_a") * (col("n_a") + 1) - col("n_a") * col("n_b")
+    val bigN = col("n_a") + col("n_b")
+    val varU = (col("n_a") * col("n_b")).cast(DoubleType) / 12.0 *
+      ((bigN + 1).cast(DoubleType) -
+        col("tie3").cast(DoubleType) / (bigN * (bigN - 1)).cast(DoubleType))
+    agg.join(ties, "t")
+      .select(col("t").as("event_type"), col("n_a"), col("n_b"),
+        ((col("s2a") - col("n_a") * (col("n_a") + 1)).cast(DoubleType) / 2.0)
+          .as("u_a"),
+        round(num2.cast(DoubleType) / 2.0 / sqrt(varU), 6).as("z_score"))
+      .orderBy(col("event_type"))
+  }
+
+  val mannWhitneyOracle: String =
+    """WITH ev AS (
+      |  SELECT event_type AS t,
+      |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm, "value"
+      |  FROM events),
+      |r AS (
+      |  SELECT t, arm,
+      |    CAST(2 * rank() OVER (PARTITION BY t ORDER BY "value")
+      |      + COUNT(*) OVER (PARTITION BY t, "value") - 1 AS BIGINT) AS r2
+      |  FROM ev),
+      |agg AS (
+      |  SELECT t,
+      |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    SUM(CASE WHEN arm = 'A' THEN CAST(r2 AS DECIMAL(38,0)) END) AS s2a
+      |  FROM r GROUP BY 1),
+      |ties AS (
+      |  SELECT t, SUM(CAST(tt * tt * tt - tt AS DECIMAL(38,0))) AS tie3
+      |  FROM (SELECT t, "value", COUNT(*) AS tt FROM ev GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT agg.t AS event_type, agg.n_a, agg.n_b,
+      |  CAST(agg.s2a - agg.n_a * (agg.n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+      |  round(CAST(agg.s2a - agg.n_a * (agg.n_a + 1) - agg.n_a * agg.n_b AS DOUBLE)
+      |    / 2.0 / sqrt(CAST(agg.n_a * agg.n_b AS DOUBLE) / 12.0
+      |      * (CAST(agg.n_a + agg.n_b + 1 AS DOUBLE)
+      |        - CAST(ties.tie3 AS DOUBLE)
+      |          / CAST((agg.n_a + agg.n_b) * (agg.n_a + agg.n_b - 1) AS DOUBLE))),
+      |    6) AS z_score
+      |FROM agg JOIN ties ON agg.t = ties.t
+      |ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ops_gini", gini, Some(giniOracle)),
     QueryDef("ops_trimmed_mean", trimmedMean, Some(trimmedMeanOracle)),
     QueryDef("ops_chi2_assoc", chi2Assoc, Some(chi2AssocOracle)),
     QueryDef("ops_spearman", spearman, Some(spearmanOracle)),
     QueryDef("ops_ab_lift", abLift, Some(abLiftOracle)),
+    QueryDef("ops_mannwhitney", mannWhitney, Some(mannWhitneyOracle)),
   )
 }

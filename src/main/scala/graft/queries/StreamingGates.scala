@@ -846,11 +846,19 @@ object StreamingGates {
     * flatMapGroupsWithState carrying the previous event per user
     * ([[graft.streaming.EventsStream]] EWMA pattern).
     */
-  def twap(s: SparkSession, dir: String): DataFrame = {
+  def twap(s: SparkSession, dir: String): DataFrame =
+    twapOver(Tables.t(s, dir, "events"))
+
+  /** [[twap]] body over any (user_id, ts, event_id, value) relation —
+    * the shared projection the streaming twin replays
+    * ([[graft.streaming.EventsStream]] twapDaily; EventsStreamSpec
+    * parity).
+    */
+  private[graft] def twapOver(ev: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"), col("day"))
       .orderBy(col("ts"), col("event_id"))
-    Tables.t(s, dir, "events")
+    ev
       .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"),
         col("event_id"), round(col("value") * 1000000).cast(LongType).as("vm"))
       .withColumn("dur_us",

@@ -35,6 +35,14 @@ final case class TransState(lastTs: Long, lastId: Long, lastType: String)
   */
 final case class EwmaBuf(ts: List[Long], ids: List[Long], vs: List[Double])
 
+/** Open TWAP day per user for the streaming time-weighted-average
+  * emitter — top-level for the state encoder. `wsum` carries the exact
+  * Σ value_µunits × gap_µs as a decimal string (the product exceeds
+  * Long at day-scale gaps, mirroring the batch DECIMAL(38,0) column).
+  */
+final case class TwapBuf(dayMs: Long, lastUs: Long, lastId: Long,
+    lastVm: Long, wsum: String, spanUs: Long, nIntervals: Long)
+
 /** Buffered step timestamps (epoch ms) + last-activity time for
   * [[EventsStream.funnel]] — top-level for the state encoder, like
   * [[SessionState]].
@@ -264,6 +272,80 @@ object EventsStream {
         last.foreach { s =>
           state.update(s)
           state.setTimeoutTimestamp(math.max(s.lastTs + horizonMinutes * 60000L,
+            state.getCurrentWatermarkMs + 1))
+        }
+        out.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  final case class TwapRow(user_id: Long, day: java.sql.Date,
+      n_intervals: Long, span_us: Long, twap: Double)
+
+  /** Streaming twin of the batch `st_twap` gate: per-user-day
+    * time-weighted average emitted when the day CLOSES — either a
+    * later-day event arrives for the user, or the event-time timeout
+    * fires once the watermark passes the day boundary. State is one
+    * [[TwapBuf]] per user (the open day's last point + exact running
+    * sums) — O(1) forever. The arithmetic replays the batch column
+    * exactly: value micro-units via HALF_UP, exact BigInt Σ vm·gap_µs
+    * (the batch DECIMAL(38,0) column), one double division, HALF_UP
+    * round-6 — so an `AvailableNow` replay emits rows bit-equal to the
+    * batch aggregate for every closed day (EventsStreamSpec parity).
+    * Same straggler policy as [[ewma]]: an event at or before the
+    * buffered last point (or on an already-closed day) is dropped.
+    */
+  def twapDaily(events: Dataset[Event], graceMinutes: Int = 60): Dataset[TwapRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val DayMs = 86400000L
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    def micro(v: Double): Long =
+      BigDecimal(v * 1000000.0).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    def us(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
+    def close(userId: Long, b: TwapBuf): Option[TwapRow] =
+      if (b.spanUs > 0)
+        Some(TwapRow(userId, new java.sql.Date(b.dayMs), b.nIntervals, b.spanUs,
+          round6(BigInt(b.wsum).toDouble / b.spanUs.toDouble / 1000000.0)))
+      else None
+
+    def fn(userId: Long, rows: Iterator[Event],
+        state: GroupState[TwapBuf]): Iterator[TwapRow] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.flatMap(close(userId, _))
+        state.remove()
+        out.iterator
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+        var buf = state.getOption.orNull
+        val out = Seq.newBuilder[TwapRow]
+        sorted.foreach { e =>
+          val d = Math.floorDiv(e.ts.getTime, DayMs) * DayMs
+          val u = us(e.ts)
+          if (buf == null)
+            buf = TwapBuf(d, u, e.event_id, micro(e.value), "0", 0L, 0L)
+          else if (d > buf.dayMs) {
+            close(userId, buf).foreach(out += _)
+            buf = TwapBuf(d, u, e.event_id, micro(e.value), "0", 0L, 0L)
+          } else if (d == buf.dayMs &&
+              (u > buf.lastUs || (u == buf.lastUs && e.event_id > buf.lastId))) {
+            val dur = u - buf.lastUs
+            buf = TwapBuf(d, u, e.event_id, micro(e.value),
+              (BigInt(buf.wsum) + BigInt(buf.lastVm) * BigInt(dur)).toString,
+              buf.spanUs + dur, buf.nIntervals + 1)
+          } // closed-day or out-of-order straggler: dropped by policy
+        }
+        if (buf != null) {
+          state.update(buf)
+          state.setTimeoutTimestamp(math.max(
+            buf.dayMs + DayMs + graceMinutes * 60000L,
             state.getCurrentWatermarkMs + 1))
         }
         out.result().iterator

@@ -124,6 +124,47 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch === pairs)
   }
 
+  test("streaming TWAP: closed days are bit-equal to the batch aggregate; open day holds back") {
+    val in = tmpDir("tw-in"); val out = tmpDir("tw-out"); val ck = tmpDir("tw-ck")
+    // two full days per user + a day-3 sentinel that closes them all
+    val lines = Seq(
+      ev(1, 1, "view", 1.0, "2025-07-01T10:00:00Z"),
+      ev(1, 2, "view", 3.0, "2025-07-01T10:30:00Z"),
+      ev(1, 3, "view", 5.0, "2025-07-01T11:30:00Z"),  // day-1 close (no successor)
+      ev(1, 4, "view", 7.0, "2025-07-02T09:00:00Z"),  // later-day arrival closes day 1
+      ev(1, 5, "view", 9.0, "2025-07-02T10:00:00Z"),
+      ev(2, 6, "purchase", 10.0, "2025-07-01T08:00:00Z"),
+      ev(2, 7, "purchase", 20.0, "2025-07-01T20:00:00Z"),
+      ev(2, 8, "purchase", 0.5, "2025-07-02T23:59:00Z"), // single-event day: no row
+      ev(99, 999, "view", 0.0, "2025-07-03T12:00:00Z"),  // sentinel: watermark past day 2
+    )
+    Files.writeString(Paths.get(in, "events.jsonl"), lines.mkString("\n"))
+    import spark.implicits._
+    EventsStream.runToParquet(
+      EventsStream.twapDaily(EventsStream.parse(spark.readStream.text(in))).toDF(),
+      out, ck).awaitTermination(120000)
+
+    val got = spark.read.parquet(out)
+      .select(col("user_id"), col("day").cast("string"), col("n_intervals"),
+        col("span_us"), col("twap"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    // hand check, user 1 day 1: 1.0 for 30min + 3.0 for 60min over 90min
+    assert(got.contains((1L, "2025-07-01", 2L, 5400000000L,
+      math.rint((1.0 * 1800 + 3.0 * 3600) / 5400 * 1e6) / 1e6)))
+    // batch parity on every closed day (sentinel's open day excluded)
+    val batch = graft.queries.StreamingGates.twapOver(
+      EventsStream.parse(spark.read.text(in).select(col("value"))).toDF()
+        .filter(col("user_id") =!= 99))
+      .select(col("user_id"), col("day").cast("string"), col("n_intervals"),
+        col("span_us"), col("twap"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got === batch, s"streaming $got vs batch $batch")
+    // single-event and zero-span days emit nothing
+    assert(!got.exists(r => r._1 == 2L && r._2 == "2025-07-02"))
+  }
+
   test("streaming EWMA: batch parity on the fixture, head point is its own average") {
     val in = tmpDir("ew-in"); val out = tmpDir("ew-out"); val ck = tmpDir("ew-ck")
     writeInput(in)

@@ -65,6 +65,7 @@ class PlanAuditSpec extends SparkSpec {
       "gr_khop" -> ((s, d) => graft.queries.Graph.kHopPlan(s, d)._1),
       "gr_triangles" -> ((s, d) => graft.queries.Graph.coTrianglesPlan(s, d)._1),
       "gr_salsa" -> ((s, d) => graft.queries.Graph.salsaPlan(s, d)._1),
+      "gr_label_prop" -> ((s, d) => graft.queries.Graph.labelPropPlan(s, d)._1),
     )
 
   private def auditSurface: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =

@@ -188,7 +188,8 @@ class SkewGraphSpec extends SparkSpec {
     // finalized() must release them once the truncated result lands
     spark.catalog.clearCache()
     Seq(Graph.pageRank(spark, dir), Graph.kHop(spark, dir),
-      Graph.coTriangles(spark, dir), Graph.salsa(spark, dir)).foreach { df =>
+      Graph.coTriangles(spark, dir), Graph.salsa(spark, dir),
+      Graph.labelProp(spark, dir)).foreach { df =>
       assert(spark.sharedState.cacheManager.isEmpty,
         "a graph query returned with cache entries still pinned")
       // the released result must still be fully consumable
@@ -227,6 +228,31 @@ class SkewGraphSpec extends SparkSpec {
     val startMass = (scale / outdeg.size) * outdeg.size
     assert(mass <= startMass && mass >= startMass - 4L * trade.length,
       s"mass $mass vs start $startMass, E=${trade.length}")
+  }
+
+  test("label propagation: equals a driver-side 3-round sync replay; communities form") {
+    val rows = Graph.labelProp(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val edges = Graph.supportEdges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      labels = adj.map { case (n, nbrs) =>
+        val freq = nbrs.map(labels).groupBy(identity)
+          .view.mapValues(_.length).toMap
+        val best = freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+        n -> best
+      }
+    }
+    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === labels, "sync LPA replay diverges")
+    // sizes column is consistent with the label partition
+    val sizes = labels.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach(r => assert(r.getLong(2) === sizes(r.getLong(1)), r.toString))
+    // the propagation must actually merge nodes into communities
+    assert(labels.values.toSet.size < labels.size,
+      "every node kept its own label — no propagation happened")
   }
 
   test("DSIR: target-domain docs weigh higher on average; per-source keeps are capped") {

@@ -128,6 +128,39 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("mann-whitney: U identity, exact mid-rank reference, z sign tracks the rank sums") {
+    val rows = StatOps.mannWhitney(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val data = Tables.t(spark, dir, "events")
+      .select(col("event_type"), col("user_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1) % 2 == 0, r.getDouble(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val pts = data(r.getString(0))
+      val (nA, nB) = (pts.count(_._2).toLong, pts.count(!_._2).toLong)
+      assert(r.getLong(1) === nA && r.getLong(2) === nB)
+      // exact mid-ranks via the 2r carry
+      val sorted = pts.map(_._3).sorted
+      val minRank = sorted.zipWithIndex.groupBy(_._1)
+        .view.mapValues(g => (g.map(_._2).min + 1).toLong).toMap
+      val cnt = pts.map(_._3).groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val s2a = pts.filter(_._2).map(p => BigInt(2 * minRank(p._3) + cnt(p._3) - 1)).sum
+      val uA = (s2a - BigInt(nA) * BigInt(nA + 1)).toDouble / 2.0
+      assert(r.getDouble(3) === uA, s"u_a: $r vs $uA")
+      // U_A + U_B = n_A n_B (the rank-sum identity)
+      val s2b = pts.filterNot(_._2).map(p => BigInt(2 * minRank(p._3) + cnt(p._3) - 1)).sum
+      val uB = (s2b - BigInt(nB) * BigInt(nB + 1)).toDouble / 2.0
+      assert(uA + uB === (nA * nB).toDouble, s"U identity: $uA + $uB")
+      // z from the tie-corrected formula
+      val tie3 = cnt.values.map(t => BigInt(t) * t * t - t).sum
+      val n = nA + nB
+      val varU = (nA * nB).toDouble / 12.0 *
+        ((n + 1).toDouble - tie3.toDouble / (n * (n - 1)).toDouble)
+      val z = (uA - (nA * nB).toDouble / 2.0) / math.sqrt(varU)
+      assert(math.abs(r.getDouble(4) - math.rint(z * 1e6) / 1e6) < 1e-9, s"z: $r vs $z")
+    }
+  }
+
   test("twap: equals an exact interval-weighted reference; bounded by the day's extremes") {
     import graft.queries.StreamingGates
     val small = "/root/testdata/sf0.001"
