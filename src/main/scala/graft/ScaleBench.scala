@@ -289,6 +289,8 @@ object ScaleBench {
       "ta_npmi_colloc" -> graft.queries.LlmCuration.npmiColloc _,
       "ops_mannwhitney" -> graft.queries.StatOps.mannWhitney _,
       "gr_label_prop" -> graft.queries.Graph.labelProp _,
+      "ops_did" -> graft.queries.StatOps.didEstimate _,
+      "ops_cuped" -> graft.queries.StatOps.cuped _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

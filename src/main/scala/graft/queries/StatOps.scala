@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -466,6 +466,190 @@ object StatOps {
       |FROM agg JOIN ties ON agg.t = ties.t
       |ORDER BY event_type""".stripMargin
 
+  /** The deterministic experiment clock: the midpoint of the event
+    * stream's time span, derived relationally (one 1-row min/max
+    * aggregate, broadcast back) — both engines compute the same
+    * integer microsecond. Events strictly before it are "pre",
+    * the rest "post".
+    */
+  private def withPeriod(ev: DataFrame): DataFrame = {
+    // DIV, not "/": Spark's / on longs is DOUBLE division, and the
+    // micros sum exceeds 2^53 — the exact integer midpoint must match
+    // DuckDB's // to the microsecond
+    val bounds = ev.agg(expr(
+      "(min(unix_micros(ts)) + max(unix_micros(ts))) DIV 2").as("mid"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("period",
+        when(unix_micros(col("ts")) < col("mid"), "pre").otherwise("post"))
+  }
+
+  private val PeriodSql: String =
+    """SELECT CAST((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS BIGINT) AS mid
+      |  FROM events""".stripMargin
+
+  /** Difference-in-differences estimate of the arm effect on event
+    * value (Card & Krueger 1994's workhorse design): arms from the
+    * [[abLift]] user-parity bucketing, periods from the relational
+    * stream midpoint, cell means from exact micro-unit sums, and
+    * DID = (post_A − pre_A) − (post_B − pre_B) computed from the four
+    * UNROUNDED means in one fixed-order double expression — the
+    * estimator that nets out both the arm's level difference and the
+    * common time trend. One experiment row: cell counts, cell means,
+    * the two deltas, and the estimate.
+    *
+    * Scale shape: one 1-row bounds aggregate + one map-combined hash
+    * aggregate to the 4-cell grid; everything after runs on 4 rows.
+    */
+  def didEstimate(s: SparkSession, dir: String): DataFrame = {
+    val cells = withPeriod(Tables.t(s, dir, "events"))
+      .select(when(col("user_id") % 2 === 0, "A").otherwise("B").as("arm"),
+        col("period"),
+        round(col("value") * 1000000).cast(LongType).as("vm"))
+      .groupBy(col("arm"), col("period"))
+      .agg(count(lit(1)).as("n"), sum(col("vm").cast(DecimalType(38, 0))).as("sm"))
+    def cell(arm: String, period: String, f: String): Column =
+      sum(when(col("arm") === arm && col("period") === period, col(f)))
+    val row = cells.agg(
+      cell("A", "pre", "n").as("n_pre_a"), cell("A", "post", "n").as("n_post_a"),
+      cell("B", "pre", "n").as("n_pre_b"), cell("B", "post", "n").as("n_post_b"),
+      cell("A", "pre", "sm").as("s_pre_a"), cell("A", "post", "sm").as("s_post_a"),
+      cell("B", "pre", "sm").as("s_pre_b"), cell("B", "post", "sm").as("s_post_b"))
+    def mean(sm: String, n: String): Column =
+      col(sm).cast(DoubleType) / col(n).cast(DoubleType) / 1000000.0
+    val deltaA = mean("s_post_a", "n_post_a") - mean("s_pre_a", "n_pre_a")
+    val deltaB = mean("s_post_b", "n_post_b") - mean("s_pre_b", "n_pre_b")
+    row.select(col("n_pre_a"), col("n_post_a"), col("n_pre_b"), col("n_post_b"),
+      round(mean("s_pre_a", "n_pre_a"), 6).as("mean_pre_a"),
+      round(mean("s_post_a", "n_post_a"), 6).as("mean_post_a"),
+      round(mean("s_pre_b", "n_pre_b"), 6).as("mean_pre_b"),
+      round(mean("s_post_b", "n_post_b"), 6).as("mean_post_b"),
+      round(deltaA, 6).as("delta_a"), round(deltaB, 6).as("delta_b"),
+      round(deltaA - deltaB, 6).as("did"))
+  }
+
+  val didOracle: String = {
+    def m(sm: String, n: String) =
+      s"CAST($sm AS DOUBLE) / CAST($n AS DOUBLE) / 1000000.0"
+    val dA = s"(${m("s_post_a", "n_post_a")} - ${m("s_pre_a", "n_pre_a")})"
+    val dB = s"(${m("s_post_b", "n_post_b")} - ${m("s_pre_b", "n_pre_b")})"
+    s"""WITH mid AS ($PeriodSql),
+       |cells AS (
+       |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+       |    CASE WHEN epoch_us(ts) < mid.mid THEN 'pre' ELSE 'post' END AS period,
+       |    COUNT(*) AS n,
+       |    SUM(CAST(CAST(round("value" * 1000000) AS BIGINT) AS DECIMAL(38,0))) AS sm
+       |  FROM events CROSS JOIN mid GROUP BY 1, 2),
+       |row0 AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN arm = 'A' AND period = 'pre' THEN n END) AS BIGINT) AS n_pre_a,
+       |    CAST(SUM(CASE WHEN arm = 'A' AND period = 'post' THEN n END) AS BIGINT) AS n_post_a,
+       |    CAST(SUM(CASE WHEN arm = 'B' AND period = 'pre' THEN n END) AS BIGINT) AS n_pre_b,
+       |    CAST(SUM(CASE WHEN arm = 'B' AND period = 'post' THEN n END) AS BIGINT) AS n_post_b,
+       |    SUM(CASE WHEN arm = 'A' AND period = 'pre' THEN sm END) AS s_pre_a,
+       |    SUM(CASE WHEN arm = 'A' AND period = 'post' THEN sm END) AS s_post_a,
+       |    SUM(CASE WHEN arm = 'B' AND period = 'pre' THEN sm END) AS s_pre_b,
+       |    SUM(CASE WHEN arm = 'B' AND period = 'post' THEN sm END) AS s_post_b
+       |  FROM cells)
+       |SELECT n_pre_a, n_post_a, n_pre_b, n_post_b,
+       |  round(${m("s_pre_a", "n_pre_a")}, 6) AS mean_pre_a,
+       |  round(${m("s_post_a", "n_post_a")}, 6) AS mean_post_a,
+       |  round(${m("s_pre_b", "n_pre_b")}, 6) AS mean_pre_b,
+       |  round(${m("s_post_b", "n_post_b")}, 6) AS mean_post_b,
+       |  round($dA, 6) AS delta_a, round($dB, 6) AS delta_b,
+       |  round($dA - $dB, 6) AS did
+       |FROM row0""".stripMargin
+  }
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013):
+    * per-user PRE-period value as the covariate for the POST-period
+    * metric — the production experimentation technique that shrinks
+    * the A/B confidence interval without touching the treatment.
+    * θ = cov(x,y)/var(x) pooled over both arms, adjusted metric
+    * y − θ(x − x̄); reported per arm with the pooled θ and the
+    * squared correlation (the theoretical variance-reduction
+    * fraction). Per-user sums are exact micro-unit integers, the five
+    * moment sums aggregate as DECIMAL(38,0) (products of user sums
+    * overflow BIGINT), and θ/means cross to double in one fixed-order
+    * expression each.
+    *
+    * Scale shape: one fact hash aggregate to users, one 1-row moment
+    * aggregate + one 2-row arm aggregate joined back — nothing
+    * fact-sized after the first pass.
+    */
+  def cuped(s: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(38, 0)
+    val users = withPeriod(Tables.t(s, dir, "events"))
+      .select(col("user_id"),
+        when(col("user_id") % 2 === 0, "A").otherwise("B").as("arm"),
+        col("period"), round(col("value") * 1000000).cast(LongType).as("vm"))
+      .groupBy(col("user_id"), col("arm"))
+      .agg(coalesce(sum(when(col("period") === "pre", col("vm"))), lit(0L)).as("x"),
+        coalesce(sum(when(col("period") === "post", col("vm"))), lit(0L)).as("y"))
+    val moments = users.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(d)).as("sx"), sum(col("y").cast(d)).as("sy"),
+      sum((col("x").cast(d) * col("x"))).as("sxx"),
+      sum((col("y").cast(d) * col("y"))).as("syy"),
+      sum((col("x").cast(d) * col("y"))).as("sxy"))
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x").cast(d)).as("sxa"), sum(col("y").cast(d)).as("sya"))
+    val theta = (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+    val corr2 = ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) *
+      (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)) /
+      ((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) *
+        (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType))
+    val meanY = col("sya").cast(DoubleType) / col("n_users").cast(DoubleType)
+    val meanAdj = meanY - theta *
+      (col("sxa").cast(DoubleType) / col("n_users").cast(DoubleType) -
+        col("sx").cast(DoubleType) / col("n").cast(DoubleType))
+    arms.crossJoin(broadcast(moments))
+      .select(col("arm"), col("n_users"),
+        round(meanY / 1000000.0, 6).as("mean_post"),
+        round(meanAdj / 1000000.0, 6).as("mean_post_cuped"),
+        round(theta, 6).as("theta"),
+        round(corr2, 6).as("var_reduction"))
+      .orderBy(col("arm"))
+  }
+
+  val cupedOracle: String = {
+    val num = "CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)"
+    val denX = "CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)"
+    val denY = "CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE)"
+    s"""WITH mid AS ($PeriodSql),
+       |users AS (
+       |  SELECT user_id,
+       |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+       |    CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) < mid.mid
+       |      THEN CAST(round("value" * 1000000) AS BIGINT) END), 0) AS BIGINT) AS x,
+       |    CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) >= mid.mid
+       |      THEN CAST(round("value" * 1000000) AS BIGINT) END), 0) AS BIGINT) AS y
+       |  FROM events CROSS JOIN mid GROUP BY 1, 2),
+       |m AS (
+       |  SELECT COUNT(*) AS n,
+       |    SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+       |    SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+       |    SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+       |    SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+       |  FROM users),
+       |arms AS (
+       |  SELECT arm, COUNT(*) AS n_users,
+       |    SUM(CAST(x AS DECIMAL(38,0))) AS sxa, SUM(CAST(y AS DECIMAL(38,0))) AS sya
+       |  FROM users GROUP BY 1)
+       |SELECT arms.arm, arms.n_users,
+       |  round(CAST(arms.sya AS DOUBLE) / CAST(arms.n_users AS DOUBLE)
+       |    / 1000000.0, 6) AS mean_post,
+       |  round((CAST(arms.sya AS DOUBLE) / CAST(arms.n_users AS DOUBLE)
+       |    - ($num / $denX)
+       |      * (CAST(arms.sxa AS DOUBLE) / CAST(arms.n_users AS DOUBLE)
+       |        - CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE)))
+       |    / 1000000.0, 6) AS mean_post_cuped,
+       |  round($num / $denX, 6) AS theta,
+       |  round(($num * $num) / ($denX * $denY), 6) AS var_reduction
+       |FROM arms CROSS JOIN m
+       |ORDER BY arms.arm""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ops_gini", gini, Some(giniOracle)),
     QueryDef("ops_trimmed_mean", trimmedMean, Some(trimmedMeanOracle)),
@@ -473,5 +657,7 @@ object StatOps {
     QueryDef("ops_spearman", spearman, Some(spearmanOracle)),
     QueryDef("ops_ab_lift", abLift, Some(abLiftOracle)),
     QueryDef("ops_mannwhitney", mannWhitney, Some(mannWhitneyOracle)),
+    QueryDef("ops_did", didEstimate, Some(didOracle)),
+    QueryDef("ops_cuped", cuped, Some(cupedOracle)),
   )
 }

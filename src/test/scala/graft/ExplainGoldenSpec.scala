@@ -79,6 +79,38 @@ class ExplainGoldenSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("gr_salsa: checkpoint-truncated trade build under the cache, cached sweep scans, no window") {
+    val plan = executed(graft.queries.Graph.salsaPlan(spark, dir)._1)
+    // the persisted trade relation must bottom out at the checkpoint
+    // artifact (pageRank's r8 lesson: a cache miss must re-read
+    // blocks, never re-run the orders⋈lineitem distinct)
+    assert(plan.contains("ExistingRDD"),
+      s"trade build must be checkpoint-truncated:\n${plan.take(1000)}")
+    // every sweep joins the CACHED trade relation (2 iterations × 2
+    // sweeps, plus the degree relations derive from it)
+    assert(count(plan, "InMemoryTableScan") >= 4,
+      "sweeps must consume the cached trade relation")
+    assert(!plan.contains("Window"), "SALSA is pure join+aggregate, no window pass")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    spark.catalog.clearCache()
+  }
+
+  test("gr_label_prop: per-round checkpoints, cached edge scans, top-1 via group limit") {
+    val plan = executed(graft.queries.Graph.labelPropPlan(spark, dir)._1)
+    // rounds 1..n-1 are truncated: the final plan must read the
+    // previous round as an artifact, not re-derive 3 rounds of joins
+    assert(plan.contains("ExistingRDD"),
+      s"earlier rounds must enter as checkpoint artifacts:\n${plan.take(1000)}")
+    assert(count(plan, "InMemoryTableScan") >= 1,
+      "the final round must consume the cached edge relation")
+    // the rn=1 argmax filter must compile to the partial group-limit
+    // (map-side top-1 per node before the shuffle), not a full sort
+    assert(plan.contains("WindowGroupLimit"),
+      s"argmax must ride WindowGroupLimit:\n${plan.take(1000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    spark.catalog.clearCache()
+  }
+
   test("cu_pipeline_e2e: survivor stage is materialized once (checkpoint boundary)") {
     val plan = executed(graft.queries.LlmCuration.curationPipeline(spark, dir))
     // the quality+dedup survivor corpus feeds four consumers; the

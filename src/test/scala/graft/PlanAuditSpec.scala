@@ -51,7 +51,9 @@ class PlanAuditSpec extends SparkSpec {
       // dims aggregate — all domain-bounded
       "ops_chi2_assoc",
       // 1-row bigram-total aggregate broadcast onto the pair relation
-      "ta_npmi_colloc")
+      "ta_npmi_colloc",
+      // 1-row experiment-clock midpoint resp. pooled-moment aggregates
+      "ops_did", "ops_cuped")
 
   // the oracle-less bench-only twins stay under the same plan audit:
   // they run in every bench even though they left the correctness map
@@ -122,7 +124,9 @@ class PlanAuditSpec extends SparkSpec {
       // 5-row priority domain for grid completion + the 1-row dims agg
       "ops_chi2_assoc",
       // 1-row bigram-total aggregate
-      "ta_npmi_colloc")
+      "ta_npmi_colloc",
+      // 1-row experiment-clock midpoint resp. pooled-moment aggregates
+      "ops_did", "ops_cuped")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>

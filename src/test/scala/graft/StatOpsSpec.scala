@@ -161,6 +161,49 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("did: cells partition the events; estimate equals the four-mean identity") {
+    val r = StatOps.didEstimate(spark, dir).collect().head
+    val total = Tables.t(spark, dir, "events").count()
+    assert(r.getLong(0) + r.getLong(1) + r.getLong(2) + r.getLong(3) === total,
+      "arm×period cells must partition the event stream")
+    // the estimate is exactly (postA-preA)-(postB-preB) on the
+    // unrounded means — re-derive from raw micro sums
+    val ev = Tables.t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 1000000).cast("long").as("vm")).collect()
+      .map(e => (e.getLong(0), e.getLong(1), e.getLong(2)))
+    val mid = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    def cellMean(a: Boolean, pre: Boolean): Double = {
+      val c = ev.filter(e => (e._1 % 2 == 0) == a && (e._2 < mid) == pre)
+      c.map(e => BigInt(e._3)).sum.toDouble / c.length.toDouble / 1e6
+    }
+    val did = (cellMean(true, false) - cellMean(true, true)) -
+      (cellMean(false, false) - cellMean(false, true))
+    assert(math.abs(r.getDouble(10) - math.rint(did * 1e6) / 1e6) < 1e-9,
+      s"did: ${r.getDouble(10)} vs $did")
+    assert(math.abs(r.getDouble(4) - math.rint(cellMean(true, true) * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("cuped: theta from pooled moments; weighted adjusted mean preserves the pooled mean") {
+    val rows = StatOps.cuped(spark, dir).collect().sortBy(_.getString(0))
+    assert(rows.length === 2)
+    val theta = rows.head.getDouble(4)
+    assert(theta === rows.last.getDouble(4), "theta is pooled, same on both rows")
+    val vr = rows.head.getDouble(5)
+    assert(vr >= 0.0 && vr <= 1.0, s"var_reduction out of [0,1]: $vr")
+    // CUPED adjusts each arm by theta*(xbar_arm - xbar); user-weighted
+    // across arms those offsets cancel, so the pooled adjusted mean
+    // equals the pooled raw mean — the defining invariant of the method
+    val n = rows.map(_.getLong(1))
+    val pooledRaw = rows.zip(n).map { case (r, k) => r.getDouble(2) * k }.sum / n.sum
+    val pooledAdj = rows.zip(n).map { case (r, k) => r.getDouble(3) * k }.sum / n.sum
+    assert(math.abs(pooledRaw - pooledAdj) < 1e-4,
+      s"pooled mean must survive the adjustment: $pooledRaw vs $pooledAdj")
+    // the adjustment must actually move the per-arm means (covariate
+    // imbalance exists on this fixed corpus)
+    assert(rows.exists(r => r.getDouble(2) != r.getDouble(3)))
+  }
+
   test("twap: equals an exact interval-weighted reference; bounded by the day's extremes") {
     import graft.queries.StreamingGates
     val small = "/root/testdata/sf0.001"
