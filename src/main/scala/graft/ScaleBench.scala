@@ -291,6 +291,9 @@ object ScaleBench {
       "gr_label_prop" -> graft.queries.Graph.labelProp _,
       "ops_did" -> graft.queries.StatOps.didEstimate _,
       "ops_cuped" -> graft.queries.StatOps.cuped _,
+      "ops_woe_iv" -> graft.queries.StatOps.woeIv _,
+      "cu_target_encode" -> graft.queries.TrainingPrep.targetEncode _,
+      "cu_bpe_merges" -> graft.queries.TrainingPrep.bpeMerges _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

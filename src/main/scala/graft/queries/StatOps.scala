@@ -650,6 +650,84 @@ object StatOps {
        |ORDER BY arms.arm""".stripMargin
   }
 
+  /** Weight of evidence + information value (the credit-scoring
+    * feature screen, Siddiqi 2006): how well does the customer's
+    * market segment separate returned orders from clean ones?
+    * Per segment: WoE = ln((good_i/G)/(bad_i/B)), written as ONE ln
+    * over the exact integer cross-ratio good_i·B/(bad_i·G); the
+    * information value sums (good_i/G − bad_i/B)·WoE over segments
+    * through a DECIMAL(38,12) window (float policy). IV < 0.02 ⇒ the
+    * feature is useless — the screen a feature pipeline runs before
+    * paying for a high-cardinality encode ([[DataOps.psiDrift]]'s
+    * modeling-side sibling; same ln discipline).
+    *
+    * Scale shape: one distinct on the returned-order keys, one
+    * fact⋈dim join + left probe, one hash aggregate to the segment
+    * grid; the WoE/IV arithmetic runs on 5 rows.
+    */
+  def woeIv(s: SparkSession, dir: String): DataFrame = {
+    val returned = Tables.t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey")).distinct()
+    val flagged = Tables.t(s, dir, "orders")
+      .join(Tables.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("c_mktsegment").as("seg"),
+        when(col("l_orderkey").isNotNull, 1L).otherwise(0L).as("bad"))
+    val grid = flagged.groupBy(col("seg"))
+      .agg(sum(lit(1L) - col("bad")).as("n_good"), sum(col("bad")).as("n_bad"))
+    val wAll = Window.partitionBy()
+    val g = sum(col("n_good")).over(wAll)
+    val b = sum(col("n_bad")).over(wAll)
+    val woe = log((col("n_good") * b).cast(DoubleType)
+      / (col("n_bad") * g).cast(DoubleType))
+    val ivPart = (col("n_good").cast(DoubleType) / col("big_g").cast(DoubleType)
+      - col("n_bad").cast(DoubleType) / col("big_b").cast(DoubleType)) * col("woe0")
+    grid
+      .withColumn("big_g", g).withColumn("big_b", b)
+      .withColumn("woe0", woe)
+      .withColumn("iv_part0", ivPart)
+      .withColumn("iv0",
+        sum(col("iv_part0").cast(DecimalType(38, 12))).over(wAll).cast(DoubleType))
+      .select(col("seg").as("c_mktsegment"), col("n_good"), col("n_bad"),
+        round(col("woe0"), 6).as("woe"),
+        round(col("iv_part0"), 6).as("iv_part"),
+        round(col("iv0"), 6).as("iv"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val woeIvOracle: String =
+    """WITH ret AS (SELECT DISTINCT l_orderkey FROM lineitem
+      |  WHERE l_returnflag = 'R'),
+      |flagged AS (
+      |  SELECT c.c_mktsegment AS seg,
+      |    CASE WHEN r.l_orderkey IS NOT NULL THEN 1 ELSE 0 END AS bad
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  LEFT JOIN ret r ON o.o_orderkey = r.l_orderkey),
+      |grid AS (
+      |  SELECT seg, CAST(SUM(1 - bad) AS BIGINT) AS n_good,
+      |    CAST(SUM(bad) AS BIGINT) AS n_bad
+      |  FROM flagged GROUP BY 1),
+      |w AS (
+      |  SELECT seg, n_good, n_bad,
+      |    SUM(n_good) OVER () AS big_g, SUM(n_bad) OVER () AS big_b,
+      |    ln(CAST(n_good * SUM(n_bad) OVER () AS DOUBLE)
+      |      / CAST(n_bad * SUM(n_good) OVER () AS DOUBLE)) AS woe0
+      |  FROM grid),
+      |p AS (
+      |  SELECT *,
+      |    (CAST(n_good AS DOUBLE) / CAST(big_g AS DOUBLE)
+      |      - CAST(n_bad AS DOUBLE) / CAST(big_b AS DOUBLE)) * woe0 AS iv_part0
+      |  FROM w)
+      |SELECT seg AS c_mktsegment, n_good, n_bad,
+      |  round(woe0, 6) AS woe, round(iv_part0, 6) AS iv_part,
+      |  round(CAST(SUM(CAST(iv_part0 AS DECIMAL(38,12))) OVER () AS DOUBLE), 6)
+      |    AS iv
+      |FROM p ORDER BY c_mktsegment""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ops_gini", gini, Some(giniOracle)),
     QueryDef("ops_trimmed_mean", trimmedMean, Some(trimmedMeanOracle)),
@@ -659,5 +737,6 @@ object StatOps {
     QueryDef("ops_mannwhitney", mannWhitney, Some(mannWhitneyOracle)),
     QueryDef("ops_did", didEstimate, Some(didOracle)),
     QueryDef("ops_cuped", cuped, Some(cupedOracle)),
+    QueryDef("ops_woe_iv", woeIv, Some(woeIvOracle)),
   )
 }

@@ -251,7 +251,117 @@ object TrainingPrep {
       |FROM chunks GROUP BY 1, 2 HAVING COUNT(*) > 1
       |ORDER BY n_copies DESC, chunk_key""".stripMargin
 
+  private val BpeTopK = 20
+
+  /** First-iteration BPE merge candidates (Sennrich, Haddow & Birch
+    * 2016 — the training step of byte-pair-encoding tokenizers): the
+    * corpus-wide frequency of every ADJACENT CHARACTER PAIR inside a
+    * word, weighted by word frequency, ranked to the [[BpeTopK]]
+    * merge candidates. This is exactly the statistic a tokenizer
+    * trainer computes per merge round; one round is oracle-gateable
+    * because the argmax ranking (count desc, pair asc) is
+    * deterministic, where the full iterated trainer would need
+    * corpus rewrites between rounds.
+    *
+    * Scale shape: one corpus hash aggregate to the word-frequency
+    * VOCABULARY, then pair generation explodes only the distinct-word
+    * relation (positions ≤ word length), weighted by the carried
+    * frequency — the corpus text is scanned once and never re-read at
+    * pair granularity. Final top-k is a 1-group WindowGroupLimit over
+    * the pair-vocabulary relation.
+    */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val pairs = words
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(expr("substring(w, i, 2)").as("pair"), col("freq"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+    pairs
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy()
+          .orderBy(col("n").desc, col("pair"))))
+      .filter(col("rank") <= BpeTopK)
+      .select(col("rank").cast(LongType).as("rank"), col("pair"), col("n"))
+      .orderBy(col("rank"))
+  }
+
+  val bpeMergesOracle: String =
+    s"""WITH words AS (
+       |  SELECT w, COUNT(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) >= 2 GROUP BY 1),
+       |pairs AS (
+       |  SELECT substr(w, i, 2) AS pair, CAST(SUM(freq) AS BIGINT) AS n
+       |  FROM (SELECT w, freq, unnest(range(1, len(w))) AS i FROM words)
+       |  GROUP BY 1),
+       |ranked AS (
+       |  SELECT pair, n,
+       |    ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank
+       |  FROM pairs)
+       |SELECT CAST(rank AS BIGINT) AS rank, pair, n
+       |FROM ranked WHERE rank <= $BpeTopK ORDER BY rank""".stripMargin
+
+  private val EncodeFolds = 5
+
+  /** Leakage-free target encoding (the Kaggle/CatBoost device, see
+    * Micci-Barreca 2001): encode `o_orderpriority` by the mean order
+    * value, computed OUT-OF-FOLD — row in fold k gets the category
+    * mean over the other folds, (S_cat − S_cat,k)/(n_cat − n_cat,k) —
+    * so a model trained on the encoded column never sees its own
+    * row's target (the leak that makes naive target encoding
+    * overfit). Folds are the deterministic o_orderkey % 5. Spend is
+    * exact cents; the leave-fold-out mean is one double division per
+    * (category, fold) cell.
+    *
+    * Scale shape: one fact hash aggregate to the (category, fold)
+    * grid (25 cells); the leave-one-out arithmetic runs on the grid
+    * via two window sums. A 100 TB train set joins the 25-row encoded
+    * grid back by (category, fold) broadcast — this gate emits the
+    * grid itself (the reusable artifact).
+    */
+  def targetEncode(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.t(s, dir, "orders")
+      .select(col("o_orderpriority"),
+        (col("o_orderkey") % EncodeFolds).as("fold"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      .groupBy(col("o_orderpriority"), col("fold"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents").cast(DecimalType(38, 0))).as("sm"))
+    val wCat = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+    cells
+      .withColumn("n_cat", sum(col("n")).over(wCat))
+      .withColumn("s_cat", sum(col("sm")).over(wCat))
+      .select(col("o_orderpriority"), col("fold"), col("n").as("n_in_fold"),
+        round((col("s_cat") - col("sm")).cast(DoubleType)
+          / (col("n_cat") - col("n")).cast(DoubleType) / 100.0, 6)
+          .as("encoded"))
+      .orderBy(col("o_orderpriority"), col("fold"))
+  }
+
+  val targetEncodeOracle: String =
+    s"""WITH cells AS (
+       |  SELECT o_orderpriority, o_orderkey % $EncodeFolds AS fold,
+       |    COUNT(*) AS n,
+       |    SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS sm
+       |  FROM orders GROUP BY 1, 2),
+       |loo AS (
+       |  SELECT o_orderpriority, fold, n,
+       |    SUM(n) OVER (PARTITION BY o_orderpriority) AS n_cat,
+       |    SUM(sm) OVER (PARTITION BY o_orderpriority) AS s_cat, sm
+       |  FROM cells)
+       |SELECT o_orderpriority, fold, n AS n_in_fold,
+       |  round(CAST(s_cat - sm AS DOUBLE) / CAST(n_cat - n AS DOUBLE)
+       |    / 100.0, 6) AS encoded
+       |FROM loo ORDER BY o_orderpriority, fold""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("cu_bpe_merges", bpeMerges, Some(bpeMergesOracle)),
+    QueryDef("cu_target_encode", targetEncode, Some(targetEncodeOracle)),
     QueryDef("cu_cdc_chunk", cdcChunk, Some(cdcOracle)),
     QueryDef("cu_chunk_sliding", chunkSliding, Some(chunkOracle)),
     QueryDef("cu_contamination", contamination, Some(contaminationOracle)),

@@ -204,6 +204,72 @@ class StatOpsSpec extends SparkSpec {
     assert(rows.exists(r => r.getDouble(2) != r.getDouble(3)))
   }
 
+  test("woe/iv: cross-ratio identity, IV sums the parts, good+bad partitions the orders") {
+    val rows = StatOps.woeIv(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.t(spark, dir, "orders").count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === total,
+      "good+bad must partition the joined orders")
+    val g = rows.map(_.getLong(1)).sum
+    val b = rows.map(_.getLong(2)).sum
+    rows.foreach { r =>
+      val woe = math.log((r.getLong(1) * b).toDouble / (r.getLong(2) * g).toDouble)
+      assert(math.abs(r.getDouble(3) - math.rint(woe * 1e6) / 1e6) < 1e-9, s"woe: $r")
+      val part = (r.getLong(1).toDouble / g.toDouble - r.getLong(2).toDouble / b.toDouble) * woe
+      assert(math.abs(r.getDouble(4) - math.rint(part * 1e6) / 1e6) < 1e-9, s"part: $r")
+      // every iv_part is non-negative (sign of the two factors agrees)
+      assert(r.getDouble(4) >= 0.0, r.toString)
+    }
+    // IV column equals the decimal sum of unrounded parts
+    val ivRef = rows.map { r =>
+      val woe = math.log((r.getLong(1) * b).toDouble / (r.getLong(2) * g).toDouble)
+      (r.getLong(1).toDouble / g.toDouble - r.getLong(2).toDouble / b.toDouble) * woe
+    }.sum
+    assert(math.abs(rows.head.getDouble(5) - math.rint(ivRef * 1e6) / 1e6) < 1e-5)
+  }
+
+  test("target encode: out-of-fold means exclude the fold; grid covers category x fold") {
+    import graft.queries.TrainingPrep
+    val rows = TrainingPrep.targetEncode(spark, dir).collect()
+    val data = Tables.t(spark, dir, "orders")
+      .select(col("o_orderpriority"), (col("o_orderkey") % 5).as("fold"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val cats = data.map(_._1).distinct
+    assert(rows.length === cats.length * 5, "grid must cover category x fold")
+    rows.foreach { r =>
+      val (cat, fold) = (r.getString(0), r.getLong(1))
+      val out = data.filter(d => d._1 == cat && d._2 != fold)
+      val want = out.map(d => BigInt(d._3)).sum.toDouble / out.length.toDouble / 100.0
+      assert(math.abs(r.getDouble(3) - math.rint(want * 1e6) / 1e6) < 1e-9,
+        s"$cat/$fold: ${r.getDouble(3)} vs $want")
+      assert(r.getLong(2) === data.count(d => d._1 == cat && d._2 == fold).toLong)
+      // leakage check: the encoded value differs from the naive
+      // all-fold mean (the fold's own rows are genuinely excluded)
+      val all = data.filter(_._1 == cat)
+      val naive = all.map(d => BigInt(d._3)).sum.toDouble / all.length.toDouble / 100.0
+      assert(math.abs(want - naive) > 1e-9, s"$cat/$fold: no exclusion effect")
+    }
+  }
+
+  test("bpe merges: top-k pairs match a driver-side pair count; ranks dense") {
+    import graft.queries.TrainingPrep
+    val rows = TrainingPrep.bpeMerges(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 20L), "ranks must be dense 1..20")
+    val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text")).collect().foreach { r =>
+        r.getString(0).split(" ").filter(_.length >= 2).foreach { w =>
+          (0 until w.length - 1).foreach(i => counts(w.substring(i, i + 2)) += 1)
+        }
+      }
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    rows.zip(want).foreach { case (r, (p, n)) =>
+      assert(r.getString(1) === p && r.getLong(2) === n,
+        s"rank ${r.getLong(0)}: (${r.getString(1)},${r.getLong(2)}) vs ($p,$n)")
+    }
+  }
+
   test("twap: equals an exact interval-weighted reference; bounded by the day's extremes") {
     import graft.queries.StreamingGates
     val small = "/root/testdata/sf0.001"
