@@ -292,6 +292,8 @@ object ScaleBench {
       "ops_did" -> graft.queries.StatOps.didEstimate _,
       "ops_cuped" -> graft.queries.StatOps.cuped _,
       "ops_woe_iv" -> graft.queries.StatOps.woeIv _,
+      "ops_lorenz" -> graft.queries.StatOps.lorenzDeciles _,
+      "ops_survival_km" -> graft.queries.StatOps.survivalKm _,
       "cu_target_encode" -> graft.queries.TrainingPrep.targetEncode _,
       "cu_bpe_merges" -> graft.queries.TrainingPrep.bpeMerges _,
       // final TPC-H tranche (round 8)

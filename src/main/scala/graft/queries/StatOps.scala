@@ -728,6 +728,166 @@ object StatOps {
       |    AS iv
       |FROM p ORDER BY c_mktsegment""".stripMargin
 
+  /** Lorenz decile curve per market segment — [[gini]]'s readable
+    * companion: customers ranked by spend ascending, cut into NTILE
+    * deciles (deterministic (cents, custkey) order; both engines
+    * follow the SQL-standard "first n mod k buckets get the extra
+    * row" fill), each decile reporting its exact cent total and the
+    * CUMULATIVE share — the "bottom 80% of customers hold x% of
+    * revenue" curve, and the per-decile decomposition of where the
+    * Gini number comes from.
+    *
+    * Scale shape: same as gini — fact aggregate to customer spend,
+    * dim join, customer-sized rank window, then everything runs on
+    * the 5×10 decile grid (window sums over ≤50 rows).
+    */
+  def lorenzDeciles(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.t(s, dir, "orders")
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast(LongType).as("c"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("c").cast(DecimalType(38, 0))).cast(LongType).as("cents"))
+    val seg = spend
+      .join(Tables.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("decile", ntile(10).over(
+        Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("cents"), col("o_custkey"))))
+    val grid = seg.groupBy(col("c_mktsegment"), col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents").cast(DecimalType(38, 0))).as("sm"))
+    val wSeg = Window.partitionBy(col("c_mktsegment"))
+    grid
+      .withColumn("total", sum(col("sm")).over(wSeg))
+      .withColumn("cum", sum(col("sm")).over(
+        wSeg.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("c_mktsegment"), col("decile").cast(LongType).as("decile"),
+        col("n_customers"), col("sm").cast(LongType).as("decile_cents"),
+        round(col("cum").cast(DoubleType) / col("total").cast(DoubleType), 6)
+          .as("cum_share"))
+      .orderBy(col("c_mktsegment"), col("decile"))
+  }
+
+  val lorenzOracle: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |seg AS (
+      |  SELECT c.c_mktsegment, s.cents,
+      |    ntile(10) OVER (PARTITION BY c.c_mktsegment
+      |      ORDER BY s.cents, s.o_custkey) AS decile
+      |  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey),
+      |grid AS (
+      |  SELECT c_mktsegment, decile, COUNT(*) AS n_customers,
+      |    SUM(CAST(cents AS DECIMAL(38,0))) AS sm
+      |  FROM seg GROUP BY 1, 2)
+      |SELECT c_mktsegment, CAST(decile AS BIGINT) AS decile, n_customers,
+      |  CAST(sm AS BIGINT) AS decile_cents,
+      |  round(CAST(SUM(sm) OVER (PARTITION BY c_mktsegment ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(SUM(sm) OVER (PARTITION BY c_mktsegment) AS DOUBLE), 6)
+      |    AS cum_share
+      |FROM grid ORDER BY c_mktsegment, decile""".stripMargin
+
+  private val SurvivalCensorHours = 12
+
+  /** Kaplan–Meier survival curve (1958 product-limit estimator) of
+    * user LIFETIME in the event stream: lifetime = whole HOURS between
+    * a user's first and last event (the stream spans ~30 days — hour
+    * granularity gives the curve ~85 distinct steps where days would
+    * give 5); a user whose last event falls
+    * within [[SurvivalCensorHours]] of the stream end is CENSORED
+    * (still alive at the observation boundary — the right-censoring
+    * that makes naive "mean lifetime" estimates wrong and KM the
+    * standard fix). At each distinct churn time t: n_t = users still
+    * at risk (lifetime ≥ t), d_t = churns at t,
+    * S(t) = Π_{u≤t} (1 − d_u/n_u).
+    *
+    * Float policy ([[LlmCuration.dsirWeights]]): the product runs as
+    * exp(Σ ln(1 − d/n)) with each factor an exact integer ratio
+    * (n−d)/n divided once in double; the Σ aggregates the per-step
+    * ln as DECIMAL(38,12) through an ordered window (summation order
+    * fixed by construction); a cumulative factor of exactly zero
+    * (everyone at risk churns) short-circuits to S = 0 relationally
+    * on both engines, so ln(0) never evaluates.
+    *
+    * Scale shape: one fact hash aggregate to users, one aggregate to
+    * the distinct-lifetime grid; the risk-set and survival windows
+    * run over ≤|distinct lifetimes| rows.
+    */
+  def survivalKm(s: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600000000L
+    val users = Tables.t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+    val bounds = users.agg(max(col("last_us")).as("end_us"))
+    val lives = users.crossJoin(broadcast(bounds))
+      .select(expr(s"(last_us - first_us) DIV $HourUs").as("t"),
+        (col("last_us") < col("end_us") - SurvivalCensorHours * HourUs)
+          .cast(LongType).as("churn"))
+    val grid = lives.groupBy(col("t"))
+      .agg(count(lit(1)).as("c"), sum(col("churn")).as("d"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("n_risk", sum(col("c")).over(wDesc))
+      .filter(col("d") > 0)
+      .withColumn("lnf",
+        log((col("n_risk") - col("d")).cast(DoubleType)
+          / col("n_risk").cast(DoubleType)))
+      .withColumn("dead", min(col("n_risk") - col("d")).over(wAsc))
+      .withColumn("s_t",
+        when(col("dead") === 0, lit(0.0)).otherwise(
+          exp(sum(when(col("n_risk") > col("d"),
+            col("lnf").cast(DecimalType(38, 12)))).over(wAsc)
+            .cast(DoubleType))))
+      .select(col("t").as("t_hours"), col("n_risk"), col("d").as("n_churn"),
+        round(col("s_t"), 6).as("survival"))
+      .orderBy(col("t_hours"))
+  }
+
+  val survivalKmOracle: String =
+    s"""WITH users AS (
+       |  SELECT user_id, MIN(epoch_us(ts)) AS first_us,
+       |    MAX(epoch_us(ts)) AS last_us
+       |  FROM events GROUP BY 1),
+       |bounds AS (SELECT MAX(last_us) AS end_us FROM users),
+       |lives AS (
+       |  SELECT (last_us - first_us) // 3600000000 AS t,
+       |    CASE WHEN last_us < end_us - $SurvivalCensorHours * 3600000000
+       |      THEN 1 ELSE 0 END AS churn
+       |  FROM users CROSS JOIN bounds),
+       |grid AS (SELECT t, COUNT(*) AS c, CAST(SUM(churn) AS BIGINT) AS d
+       |  FROM lives GROUP BY 1),
+       |risk AS (
+       |  SELECT t, c, d,
+       |    CAST(SUM(c) OVER (ORDER BY t DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS n_risk
+       |  FROM grid),
+       |steps AS (
+       |  SELECT t, n_risk, d,
+       |    ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) AS lnf
+       |  FROM risk WHERE d > 0),
+       |acc AS (
+       |  SELECT t, n_risk, d,
+       |    MIN(n_risk - d) OVER (ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead,
+       |    SUM(CASE WHEN n_risk > d THEN CAST(lnf AS DECIMAL(38,12)) END)
+       |      OVER (ORDER BY t
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum
+       |  FROM steps)
+       |SELECT t AS t_hours, n_risk, d AS n_churn,
+       |  round(CASE WHEN dead = 0 THEN 0.0
+       |    ELSE exp(CAST(lnsum AS DOUBLE)) END, 6) AS survival
+       |FROM acc ORDER BY t_hours""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ops_gini", gini, Some(giniOracle)),
     QueryDef("ops_trimmed_mean", trimmedMean, Some(trimmedMeanOracle)),
@@ -738,5 +898,7 @@ object StatOps {
     QueryDef("ops_did", didEstimate, Some(didOracle)),
     QueryDef("ops_cuped", cuped, Some(cupedOracle)),
     QueryDef("ops_woe_iv", woeIv, Some(woeIvOracle)),
+    QueryDef("ops_lorenz", lorenzDeciles, Some(lorenzOracle)),
+    QueryDef("ops_survival_km", survivalKm, Some(survivalKmOracle)),
   )
 }

@@ -53,7 +53,9 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row bigram-total aggregate broadcast onto the pair relation
       "ta_npmi_colloc",
       // 1-row experiment-clock midpoint resp. pooled-moment aggregates
-      "ops_did", "ops_cuped")
+      "ops_did", "ops_cuped",
+      // 1-row observation-end aggregate against the user relation
+      "ops_survival_km")
 
   // the oracle-less bench-only twins stay under the same plan audit:
   // they run in every bench even though they left the correctness map
@@ -126,7 +128,9 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row bigram-total aggregate
       "ta_npmi_colloc",
       // 1-row experiment-clock midpoint resp. pooled-moment aggregates
-      "ops_did", "ops_cuped")
+      "ops_did", "ops_cuped",
+      // 1-row observation-end aggregate
+      "ops_survival_km")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>

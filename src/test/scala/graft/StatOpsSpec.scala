@@ -330,6 +330,59 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("lorenz: deciles partition each segment, cum_share monotone to 1, gini-consistent") {
+    val rows = StatOps.lorenzDeciles(spark, dir).collect()
+    val gin = StatOps.gini(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.groupBy(_.getString(0)).foreach { case (seg, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to 10L), s"$seg: deciles not dense")
+      assert(sorted.map(_.getLong(2)).sum === gin(seg)._1, s"$seg: customers must partition")
+      assert(sorted.map(_.getLong(3)).sum === gin(seg)._2, s"$seg: cents must partition")
+      val shares = sorted.map(_.getDouble(4))
+      shares.sliding(2).foreach(p => assert(p(0) <= p(1) + 1e-9, s"$seg: not monotone"))
+      assert(math.abs(shares.last - 1.0) < 1e-6, s"$seg: last share ${shares.last}")
+      // ascending-spend deciles ⇒ the curve sits under the diagonal
+      sorted.dropRight(1).foreach { r =>
+        assert(r.getDouble(4) <= r.getLong(1) / 10.0 + 1e-9,
+          s"$seg: Lorenz curve above the diagonal at $r")
+      }
+    }
+  }
+
+  test("survival: KM equals a driver-side product-limit replay; monotone non-increasing") {
+    val rows = StatOps.survivalKm(spark, dir).collect()
+    assert(rows.nonEmpty, "the censor horizon must leave observed churns")
+    val users = Tables.t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("f"), max(unix_micros(col("ts"))).as("l"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val end = users.map(_._2).max
+    val hourUs = 3600000000L
+    val lives = users.map { case (f, l) =>
+      ((l - f) / hourUs, l < end - 12 * hourUs)
+    }
+    // product-limit replay over distinct churn times
+    val churnTimes = lives.filter(_._2).map(_._1).distinct.sorted
+    var surv = 1.0
+    val want = churnTimes.map { t =>
+      val atRisk = lives.count(_._1 >= t).toLong
+      val churns = lives.count(x => x._1 == t && x._2).toLong
+      surv *= (atRisk - churns).toDouble / atRisk.toDouble
+      t -> ((atRisk, churns, surv))
+    }.toMap
+    assert(rows.length === churnTimes.length)
+    rows.foreach { r =>
+      val (n, d, sv) = want(r.getLong(0))
+      assert(r.getLong(1) === n && r.getLong(2) === d, s"risk set: $r")
+      // exp(Σln) replay vs sequential product: equal to float noise
+      assert(math.abs(r.getDouble(3) - sv) < 1e-6, s"$r vs $sv")
+    }
+    val ss = rows.sortBy(_.getLong(0)).map(_.getDouble(3))
+    ss.sliding(2).foreach(p => assert(p(0) >= p(1) - 1e-9, "S(t) must not increase"))
+    assert(ss.head < 1.0 && ss.last > 0.0, "curve must move and stay positive here")
+  }
+
   test("ab lift: arms partition the users, z matches the pooled formula, sign agrees") {
     val r = StatOps.abLift(spark, dir).collect().head
     val (nA, cA, nB, cB) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
