@@ -294,6 +294,8 @@ object ScaleBench {
       "ops_woe_iv" -> graft.queries.StatOps.woeIv _,
       "ops_lorenz" -> graft.queries.StatOps.lorenzDeciles _,
       "ops_survival_km" -> graft.queries.StatOps.survivalKm _,
+      "ops_ttest_welch" -> graft.queries.StatOps.welchTTest _,
+      "cu_span_corrupt" -> graft.queries.TrainingPrep.spanCorrupt _,
       "cu_target_encode" -> graft.queries.TrainingPrep.targetEncode _,
       "cu_bpe_merges" -> graft.queries.TrainingPrep.bpeMerges _,
       // final TPC-H tranche (round 8)

@@ -888,6 +888,91 @@ object StatOps {
        |    ELSE exp(CAST(lnsum AS DOUBLE)) END, 6) AS survival
        |FROM acc ORDER BY t_hours""".stripMargin
 
+  /** Welch's unequal-variance t-test (1947) of event value between
+    * the A/B arms per event type — the parametric member of the
+    * experiment-readout family ([[abLift]] proportions,
+    * [[mannWhitney]] ranks, this one means): t and the
+    * Welch–Satterthwaite degrees of freedom from per-arm moment sums
+    * of exact micro-units. The t statistic is scale-invariant, so the
+    * whole computation stays in micro-units (no /1e6 until the
+    * reported means); sample variances use the n·Σx²−(Σx)² form over
+    * DECIMAL sums with one double crossing each.
+    *
+    * Scale shape: one map-combined fact aggregate to the (type, arm)
+    * grid; the test arithmetic runs on 5 rows.
+    */
+  def welchTTest(s: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(38, 0)
+    val grid = Tables.t(s, dir, "events")
+      .select(col("event_type").as("t"),
+        when(col("user_id") % 2 === 0, "A").otherwise("B").as("arm"),
+        round(col("value") * 1000000).cast(LongType).as("vm"))
+      .groupBy(col("t"), col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("vm").cast(d)).as("sx"),
+        sum((col("vm").cast(d) * col("vm"))).as("sxx"))
+    def pick(arm: String, f: String): Column =
+      sum(when(col("arm") === arm, col(f)))
+    val row = grid.groupBy(col("t"))
+      .agg(pick("A", "n").as("n_a"), pick("A", "sx").as("sx_a"),
+        pick("A", "sxx").as("sxx_a"),
+        pick("B", "n").as("n_b"), pick("B", "sx").as("sx_b"),
+        pick("B", "sxx").as("sxx_b"))
+    def va(n: String, sx: String, sxx: String): Column =
+      (col(n) * col(sxx) - col(sx) * col(sx)).cast(DoubleType) /
+        (col(n) * (col(n) - 1)).cast(DoubleType)
+    val seA = va("n_a", "sx_a", "sxx_a") / col("n_a").cast(DoubleType)
+    val seB = va("n_b", "sx_b", "sxx_b") / col("n_b").cast(DoubleType)
+    val tStat = (col("sx_a").cast(DoubleType) / col("n_a").cast(DoubleType)
+      - col("sx_b").cast(DoubleType) / col("n_b").cast(DoubleType)) /
+      sqrt(seA + seB)
+    val dof = (seA + seB) * (seA + seB) /
+      (seA * seA / (col("n_a") - 1).cast(DoubleType)
+        + seB * seB / (col("n_b") - 1).cast(DoubleType))
+    row.select(col("t").as("event_type"), col("n_a").cast(LongType).as("n_a"),
+      col("n_b").cast(LongType).as("n_b"),
+      round(col("sx_a").cast(DoubleType) / col("n_a").cast(DoubleType)
+        / 1000000.0, 6).as("mean_a"),
+      round(col("sx_b").cast(DoubleType) / col("n_b").cast(DoubleType)
+        / 1000000.0, 6).as("mean_b"),
+      round(tStat, 6).as("t_stat"), round(dof, 6).as("dof"))
+      .orderBy(col("event_type"))
+  }
+
+  val welchOracle: String = {
+    val vA = "(CAST(n_a * sxx_a - sx_a * sx_a AS DOUBLE) / CAST(n_a * (n_a - 1) AS DOUBLE) / CAST(n_a AS DOUBLE))"
+    val vB = "(CAST(n_b * sxx_b - sx_b * sx_b AS DOUBLE) / CAST(n_b * (n_b - 1) AS DOUBLE) / CAST(n_b AS DOUBLE))"
+    s"""WITH ev AS (
+       |  SELECT event_type AS t,
+       |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+       |    CAST(round("value" * 1000000) AS BIGINT) AS vm
+       |  FROM events),
+       |grid AS (
+       |  SELECT t, arm, COUNT(*) AS n,
+       |    SUM(CAST(vm AS DECIMAL(38,0))) AS sx,
+       |    SUM(CAST(vm AS DECIMAL(38,0)) * vm) AS sxx
+       |  FROM ev GROUP BY 1, 2),
+       |row0 AS (
+       |  SELECT t,
+       |    SUM(CASE WHEN arm = 'A' THEN n END) AS n_a,
+       |    SUM(CASE WHEN arm = 'A' THEN sx END) AS sx_a,
+       |    SUM(CASE WHEN arm = 'A' THEN sxx END) AS sxx_a,
+       |    SUM(CASE WHEN arm = 'B' THEN n END) AS n_b,
+       |    SUM(CASE WHEN arm = 'B' THEN sx END) AS sx_b,
+       |    SUM(CASE WHEN arm = 'B' THEN sxx END) AS sxx_b
+       |  FROM grid GROUP BY 1)
+       |SELECT t AS event_type, CAST(n_a AS BIGINT) AS n_a,
+       |  CAST(n_b AS BIGINT) AS n_b,
+       |  round(CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 1000000.0, 6) AS mean_a,
+       |  round(CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 1000000.0, 6) AS mean_b,
+       |  round((CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+       |      - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+       |    / sqrt($vA + $vB), 6) AS t_stat,
+       |  round(($vA + $vB) * ($vA + $vB)
+       |    / ($vA * $vA / CAST(n_a - 1 AS DOUBLE)
+       |      + $vB * $vB / CAST(n_b - 1 AS DOUBLE)), 6) AS dof
+       |FROM row0 ORDER BY event_type""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ops_gini", gini, Some(giniOracle)),
     QueryDef("ops_trimmed_mean", trimmedMean, Some(trimmedMeanOracle)),
@@ -900,5 +985,6 @@ object StatOps {
     QueryDef("ops_woe_iv", woeIv, Some(woeIvOracle)),
     QueryDef("ops_lorenz", lorenzDeciles, Some(lorenzOracle)),
     QueryDef("ops_survival_km", survivalKm, Some(survivalKmOracle)),
+    QueryDef("ops_ttest_welch", welchTTest, Some(welchOracle)),
   )
 }

@@ -359,7 +359,80 @@ object TrainingPrep {
        |    / 100.0, 6) AS encoded
        |FROM loo ORDER BY o_orderpriority, fold""".stripMargin
 
+  private val SpanBlock = 3  // tokens per maskable block
+  private val SpanMod = 7    // 1-in-7 blocks masked → ~14% of tokens
+
+  /** T5-style span-corruption masking plan (Raffel et al. 2020 §3.1.4
+    * — the denoising objective's data prep): each document's tokens
+    * partition into [[SpanBlock]]-token blocks; a deterministic hash
+    * of (doc_id, block) masks 1 in [[SpanMod]] blocks (≈14% of
+    * tokens, T5's 15% target). The gate emits the (input, target)
+    * pair a trainer consumes: input = the text with each masked block
+    * replaced by the `<X>` sentinel, target = the masked blocks
+    * joined by the sentinel. Fixed-width blocks make span selection
+    * OVERLAP-FREE by construction — hash-selected variable spans need
+    * a stateful resolve that no relational expression replays — and
+    * the hash-rank device ([[LlmCuration.groupSample]]'s h60) makes
+    * the mask consistent across reruns and engines.
+    *
+    * Scale shape: one explode to (doc, block) — bounded by token
+    * count / block width — one hash aggregate back to documents with
+    * ordered array folds for the two texts. No windows, no joins,
+    * embarrassingly parallel.
+    */
+  def spanCorrupt(s: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val blocks = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), size(t).as("n_tokens"),
+        // DIV, not "/": Column division on ints is DOUBLE division
+        explode(expr(
+          s"sequence(0, (size(split(text, ' ')) - 1) DIV $SpanBlock)")).as("blk"),
+        t.as("tk"))
+      .select(col("doc_id"), col("n_tokens"), col("blk"),
+        concat_ws(" ",
+          slice(col("tk"), col("blk") * SpanBlock + 1, lit(SpanBlock)))
+          .as("btext"),
+        (Sketches.h60(concat_ws(":", col("doc_id"), col("blk"), lit("t5")))
+          % SpanMod === 0).as("masked"))
+    blocks.groupBy(col("doc_id"), col("n_tokens"))
+      .agg(
+        sum(when(col("masked"),
+          size(split(col("btext"), " "))).otherwise(0)).cast(LongType)
+          .as("n_masked_tokens"),
+        array_join(transform(array_sort(collect_list(struct(col("blk"),
+          when(col("masked"), lit("<X>")).otherwise(col("btext")).as("seg")))),
+          x => x("seg")), " ").as("input_text"),
+        array_join(transform(array_sort(collect_list(
+          when(col("masked"), struct(col("blk"), col("btext").as("seg"))))),
+          x => x("seg")), "<X>").as("target_text"))
+      .select(col("doc_id"), col("n_tokens").cast(LongType).as("n_tokens"),
+        col("n_masked_tokens"), col("input_text"), col("target_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val spanCorruptOracle: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |blocks AS (
+       |  SELECT doc_id, len(t) AS n_tokens, blk,
+       |    array_to_string(t[blk * $SpanBlock + 1 : blk * $SpanBlock + $SpanBlock], ' ')
+       |      AS btext,
+       |    (${graft.queries.Sketches.h60Sql(
+             s"CAST(doc_id AS VARCHAR) || ':' || CAST(blk AS VARCHAR) || ':t5'")})
+       |      % $SpanMod = 0 AS masked
+       |  FROM (SELECT doc_id, t, unnest(range(0, (len(t) - 1) // $SpanBlock + 1)) AS blk
+       |    FROM tok))
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN masked THEN len(string_split(btext, ' '))
+       |    ELSE 0 END) AS BIGINT) AS n_masked_tokens,
+       |  string_agg(CASE WHEN masked THEN '<X>' ELSE btext END, ' '
+       |    ORDER BY blk) AS input_text,
+       |  COALESCE(string_agg(CASE WHEN masked THEN btext END, '<X>'
+       |    ORDER BY blk), '') AS target_text
+       |FROM blocks GROUP BY doc_id, n_tokens
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("cu_span_corrupt", spanCorrupt, Some(spanCorruptOracle)),
     QueryDef("cu_bpe_merges", bpeMerges, Some(bpeMergesOracle)),
     QueryDef("cu_target_encode", targetEncode, Some(targetEncodeOracle)),
     QueryDef("cu_cdc_chunk", cdcChunk, Some(cdcOracle)),

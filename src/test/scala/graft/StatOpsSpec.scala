@@ -383,6 +383,71 @@ class StatOpsSpec extends SparkSpec {
     assert(ss.head < 1.0 && ss.last > 0.0, "curve must move and stay positive here")
   }
 
+  test("welch t: exact moment reference, dof between min(n)-1 and n_a+n_b-2") {
+    val rows = StatOps.welchTTest(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val data = Tables.t(spark, dir, "events")
+      .select(col("event_type"), (col("user_id") % 2 === 0).as("a"),
+        round(col("value") * 1000000).cast("long").as("vm")).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2))).groupBy(_._1)
+    rows.foreach { r =>
+      val pts = data(r.getString(0))
+      def arm(a: Boolean) = {
+        val xs = pts.filter(_._2 == a).map(_._3)
+        val n = xs.length.toLong
+        val sx = xs.map(BigInt(_)).sum
+        val sxx = xs.map(x => BigInt(x) * x).sum
+        val se = (BigInt(n) * sxx - sx * sx).toDouble / (n * (n - 1)).toDouble / n.toDouble
+        (n, sx.toDouble / n.toDouble, se)
+      }
+      val (na, ma, sea) = arm(true); val (nb, mb, seb) = arm(false)
+      assert(r.getLong(1) === na && r.getLong(2) === nb)
+      val t = (ma - mb) / math.sqrt(sea + seb)
+      assert(math.abs(r.getDouble(5) - math.rint(t * 1e6) / 1e6) < 1e-9, s"t: $r vs $t")
+      val dof = (sea + seb) * (sea + seb) /
+        (sea * sea / (na - 1).toDouble + seb * seb / (nb - 1).toDouble)
+      assert(math.abs(r.getDouble(6) - math.rint(dof * 1e6) / 1e6) < 1e-9, s"dof: $r")
+      // Welch dof bracket
+      assert(r.getDouble(6) >= math.min(na, nb).toDouble - 1 - 1e-6 &&
+        r.getDouble(6) <= (na + nb).toDouble - 2 + 1e-6, s"dof bracket: $r")
+      assert(math.signum(r.getDouble(5)) ===
+        math.signum(r.getDouble(3) - r.getDouble(4)), "t sign vs mean diff")
+    }
+  }
+
+  test("span corruption: substituting targets back into the input reconstructs the doc") {
+    import graft.queries.TrainingPrep
+    val small = "/root/testdata/sf0.001"
+    val rows = TrainingPrep.spanCorrupt(spark, small).collect()
+    val texts = Tables.t(spark, small, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length === texts.size, "every document gets a row")
+    var totalTokens = 0L; var totalMasked = 0L
+    rows.foreach { r =>
+      val (input, target) = (r.getString(3), r.getString(4))
+      val original = texts(r.getLong(0))
+      // round-trip: fill each <X> sentinel with the next target block
+      val targets = if (target.isEmpty) Array.empty[String]
+        else target.split("<X>", -1)
+      assert(input.sliding(3).count(_ == "<X>") === targets.length,
+        s"doc ${r.getLong(0)}: sentinel/target count mismatch")
+      val it = targets.iterator
+      val rebuilt = input.split(" ", -1)
+        .flatMap(seg =>
+          if (seg == "<X>") it.next().split(" ", -1).toSeq else Seq(seg))
+        .mkString(" ")
+      assert(rebuilt === original, s"doc ${r.getLong(0)}: reconstruction failed")
+      assert(r.getLong(1) === original.split(" ").length.toLong)
+      val maskedCount = targets.map(t => if (t.isEmpty) 0 else t.split(" ").length).sum
+      assert(r.getLong(2) === maskedCount.toLong, s"doc ${r.getLong(0)}: masked count")
+      totalTokens += r.getLong(1); totalMasked += r.getLong(2)
+    }
+    // ~1/7 of blocks masked → masked token share in a loose band
+    val share = totalMasked.toDouble / totalTokens.toDouble
+    assert(share > 0.07 && share < 0.22, s"masked share $share outside band")
+  }
+
   test("ab lift: arms partition the users, z matches the pooled formula, sign agrees") {
     val r = StatOps.abLift(spark, dir).collect().head
     val (nA, cA, nB, cB) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
