@@ -295,6 +295,7 @@ object ScaleBench {
       "ops_lorenz" -> graft.queries.StatOps.lorenzDeciles _,
       "ops_survival_km" -> graft.queries.StatOps.survivalKm _,
       "ops_ttest_welch" -> graft.queries.StatOps.welchTTest _,
+      "ta_hybrid_rrf" -> graft.queries.Retrieval.hybridRrf _,
       "cu_span_corrupt" -> graft.queries.TrainingPrep.spanCorrupt _,
       "cu_target_encode" -> graft.queries.TrainingPrep.targetEncode _,
       "cu_bpe_merges" -> graft.queries.TrainingPrep.bpeMerges _,

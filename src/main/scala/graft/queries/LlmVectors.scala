@@ -46,7 +46,7 @@ object LlmVectors {
     * (method limits / CodegenFallback) and cost ~10x on the
     * candidate-verification hot path.
     */
-  private def dot(a: Column, b: Column): Column =
+  private[graft] def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.vecDot(a, b)
 
   /** Brute-force cosine top-k: tiny query side broadcast against one

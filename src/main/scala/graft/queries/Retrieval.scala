@@ -90,7 +90,108 @@ object Retrieval {
        |SELECT qterm, rank, doc_id, round(score, 6) AS bm25
        |FROM ranked WHERE rank <= $TopK ORDER BY qterm, rank""".stripMargin
 
+  private val RrfK = 60
+
+  /** Hybrid lexical+semantic retrieval via reciprocal rank fusion
+    * (Cormack, Clarke & Buettcher, SIGIR 2009 — the fusion rule every
+    * production hybrid-search stack ships because it needs NO score
+    * calibration between systems): the lexical list is [[bm25TopK]];
+    * the semantic list is cosine top-k to each query's EXEMPLAR — its
+    * #1 BM25 hit's embedding (pseudo-relevance feedback: "more like
+    * the best match"; the corpus has no text→vector encoder, and this
+    * is the standard more-like-this device). Fused score
+    * = Σ 1/([[RrfK]]+rank) over the lists that contain the doc —
+    * rank-only, so the BM25 and cosine scales never meet.
+    *
+    * Determinism: each RRF term is 1.0/(60+integer rank) — two exact
+    * small-int divisions summed in written order; ranking over
+    * round(,9) with doc-id tie-breaks (the [[LlmVectors.topkExact]]
+    * device) on both the input lists and the fused list.
+    *
+    * Scale shape: BM25's plan (postings + broadcast query join), one
+    * 5-row exemplar⋈embeddings broadcast, one corpus×5 cosine scan
+    * with a WindowGroupLimit top-k, and a list-sized (≤ 2·5·k rows)
+    * full outer join for the fusion. Nothing new is corpus-sized.
+    */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val lex = bm25TopK(s, dir)
+      .select(col("qterm"), col("rank").as("lex_rank"), col("doc_id"))
+    val emb = LlmVectors.embRelation(s, dir)
+    val exemplar = lex.filter(col("lex_rank") === 1)
+      .join(emb.select(col("vec_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm")), col("doc_id") === col("vec_id"))
+      .select(col("qterm").as("sq"), col("q_emb"), col("q_nrm"))
+    val cos = LlmVectors.dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))
+    val wSem = Window.partitionBy(col("sq"))
+      .orderBy(round(col("cos"), 9).desc, col("vec_id"))
+    val sem = emb.crossJoin(broadcast(exemplar))
+      .withColumn("cos", cos)
+      .withColumn("sem_rank", row_number().over(wSem))
+      .filter(col("sem_rank") <= TopK)
+      .select(col("sq").as("qterm"), col("sem_rank"),
+        col("vec_id").as("doc_id"))
+    val fusedScore =
+      coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")).cast("double"), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(RrfK) + col("sem_rank")).cast("double"), lit(0.0))
+    val wFused = Window.partitionBy(col("qterm"))
+      .orderBy(round(col("rrf0"), 9).desc, col("doc_id"))
+    lex.join(sem, Seq("qterm", "doc_id"), "full_outer")
+      .withColumn("rrf0", fusedScore)
+      .withColumn("rank", row_number().over(wFused))
+      .filter(col("rank") <= TopK)
+      .select(col("qterm"), col("rank"), col("doc_id"),
+        col("lex_rank"), col("sem_rank"), round(col("rrf0"), 6).as("rrf"))
+      .orderBy(col("qterm"), col("rank"))
+  }
+
+  val hybridRrfOracle: String =
+    s"""WITH withdl AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS term FROM withdl),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM withdl),
+       |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl FROM withdl),
+       |q AS (SELECT term AS qterm, df FROM dfr WHERE length(term) >= 5
+       |  ORDER BY df DESC, term LIMIT $NQueries),
+       |scored AS (
+       |  SELECT q.qterm, tf.doc_id,
+       |    ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1.0)
+       |      * (tf.tf * ${K1 + 1.0}) / (tf.tf + $K1 * (1.0 - $B + $B * dl.dl / s.avgdl))
+       |      AS score
+       |  FROM tf JOIN q ON tf.term = q.qterm
+       |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s),
+       |lex AS (SELECT qterm, doc_id, lex_rank FROM (
+       |  SELECT qterm, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qterm
+       |      ORDER BY round(score, 9) DESC, doc_id) AS lex_rank
+       |  FROM scored) WHERE lex_rank <= $TopK),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |ex AS (SELECT l.qterm AS sq, v.emb AS q_emb
+       |  FROM lex l JOIN v ON l.doc_id = v.vec_id WHERE l.lex_rank = 1),
+       |sem AS (SELECT sq AS qterm, doc_id, sem_rank FROM (
+       |  SELECT ex.sq, v.vec_id AS doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY ex.sq
+       |      ORDER BY round(list_cosine_similarity(v.emb, ex.q_emb), 9) DESC,
+       |        v.vec_id) AS sem_rank
+       |  FROM v CROSS JOIN ex) WHERE sem_rank <= $TopK),
+       |fused AS (
+       |  SELECT COALESCE(lex.qterm, sem.qterm) AS qterm,
+       |    COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+       |    lex.lex_rank, sem.sem_rank,
+       |    COALESCE(1.0 / CAST($RrfK + lex.lex_rank AS DOUBLE), 0.0)
+       |      + COALESCE(1.0 / CAST($RrfK + sem.sem_rank AS DOUBLE), 0.0) AS rrf0
+       |  FROM lex FULL OUTER JOIN sem
+       |    ON lex.qterm = sem.qterm AND lex.doc_id = sem.doc_id)
+       |SELECT qterm, rank, doc_id, lex_rank, sem_rank,
+       |  round(rrf0, 6) AS rrf
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qterm
+       |    ORDER BY round(rrf0, 9) DESC, doc_id) AS rank
+       |  FROM fused)
+       |WHERE rank <= $TopK ORDER BY qterm, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ta_bm25_topk", bm25TopK, Some(bm25TopKOracle)),
+    QueryDef("ta_hybrid_rrf", hybridRrf, Some(hybridRrfOracle)),
   )
 }

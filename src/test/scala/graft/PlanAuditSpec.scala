@@ -55,7 +55,9 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row experiment-clock midpoint resp. pooled-moment aggregates
       "ops_did", "ops_cuped",
       // 1-row observation-end aggregate against the user relation
-      "ops_survival_km")
+      "ops_survival_km",
+      // 5-row BM25 query term + 5-row exemplar embedding broadcasts
+      "ta_hybrid_rrf")
 
   // the oracle-less bench-only twins stay under the same plan audit:
   // they run in every bench even though they left the correctness map
@@ -130,7 +132,9 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row experiment-clock midpoint resp. pooled-moment aggregates
       "ops_did", "ops_cuped",
       // 1-row observation-end aggregate
-      "ops_survival_km")
+      "ops_survival_km",
+      // 5-row query-term + exemplar-embedding broadcasts (bm25 device)
+      "ta_hybrid_rrf")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>

@@ -25,6 +25,38 @@ class RetrievalGraphSpec extends SparkSpec {
     }
   }
 
+  test("hybrid RRF: scores rebuild from the rank columns; exemplar tops its query's fusion") {
+    val rows = Retrieval.hybridRrf(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val lexTop = Retrieval.bm25TopK(spark, dir).collect()
+      .filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[String]("qterm") -> r.getAs[Long]("doc_id")).toMap
+    rows.groupBy(_.getString(0)).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq === (1 to byRank.length),
+        s"$q: fused ranks not contiguous")
+      byRank.foreach { r =>
+        val lex = Option(r.getAs[Integer]("lex_rank")).map(_.toInt)
+        val sem = Option(r.getAs[Integer]("sem_rank")).map(_.toInt)
+        assert(lex.nonEmpty || sem.nonEmpty, s"$q: row in neither list: $r")
+        val want = lex.map(k => 1.0 / (60 + k)).getOrElse(0.0) +
+          sem.map(k => 1.0 / (60 + k)).getOrElse(0.0)
+        assert(math.abs(r.getAs[Double]("rrf") - math.rint(want * 1e6) / 1e6) < 1e-9,
+          s"$q: rrf mismatch $r vs $want")
+      }
+      // fused scores non-increasing in rank order
+      byRank.map(_.getAs[Double]("rrf")).sliding(2).foreach {
+        case Array(a, b) => assert(a >= b, s"$q: fusion not sorted"); case _ =>
+      }
+      // the exemplar is lex#1 AND sem#1 (cosine with itself) — the
+      // maximum achievable RRF score, so it must lead the fusion
+      val top = byRank.head
+      assert(top.getAs[Long]("doc_id") === lexTop(q), s"$q: exemplar not on top")
+      assert(top.getAs[Integer]("lex_rank") === 1 &&
+        top.getAs[Integer]("sem_rank") === 1, s"$q: exemplar list ranks: $top")
+    }
+  }
+
   test("BM25: a doc with more occurrences of the query term outranks fewer, same length") {
     // synthetic check of the core monotonicity: tf up → score up,
     // holding dl and df fixed (two docs, same length, different tf)
