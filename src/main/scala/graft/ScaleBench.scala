@@ -296,6 +296,9 @@ object ScaleBench {
       "ops_survival_km" -> graft.queries.StatOps.survivalKm _,
       "ops_ttest_welch" -> graft.queries.StatOps.welchTTest _,
       "ta_hybrid_rrf" -> graft.queries.Retrieval.hybridRrf _,
+      "gr_modularity" -> graft.queries.Graph.modularity _,
+      "gr_assortativity" -> graft.queries.Graph.assortativity _,
+      "ops_power_mde" -> graft.queries.StatOps.powerMde _,
       "cu_span_corrupt" -> graft.queries.TrainingPrep.spanCorrupt _,
       "cu_target_encode" -> graft.queries.TrainingPrep.targetEncode _,
       "cu_bpe_merges" -> graft.queries.TrainingPrep.bpeMerges _,

@@ -689,6 +689,163 @@ object Graph {
        |ORDER BY l.node""".stripMargin
   }
 
+  /** Modularity of the [[labelProp]] partition (Newman & Girvan 2004:
+    * Q = Σ_c (e_c/m − (d_c/2m)²) — how much denser inside the found
+    * communities than a degree-preserving random rewiring; the number
+    * that tells you whether LPA found structure or noise). Works on
+    * the SYMMETRIC edge representation directly: with E = |sym rows|
+    * = 2m, e_c/m = (internal sym rows)_c / E and d_c/2m = d_c/E, so
+    * no halving ever enters the integer arithmetic. Per-community
+    * terms cross to double once; Q sums them as DECIMAL(38,12).
+    *
+    * Scale shape: reuses [[labelPropPlan]]'s persisted edge relation
+    * and node-sized label relation; two label joins onto the edges
+    * (edge-sized), two hash aggregates to the community grid, and the
+    * Q arithmetic on |communities| rows.
+    */
+  def modularity(s: SparkSession, dir: String): DataFrame = {
+    val (result, pinned) = modularityPlan(s, dir)
+    finalized(result, pinned: _*)
+  }
+
+  private[graft] def modularityPlan(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+    val (labels, pinned) = labelPropPlan(s, dir)
+    val edges = pinned.head
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val byC = labels.select(col("node"), col("community"))
+      .join(deg, col("node") === col("src")).drop("src")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_members"), sum(col("deg")).as("dsum"))
+    val internal = edges
+      .join(labels.select(col("node").as("src"), col("community").as("cs")), "src")
+      .join(labels.select(col("node").as("dst"), col("community").as("cd")), "dst")
+      .filter(col("cs") === col("cd"))
+      .groupBy(col("cs").as("community")).agg(count(lit(1)).as("e_sym"))
+    val tot = edges.agg(count(lit(1)).as("big_e"))
+    val qPart = col("e_sym").cast(org.apache.spark.sql.types.DoubleType) /
+      col("big_e").cast(org.apache.spark.sql.types.DoubleType) -
+      (col("dsum").cast(org.apache.spark.sql.types.DoubleType) /
+        col("big_e").cast(org.apache.spark.sql.types.DoubleType)) *
+      (col("dsum").cast(org.apache.spark.sql.types.DoubleType) /
+        col("big_e").cast(org.apache.spark.sql.types.DoubleType))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val out = byC
+      .join(internal, Seq("community"), "left")
+      .select(col("community"), col("n_members"), col("dsum"),
+        coalesce(col("e_sym"), lit(0L)).as("e_sym"))
+      .crossJoin(broadcast(tot))
+      .withColumn("q_part0", qPart)
+      .withColumn("q0", sum(col("q_part0")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 12))).over(wAll)
+        .cast(org.apache.spark.sql.types.DoubleType))
+      .select(col("community"), col("n_members"),
+        expr("e_sym DIV 2").as("internal_edges"), col("dsum").as("degree_sum"),
+        round(col("q_part0"), 6).as("q_part"), round(col("q0"), 6).as("modularity"))
+      .orderBy(col("community"))
+    (out, pinned)
+  }
+
+  val modularityOracle: String = {
+    val round = (i: Int, prev: String) =>
+      s"""l$i AS (
+         |  SELECT src AS node, label FROM (
+         |    SELECT e.src, l.label, COUNT(*) AS n,
+         |      ROW_NUMBER() OVER (PARTITION BY e.src
+         |        ORDER BY COUNT(*) DESC, l.label) AS rn
+         |    FROM e JOIN $prev l ON e.dst = l.node
+         |    GROUP BY e.src, l.label)
+         |  WHERE rn = 1)"""
+    s"""WITH it AS (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+       |  FROM lineitem),
+       |pr AS (SELECT a.p AS x, b.p AS y, COUNT(*) AS w
+       |  FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupSql),
+       |e AS (SELECT x AS src, y AS dst FROM pr
+       |  UNION ALL SELECT y AS src, x AS dst FROM pr),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |${(1 to LpaRounds).map(i => round(i, s"l${i - 1}")).mkString(",\n")},
+       |labels AS (SELECT node, label AS community FROM l$LpaRounds),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+       |byc AS (
+       |  SELECT lab.community, COUNT(*) AS n_members,
+       |    CAST(SUM(deg.deg) AS BIGINT) AS dsum
+       |  FROM labels lab JOIN deg ON lab.node = deg.src GROUP BY 1),
+       |internal AS (
+       |  SELECT ls.community, COUNT(*) AS e_sym
+       |  FROM e JOIN labels ls ON e.src = ls.node
+       |  JOIN labels ld ON e.dst = ld.node
+       |  WHERE ls.community = ld.community GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS big_e FROM e),
+       |parts AS (
+       |  SELECT byc.community, byc.n_members, byc.dsum,
+       |    COALESCE(internal.e_sym, 0) AS e_sym, tot.big_e,
+       |    CAST(COALESCE(internal.e_sym, 0) AS DOUBLE) / CAST(tot.big_e AS DOUBLE)
+       |      - (CAST(byc.dsum AS DOUBLE) / CAST(tot.big_e AS DOUBLE))
+       |        * (CAST(byc.dsum AS DOUBLE) / CAST(tot.big_e AS DOUBLE)) AS q_part0
+       |  FROM byc LEFT JOIN internal USING (community) CROSS JOIN tot)
+       |SELECT community, n_members, e_sym // 2 AS internal_edges,
+       |  dsum AS degree_sum, round(q_part0, 6) AS q_part,
+       |  round(CAST(SUM(CAST(q_part0 AS DECIMAL(38,12))) OVER () AS DOUBLE), 6)
+       |    AS modularity
+       |FROM parts ORDER BY community""".stripMargin
+  }
+
+  /** Degree assortativity (Newman 2002 eq. 4 — the Pearson
+    * correlation of endpoint degrees over edges: positive = hubs link
+    * hubs, negative = hubs link leaves; the one-number "is this graph
+    * hub-and-spoke" diagnostic that decides whether degree-based
+    * partitioning will skew). Computed over the SYMMETRIC edge list,
+    * which is exactly the "each edge counted in both directions"
+    * convention the estimator assumes. Endpoint degrees are integers,
+    * the five moment sums aggregate as DECIMAL(38,0), one
+    * fixed-order double crossing ([[StatOps.spearman]]'s shape on an
+    * edge relation).
+    */
+  def assortativity(s: SparkSession, dir: String): DataFrame = {
+    val edges = supportEdges(s, dir)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dbl = org.apache.spark.sql.types.DoubleType
+    val xy = edges
+      .join(deg.select(col("src"), col("deg").as("x")), "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("y")), "dst")
+    xy.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d)).as("sx"), sum(col("y").cast(d)).as("sy"),
+        sum((col("x") * col("x")).cast(d)).as("sxx"),
+        sum((col("y") * col("y")).cast(d)).as("syy"),
+        sum((col("x") * col("y")).cast(d)).as("sxy"))
+      .select(col("n").as("n_sym_edges"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast(dbl)
+          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(dbl))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast(dbl))),
+          6).as("assortativity"))
+  }
+
+  val assortativityOracle: String =
+    s"""WITH it AS (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+       |  FROM lineitem),
+       |pr AS (SELECT a.p AS x, b.p AS y, COUNT(*) AS w
+       |  FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupSql),
+       |e AS (SELECT x AS src, y AS dst FROM pr
+       |  UNION ALL SELECT y AS src, x AS dst FROM pr),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+       |xy AS (
+       |  SELECT dx.deg AS x, dy.deg AS y
+       |  FROM e JOIN deg dx ON e.src = dx.src JOIN deg dy ON e.dst = dy.src),
+       |m AS (
+       |  SELECT COUNT(*) AS n,
+       |    SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+       |    SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+       |    SUM(CAST(y * y AS DECIMAL(38,0))) AS syy,
+       |    SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy
+       |  FROM xy)
+       |SELECT n AS n_sym_edges,
+       |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+       |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS assortativity
+       |FROM m""".stripMargin
+
   private val SalsaIters = 2
 
   /** SALSA hub/authority scores over the DIRECTED bipartite trade
@@ -780,5 +937,7 @@ object Graph {
     QueryDef("gr_adamic_adar", adamicAdar, Some(adamicAdarOracle)),
     QueryDef("gr_salsa", salsa, Some(salsaOracle)),
     QueryDef("gr_label_prop", labelProp, Some(labelPropOracle)),
+    QueryDef("gr_modularity", modularity, Some(modularityOracle)),
+    QueryDef("gr_assortativity", assortativity, Some(assortativityOracle)),
   )
 }

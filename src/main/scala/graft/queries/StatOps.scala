@@ -973,6 +973,86 @@ object StatOps {
        |FROM row0 ORDER BY event_type""".stripMargin
   }
 
+  // standard normal quantiles as round-6 literals (no query-time
+  // inverse-CDF: z_{0.975} for α=0.05 two-sided, z_{0.80} for power)
+  private val ZAlpha = 1.959964
+  private val ZBeta = 0.841621
+
+  /** Two-proportion power analysis over the live experiment (Fleiss
+    * et al. 2003 §4; the "how long must this test run" readout every
+    * experimentation platform pairs with the z-test): from the
+    * observed [[abLift]] conversion rates, (a) the required per-arm
+    * sample size to detect the OBSERVED difference at α = 0.05 /
+    * power = 0.8 — n = (z_{α/2}+z_β)²(p₁q₁+p₂q₂)/(p₁−p₂)², reported
+    * as a ceiling — and (b) the minimum detectable ABSOLUTE effect at
+    * the CURRENT per-arm size — the same formula solved for the
+    * difference. The normal quantiles are round-6 literals (no
+    * query-time inverse CDF, the [[DataOps.benford]] literal device);
+    * everything else is the exact conversion integers crossed to
+    * double in one expression per output.
+    *
+    * Scale shape: identical to abLift — one map-combined fact
+    * aggregate to users, one 2-row aggregate, one projected row.
+    */
+  def powerMde(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          get_json_object(col("props"), "$.k").cast(IntegerType) >= 95, 1L)
+        .otherwise(0L)).as("conv"))
+      .select(when(col("user_id") % 2 === 0, "A").otherwise("B").as("arm"),
+        col("conv"))
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val row = arms.agg(
+      sum(when(col("arm") === "A", col("n"))).as("n_a"),
+      sum(when(col("arm") === "A", col("c"))).as("conv_a"),
+      sum(when(col("arm") === "B", col("n"))).as("n_b"),
+      sum(when(col("arm") === "B", col("c"))).as("conv_b"))
+    val pA = col("conv_a").cast(DoubleType) / col("n_a").cast(DoubleType)
+    val pB = col("conv_b").cast(DoubleType) / col("n_b").cast(DoubleType)
+    val zSum2 = lit((ZAlpha + ZBeta) * (ZAlpha + ZBeta))
+    val varSum = pA * (lit(1.0) - pA) + pB * (lit(1.0) - pB)
+    val nReq = ceil(zSum2 * varSum / ((pA - pB) * (pA - pB))).cast(LongType)
+    val mde = sqrt(zSum2 * varSum / col("n_a").cast(DoubleType))
+    row.select(col("n_a"), col("n_b"),
+      round(pA, 6).as("p_a"), round(pB, 6).as("p_b"),
+      nReq.as("n_required_per_arm"),
+      round(mde, 6).as("mde_at_current_n"))
+  }
+
+  val powerMdeOracle: String = {
+    val z2 = (ZAlpha + ZBeta) * (ZAlpha + ZBeta)
+    s"""WITH users AS (
+       |  SELECT user_id,
+       |    MAX(CASE WHEN event_type = 'purchase'
+       |      AND TRY_CAST(json_extract_string(props, '$$.k') AS INTEGER) >= 95
+       |      THEN 1 ELSE 0 END) AS conv
+       |  FROM events GROUP BY 1),
+       |arms AS (
+       |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+       |    COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c
+       |  FROM users GROUP BY 1),
+       |row0 AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN arm = 'A' THEN n END) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN arm = 'A' THEN c END) AS BIGINT) AS conv_a,
+       |    CAST(SUM(CASE WHEN arm = 'B' THEN n END) AS BIGINT) AS n_b,
+       |    CAST(SUM(CASE WHEN arm = 'B' THEN c END) AS BIGINT) AS conv_b
+       |  FROM arms),
+       |calc AS (
+       |  SELECT n_a, n_b,
+       |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+       |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb
+       |  FROM row0)
+       |SELECT n_a, n_b, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+       |  CAST(ceil($z2 * (pa * (1.0 - pa) + pb * (1.0 - pb))
+       |    / ((pa - pb) * (pa - pb))) AS BIGINT) AS n_required_per_arm,
+       |  round(sqrt($z2 * (pa * (1.0 - pa) + pb * (1.0 - pb))
+       |    / CAST(n_a AS DOUBLE)), 6) AS mde_at_current_n
+       |FROM calc""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ops_gini", gini, Some(giniOracle)),
     QueryDef("ops_trimmed_mean", trimmedMean, Some(trimmedMeanOracle)),
@@ -986,5 +1066,6 @@ object StatOps {
     QueryDef("ops_lorenz", lorenzDeciles, Some(lorenzOracle)),
     QueryDef("ops_survival_km", survivalKm, Some(survivalKmOracle)),
     QueryDef("ops_ttest_welch", welchTTest, Some(welchOracle)),
+    QueryDef("ops_power_mde", powerMde, Some(powerMdeOracle)),
   )
 }

@@ -57,7 +57,9 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row observation-end aggregate against the user relation
       "ops_survival_km",
       // 5-row BM25 query term + 5-row exemplar embedding broadcasts
-      "ta_hybrid_rrf")
+      "ta_hybrid_rrf",
+      // 1-row total-edge-count aggregate onto the community grid
+      "gr_modularity")
 
   // the oracle-less bench-only twins stay under the same plan audit:
   // they run in every bench even though they left the correctness map
@@ -72,6 +74,7 @@ class PlanAuditSpec extends SparkSpec {
       "gr_triangles" -> ((s, d) => graft.queries.Graph.coTrianglesPlan(s, d)._1),
       "gr_salsa" -> ((s, d) => graft.queries.Graph.salsaPlan(s, d)._1),
       "gr_label_prop" -> ((s, d) => graft.queries.Graph.labelPropPlan(s, d)._1),
+      "gr_modularity" -> ((s, d) => graft.queries.Graph.modularityPlan(s, d)._1),
     )
 
   private def auditSurface: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
@@ -134,7 +137,9 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row observation-end aggregate
       "ops_survival_km",
       // 5-row query-term + exemplar-embedding broadcasts (bm25 device)
-      "ta_hybrid_rrf")
+      "ta_hybrid_rrf",
+      // 1-row total-edge-count aggregate
+      "gr_modularity")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>

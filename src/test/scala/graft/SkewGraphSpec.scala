@@ -189,7 +189,7 @@ class SkewGraphSpec extends SparkSpec {
     spark.catalog.clearCache()
     Seq(Graph.pageRank(spark, dir), Graph.kHop(spark, dir),
       Graph.coTriangles(spark, dir), Graph.salsa(spark, dir),
-      Graph.labelProp(spark, dir)).foreach { df =>
+      Graph.labelProp(spark, dir), Graph.modularity(spark, dir)).foreach { df =>
       assert(spark.sharedState.cacheManager.isEmpty,
         "a graph query returned with cache entries still pinned")
       // the released result must still be fully consumable
@@ -253,6 +253,58 @@ class SkewGraphSpec extends SparkSpec {
     // the propagation must actually merge nodes into communities
     assert(labels.values.toSet.size < labels.size,
       "every node kept its own label — no propagation happened")
+  }
+
+  test("modularity: equals a driver-side replay over the LPA partition; Q in (-0.5, 1]") {
+    val rows = Graph.modularity(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val edges = Graph.supportEdges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Graph.labelProp(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bigE = edges.length.toLong
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val byC = labels.groupBy(_._2)
+    val parts = byC.map { case (c, members) =>
+      val nodes = members.keySet
+      val eSym = edges.count { case (u, v) => labels(u) == c && labels(v) == c }.toLong
+      val dsum = nodes.toSeq.map(deg).sum
+      c -> (members.size.toLong, eSym, dsum,
+        eSym.toDouble / bigE.toDouble -
+          (dsum.toDouble / bigE.toDouble) * (dsum.toDouble / bigE.toDouble))
+    }
+    rows.foreach { r =>
+      val (n, eSym, dsum, q) = parts(r.getLong(0))
+      assert(r.getLong(1) === n && r.getLong(2) === eSym / 2 && r.getLong(3) === dsum,
+        s"community shape: $r")
+      assert(math.abs(r.getDouble(4) - math.rint(q * 1e6) / 1e6) < 1e-9, s"q_part: $r")
+    }
+    val qTotal = rows.head.getDouble(5)
+    assert(math.abs(qTotal - math.rint(parts.values.map(_._4).sum * 1e6) / 1e6) < 1e-5)
+    assert(qTotal > -0.5 && qTotal <= 1.0, s"Q out of range: $qTotal")
+    // degree sums must cover the whole edge list
+    assert(rows.map(_.getLong(3)).sum === bigE, "sum of degrees must equal |sym edges|")
+  }
+
+  test("assortativity: equals the exact edge-degree Pearson; within [-1, 1]") {
+    val r = Graph.assortativity(spark, dir).collect().head
+    val edges = Graph.supportEdges(spark, dir).collect()
+      .map(e => (e.getLong(0), e.getLong(1)))
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(r.getLong(0) === edges.length.toLong)
+    val xs = edges.map(e => BigInt(deg(e._1)))
+    val ys = edges.map(e => BigInt(deg(e._2)))
+    val n = BigInt(edges.length)
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(v => v * v).sum
+    val syy = ys.map(v => v * v).sum
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val want = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble))
+    assert(math.abs(r.getDouble(1) - math.rint(want * 1e6) / 1e6) < 1e-9,
+      s"${r.getDouble(1)} vs $want")
+    assert(r.getDouble(1) >= -1.0 && r.getDouble(1) <= 1.0)
+    spark.catalog.clearCache()
   }
 
   test("DSIR: target-domain docs weigh higher on average; per-source keeps are capped") {

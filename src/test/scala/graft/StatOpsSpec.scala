@@ -448,6 +448,27 @@ class StatOpsSpec extends SparkSpec {
     assert(share > 0.07 && share < 0.22, s"masked share $share outside band")
   }
 
+  test("power/mde: required n brackets the observed effect; formula replays exactly") {
+    val r = StatOps.powerMde(spark, dir).collect().head
+    val ab = StatOps.abLift(spark, dir).collect().head
+    assert(r.getLong(0) === ab.getLong(0) && r.getLong(1) === ab.getLong(2),
+      "arm sizes must match the lift gate")
+    val (nA, cA, nB, cB) = (ab.getLong(0), ab.getLong(1), ab.getLong(2), ab.getLong(3))
+    val (pA, pB) = (cA.toDouble / nA, cB.toDouble / nB)
+    val z2 = (1.959964 + 0.841621) * (1.959964 + 0.841621)
+    val varSum = pA * (1 - pA) + pB * (1 - pB)
+    val nReq = math.ceil(z2 * varSum / ((pA - pB) * (pA - pB))).toLong
+    assert(r.getLong(4) === nReq, s"n_required: $r vs $nReq")
+    val mde = math.sqrt(z2 * varSum / nA)
+    assert(math.abs(r.getDouble(5) - math.rint(mde * 1e6) / 1e6) < 1e-9, s"mde: $r")
+    // the bracket identity: at exactly n_required per arm the MDE
+    // equals the observed difference (up to the ceiling)
+    assert(math.sqrt(z2 * varSum / nReq) <= math.abs(pA - pB) + 1e-12,
+      "MDE at required n must not exceed the observed effect")
+    assert(math.sqrt(z2 * varSum / (nReq - 1)) > math.abs(pA - pB) - 1e-9,
+      "one fewer user must not suffice")
+  }
+
   test("ab lift: arms partition the users, z matches the pooled formula, sign agrees") {
     val r = StatOps.abLift(spark, dir).collect().head
     val (nA, cA, nB, cB) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
