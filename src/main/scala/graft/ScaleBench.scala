@@ -299,6 +299,7 @@ object ScaleBench {
       "gr_modularity" -> graft.queries.Graph.modularity _,
       "gr_assortativity" -> graft.queries.Graph.assortativity _,
       "ops_power_mde" -> graft.queries.StatOps.powerMde _,
+      "st_correlogram" -> graft.queries.StreamingGates.correlogram _,
       "cu_span_corrupt" -> graft.queries.TrainingPrep.spanCorrupt _,
       "cu_target_encode" -> graft.queries.TrainingPrep.targetEncode _,
       "cu_bpe_merges" -> graft.queries.TrainingPrep.bpeMerges _,

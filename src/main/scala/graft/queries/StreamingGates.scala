@@ -896,7 +896,96 @@ object StreamingGates {
       |FROM agg WHERE span_us > 0
       |ORDER BY user_id, day""".stripMargin
 
+  private val CorrMaxLag = 48
+
+  /** Full correlogram + dominant-period detection per event type —
+    * [[lagAutocorr]]'s two spot-checked lags generalized to the whole
+    * ACF over lags 2..[[CorrMaxLag]] in ONE range self-join of the
+    * hourly-bar relation (lag = the integer hour difference, so 47
+    * per-lag joins collapse into one equi-join-on-type + band
+    * filter), with the dominant seasonality read off as the argmax
+    * lag (rank over round-9 autocorrelation, smallest lag on ties —
+    * the Box–Jenkins period-identification step, lag 1 excluded as
+    * trivially autocorrelated). Moment sums per (type, lag) ride
+    * DECIMAL(38,12) over the round-6 bars; one double crossing per
+    * coefficient (the lagAutocorr float discipline).
+    *
+    * Scale shape: the fact collapses to calendar-bounded bars first;
+    * the self-join fans each bar to ≤ [[CorrMaxLag]] pairs (grid ×
+    * 48, never fact-sized), one hash aggregate to the (type, lag)
+    * grid, and the argmax is a per-type WindowGroupLimit over ≤47
+    * rows.
+    */
+  def correlogram(s: SparkSession, dir: String): DataFrame = {
+    val bars = hourlyBars(s, dir)
+    val lagged = bars.select(col("event_type").as("l_type"),
+      col("hour").as("l_hour"), col("bar").as("y"))
+    val lag = ((unix_micros(col("l_hour")) - unix_micros(col("hour")))
+      / lit(3600000000L)).cast(IntegerType)
+    val pairs = bars.join(lagged,
+        col("l_type") === col("event_type") &&
+          col("l_hour") > col("hour") &&
+          col("l_hour") <= col("hour") + expr(s"INTERVAL $CorrMaxLag HOURS"))
+      .select(col("event_type"), lag.as("lag"), col("bar").as("x"), col("y"))
+      .filter(col("lag") >= 2)
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(38, 12))).cast(DoubleType)
+    val m = pairs.groupBy(col("event_type"), col("lag")).agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsum(col("x") * col("y")).as("sxy"),
+      dsum(col("x") * col("x")).as("sxx"),
+      dsum(col("y") * col("y")).as("syy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(round(col("ac0"), 9).desc, col("lag"))
+    m.withColumn("ac0", cov / sqrt(vx * vy))
+      .withColumn("best_rank", row_number().over(wBest))
+      .select(col("event_type"), col("lag").cast(LongType).as("lag"),
+        col("n").cast(LongType).as("n_pairs"),
+        round(col("ac0"), 6).as("autocorr"),
+        (col("best_rank") === 1).as("is_dominant_period"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  val correlogramOracle: String =
+    s"""WITH bars AS (
+       |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+       |    round(CAST(SUM(CAST("value" AS DECIMAL(38,12))) AS DOUBLE)
+       |      / COUNT(*), 6) AS bar
+       |  FROM events GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT b.event_type,
+       |    CAST((epoch_us(l.hour) - epoch_us(b.hour)) / 3600000000 AS INT) AS lag,
+       |    b.bar AS x, l.bar AS y
+       |  FROM bars b JOIN bars l ON l.event_type = b.event_type
+       |    AND l.hour > b.hour
+       |    AND l.hour <= b.hour + INTERVAL $CorrMaxLag HOUR),
+       |fp AS (SELECT * FROM pairs WHERE lag >= 2),
+       |m AS (
+       |  SELECT event_type, lag, CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+       |    CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+       |  FROM fp GROUP BY 1, 2),
+       |acf AS (
+       |  SELECT event_type, lag, n,
+       |    (n * sxy - sx * sy)
+       |      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS ac0
+       |  FROM m)
+       |SELECT event_type, CAST(lag AS BIGINT) AS lag,
+       |  CAST(n AS BIGINT) AS n_pairs, round(ac0, 6) AS autocorr,
+       |  (ROW_NUMBER() OVER (PARTITION BY event_type
+       |    ORDER BY round(ac0, 9) DESC, lag) = 1) AS is_dominant_period
+       |FROM acf ORDER BY event_type, lag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st_correlogram", correlogram, Some(correlogramOracle)),
     QueryDef("st_twap", twap, Some(twapOracle)),
     QueryDef("st_mad_anomaly", madAnomaly, Some(madAnomalyOracle)),
     QueryDef("st_hourly_quantiles", hourlyQuantiles, Some(hourlyQuantilesOracle)),

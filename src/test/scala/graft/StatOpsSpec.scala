@@ -270,6 +270,33 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("correlogram: agrees with the spot-check gate at lag 24; one dominant lag per type") {
+    import graft.queries.StreamingGates
+    val rows = StreamingGates.correlogram(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2 && r.getLong(1) <= 48, s"lag range: $r")
+      assert(r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0, s"acf bound: $r")
+    }
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      assert(rs.count(_.getBoolean(4)) === 1, s"$t: exactly one dominant lag")
+      val dom = rs.find(_.getBoolean(4)).get
+      // the dominant lag carries the max rounded autocorrelation
+      assert(rs.forall(r => math.rint(r.getDouble(3) * 1e6) <=
+        math.rint(dom.getDouble(3) * 1e6) + 1), s"$t: dominant not maximal")
+    }
+    // cross-gate consistency: the ACF at lag 24 must equal the
+    // lag-autocorr gate's value (time-reversal symmetry of the
+    // pair moments makes the two constructions identical)
+    val spot = StreamingGates.lagAutocorr(spark, dir).collect()
+      .filter(_.getAs[Int]("lag") == 24)
+      .map(r => r.getString(0) -> r.getAs[Double]("autocorr")).toMap
+    rows.filter(_.getLong(1) == 24L).foreach { r =>
+      assert(math.abs(r.getDouble(3) - spot(r.getString(0))) < 2e-6,
+        s"lag-24 disagreement: $r vs ${spot(r.getString(0))}")
+    }
+  }
+
   test("twap: equals an exact interval-weighted reference; bounded by the day's extremes") {
     import graft.queries.StreamingGates
     val small = "/root/testdata/sf0.001"
