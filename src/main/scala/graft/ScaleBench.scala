@@ -300,6 +300,7 @@ object ScaleBench {
       "gr_assortativity" -> graft.queries.Graph.assortativity _,
       "ops_power_mde" -> graft.queries.StatOps.powerMde _,
       "st_correlogram" -> graft.queries.StreamingGates.correlogram _,
+      "st_control_chart" -> graft.queries.StreamingGates.controlChart _,
       "cu_span_corrupt" -> graft.queries.TrainingPrep.spanCorrupt _,
       "cu_target_encode" -> graft.queries.TrainingPrep.targetEncode _,
       "cu_bpe_merges" -> graft.queries.TrainingPrep.bpeMerges _,

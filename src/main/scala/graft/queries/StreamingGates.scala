@@ -984,7 +984,84 @@ object StreamingGates {
        |    ORDER BY round(ac0, 9) DESC, lag) = 1) AS is_dominant_period
        |FROM acf ORDER BY event_type, lag""".stripMargin
 
+  /** XmR individuals control chart (Shewhart 1931; Wheeler's
+    * process-behaviour chart — the SPC screen an ops team keeps on
+    * every hourly metric): per event type, the natural process limits
+    * are mean(bar) ± 2.66·mean(moving range), where the moving range
+    * is |bar_t − bar_{t−1}| over consecutive hours and 2.66 is the
+    * standard d₂-derived constant for n=2 subgroups (a round-6
+    * literal — no query-time lookup table). Every bar is emitted with
+    * its range, both limits, and the out-of-control flag, so alerting
+    * can re-threshold without a second pass ([[madAnomaly]]'s
+    * convention; this is its MEMORYFUL sibling — MAD flags level
+    * outliers, XmR flags jumps relative to recent hour-to-hour
+    * variation).
+    *
+    * Determinism: bars are round-6; the lag window orders by the
+    * hour key; both means ride DECIMAL(38,12) sums with one double
+    * crossing; limits are rounded to 6 BEFORE the flag comparison so
+    * a last-ulp disagreement can't flip a boundary bar.
+    *
+    * Scale shape: fact → calendar-bounded bars, one per-type lag
+    * window + two window means on the bar grid. Nothing after the
+    * first aggregate is fact-sized.
+    */
+  def controlChart(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    def dmean(c: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(38, 12))).over(wAll).cast(DoubleType) /
+        n.cast(DoubleType)
+    val withMr = hourlyBars(s, dir)
+      .withColumn("mr", round(abs(col("bar") - lag(col("bar"), 1).over(w)), 6))
+    val mean = dmean(col("bar"), count(lit(1)).over(wAll))
+    val meanMr = dmean(col("mr"), count(col("mr")).over(wAll))
+    withMr
+      .withColumn("ucl", round(mean + lit(2.66) * meanMr, 6))
+      .withColumn("lcl", round(mean - lit(2.66) * meanMr, 6))
+      .select(col("event_type"), col("hour"), col("bar"), col("mr"),
+        col("ucl"), col("lcl"),
+        (col("bar") > col("ucl") || col("bar") < col("lcl"))
+          .as("out_of_control"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  val controlChartOracle: String =
+    """WITH bars AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+      |    round(CAST(SUM(CAST("value" AS DECIMAL(38,12))) AS DOUBLE)
+      |      / COUNT(*), 6) AS bar
+      |  FROM events GROUP BY 1, 2),
+      |mr AS (
+      |  SELECT event_type, hour, bar,
+      |    round(abs(bar - lag(bar) OVER (PARTITION BY event_type
+      |      ORDER BY hour)), 6) AS mr
+      |  FROM bars),
+      |lim AS (
+      |  SELECT event_type, hour, bar, mr,
+      |    round(CAST(SUM(CAST(bar AS DECIMAL(38,12)))
+      |        OVER (PARTITION BY event_type) AS DOUBLE)
+      |      / CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE)
+      |      + 2.66 * (CAST(SUM(CAST(mr AS DECIMAL(38,12)))
+      |          OVER (PARTITION BY event_type) AS DOUBLE)
+      |        / CAST(COUNT(mr) OVER (PARTITION BY event_type) AS DOUBLE)),
+      |      6) AS ucl,
+      |    round(CAST(SUM(CAST(bar AS DECIMAL(38,12)))
+      |        OVER (PARTITION BY event_type) AS DOUBLE)
+      |      / CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE)
+      |      - 2.66 * (CAST(SUM(CAST(mr AS DECIMAL(38,12)))
+      |          OVER (PARTITION BY event_type) AS DOUBLE)
+      |        / CAST(COUNT(mr) OVER (PARTITION BY event_type) AS DOUBLE)),
+      |      6) AS lcl
+      |  FROM mr)
+      |SELECT event_type, hour, bar, mr, ucl, lcl,
+      |  (bar > ucl OR bar < lcl) AS out_of_control
+      |FROM lim ORDER BY event_type, hour""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st_control_chart", controlChart, Some(controlChartOracle)),
     QueryDef("st_correlogram", correlogram, Some(correlogramOracle)),
     QueryDef("st_twap", twap, Some(twapOracle)),
     QueryDef("st_mad_anomaly", madAnomaly, Some(madAnomalyOracle)),

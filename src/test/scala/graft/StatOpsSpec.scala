@@ -297,6 +297,38 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("control chart: limits replay from the bar series; flags agree with the limits") {
+    import graft.queries.StreamingGates
+    val rows = StreamingGates.controlChart(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      val byHour = rs.sortBy(_.getTimestamp(1).getTime)
+      // moving ranges: |bar_t - bar_{t-1}|, first bar has none
+      assert(byHour.head.isNullAt(3), s"$t: first bar must have no range")
+      byHour.sliding(2).foreach {
+        case Array(a, b) =>
+          val want = math.rint(math.abs(b.getDouble(2) - a.getDouble(2)) * 1e6) / 1e6
+          assert(math.abs(b.getDouble(3) - want) < 1e-9, s"$t: mr at $b")
+        case _ =>
+      }
+      // limits are constant per type and replay from the series
+      assert(rs.map(_.getDouble(4)).distinct.length === 1, s"$t: UCL not constant")
+      val meanBar = byHour.map(r => BigDecimal(r.getDouble(2))).sum / byHour.length
+      val mrs = byHour.drop(1).map(r => BigDecimal(r.getDouble(3)))
+      val meanMr = mrs.sum / mrs.length
+      val ucl = math.rint((meanBar.toDouble + 2.66 * meanMr.toDouble) * 1e6) / 1e6
+      assert(math.abs(rs.head.getDouble(4) - ucl) < 1e-6, s"$t: UCL ${rs.head.getDouble(4)} vs $ucl")
+      // every flag agrees with the emitted limits
+      rs.foreach { r =>
+        assert(r.getBoolean(6) ===
+          (r.getDouble(2) > r.getDouble(4) || r.getDouble(2) < r.getDouble(5)),
+          s"$t: flag mismatch $r")
+      }
+      // non-degenerate on this stream: some bars are in control
+      assert(rs.exists(!_.getBoolean(6)), s"$t: all bars flagged")
+    }
+  }
+
   test("twap: equals an exact interval-weighted reference; bounded by the day's extremes") {
     import graft.queries.StreamingGates
     val small = "/root/testdata/sf0.001"
