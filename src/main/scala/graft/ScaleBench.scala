@@ -301,6 +301,7 @@ object ScaleBench {
       "ops_power_mde" -> graft.queries.StatOps.powerMde _,
       "st_correlogram" -> graft.queries.StreamingGates.correlogram _,
       "st_control_chart" -> graft.queries.StreamingGates.controlChart _,
+      "st_trend_mk" -> graft.queries.StreamingGates.trendMk _,
       "cu_span_corrupt" -> graft.queries.TrainingPrep.spanCorrupt _,
       "cu_target_encode" -> graft.queries.TrainingPrep.targetEncode _,
       "cu_bpe_merges" -> graft.queries.TrainingPrep.bpeMerges _,

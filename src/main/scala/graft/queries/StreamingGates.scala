@@ -1060,7 +1060,95 @@ object StreamingGates {
       |  (bar > ucl OR bar < lcl) AS out_of_control
       |FROM lim ORDER BY event_type, hour""".stripMargin
 
+  /** Mann–Kendall trend test + Theil–Sen slope per event type (Mann
+    * 1945 / Kendall 1975; Sen 1968 — the standard nonparametric
+    * "is this metric drifting" pair in environmental/ops monitoring,
+    * robust where OLS-on-time is outlier-dominated): over the hourly
+    * bars, S = Σ_{i<j} sign(bar_j − bar_i) is an exact INTEGER; the
+    * variance carries the value-tie correction
+    * (n(n−1)(2n+5) − Σ t(t−1)(2t+5))/18 with the numerator exact and
+    * ONE /18.0 double division; z applies the ±1 continuity
+    * correction relationally. The Sen slope is the exact median of
+    * the pairwise slopes (percentile parity between the engines is
+    * already gated by `fn_percentile_suite`).
+    *
+    * Scale shape: the fact collapses to calendar-bounded bars; the
+    * i<j self-join is bar-grid-quadratic (≤ 720²/2 per type at ANY
+    * corpus size — time-bounded, not data-bounded), one aggregate to
+    * the per-type row. At 100 TB nothing here grows except the first
+    * aggregate.
+    */
+  def trendMk(s: SparkSession, dir: String): DataFrame = {
+    val bars = hourlyBars(s, dir)
+      .withColumn("h", expr("unix_micros(hour) DIV 3600000000"))
+    val rhs = bars.select(col("event_type").as("r_type"),
+      col("h").as("rh"), col("bar").as("rb"))
+    val pairs = bars.join(rhs,
+        col("r_type") === col("event_type") && col("rh") > col("h"))
+      .select(col("event_type"),
+        signum(col("rb") - col("bar")).cast(LongType).as("sgn"),
+        ((col("rb") - col("bar")) / (col("rh") - col("h")).cast(DoubleType))
+          .as("slope"))
+    val sAgg = pairs.groupBy(col("event_type"))
+      .agg(sum(col("sgn")).as("s_stat"),
+        round(expr("percentile(slope, 0.5)"), 6).as("sen_slope"))
+    val ties = hourlyBars(s, dir).groupBy(col("event_type"), col("bar"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(LongType).as("n_distinct"),
+        sum(col("t")).as("n_bars"),
+        sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie_term"))
+    val n = col("n_bars")
+    val varNum = (n * (n - 1) * (lit(2) * n + 5) - col("tie_term"))
+      .cast(DoubleType)
+    val z = when(col("s_stat") > 0,
+        (col("s_stat") - 1).cast(DoubleType) / sqrt(varNum / 18.0))
+      .when(col("s_stat") < 0,
+        (col("s_stat") + 1).cast(DoubleType) / sqrt(varNum / 18.0))
+      .otherwise(lit(0.0))
+    sAgg.join(ties, "event_type")
+      .select(col("event_type"), col("n_bars"), col("s_stat"),
+        round(z, 6).as("z_score"), col("sen_slope"))
+      .orderBy(col("event_type"))
+  }
+
+  val trendMkOracle: String =
+    """WITH bars AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+      |    round(CAST(SUM(CAST("value" AS DECIMAL(38,12))) AS DOUBLE)
+      |      / COUNT(*), 6) AS bar
+      |  FROM events GROUP BY 1, 2),
+      |hb AS (SELECT event_type, epoch_us(hour) // 3600000000 AS h, bar
+      |  FROM bars),
+      |pairs AS (
+      |  SELECT a.event_type,
+      |    CAST(sign(b.bar - a.bar) AS BIGINT) AS sgn,
+      |    (b.bar - a.bar) / CAST(b.h - a.h AS DOUBLE) AS slope
+      |  FROM hb a JOIN hb b ON b.event_type = a.event_type AND b.h > a.h),
+      |sagg AS (
+      |  SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+      |    round(quantile_cont(slope, 0.5), 6) AS sen_slope
+      |  FROM pairs GROUP BY 1),
+      |ties AS (
+      |  SELECT event_type, CAST(SUM(t) AS BIGINT) AS n_bars,
+      |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      |  FROM (SELECT event_type, bar, COUNT(*) AS t FROM hb GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT s.event_type, t.n_bars, s.s_stat,
+      |  round(CASE
+      |    WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+      |      / sqrt(CAST(t.n_bars * (t.n_bars - 1) * (2 * t.n_bars + 5)
+      |          - t.tie_term AS DOUBLE) / 18.0)
+      |    WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+      |      / sqrt(CAST(t.n_bars * (t.n_bars - 1) * (2 * t.n_bars + 5)
+      |          - t.tie_term AS DOUBLE) / 18.0)
+      |    ELSE 0.0 END, 6) AS z_score,
+      |  s.sen_slope
+      |FROM sagg s JOIN ties t USING (event_type)
+      |ORDER BY s.event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st_trend_mk", trendMk, Some(trendMkOracle)),
     QueryDef("st_control_chart", controlChart, Some(controlChartOracle)),
     QueryDef("st_correlogram", correlogram, Some(correlogramOracle)),
     QueryDef("st_twap", twap, Some(twapOracle)),

@@ -329,6 +329,41 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("mann-kendall: S replays exactly from the bars; z continuity-corrected; slope is a median") {
+    import graft.queries.StreamingGates
+    val rows = StreamingGates.trendMk(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val bars = StreamingGates.hourlyBars(spark, dir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val series = bars(r.getString(0)).sortBy(_._2)
+      val n = series.length.toLong
+      assert(r.getLong(1) === n)
+      val pairs = for {
+        i <- series.indices; j <- (i + 1) until series.length
+      } yield (series(i)._3, series(j)._3,
+        (series(j)._2 - series(i)._2) / 3600000L)
+      val sRef = pairs.map { case (a, b, _) => math.signum(b - a).toLong }.sum
+      assert(r.getLong(2) === sRef, s"S: $r vs $sRef")
+      val ties = series.map(_._3).groupBy(identity).values.map(_.length.toLong)
+      val tieTerm = ties.map(t => t * (t - 1) * (2 * t + 5)).sum
+      val varS = (n * (n - 1) * (2 * n + 5) - tieTerm).toDouble / 18.0
+      val zRef =
+        if (sRef > 0) (sRef - 1).toDouble / math.sqrt(varS)
+        else if (sRef < 0) (sRef + 1).toDouble / math.sqrt(varS)
+        else 0.0
+      assert(math.abs(r.getDouble(3) - math.rint(zRef * 1e6) / 1e6) < 1e-9, s"z: $r")
+      // the Sen slope is a genuine median: at least half the pairwise
+      // slopes on each side (within the round-6 output precision)
+      val slopes = pairs.map { case (a, b, dh) => (b - a) / dh.toDouble }
+      val below = slopes.count(_ <= r.getDouble(4) + 1e-6)
+      val above = slopes.count(_ >= r.getDouble(4) - 1e-6)
+      assert(below >= slopes.length / 2 && above >= slopes.length / 2,
+        s"sen slope not a median: $r")
+    }
+  }
+
   test("twap: equals an exact interval-weighted reference; bounded by the day's extremes") {
     import graft.queries.StreamingGates
     val small = "/root/testdata/sf0.001"
