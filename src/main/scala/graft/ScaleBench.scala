@@ -302,6 +302,8 @@ object ScaleBench {
       "st_correlogram" -> graft.queries.StreamingGates.correlogram _,
       "st_control_chart" -> graft.queries.StreamingGates.controlChart _,
       "st_trend_mk" -> graft.queries.StreamingGates.trendMk _,
+      "ops_abc_xyz" -> graft.queries.DataOps.abcXyz _,
+      "ta_burstiness" -> graft.queries.LlmCuration.burstiness _,
       "cu_span_corrupt" -> graft.queries.TrainingPrep.spanCorrupt _,
       "cu_target_encode" -> graft.queries.TrainingPrep.targetEncode _,
       "cu_bpe_merges" -> graft.queries.TrainingPrep.bpeMerges _,

@@ -665,7 +665,92 @@ object DataOps {
        |ORDER BY g.l_returnflag, g.digit""".stripMargin
   }
 
+  /** ABC/XYZ inventory classification — the supply-chain planner's
+    * standard two-axis part segmentation (Pareto revenue classes ×
+    * demand-variability classes, e.g. Silver, Pyke & Peterson 2016
+    * ch.2): ABC from the CUMULATIVE revenue share with parts sorted
+    * by revenue descending (A ≤ 80%, B ≤ 95%, else C), XYZ from the
+    * coefficient of variation of per-order quantity (X < 0.5,
+    * Y < 1.0, else Z). The classic skew readout: A-parts are the few
+    * keys carrying most volume — the same keys a 100 TB join wants
+    * salted.
+    *
+    * Determinism: revenue is exact cents, quantities exact integers,
+    * moment sums DECIMAL(38,0); both class boundaries compare
+    * ROUND-6 values against literal thresholds (a last-ulp share or
+    * CV can't flip a class); the revenue sort ties on partkey.
+    *
+    * Scale shape: one fact hash aggregate to parts, one part-sized
+    * cumulative window, class logic as projections. At 100 TB the
+    * window sorts the part CATALOG, never the fact.
+    */
+  def abcXyz(s: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(38, 0)
+    val parts = Tables.t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * 100).cast(LongType).as("cents"),
+        col("l_quantity").cast(LongType).as("q"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("cents").cast(d)).as("rev"),
+        sum(col("q").cast(d)).as("sq"),
+        sum((col("q") * col("q")).cast(d)).as("sqq"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val cumShare = round(sum(col("rev")).over(wCum).cast(DoubleType) /
+      sum(col("rev")).over(wAll).cast(DoubleType), 6)
+    val mean = col("sq").cast(DoubleType) / col("n_lines").cast(DoubleType)
+    val variance = (col("n_lines") * col("sqq") - col("sq") * col("sq"))
+      .cast(DoubleType) /
+      (col("n_lines") * (col("n_lines") - 1)).cast(DoubleType)
+    val cv = round(sqrt(variance) / mean, 6)
+    parts
+      .filter(col("n_lines") >= 2)
+      .withColumn("cum_share", cumShare)
+      .withColumn("cv", cv)
+      .select(col("l_partkey"), col("n_lines"),
+        col("rev").cast(LongType).as("revenue_cents"), col("cum_share"),
+        when(col("cum_share") <= 0.8, "A")
+          .when(col("cum_share") <= 0.95, "B").otherwise("C").as("abc_class"),
+        col("cv"),
+        when(col("cv") < 0.5, "X").when(col("cv") < 1.0, "Y").otherwise("Z")
+          .as("xyz_class"))
+      .orderBy(col("l_partkey"))
+  }
+
+  val abcXyzOracle: String =
+    """WITH parts AS (
+      |  SELECT l_partkey, COUNT(*) AS n_lines,
+      |    SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      AS DECIMAL(38,0))) AS rev,
+      |    SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS sq,
+      |    SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+      |      AS DECIMAL(38,0))) AS sqq
+      |  FROM lineitem GROUP BY 1),
+      |f AS (SELECT * FROM parts WHERE n_lines >= 2),
+      |cum AS (
+      |  SELECT l_partkey, n_lines, rev, sq, sqq,
+      |    round(CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |      / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS cum_share,
+      |    round(sqrt(CAST(n_lines * sqq - sq * sq AS DOUBLE)
+      |        / CAST(n_lines * (n_lines - 1) AS DOUBLE))
+      |      / (CAST(sq AS DOUBLE) / CAST(n_lines AS DOUBLE)), 6) AS cv
+      |  FROM f)
+      |SELECT l_partkey, n_lines, CAST(rev AS BIGINT) AS revenue_cents,
+      |  cum_share,
+      |  CASE WHEN cum_share <= 0.8 THEN 'A'
+      |    WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class,
+      |  cv,
+      |  CASE WHEN cv < 0.5 THEN 'X' WHEN cv < 1.0 THEN 'Y' ELSE 'Z' END
+      |    AS xyz_class
+      |FROM cum ORDER BY l_partkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ops_abc_xyz", abcXyz, Some(abcXyzOracle)),
     QueryDef("ops_benford", benford, Some(benfordOracle)),
     QueryDef("ops_psi_drift", psiDrift, Some(psiDriftOracle)),
     QueryDef("ops_ks_drift", ksDrift, Some(ksDriftOracle)),

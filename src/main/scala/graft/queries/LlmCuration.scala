@@ -650,6 +650,57 @@ object LlmCuration {
        |WHERE cb.n_pair >= $NpmiMinCount
        |ORDER BY cb.prev, cb.w""".stripMargin
 
+  private val BurstMinDf = 20
+
+  /** Term burstiness (Church & Gale 1995: content words arrive in
+    * BURSTS — high repeat rate inside the documents that contain them
+    * — while function words spread evenly; the statistic that
+    * separates the two without any stopword list, and the standard
+    * prior for df-vs-cf retrieval weighting). Per term with
+    * df ≥ [[BurstMinDf]]: burstiness = cf/df (mean occurrences per
+    * CONTAINING doc) and the Fano factor (sample variance / mean of
+    * the per-containing-doc tf) — both from exact integer moments
+    * (cf, df, Σtf²) with one double crossing each.
+    *
+    * Scale shape: one (doc, term) hash aggregate — the tfidf/BM25
+    * postings relation — then one term-level aggregate; nothing after
+    * the first aggregate is corpus-sized, and the min-df filter keeps
+    * the output at the frequent tail.
+    */
+  def burstiness(s: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(38, 0)
+    val tf = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val m = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf").cast(d)).as("cf"),
+        sum((col("tf") * col("tf")).cast(d)).as("cf2"))
+      .filter(col("df") >= BurstMinDf)
+    val mean = col("cf").cast(DoubleType) / col("df").cast(DoubleType)
+    val variance = (col("df") * col("cf2") - col("cf") * col("cf")).cast(DoubleType) /
+      (col("df") * (col("df") - 1)).cast(DoubleType)
+    m.select(col("term"), col("df"), col("cf").cast(LongType).as("cf"),
+        round(mean, 6).as("burstiness"),
+        round(variance / mean, 6).as("fano"))
+      .orderBy(col("term"))
+  }
+
+  val burstinessOracle: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |m AS (
+       |  SELECT term, COUNT(*) AS df,
+       |    SUM(CAST(tf AS DECIMAL(38,0))) AS cf,
+       |    SUM(CAST(tf * tf AS DECIMAL(38,0))) AS cf2
+       |  FROM tf GROUP BY 1 HAVING COUNT(*) >= $BurstMinDf)
+       |SELECT term, df, CAST(cf AS BIGINT) AS cf,
+       |  round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS burstiness,
+       |  round((CAST(df * cf2 - cf * cf AS DOUBLE)
+       |      / CAST(df * (df - 1) AS DOUBLE))
+       |    / (CAST(cf AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS fano
+       |FROM m ORDER BY term""".stripMargin
+
   /** Per-group bounded reservoir sample by hash rank: for each source,
     * the [[GroupSampleK]] docs with the smallest [[Sketches.h60]] hash
     * of the doc id — a uniform without-replacement sample per group
@@ -888,5 +939,6 @@ object LlmCuration {
     QueryDef("cu_temperature_mix", temperatureMix, Some(temperatureMixOracle)),
     QueryDef("ta_zipf_fit", zipfFit, Some(zipfFitOracle)),
     QueryDef("ta_npmi_colloc", npmiColloc, Some(npmiCollocOracle)),
+    QueryDef("ta_burstiness", burstiness, Some(burstinessOracle)),
   )
 }

@@ -563,6 +563,60 @@ class StatOpsSpec extends SparkSpec {
       "one fewer user must not suffice")
   }
 
+  test("abc/xyz: Pareto classes ordered, shares monotone, cv replays from raw moments") {
+    import graft.queries.DataOps
+    val rows = DataOps.abcXyz(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // cum_share is monotone along descending revenue and ends at 1
+    val byRev = rows.sortBy(r => (-r.getLong(2), r.getLong(0)))
+    byRev.map(_.getDouble(3)).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b + 1e-9, "cum_share not monotone"); case _ =>
+    }
+    assert(math.abs(byRev.last.getDouble(3) - 1.0) < 1e-6)
+    // class boundaries agree with the emitted shares / cvs
+    rows.foreach { r =>
+      val want = if (r.getDouble(3) <= 0.8) "A" else if (r.getDouble(3) <= 0.95) "B" else "C"
+      assert(r.getString(4) === want, s"abc: $r")
+      val wantX = if (r.getDouble(5) < 0.5) "X" else if (r.getDouble(5) < 1.0) "Y" else "Z"
+      assert(r.getString(6) === wantX, s"xyz: $r")
+    }
+    // all three revenue classes are populated, and classes are
+    // CONTIGUOUS along the revenue order (A then B then C — on this
+    // deliberately uniform-ish catalog A is NOT a small head, which
+    // is itself the correct reading: low concentration)
+    val classes = rows.groupBy(_.getString(4)).view.mapValues(_.length).toMap
+    assert(classes.keySet === Set("A", "B", "C"))
+    val seq = byRev.map(_.getString(4)).toSeq
+    assert(seq === seq.sorted, "classes must be contiguous down the revenue order")
+    // spot cv replay from raw quantities for five parts
+    val raw = Tables.t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("q")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1))).toMap
+    rows.take(5).foreach { r =>
+      val qs = raw(r.getLong(0))
+      val n = qs.length.toDouble
+      val mean = qs.sum.toDouble / n
+      val varS = (n * qs.map(q => q.toDouble * q).sum - math.pow(qs.sum.toDouble, 2)) /
+        (n * (n - 1))
+      assert(math.abs(r.getDouble(5) - math.rint(math.sqrt(varS) / mean * 1e6) / 1e6) < 1e-6,
+        s"cv: $r")
+    }
+  }
+
+  test("burstiness: cf/df identity, fano >= 0, function-word floor at 1") {
+    import graft.queries.LlmCuration
+    val rows = LlmCuration.burstiness(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 20, s"min df: $r")
+      assert(r.getLong(2) >= r.getLong(1), "cf >= df by construction")
+      val want = math.rint(r.getLong(2).toDouble / r.getLong(1).toDouble * 1e6) / 1e6
+      assert(math.abs(r.getDouble(3) - want) < 1e-9, s"burstiness: $r")
+      assert(r.getDouble(3) >= 1.0, "mean tf per containing doc is >= 1")
+      assert(r.getDouble(4) >= 0.0, s"fano: $r")
+    }
+  }
+
   test("ab lift: arms partition the users, z matches the pooled formula, sign agrees") {
     val r = StatOps.abLift(spark, dir).collect().head
     val (nA, cA, nB, cB) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
