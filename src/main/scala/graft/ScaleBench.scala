@@ -304,6 +304,7 @@ object ScaleBench {
       "st_trend_mk" -> graft.queries.StreamingGates.trendMk _,
       "ops_abc_xyz" -> graft.queries.DataOps.abcXyz _,
       "ta_burstiness" -> graft.queries.LlmCuration.burstiness _,
+      "st_concurrency" -> graft.queries.StreamingGates.concurrency _,
       "cu_span_corrupt" -> graft.queries.TrainingPrep.spanCorrupt _,
       "cu_target_encode" -> graft.queries.TrainingPrep.targetEncode _,
       "cu_bpe_merges" -> graft.queries.TrainingPrep.bpeMerges _,

@@ -1147,7 +1147,105 @@ object StreamingGates {
       |FROM sagg s JOIN ties t USING (event_type)
       |ORDER BY s.event_type""".stripMargin
 
+  /** Peak concurrent sessions per day — the capacity-planning sweep
+    * (the classic interval-scheduling +1/−1 boundary walk): each
+    * gap-session ([[sessionizeEvents]]'s 30-min construction)
+    * contributes a +1 at its start and a −1 at its end; the running
+    * sum over the boundary stream IS the live concurrency, and the
+    * per-day maximum (with the earliest timestamp attaining it) is
+    * what an on-call dashboard shows. Sessions are CLOSED intervals
+    * (the end is the last event's timestamp, when the session is
+    * still live), so simultaneous boundaries order starts before
+    * ends — a zero-length single-event session registers concurrency
+    * 1 at its instant and the running sum never dips negative.
+    *
+    * Scale shape — the part that matters at 100 TB: a naive running
+    * sum is ONE global ordered window (single reducer). This
+    * implementation uses the two-level PREFIX-SUM decomposition
+    * instead: a per-day ordered running sum (partitioned window) plus
+    * a day-level carry (the cumulative sum of per-day boundary
+    * totals, a window over the tiny day relation joined back) — the
+    * standard scalable scan shape, exactly reproduced by the oracle.
+    */
+  def concurrency(s: SparkSession, dir: String): DataFrame = {
+    val sessions = sessionizeEvents(Tables.t(s, dir, "events"))
+    val bounds = sessions
+      .select(col("user_id"), col("session_start").as("bts"), lit(1L).as("delta"))
+      .unionByName(sessions.select(col("user_id"),
+        col("session_end").as("bts"), lit(-1L).as("delta")))
+      .withColumn("day", to_date(col("bts")))
+    val wDay = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day"))
+      .orderBy(col("bts"), col("delta").desc, col("user_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val dayTotals = bounds.groupBy(col("day")).agg(sum(col("delta")).as("dtot"))
+    val wCarry = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val carry = dayTotals
+      .withColumn("carry", coalesce(sum(col("dtot")).over(wCarry), lit(0L)))
+      .select(col("day"), col("carry"))
+    bounds
+      .withColumn("prefix", sum(col("delta")).over(wDay))
+      .join(carry, "day")
+      .withColumn("running", col("carry") + col("prefix"))
+      .withColumn("pk", max(col("running")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("day"))))
+      .groupBy(col("day"))
+      .agg(max(col("running")).as("peak_concurrency"),
+        min(when(col("running") === col("pk"), col("bts"))).as("peak_ts"),
+        sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_sessions_started"))
+      .orderBy(col("day"))
+  }
+
+  val concurrencyOracle: String =
+    s"""WITH w AS (
+       |  SELECT user_id, ts, event_id, "value",
+       |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      IS NULL OR epoch_us(ts) - epoch_us(lag(ts)
+       |        OVER (PARTITION BY user_id ORDER BY ts, event_id)) > $GapUs
+       |      THEN 1 ELSE 0 END AS new_s
+       |  FROM events),
+       |sid AS (
+       |  SELECT user_id, ts,
+       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM w),
+       |sessions AS (
+       |  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+       |  FROM sid GROUP BY user_id, sid),
+       |bounds AS (
+       |  SELECT user_id, session_start AS bts, CAST(1 AS BIGINT) AS delta,
+       |    CAST(session_start AS DATE) AS day FROM sessions
+       |  UNION ALL
+       |  SELECT user_id, session_end AS bts, CAST(-1 AS BIGINT) AS delta,
+       |    CAST(session_end AS DATE) AS day FROM sessions),
+       |daytot AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS dtot
+       |  FROM bounds GROUP BY 1),
+       |carry AS (
+       |  SELECT day, CAST(COALESCE(SUM(dtot) OVER (ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS carry
+       |  FROM daytot),
+       |run AS (
+       |  SELECT b.day, b.bts, b.delta,
+       |    c.carry + CAST(SUM(b.delta) OVER (PARTITION BY b.day
+       |      ORDER BY b.bts, b.delta DESC, b.user_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS running
+       |  FROM bounds b JOIN carry c USING (day)),
+       |peaks AS (
+       |  SELECT day, MAX(running) OVER (PARTITION BY day) AS pk,
+       |    running, bts, delta
+       |  FROM run)
+       |SELECT day, CAST(MAX(running) AS BIGINT) AS peak_concurrency,
+       |  MIN(CASE WHEN running = pk THEN bts END) AS peak_ts,
+       |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_sessions_started
+       |FROM peaks GROUP BY day ORDER BY day""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st_concurrency", concurrency, Some(concurrencyOracle)),
     QueryDef("st_trend_mk", trendMk, Some(trendMkOracle)),
     QueryDef("st_control_chart", controlChart, Some(controlChartOracle)),
     QueryDef("st_correlogram", correlogram, Some(correlogramOracle)),

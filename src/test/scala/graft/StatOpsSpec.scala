@@ -617,6 +617,45 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("concurrency: two-level prefix decomposition equals a global driver-side sweep") {
+    import graft.queries.StreamingGates
+    val rows = StreamingGates.concurrency(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val sessions = StreamingGates.sessionizeBatch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000,
+        r.getTimestamp(2).getTime * 1000 + r.getTimestamp(2).getNanos / 1000 % 1000))
+    // single global sweep: (us, -delta, user) — starts before ends at
+    // ties (closed intervals; zero-length sessions register 1)
+    val bounds = sessions.flatMap { case (u, s0, e0) =>
+      Seq((s0, 1L, u), (e0, -1L, u))
+    }.sortBy { case (t, d, u) => (t, -d, u) }
+    var running = 0L
+    val perDay = scala.collection.mutable.Map.empty[String, (Long, Long)] // peak, peakUs
+    bounds.foreach { case (t, d, _) =>
+      running += d
+      assert(running >= 0, "concurrency must never go negative")
+      val day = java.time.Instant.ofEpochMilli(t / 1000)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+      val (pk, pts) = perDay.getOrElse(day, (Long.MinValue, 0L))
+      if (running > pk) perDay(day) = (running, t)
+    }
+    assert(running === 0L, "every started session must end")
+    assert(rows.length === perDay.size)
+    rows.foreach { r =>
+      val day = r.getDate(0).toLocalDate.toString
+      val (pk, pts) = perDay(day)
+      assert(r.getLong(1) === pk, s"$day: peak ${r.getLong(1)} vs $pk")
+      val gotUs = r.getTimestamp(2).getTime * 1000 +
+        r.getTimestamp(2).getNanos / 1000 % 1000
+      assert(gotUs === pts, s"$day: peak ts $gotUs vs $pts")
+      assert(r.getLong(3) === sessions.count { case (_, s0, _) =>
+        java.time.Instant.ofEpochMilli(s0 / 1000)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString == day
+      }.toLong, s"$day: sessions started")
+    }
+  }
+
   test("ab lift: arms partition the users, z matches the pooled formula, sign agrees") {
     val r = StatOps.abLift(spark, dir).collect().head
     val (nA, cA, nB, cB) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
