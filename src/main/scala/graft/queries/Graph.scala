@@ -695,8 +695,11 @@ object Graph {
     * that tells you whether LPA found structure or noise). Works on
     * the SYMMETRIC edge representation directly: with E = |sym rows|
     * = 2m, e_c/m = (internal sym rows)_c / E and d_c/2m = d_c/E, so
-    * no halving ever enters the integer arithmetic. Per-community
-    * terms cross to double once; Q sums them as DECIMAL(38,12).
+    * no halving ever enters the integer arithmetic. Each per-community
+    * term is carried as the EXACT integer numerator e_sym·E − d_c²
+    * over denominator E² and crosses to double in a single division;
+    * Q sums the integer numerators (DECIMAL(38,0), exact) before its
+    * own single division — no raw-double round() anywhere.
     *
     * Scale shape: reuses [[labelPropPlan]]'s persisted edge relation
     * and node-sized label relation; two label joins onto the edges
@@ -722,22 +725,30 @@ object Graph {
       .filter(col("cs") === col("cd"))
       .groupBy(col("cs").as("community")).agg(count(lit(1)).as("e_sym"))
     val tot = edges.agg(count(lit(1)).as("big_e"))
-    val qPart = col("e_sym").cast(org.apache.spark.sql.types.DoubleType) /
-      col("big_e").cast(org.apache.spark.sql.types.DoubleType) -
-      (col("dsum").cast(org.apache.spark.sql.types.DoubleType) /
-        col("big_e").cast(org.apache.spark.sql.types.DoubleType)) *
-      (col("dsum").cast(org.apache.spark.sql.types.DoubleType) /
-        col("big_e").cast(org.apache.spark.sql.types.DoubleType))
+    // Exact-integer form of e_c/E − (d_c/E)²: numerator
+    // e_sym·E − dsum² and denominator E² stay in BIGINT (each term is
+    // ≤ E² — sym-edge counts keep the arithmetic inside 63 bits up to
+    // E ≈ 3·10⁹; beyond that widen to DECIMAL(38,0) like the Q sum),
+    // so the only float operation per row is ONE correctly-rounded
+    // IEEE division — the gini/spearman recipe that both engines
+    // reproduce bit-identically, unlike the chained div/mul this
+    // replaced (r11's sole hash-mismatching gate).
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     val out = byC
       .join(internal, Seq("community"), "left")
       .select(col("community"), col("n_members"), col("dsum"),
         coalesce(col("e_sym"), lit(0L)).as("e_sym"))
       .crossJoin(broadcast(tot))
-      .withColumn("q_part0", qPart)
-      .withColumn("q0", sum(col("q_part0")
-        .cast(org.apache.spark.sql.types.DecimalType(38, 12))).over(wAll)
-        .cast(org.apache.spark.sql.types.DoubleType))
+      .withColumn("q_num",
+        col("e_sym") * col("big_e") - col("dsum") * col("dsum"))
+      .withColumn("q_den", col("big_e") * col("big_e"))
+      .withColumn("q_part0",
+        col("q_num").cast(org.apache.spark.sql.types.DoubleType) /
+          col("q_den").cast(org.apache.spark.sql.types.DoubleType))
+      .withColumn("q0", sum(col("q_num")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).over(wAll)
+        .cast(org.apache.spark.sql.types.DoubleType) /
+        col("q_den").cast(org.apache.spark.sql.types.DoubleType))
       .select(col("community"), col("n_members"),
         expr("e_sym DIV 2").as("internal_edges"), col("dsum").as("degree_sum"),
         round(col("q_part0"), 6).as("q_part"), round(col("q0"), 6).as("modularity"))
@@ -779,14 +790,15 @@ object Graph {
        |parts AS (
        |  SELECT byc.community, byc.n_members, byc.dsum,
        |    COALESCE(internal.e_sym, 0) AS e_sym, tot.big_e,
-       |    CAST(COALESCE(internal.e_sym, 0) AS DOUBLE) / CAST(tot.big_e AS DOUBLE)
-       |      - (CAST(byc.dsum AS DOUBLE) / CAST(tot.big_e AS DOUBLE))
-       |        * (CAST(byc.dsum AS DOUBLE) / CAST(tot.big_e AS DOUBLE)) AS q_part0
+       |    CAST(COALESCE(internal.e_sym, 0) AS BIGINT) * tot.big_e
+       |      - byc.dsum * byc.dsum AS q_num,
+       |    tot.big_e * tot.big_e AS q_den
        |  FROM byc LEFT JOIN internal USING (community) CROSS JOIN tot)
        |SELECT community, n_members, e_sym // 2 AS internal_edges,
-       |  dsum AS degree_sum, round(q_part0, 6) AS q_part,
-       |  round(CAST(SUM(CAST(q_part0 AS DECIMAL(38,12))) OVER () AS DOUBLE), 6)
-       |    AS modularity
+       |  dsum AS degree_sum,
+       |  round(CAST(q_num AS DOUBLE) / CAST(q_den AS DOUBLE), 6) AS q_part,
+       |  round(CAST(SUM(CAST(q_num AS DECIMAL(38,0))) OVER () AS DOUBLE)
+       |    / CAST(q_den AS DOUBLE), 6) AS modularity
        |FROM parts ORDER BY community""".stripMargin
   }
 
@@ -801,7 +813,12 @@ object Graph {
     * fixed-order double crossing ([[StatOps.spearman]]'s shape on an
     * edge relation).
     */
-  def assortativity(s: SparkSession, dir: String): DataFrame = {
+  def assortativity(s: SparkSession, dir: String): DataFrame =
+    assortativityRaw(s, dir)
+      .select(col("n_sym_edges"), round(col("r0"), 6).as("assortativity"))
+
+  /** Pre-round doubles — RoundingAuditSpec's probe surface. */
+  private[graft] def assortativityRaw(s: SparkSession, dir: String): DataFrame = {
     val edges = supportEdges(s, dir)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val d = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -815,10 +832,10 @@ object Graph {
         sum((col("y") * col("y")).cast(d)).as("syy"),
         sum((col("x") * col("y")).cast(d)).as("sxy"))
       .select(col("n").as("n_sym_edges"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast(dbl)
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast(dbl)
           / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(dbl))
-            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast(dbl))),
-          6).as("assortativity"))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast(dbl))))
+          .as("r0"))
   }
 
   val assortativityOracle: String =
