@@ -284,7 +284,7 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
-  final case class TwapRow(user_id: Long, day: java.sql.Date,
+  final case class TwapRow(user_id: Long, day: java.time.LocalDate,
       n_intervals: Long, span_us: Long, twap: Double)
 
   /** Streaming twin of the batch `st_twap` gate: per-user-day
@@ -312,7 +312,12 @@ object EventsStream {
       t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
     def close(userId: Long, b: TwapBuf): Option[TwapRow] =
       if (b.spanUs > 0)
-        Some(TwapRow(userId, new java.sql.Date(b.dayMs), b.nIntervals, b.spanUs,
+        // LocalDate.ofEpochDay is timezone-independent: java.sql.Date
+        // here would round-trip through the JVM default zone in the
+        // encoder and shift the day label on any non-UTC host,
+        // breaking the bit-parity contract with the UTC batch twin.
+        Some(TwapRow(userId, java.time.LocalDate.ofEpochDay(b.dayMs / DayMs),
+          b.nIntervals, b.spanUs,
           round6(BigInt(b.wsum).toDouble / b.spanUs.toDouble / 1000000.0)))
       else None
 
@@ -326,14 +331,25 @@ object EventsStream {
         val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
         var buf = state.getOption.orNull
         val out = Seq.newBuilder[TwapRow]
+        // A day whose close threshold (day end + grace) is at or before
+        // the current watermark may ALREADY have been emitted by a
+        // timeout that then removed the state — opening a fresh buffer
+        // for it would emit a second partial row for the same
+        // (user_id, day). Such sub-watermark stragglers are dropped, so
+        // a closed day can never be reopened.
+        val wm = state.getCurrentWatermarkMs
+        def closable(dayMs: Long): Boolean =
+          dayMs + DayMs + graceMinutes * 60000L <= wm
         sorted.foreach { e =>
           val d = Math.floorDiv(e.ts.getTime, DayMs) * DayMs
           val u = us(e.ts)
-          if (buf == null)
-            buf = TwapBuf(d, u, e.event_id, micro(e.value), "0", 0L, 0L)
-          else if (d > buf.dayMs) {
+          if (buf == null) {
+            if (!closable(d))
+              buf = TwapBuf(d, u, e.event_id, micro(e.value), "0", 0L, 0L)
+          } else if (d > buf.dayMs) {
             close(userId, buf).foreach(out += _)
-            buf = TwapBuf(d, u, e.event_id, micro(e.value), "0", 0L, 0L)
+            buf = if (closable(d)) null
+            else TwapBuf(d, u, e.event_id, micro(e.value), "0", 0L, 0L)
           } else if (d == buf.dayMs &&
               (u > buf.lastUs || (u == buf.lastUs && e.event_id > buf.lastId))) {
             val dur = u - buf.lastUs
@@ -347,6 +363,11 @@ object EventsStream {
           state.setTimeoutTimestamp(math.max(
             buf.dayMs + DayMs + graceMinutes * 60000L,
             state.getCurrentWatermarkMs + 1))
+        } else if (state.exists) {
+          // The held day was closed inline and its successor dropped as
+          // sub-watermark: clear the state or the pending timeout would
+          // emit the already-closed day a second time.
+          state.remove()
         }
         out.result().iterator
       }

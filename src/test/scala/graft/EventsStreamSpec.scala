@@ -165,6 +165,44 @@ class EventsStreamSpec extends SparkSpec {
     assert(!got.exists(r => r._1 == 2L && r._2 == "2025-07-02"))
   }
 
+  test("streaming TWAP: a closed day is never reopened by sub-watermark stragglers") {
+    val in = tmpDir("tw2-in"); val out = tmpDir("tw2-out"); val ck = tmpDir("tw2-ck")
+    // run 1: user 5 has a two-point day 1 (span > 0) and a sentinel
+    // pushes the watermark past day 1's close threshold, so the
+    // event-time timeout emits the day and removes the state
+    Files.writeString(Paths.get(in, "a.jsonl"), Seq(
+      ev(5, 1, "view", 2.0, "2025-07-01T08:00:00Z"),
+      ev(5, 2, "view", 4.0, "2025-07-01T09:00:00Z"),
+      ev(99, 999, "view", 0.0, "2025-07-03T12:00:00Z"),
+    ).mkString("\n"))
+    import spark.implicits._
+    EventsStream.runToParquet(
+      EventsStream.twapDaily(EventsStream.parse(spark.readStream.text(in))).toDF(),
+      out, ck).awaitTermination(120000)
+    def day1Rows() = spark.read.parquet(out)
+      .filter(col("user_id") === 5 && col("day").cast("string") === "2025-07-01")
+      .collect()
+    assert(day1Rows().length === 1)
+
+    // run 2 (same checkpoint → persisted watermark): two stragglers for
+    // the already-closed day 1. flatMapGroupsWithState still delivers
+    // sub-watermark rows, so without the closed-day guard they would
+    // rebuild state and the timeout would emit a SECOND partial row
+    // for (5, 2025-07-01).
+    Files.writeString(Paths.get(in, "b.jsonl"), Seq(
+      ev(5, 3, "view", 100.0, "2025-07-01T10:00:00Z"),
+      ev(5, 4, "view", 200.0, "2025-07-01T11:00:00Z"),
+    ).mkString("\n"))
+    EventsStream.runToParquet(
+      EventsStream.twapDaily(EventsStream.parse(spark.readStream.text(in))).toDF(),
+      out, ck).awaitTermination(120000)
+    val rows = day1Rows()
+    assert(rows.length === 1, s"closed day reopened: ${rows.mkString(";")}")
+    // and the surviving row is still the run-1 aggregate: 2.0 held for
+    // the single 08:00→09:00 interval (the 4.0 point has no successor)
+    assert(rows.head.getAs[Double]("twap") === 2.0)
+  }
+
   test("streaming EWMA: batch parity on the fixture, head point is its own average") {
     val in = tmpDir("ew-in"); val out = tmpDir("ew-out"); val ck = tmpDir("ew-ck")
     writeInput(in)
