@@ -105,8 +105,8 @@ object StatOps {
   def trimmedMean(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.t(s, dir, "events")
     val fences = ev.groupBy(col("event_type"))
-      .agg(round(expr("percentile(value, 0.1)"), 6).as("lo"),
-        round(expr("percentile(value, 0.9)"), 6).as("hi"))
+      .agg(Pctl.p("value", 0.1).as("lo"),
+        Pctl.p("value", 0.9).as("hi"))
     ev.select(col("event_type"), col("value"),
         round(col("value") * 1000000).cast(LongType).as("vm"))
       .join(broadcast(fences), "event_type")
@@ -123,9 +123,9 @@ object StatOps {
   }
 
   val trimmedMeanOracle: String =
-    """WITH f AS (SELECT event_type,
-      |    round(quantile_cont("value", 0.1), 6) AS lo,
-      |    round(quantile_cont("value", 0.9), 6) AS hi
+    s"""WITH f AS (SELECT event_type,
+      |    ${Pctl.sql("\"value\"", 0.1)} AS lo,
+      |    ${Pctl.sql("\"value\"", 0.9)} AS hi
       |  FROM events GROUP BY 1)
       |SELECT e.event_type, COUNT(*) AS n_events,
       |  CAST(SUM(CASE WHEN e."value" >= f.lo AND e."value" <= f.hi
@@ -576,7 +576,17 @@ object StatOps {
     * aggregate + one 2-row arm aggregate joined back — nothing
     * fact-sized after the first pass.
     */
-  def cuped(s: SparkSession, dir: String): DataFrame = {
+  def cuped(s: SparkSession, dir: String): DataFrame =
+    cupedRaw(s, dir)
+      .select(col("arm"), col("n_users"),
+        round(col("mean_post0"), 6).as("mean_post"),
+        round(col("mean_post_cuped0"), 6).as("mean_post_cuped"),
+        round(col("theta0"), 6).as("theta"),
+        round(col("corr20"), 6).as("var_reduction"))
+      .orderBy(col("arm"))
+
+  /** Pre-round doubles — RoundingAuditSpec's probe surface. */
+  private[graft] def cupedRaw(s: SparkSession, dir: String): DataFrame = {
     val d = DecimalType(38, 0)
     val users = withPeriod(Tables.t(s, dir, "events"))
       .select(col("user_id"),
@@ -605,11 +615,10 @@ object StatOps {
         col("sx").cast(DoubleType) / col("n").cast(DoubleType))
     arms.crossJoin(broadcast(moments))
       .select(col("arm"), col("n_users"),
-        round(meanY / 1000000.0, 6).as("mean_post"),
-        round(meanAdj / 1000000.0, 6).as("mean_post_cuped"),
-        round(theta, 6).as("theta"),
-        round(corr2, 6).as("var_reduction"))
-      .orderBy(col("arm"))
+        (meanY / 1000000.0).as("mean_post0"),
+        (meanAdj / 1000000.0).as("mean_post_cuped0"),
+        theta.as("theta0"),
+        corr2.as("corr20"))
   }
 
   val cupedOracle: String = {

@@ -560,7 +560,21 @@ object StreamingGates {
       .agg(round(sum(col("value").cast(DecimalType(38, 12))).cast(DoubleType) /
         count(lit(1)), 6).as("bar"))
 
-  def seasonalNaive(s: SparkSession, dir: String): DataFrame = {
+  def seasonalNaive(s: SparkSession, dir: String): DataFrame =
+    seasonalNaiveRaw(s, dir)
+      .select(col("event_type"), col("n_eval"),
+        round(col("mn"), 6).as("mae_naive"),
+        round(col("ms"), 6).as("mae_seasonal"),
+        when(col("sum_m") > lit(0), round(col("mase0"), 6)).as("mase"))
+      .orderBy(col("event_type"))
+
+  /** Pre-round doubles — RoundingAuditSpec's probe surface. `mase0` is
+    * the EXACT-sum ratio Σ|b−s| / Σ|b−n₁| (the shared n_eval cancels),
+    * ONE double division from two exact decimals instead of the
+    * division-of-divisions it replaced; the guard compares the exact
+    * decimal `sum_m`, not a float.
+    */
+  private[graft] def seasonalNaiveRaw(s: SparkSession, dir: String): DataFrame = {
     val bars = hourlyBars(s, dir)
     // self-join of the bar relation: rename EVERY column on the lag
     // sides — shared attribute ids from the common `bars` plan make
@@ -574,17 +588,15 @@ object StreamingGates {
         col("p_hour") === col("hour") - expr("INTERVAL 1 HOUR"))
       .join(season, col("s_type") === col("event_type") &&
         col("s_hour") === col("hour") - expr("INTERVAL 24 HOURS"))
-    val mae = (c: org.apache.spark.sql.Column) =>
-      sum(abs(col("bar") - c).cast(DecimalType(38, 12))).cast(DoubleType) /
-        count(lit(1))
+    val dsumAbs = (c: org.apache.spark.sql.Column) =>
+      sum(abs(col("bar") - c).cast(DecimalType(38, 12)))
     joined.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_eval"),
-        mae(col("naive")).as("mn"), mae(col("seasonal")).as("ms"))
-      .select(col("event_type"), col("n_eval"),
-        round(col("mn"), 6).as("mae_naive"),
-        round(col("ms"), 6).as("mae_seasonal"),
-        when(col("mn") > 0, round(col("ms") / col("mn"), 6)).as("mase"))
-      .orderBy(col("event_type"))
+        dsumAbs(col("naive")).as("sum_m"), dsumAbs(col("seasonal")).as("sum_s"))
+      .select(col("event_type"), col("n_eval"), col("sum_m"),
+        (col("sum_m").cast(DoubleType) / col("n_eval")).as("mn"),
+        (col("sum_s").cast(DoubleType) / col("n_eval")).as("ms"),
+        (col("sum_s").cast(DoubleType) / col("sum_m").cast(DoubleType)).as("mase0"))
   }
 
   val seasonalNaiveOracle: String =
@@ -601,12 +613,14 @@ object StreamingGates {
       |    AND s.hour = b.hour - INTERVAL 24 HOUR),
       |m AS (
       |  SELECT event_type, COUNT(*) AS n_eval,
-      |    CAST(SUM(CAST(abs(bar - naive) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mn,
-      |    CAST(SUM(CAST(abs(bar - seasonal) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS ms
+      |    SUM(CAST(abs(bar - naive) AS DECIMAL(38,12))) AS sum_m,
+      |    SUM(CAST(abs(bar - seasonal) AS DECIMAL(38,12))) AS sum_s
       |  FROM j GROUP BY 1)
-      |SELECT event_type, n_eval, round(mn, 6) AS mae_naive,
-      |  round(ms, 6) AS mae_seasonal,
-      |  CASE WHEN mn > 0 THEN round(ms / mn, 6) END AS mase
+      |SELECT event_type, n_eval,
+      |  round(CAST(sum_m AS DOUBLE) / n_eval, 6) AS mae_naive,
+      |  round(CAST(sum_s AS DOUBLE) / n_eval, 6) AS mae_seasonal,
+      |  CASE WHEN sum_m > 0
+      |    THEN round(CAST(sum_s AS DOUBLE) / CAST(sum_m AS DOUBLE), 6) END AS mase
       |FROM m ORDER BY event_type""".stripMargin
 
   /** CUSUM mean-shift LOCATOR per event type (Page 1954's cumulative
@@ -690,7 +704,14 @@ object StreamingGates {
     * (Spark's built-in `corr` accumulates doubles in partition order
     * and could not be cross-engine-gated).
     */
-  def lagAutocorr(s: SparkSession, dir: String): DataFrame = {
+  def lagAutocorr(s: SparkSession, dir: String): DataFrame =
+    lagAutocorrRaw(s, dir)
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        round(col("ac0"), 6).as("autocorr"))
+      .orderBy(col("event_type"), col("lag"))
+
+  /** Pre-round doubles — RoundingAuditSpec's probe surface. */
+  private[graft] def lagAutocorrRaw(s: SparkSession, dir: String): DataFrame = {
     val bars = hourlyBars(s, dir)
     val lagged = bars.select(col("event_type").as("l_type"),
       col("hour").as("l_hour"), col("bar").as("y"))
@@ -711,8 +732,7 @@ object StreamingGates {
     val vx = col("n") * col("sxx") - col("sx") * col("sx")
     val vy = col("n") * col("syy") - col("sy") * col("sy")
     m.select(col("event_type"), col("lag"), col("n").cast("long").as("n_pairs"),
-        round(cov / sqrt(vx * vy), 6).as("autocorr"))
-      .orderBy(col("event_type"), col("lag"))
+      (cov / sqrt(vx * vy)).as("ac0"))
   }
 
   val lagAutocorrOracle: String =
@@ -750,17 +770,17 @@ object StreamingGates {
     Tables.t(s, dir, "events")
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n_events"),
-        round(expr("percentile(value, 0.5)"), 6).as("p50"),
-        round(expr("percentile(value, 0.95)"), 6).as("p95"),
-        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+        Pctl.p("value", 0.5).as("p50"),
+        Pctl.p("value", 0.95).as("p95"),
+        Pctl.p("value", 0.99).as("p99"))
       .orderBy(col("event_type"), col("hour"))
 
   val hourlyQuantilesOracle: String =
-    """SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+    s"""SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
       |  COUNT(*) AS n_events,
-      |  round(quantile_cont("value", 0.5), 6) AS p50,
-      |  round(quantile_cont("value", 0.95), 6) AS p95,
-      |  round(quantile_cont("value", 0.99), 6) AS p99
+      |  ${Pctl.sql("\"value\"", 0.5)} AS p50,
+      |  ${Pctl.sql("\"value\"", 0.95)} AS p95,
+      |  ${Pctl.sql("\"value\"", 0.99)} AS p99
       |FROM events GROUP BY 1, 2
       |ORDER BY event_type, hour""".stripMargin
 
@@ -789,11 +809,11 @@ object StreamingGates {
   def madAnomaly(s: SparkSession, dir: String): DataFrame = {
     val bars = hourlyBars(s, dir)
     val med = bars.groupBy(col("event_type").as("m_type"))
-      .agg(round(expr("percentile(bar, 0.5)"), 6).as("med"))
+      .agg(Pctl.p("bar", 0.5).as("med"))
     val dev = bars.join(med, col("m_type") === col("event_type")).drop("m_type")
       .withColumn("dev", round(abs(col("bar") - col("med")), 6))
     val mad = dev.groupBy(col("event_type").as("d_type"))
-      .agg(round(expr("percentile(dev, 0.5)"), 6).as("mad"))
+      .agg(Pctl.p("dev", 0.5).as("mad"))
     dev.join(mad, col("d_type") === col("event_type")).drop("d_type")
       .select(col("event_type"), col("hour"), col("bar"), col("med"), col("mad"),
         when(col("mad") > 0, round(col("dev") / col("mad"), 6)).as("score"),
@@ -802,17 +822,17 @@ object StreamingGates {
   }
 
   val madAnomalyOracle: String =
-    """WITH bars AS (
+    s"""WITH bars AS (
       |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
       |    round(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS bar
       |  FROM events GROUP BY 1, 2),
-      |med AS (SELECT event_type, round(quantile_cont(bar, 0.5), 6) AS med
+      |med AS (SELECT event_type, ${Pctl.sql("bar", 0.5)} AS med
       |  FROM bars GROUP BY 1),
       |dev AS (
       |  SELECT b.event_type, b.hour, b.bar, m.med,
       |    round(abs(b.bar - m.med), 6) AS dev
       |  FROM bars b JOIN med m USING (event_type)),
-      |mad AS (SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+      |mad AS (SELECT event_type, ${Pctl.sql("dev", 0.5)} AS mad
       |  FROM dev GROUP BY 1)
       |SELECT d.event_type, d.hour, d.bar, d.med, a.mad,
       |  CASE WHEN a.mad > 0 THEN round(d.dev / a.mad, 6) END AS score,
@@ -917,6 +937,22 @@ object StreamingGates {
     * rows.
     */
   def correlogram(s: SparkSession, dir: String): DataFrame = {
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(round(col("ac0"), 9).desc, col("lag"))
+    correlogramRaw(s, dir)
+      .withColumn("best_rank", row_number().over(wBest))
+      .select(col("event_type"), col("lag").cast(LongType).as("lag"),
+        col("n").cast(LongType).as("n_pairs"),
+        round(col("ac0"), 6).as("autocorr"),
+        (col("best_rank") === 1).as("is_dominant_period"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  /** Pre-round doubles (`ac0` feeds BOTH the round-6 output and the
+    * round-9 dominant-period rank) — RoundingAuditSpec's probe surface.
+    */
+  private[graft] def correlogramRaw(s: SparkSession, dir: String): DataFrame = {
     val bars = hourlyBars(s, dir)
     val lagged = bars.select(col("event_type").as("l_type"),
       col("hour").as("l_hour"), col("bar").as("y"))
@@ -939,16 +975,7 @@ object StreamingGates {
     val cov = col("n") * col("sxy") - col("sx") * col("sy")
     val vx = col("n") * col("sxx") - col("sx") * col("sx")
     val vy = col("n") * col("syy") - col("sy") * col("sy")
-    val wBest = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type"))
-      .orderBy(round(col("ac0"), 9).desc, col("lag"))
     m.withColumn("ac0", cov / sqrt(vx * vy))
-      .withColumn("best_rank", row_number().over(wBest))
-      .select(col("event_type"), col("lag").cast(LongType).as("lag"),
-        col("n").cast(LongType).as("n_pairs"),
-        round(col("ac0"), 6).as("autocorr"),
-        (col("best_rank") === 1).as("is_dominant_period"))
-      .orderBy(col("event_type"), col("lag"))
   }
 
   val correlogramOracle: String =
@@ -1091,7 +1118,7 @@ object StreamingGates {
           .as("slope"))
     val sAgg = pairs.groupBy(col("event_type"))
       .agg(sum(col("sgn")).as("s_stat"),
-        round(expr("percentile(slope, 0.5)"), 6).as("sen_slope"))
+        Pctl.p("slope", 0.5).as("sen_slope"))
     val ties = hourlyBars(s, dir).groupBy(col("event_type"), col("bar"))
       .agg(count(lit(1)).as("t"))
       .groupBy(col("event_type"))
@@ -1113,7 +1140,7 @@ object StreamingGates {
   }
 
   val trendMkOracle: String =
-    """WITH bars AS (
+    s"""WITH bars AS (
       |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
       |    round(CAST(SUM(CAST("value" AS DECIMAL(38,12))) AS DOUBLE)
       |      / COUNT(*), 6) AS bar
@@ -1127,7 +1154,7 @@ object StreamingGates {
       |  FROM hb a JOIN hb b ON b.event_type = a.event_type AND b.h > a.h),
       |sagg AS (
       |  SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat,
-      |    round(quantile_cont(slope, 0.5), 6) AS sen_slope
+      |    ${Pctl.sql("slope", 0.5)} AS sen_slope
       |  FROM pairs GROUP BY 1),
       |ties AS (
       |  SELECT event_type, CAST(SUM(t) AS BIGINT) AS n_bars,
