@@ -127,10 +127,10 @@ object DataOps {
     val li = Tables.t(s, dir, "events")
       .select(col("event_type").as("grp"), col("value").as("v"))
     val med = li.groupBy(col("grp"))
-      .agg(round(expr("percentile(v, 0.5)"), 6).as("med"))
+      .agg(Pctl.p("v", 0.5).as("med"))
     val mad = li.join(med, "grp")
       .groupBy(col("grp"), col("med"))
-      .agg(round(expr("percentile(abs(v - med), 0.5)"), 6).as("mad"))
+      .agg(Pctl.p("abs(v - med)", 0.5).as("mad"))
     val lo = round(col("med") - lit(3) * col("mad"), 6)
     val hi = round(col("med") + lit(3) * col("mad"), 6)
     li.join(mad, "grp")
@@ -146,10 +146,10 @@ object DataOps {
   }
 
   val outlierBoundsOracle: String =
-    """WITH li AS (SELECT event_type AS grp, "value" AS v FROM events),
-      |med AS (SELECT grp, round(quantile_cont(v, 0.5), 6) AS med FROM li GROUP BY 1),
+    s"""WITH li AS (SELECT event_type AS grp, "value" AS v FROM events),
+      |med AS (SELECT grp, ${Pctl.sql("v", 0.5)} AS med FROM li GROUP BY 1),
       |mad AS (SELECT li.grp, med.med,
-      |    round(quantile_cont(abs(li.v - med.med), 0.5), 6) AS mad
+      |    ${Pctl.sql("abs(li.v - med.med)", 0.5)} AS mad
       |  FROM li JOIN med ON li.grp = med.grp GROUP BY 1, 2)
       |SELECT li.grp, mad.med, mad.mad,
       |  round(mad.med - 3 * mad.mad, 6) AS lo,
@@ -323,8 +323,8 @@ object DataOps {
   def winsorize(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.t(s, dir, "events")
     val bounds = ev.groupBy(col("event_type"))
-      .agg(round(expr("percentile(value, 0.05)"), 6).as("p05"),
-        round(expr("percentile(value, 0.95)"), 6).as("p95"))
+      .agg(Pctl.p("value", 0.05).as("p05"),
+        Pctl.p("value", 0.95).as("p95"))
     ev.select(col("event_id"), col("event_type"), col("value"))
       .join(bounds, "event_type")
       .select(col("event_id"), col("event_type"),
@@ -336,9 +336,9 @@ object DataOps {
   }
 
   val winsorizeOracle: String =
-    """WITH b AS (SELECT event_type,
-      |    round(quantile_cont("value", 0.05), 6) AS p05,
-      |    round(quantile_cont("value", 0.95), 6) AS p95
+    s"""WITH b AS (SELECT event_type,
+      |    ${Pctl.sql("\"value\"", 0.05)} AS p05,
+      |    ${Pctl.sql("\"value\"", 0.95)} AS p95
       |  FROM events GROUP BY 1)
       |SELECT e.event_id, e.event_type, round(e."value", 6) AS value,
       |  round(least(greatest(e."value", b.p05), b.p95), 6) AS winsorized,
@@ -516,9 +516,7 @@ object DataOps {
     val rest = broadcast(types).join(e, col("event_type") =!= col("t"))
       .select(col("t"), col("b"))
     val fences = rest.groupBy(col("t"))
-      .agg(transform(
-        expr("percentile(b, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"),
-        f => round(f, 6)).as("f"))
+      .agg(Pctl.pArray("b", (1 to 9).map(_ / 10.0)).as("f"))
     val binOf = aggregate(col("f"), lit(0),
       (acc, x) => acc + when(col("b").cast(DoubleType) > x, 1).otherwise(0))
     val own = e.select(col("event_type").as("t"), col("b")).join(fences, "t")
@@ -547,13 +545,12 @@ object DataOps {
   }
 
   val psiDriftOracle: String =
-    """WITH e AS (SELECT event_type,
+    s"""WITH e AS (SELECT event_type,
       |    CAST(round(value * 100) AS BIGINT) AS b FROM events),
       |types AS (SELECT DISTINCT event_type AS t FROM e),
       |rest AS (SELECT types.t, e.b FROM types JOIN e ON e.event_type <> types.t),
       |fences AS (SELECT t,
-      |    list_transform(quantile_cont(b, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
-      |      f -> round(f, 6)) AS f
+      |    ${Pctl.sqlArray("b", (1 to 9).map(_ / 10.0))} AS f
       |  FROM rest GROUP BY 1),
       |own AS (
       |  SELECT e.event_type AS t,

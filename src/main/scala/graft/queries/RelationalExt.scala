@@ -112,8 +112,7 @@ object RelationalExt {
     */
   def percentileSuite(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.t(s, dir, "lineitem")
-    def p(q: Double, name: String) =
-      round(expr(s"percentile(l_quantity, $q)"), 6).as(name)
+    def p(q: Double, name: String) = Pctl.p("l_quantity", q).as(name)
     li.groupBy(col("l_returnflag"))
       .agg(p(0.25, "p25"), p(0.5, "p50"), p(0.9, "p90"),
         round(min(col("l_quantity")), 6).as("p_min"),
@@ -122,10 +121,10 @@ object RelationalExt {
   }
 
   private val percentileOracle: String =
-    """SELECT l_returnflag,
-      |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
-      |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
-      |  round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+    s"""SELECT l_returnflag,
+      |  ${Pctl.sql("l_quantity", 0.25)} AS p25,
+      |  ${Pctl.sql("l_quantity", 0.5)} AS p50,
+      |  ${Pctl.sql("l_quantity", 0.9)} AS p90,
       |  round(min(l_quantity), 6) AS p_min,
       |  round(max(l_quantity), 6) AS p_max
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin

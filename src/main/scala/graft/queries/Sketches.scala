@@ -431,7 +431,7 @@ object Sketches {
       .filter(col("vr") === QrK / 2)
       .select(col("grp"), col("v").cast("double").as("p50_est"))
     val exact = li.groupBy(col("grp"))
-      .agg(count(lit(1)).as("n_rows"), round(expr("percentile(v, 0.5)"), 6).as("p50_exact"))
+      .agg(count(lit(1)).as("n_rows"), Pctl.p("v", 0.5).as("p50_exact"))
     exact.join(est, "grp")
       .select(col("grp"), col("n_rows"), col("p50_exact"), col("p50_est"))
       .orderBy(col("grp"))
@@ -452,7 +452,7 @@ object Sketches {
        |  SELECT grp, v, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, rk) AS vr FROM samp)
        |  WHERE vr = ${QrK / 2}),
        |ex AS (SELECT l_returnflag AS grp, COUNT(*) AS n_rows,
-       |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact
+       |  ${Pctl.sql("l_extendedprice", 0.5)} AS p50_exact
        |  FROM lineitem GROUP BY 1)
        |SELECT ex.grp, n_rows, p50_exact, p50_est
        |FROM ex JOIN est ON ex.grp = est.grp ORDER BY ex.grp""".stripMargin
