@@ -308,6 +308,12 @@ object ScaleBench {
       "cu_span_corrupt" -> graft.queries.TrainingPrep.spanCorrupt _,
       "cu_target_encode" -> graft.queries.TrainingPrep.targetEncode _,
       "cu_bpe_merges" -> graft.queries.TrainingPrep.bpeMerges _,
+      // round-12 additions
+      "st_runs_test" -> graft.queries.StreamingGates.runsTest _,
+      "gr_harmonic" -> graft.queries.Graph.harmonic _,
+      "ta_heaps_fit" -> graft.queries.LlmCuration.heapsFit _,
+      "ops_elasticity" -> graft.queries.StatOps.elasticity _,
+      "sim_mmr_rerank" -> graft.queries.LlmVectors.mmrRerank _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

@@ -945,7 +945,160 @@ object Graph {
        |ORDER BY score DESC, kind, key""".stripMargin
   }
 
+  /** Hop-bounded HARMONIC centrality (Boldi & Vigna 2014's recommended
+    * closeness variant — it handles disconnected graphs, which
+    * thresholded co-occurrence graphs always are): HC(v) = Σ 1/d(v,u)
+    * over u within 2 hops — degree + half the strict-2-hop neighbor
+    * count. The 2-hop truncation is the standard scalable cut
+    * (full closeness is all-pairs BFS); the delta-frontier [[kHop]]
+    * machinery extends the radius when a use case pays for it.
+    *
+    * INTEGER-EXACT: n₁ and n₂ are counts, HC = (2n₁+n₂)/2 — the only
+    * division is an exact halving. No rounding anywhere.
+    *
+    * Scale shape: one wedge join for the candidate 2-hop pairs (the
+    * [[adamicAdar]]/[[jaccardNeighbors]] relation — measured 1.8× at
+    * 10×), one distinct, one anti-join against the edge relation, two
+    * node-sized aggregates.
+    */
+  def harmonic(s: SparkSession, dir: String): DataFrame = {
+    val (result, pinned) = harmonicPlan(s, dir)
+    finalized(result, pinned: _*)
+  }
+
+  private[graft] def harmonicPlan(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+    val edges = supportEdges(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("n1"))
+    val wedges = edges.select(col("src").as("w"), col("dst").as("a"))
+      .join(edges.select(col("src").as("w"), col("dst").as("b")), "w")
+      .filter(col("a") =!= col("b"))
+      .select(col("a").as("node"), col("b").as("nbr2")).distinct()
+    val hop2 = wedges
+      .join(edges.select(col("src").as("node"), col("dst").as("nbr2")),
+        Seq("node", "nbr2"), "left_anti")
+      .groupBy(col("node")).agg(count(lit(1)).as("n2"))
+    val out = deg.join(hop2, Seq("node"), "left")
+      .select(col("node"), col("n1"), coalesce(col("n2"), lit(0L)).as("n2"))
+      .withColumn("harmonic",
+        (col("n1") * 2L + col("n2"))
+          .cast(org.apache.spark.sql.types.DoubleType) / lit(2.0))
+      .orderBy(col("node"))
+    (out, Seq(edges))
+  }
+
+  val harmonicOracle: String =
+    s"""WITH it AS (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+       |  FROM lineitem),
+       |pr AS (SELECT a.p AS x, b.p AS y, COUNT(*) AS w
+       |  FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupSql),
+       |e AS (SELECT x AS src, y AS dst FROM pr
+       |  UNION ALL SELECT y AS src, x AS dst FROM pr),
+       |deg AS (SELECT src AS node, COUNT(*) AS n1 FROM e GROUP BY 1),
+       |wedge AS (
+       |  SELECT DISTINCT e1.dst AS node, e2.dst AS nbr2
+       |  FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst <> e2.dst),
+       |hop2 AS (
+       |  SELECT w.node, COUNT(*) AS n2
+       |  FROM wedge w ANTI JOIN e ON e.src = w.node AND e.dst = w.nbr2
+       |  GROUP BY 1)
+       |SELECT deg.node, deg.n1,
+       |  CAST(COALESCE(hop2.n2, 0) AS BIGINT) AS n2,
+       |  CAST(deg.n1 * 2 + COALESCE(hop2.n2, 0) AS DOUBLE) / 2.0 AS harmonic
+       |FROM deg LEFT JOIN hop2 USING (node)
+       |ORDER BY deg.node""".stripMargin
+
+  private val TrussK = 3
+  private val TrussRounds = 3
+
+  /** K-TRUSS decomposition (Cohen 2008) at k = [[TrussK]]: iteratively
+    * drop every edge whose triangle SUPPORT (common neighbors of its
+    * endpoints) is below k−2 — at k = 3, the "every edge sits in a
+    * triangle" cut (k = 4 is DEGENERATE on the gate corpus: only 2 of
+    * 3445 support edges reach support 2, and they peel each other
+    * away; k = 3 keeps a non-trivial 181-edge truss with fixpoint
+    * headroom inside the fixed rounds). The truss is the
+    * community-detection cousin of [[kCore]] that a core can't fake —
+    * a star has high core numbers but zero support. FIXED [[TrussRounds]]
+    * synchronous rounds (the [[kCore]] device: the oracle replays the
+    * exact rounds as materialized CTEs; the spec proves convergence
+    * headroom at gate scale).
+    *
+    * Scale shape: each round is one wedge join over the surviving
+    * symmetric edges (the [[harmonic]]/[[adamicAdar]] pair relation —
+    * measured 1.8-2.6× at 10×) joined back to the undirected edge
+    * list, checkpoint-truncated per round. Support counts are
+    * integers; no floats anywhere.
+    */
+  def kTruss(s: SparkSession, dir: String): DataFrame = {
+    val (result, pinned) = kTrussPlan(s, dir)
+    finalized(result, pinned: _*)
+  }
+
+  private[graft] def kTrussPlan(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+    val edges = supportEdges(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var und = edges.filter(col("src") < col("dst"))
+    var lastSup: DataFrame = null
+    for (_ <- 1 to TrussRounds) {
+      val sym = und.unionByName(
+        und.select(col("dst").as("src"), col("src").as("dst")))
+      val wedge = sym.select(col("src").as("a"), col("dst").as("w"))
+        .join(sym.select(col("src").as("b"), col("dst").as("w")), "w")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+      lastSup = und
+        .join(wedge, col("src") === col("a") && col("dst") === col("b"), "left")
+        .select(col("src"), col("dst"),
+          coalesce(col("sup"), lit(0L)).as("support"))
+      und = graft.plans.Checkpoint.truncate(
+        lastSup.filter(col("support") >= TrussK - 2)
+          .select(col("src"), col("dst")))
+    }
+    // final support re-counted on the SURVIVING subgraph
+    val symF = und.unionByName(
+      und.select(col("dst").as("src"), col("src").as("dst")))
+    val wedgeF = symF.select(col("src").as("a"), col("dst").as("w"))
+      .join(symF.select(col("src").as("b"), col("dst").as("w")), "w")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+    val out = und
+      .join(wedgeF, col("src") === col("a") && col("dst") === col("b"), "left")
+      .select(col("src"), col("dst"), coalesce(col("sup"), lit(0L)).as("support"))
+      .orderBy(col("src"), col("dst"))
+    (out, Seq(edges))
+  }
+
+  val kTrussOracle: String = {
+    val round = (i: Int) =>
+      s"""u$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM u${i - 1} e
+         |  JOIN s${i - 1} x ON x.src = e.src
+         |  JOIN s${i - 1} y ON y.src = e.dst AND y.dst = x.dst
+         |  GROUP BY e.src, e.dst HAVING COUNT(*) >= ${TrussK - 2}),
+         |s$i AS MATERIALIZED (SELECT src, dst FROM u$i
+         |  UNION ALL SELECT dst, src FROM u$i)"""
+    s"""WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+       |  FROM lineitem),
+       |pr AS (SELECT a.p AS x, b.p AS y FROM it a JOIN it b
+       |  ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupSql),
+       |u0 AS MATERIALIZED (SELECT x AS src, y AS dst FROM pr),
+       |s0 AS MATERIALIZED (SELECT src, dst FROM u0
+       |  UNION ALL SELECT dst, src FROM u0),
+       |${(1 to TrussRounds).map(round).mkString(",\n")}
+       |SELECT e.src, e.dst,
+       |  CAST(COALESCE((SELECT COUNT(*) FROM s$TrussRounds x
+       |    JOIN s$TrussRounds y ON y.dst = x.dst
+       |    WHERE x.src = e.src AND y.src = e.dst), 0) AS BIGINT) AS support
+       |FROM u$TrussRounds e
+       |ORDER BY e.src, e.dst""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("gr_ktruss", kTruss, Some(kTrussOracle)),
+    QueryDef("gr_harmonic", harmonic, Some(harmonicOracle)),
     QueryDef("gr_pagerank", pageRank, Some(pageRankOracle)),
     QueryDef("gr_khop", kHop, Some(kHopOracle)),
     QueryDef("gr_triangles", coTriangles, Some(coTrianglesOracle)),

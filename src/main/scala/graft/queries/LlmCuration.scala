@@ -446,6 +446,151 @@ object LlmCuration {
       .orderBy(col("lang"))
   }
 
+  /** Heaps'-law vocabulary-growth fit per language (Heaps 1978:
+    * V(n) = K·nᵝ — [[zipfFit]]'s dual; β far from the ~0.4–0.6 band
+    * flags a corpus whose vocabulary growth is unnatural, e.g.
+    * boilerplate floods or id-spam, BEFORE tokenizer training pays for
+    * it): the growth curve samples one point per document in doc_id
+    * order — cumulative tokens read vs cumulative distinct terms seen
+    * — and the log-log OLS (the [[zipfFit]] recipe: DECIMAL-summed
+    * moments, fixed-order crossings) yields β (slope), ln K
+    * (intercept), and r².
+    *
+    * The cumulative-vocabulary column needs NO per-term scan state:
+    * a term's first contribution is at its MIN doc_id, so new-terms-
+    * per-doc is one aggregate of the firsts relation, and both
+    * cumulatives are ordered window sums over the doc-sized curve.
+    *
+    * Scale shape: one corpus tokenize → (lang, term) MIN-aggregate,
+    * one doc-sized token-count aggregate, two window sums and the OLS
+    * on the doc-sized curve. Nothing after the first aggregates is
+    * token-sized.
+    */
+  def heapsFit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    val toks = docs.select(col("lang"), col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val perDoc = toks.groupBy(col("lang"), col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"))
+    val newTerms = toks.groupBy(col("lang"), col("token"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("lang"), col("doc_id")).agg(count(lit(1)).as("n_new"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val curve = perDoc.join(newTerms, Seq("lang", "doc_id"), "left")
+      .select(col("lang"), col("doc_id"), col("n_tok"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("cum_vocab", sum(col("n_new")).over(w))
+      .select(col("lang"),
+        log(col("cum_tok").cast(DoubleType)).as("x"),
+        log(col("cum_vocab").cast(DoubleType)).as("y"))
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(38, 12))).cast(DoubleType)
+    val m = curve.groupBy(col("lang")).agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsum(col("x") * col("y")).as("sxy"),
+      dsum(col("x") * col("x")).as("sxx"),
+      dsum(col("y") * col("y")).as("syy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    m.select(col("lang"), col("n").cast("long").as("n_docs"),
+        round(cov / vx, 6).as("beta"),
+        round((col("sy") - (cov / vx) * col("sx")) / col("n"), 6).as("ln_k"),
+        round((cov * cov) / (vx * vy), 6).as("r2"))
+      .orderBy(col("lang"))
+  }
+
+  /** Per-document BIGRAM NOVELTY over the ingestion order ([[heapsFit]]
+    * read per-doc; this is the screen a streaming curator thresholds):
+    * for each document, the fraction of its DISTINCT adjacent bigrams
+    * never seen in any earlier document (first-occurrence MIN doc_id —
+    * the same device as the vocabulary curve; the batch analogue of
+    * the streaming novelty filter). A long-running crawl watches this
+    * column fall as the corpus saturates; a document far below its
+    * neighbors is boilerplate, far above is off-domain.
+    *
+    * Float policy: counts are exact integers; novelty is ONE integer
+    * division rounded at 6.
+    *
+    * Scale shape: one tokenize → distinct (doc, bigram) relation, one
+    * MIN aggregate over it, two doc-sized hash aggregates, one
+    * doc-sized join. Nothing after the distinct is token-sized.
+    */
+  def bigramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val bigrams = toks.select(col("doc_id"),
+        explode(zip_with(col("ts"), slice(col("ts"), 2, 1000000),
+          (a, b) => concat_ws(" ", a, b))).as("bg"))
+      .filter(col("bg").contains(" "))
+      .distinct()
+    val firsts = bigrams.groupBy(col("bg")).agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = bigrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bigrams"))
+    val novel = bigrams.join(firsts, "bg")
+      .filter(col("doc_id") === col("first_doc"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast(DoubleType) /
+          col("n_bigrams").cast(DoubleType), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramNoveltyOracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |bg AS (
+      |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] AS bg
+      |  FROM toks, UNNEST(range(1, len(ts))) AS t(i)),
+      |firsts AS (SELECT bg, MIN(doc_id) AS first_doc FROM bg GROUP BY 1),
+      |perdoc AS (SELECT doc_id, COUNT(*) AS n_bigrams FROM bg GROUP BY 1),
+      |novel AS (
+      |  SELECT b.doc_id, COUNT(*) AS n_novel
+      |  FROM bg b JOIN firsts f USING (bg)
+      |  WHERE b.doc_id = f.first_doc GROUP BY 1)
+      |SELECT p.doc_id, p.n_bigrams,
+      |  CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+      |  round(CAST(COALESCE(n.n_novel, 0) AS DOUBLE)
+      |    / CAST(p.n_bigrams AS DOUBLE), 6) AS novelty
+      |FROM perdoc p LEFT JOIN novel n USING (doc_id)
+      |ORDER BY p.doc_id""".stripMargin
+
+  val heapsFitOracle: String =
+    """WITH tok AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |perdoc AS (SELECT lang, doc_id, COUNT(*) AS n_tok
+      |  FROM tok GROUP BY 1, 2),
+      |firsts AS (SELECT lang, token, MIN(doc_id) AS doc_id
+      |  FROM tok GROUP BY 1, 2),
+      |newterms AS (SELECT lang, doc_id, COUNT(*) AS n_new
+      |  FROM firsts GROUP BY 1, 2),
+      |curve AS (
+      |  SELECT p.lang,
+      |    ln(CAST(SUM(p.n_tok) OVER (PARTITION BY p.lang ORDER BY p.doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS DOUBLE)) AS x,
+      |    ln(CAST(SUM(COALESCE(nt.n_new, 0)) OVER (PARTITION BY p.lang
+      |      ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING) AS DOUBLE)) AS y
+      |  FROM perdoc p LEFT JOIN newterms nt USING (lang, doc_id)),
+      |m AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+      |  FROM curve GROUP BY 1)
+      |SELECT lang, CAST(n AS BIGINT) AS n_docs,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+      |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+      |    AS ln_k,
+      |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+      |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      |FROM m ORDER BY lang""".stripMargin
+
   val zipfFitOracle: String =
     """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
       |  FROM documents),
@@ -923,6 +1068,8 @@ object LlmCuration {
        |FROM w ORDER BY doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ta_bigram_novelty", bigramNovelty, Some(bigramNoveltyOracle)),
+    QueryDef("ta_heaps_fit", heapsFit, Some(heapsFitOracle)),
     QueryDef("cu_dsir_weights", dsirWeights, Some(dsirWeightsOracle)),
     QueryDef("ta_vocab_stats", vocabStats, Some(vocabStatsOracle)),
     QueryDef("ta_tfidf", tfidf, Some(tfidfOracle)),

@@ -1004,7 +1004,137 @@ object LlmVectors {
        |SELECT q_id, rank, vec_id, round(cos, 6) AS cosine
        |FROM rr WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
 
+  private val MmrPool = 10
+  private val MmrPicks = 5
+
+  /** MMR diversification rerank (Carbonell & Goldstein, SIGIR 1998 —
+    * the standard redundancy-killer between retrieval and a RAG
+    * context window: greedy-pick argmax of λ·rel − (1−λ)·max-sim-to-
+    * picked, λ = 0.5): over each query's [[MmrPool]] brute-cosine
+    * candidates, [[MmrPicks]] unrolled greedy steps. With λ = ½ the
+    * pick order follows the MARGIN rel − maxsim (an exact halving
+    * never reorders), which is what the gate emits.
+    *
+    * Determinism: rel and candidate-candidate sims are round-6
+    * cosines, so the margin is (within one ulp) a 6-dp decimal —
+    * maximally FAR from rounding boundaries; picks rank over
+    * round-9 margins with vec_id tie-breaks, and the oracle unrolls
+    * the same five steps as CTEs (the [[graft.queries.Graph.labelProp]]
+    * fixed-rounds device).
+    *
+    * Scale shape: the candidate build is [[topkExact]]'s plan (corpus
+    * scan × broadcast queries, WindowGroupLimit top-10); everything
+    * after runs on ≤ NQueries·[[MmrPool]] rows (pair matrix ≤ 10×10
+    * per query). Lineage is checkpoint-truncated per pick.
+    */
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    val queries = base.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val cos = dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))
+    val wCand = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("cos"), 9).desc, col("vec_id"))
+    val cand = base.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cos)
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= MmrPool)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("rel"),
+        col("emb"), col("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = cand.select(col("q_id"), col("vec_id").as("va"),
+        col("emb").as("ea"), col("nrm").as("na"))
+      .join(cand.select(col("q_id"), col("vec_id").as("vb"),
+        col("emb").as("eb"), col("nrm").as("nb")), "q_id")
+      .filter(col("va") =!= col("vb"))
+      .select(col("q_id"), col("va"), col("vb"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wPick = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("margin"), 9).desc, col("vec_id"))
+    // step 1: nothing picked, margin = rel
+    var picked = graft.plans.Checkpoint.truncate(
+      cand.select(col("q_id"), col("vec_id"), col("rel"))
+        .withColumn("margin", col("rel"))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("vec_id"), col("rel"), col("margin"),
+          lit(1).as("pick_rank")))
+    for (i <- 2 to MmrPicks) {
+      val maxSim = pairs
+        .join(picked.select(col("q_id"), col("vec_id").as("vb")),
+          Seq("q_id", "vb"))
+        .groupBy(col("q_id").as("mq"), col("va"))
+        .agg(max(col("sim")).as("maxsim"))
+      val next = cand.select(col("q_id"), col("vec_id"), col("rel"))
+        .join(picked.select(col("q_id"), col("vec_id")),
+          Seq("q_id", "vec_id"), "left_anti")
+        .join(maxSim, col("q_id") === col("mq") && col("vec_id") === col("va"))
+        .drop("mq", "va")
+        .withColumn("margin", col("rel") - col("maxsim"))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("vec_id"), col("rel"), col("margin"),
+          lit(i).as("pick_rank"))
+      picked = graft.plans.Checkpoint.truncate(picked.unionByName(next))
+    }
+    val out = picked
+      .select(col("q_id"), col("pick_rank"), col("vec_id"), col("rel"),
+        round(col("margin"), 6).as("margin"))
+      .orderBy(col("q_id"), col("pick_rank"))
+    val res = graft.plans.Checkpoint.truncate(out)
+    cand.unpersist(); pairs.unpersist()
+    res
+  }
+
+  val mmrRerankOracle: String = {
+    val step = (i: Int) =>
+      s"""ms$i AS (
+         |  SELECT p.q_id, p.va, MAX(p.sim) AS maxsim
+         |  FROM pairs p JOIN pk${i - 1} k ON p.q_id = k.q_id AND p.vb = k.vec_id
+         |  GROUP BY 1, 2),
+         |p$i AS (
+         |  SELECT q_id, vec_id, rel, margin, $i AS pick_rank FROM (
+         |    SELECT c.q_id, c.vec_id, c.rel, c.rel - m.maxsim AS margin,
+         |      ROW_NUMBER() OVER (PARTITION BY c.q_id
+         |        ORDER BY round(c.rel - m.maxsim, 9) DESC, c.vec_id) AS rn
+         |    FROM cand c JOIN ms$i m ON c.q_id = m.q_id AND c.vec_id = m.va
+         |    WHERE NOT EXISTS (SELECT 1 FROM pk${i - 1} k
+         |      WHERE k.q_id = c.q_id AND k.vec_id = c.vec_id))
+         |  WHERE rn = 1),
+         |pk$i AS (SELECT q_id, vec_id FROM pk${i - 1}
+         |  UNION ALL SELECT q_id, vec_id FROM p$i)"""
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NQueries),
+       |cand AS (
+       |  SELECT q_id, vec_id, round(cos, 6) AS rel, emb FROM (
+       |    SELECT q.q_id, v.vec_id, v.emb,
+       |      list_cosine_similarity(v.emb, q.q_emb) AS cos,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |        ORDER BY round(list_cosine_similarity(v.emb, q.q_emb), 9) DESC,
+       |          v.vec_id) AS crank
+       |    FROM v JOIN q ON v.vec_id <> q.q_id)
+       |  WHERE crank <= $MmrPool),
+       |pairs AS (
+       |  SELECT a.q_id, a.vec_id AS va, b.vec_id AS vb,
+       |    round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+       |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+       |p1 AS (
+       |  SELECT q_id, vec_id, rel, rel AS margin, 1 AS pick_rank FROM (
+       |    SELECT q_id, vec_id, rel,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY round(rel, 9) DESC, vec_id) AS rn
+       |    FROM cand)
+       |  WHERE rn = 1),
+       |pk1 AS (SELECT q_id, vec_id FROM p1),
+       |${(2 to MmrPicks).map(step).mkString(",\n")}
+       |SELECT q_id, pick_rank, vec_id, rel, round(margin, 6) AS margin
+       |FROM (${(1 to MmrPicks).map(i => s"SELECT * FROM p$i").mkString(" UNION ALL ")})
+       |ORDER BY q_id, pick_rank""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_mmr_rerank", mmrRerank, Some(mmrRerankOracle)),
     QueryDef("sim_topk_exact", topkExact, Some(topkExactOracle)),
     QueryDef("sim_prefix_rerank", prefixRerank, Some(prefixRerankOracle)),
     QueryDef("sim_pq_adc", pqAdcTopk, Some(pqAdcTopkOracle)),

@@ -1062,7 +1062,79 @@ object StatOps {
        |FROM calc""".stripMargin
   }
 
+  /** Log-log price elasticity of demand per part brand (the classic
+    * constant-elasticity regression ln q = a + b·ln p — the pricing
+    * team's one-number demand-curve readout, and a screen for catalog
+    * segments where demand ignores price): per part, total ordered
+    * quantity vs catalog price; per brand, OLS over the part-level
+    * points (the [[graft.queries.LlmCuration.zipfFit]] recipe:
+    * DECIMAL-summed ln moments, fixed-order crossings).
+    *
+    * Float policy: ln inputs are exact integers — catalog cents
+    * (round(p_retailprice·100)→BIGINT) and unit totals
+    * (round(l_quantity)→BIGINT sums) — so both engines feed libm the
+    * same values; moments ride DECIMAL(38,12).
+    *
+    * Scale shape: ONE fact aggregate collapses lineitem to the part
+    * grid; the regression runs on catalog-sized relations (the
+    * broadcast part join, the 25-brand OLS). Nothing after the first
+    * aggregate is fact-sized.
+    */
+  def elasticity(s: SparkSession, dir: String): DataFrame = {
+    val qty = Tables.t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("units"))
+      .groupBy(col("l_partkey")).agg(sum(col("units")).as("q_units"))
+    val pts = Tables.t(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("cents"))
+      .join(qty, col("p_partkey") === col("l_partkey"))
+      .select(col("p_brand").as("brand"),
+        log(col("cents").cast(DoubleType)).as("x"),
+        log(col("q_units").cast(DoubleType)).as("y"))
+    def dsum(c: Column) = sum(c.cast(DecimalType(38, 12))).cast(DoubleType)
+    val m = pts.groupBy(col("brand")).agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsum(col("x") * col("y")).as("sxy"),
+      dsum(col("x") * col("x")).as("sxx"),
+      dsum(col("y") * col("y")).as("syy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    m.select(col("brand"), col("n").cast("long").as("n_parts"),
+        round(cov / vx, 6).as("elasticity"),
+        round((col("sy") - (cov / vx) * col("sx")) / col("n"), 6).as("intercept"),
+        round((cov * cov) / (vx * vy), 6).as("r2"))
+      .orderBy(col("brand"))
+  }
+
+  val elasticityOracle: String =
+    """WITH qty AS (
+      |  SELECT l_partkey, SUM(CAST(round(l_quantity) AS BIGINT)) AS q_units
+      |  FROM lineitem GROUP BY 1),
+      |pts AS (
+      |  SELECT p.p_brand AS brand,
+      |    ln(CAST(CAST(round(p.p_retailprice * 100) AS BIGINT) AS DOUBLE)) AS x,
+      |    ln(CAST(q.q_units AS DOUBLE)) AS y
+      |  FROM part p JOIN qty q ON p.p_partkey = q.l_partkey),
+      |m AS (SELECT brand, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+      |  FROM pts GROUP BY 1)
+      |SELECT brand, CAST(n AS BIGINT) AS n_parts,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS elasticity,
+      |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+      |    AS intercept,
+      |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+      |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      |FROM m ORDER BY brand""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ops_elasticity", elasticity, Some(elasticityOracle)),
     QueryDef("ops_gini", gini, Some(giniOracle)),
     QueryDef("ops_trimmed_mean", trimmedMean, Some(trimmedMeanOracle)),
     QueryDef("ops_chi2_assoc", chi2Assoc, Some(chi2AssocOracle)),

@@ -1271,7 +1271,216 @@ object StreamingGates {
        |    AS n_sessions_started
        |FROM peaks GROUP BY day ORDER BY day""".stripMargin
 
+  /** Wald–Wolfowitz runs test on the hourly bars per event type (the
+    * classic one-sample randomness screen, the memoryless complement
+    * of [[trendMk]]: MK detects monotone drift, the runs test detects
+    * clustering/oscillation of ANY shape): bars dichotomize against
+    * the per-type round-6 median (ties-with-median dropped, the
+    * standard treatment), R = number of sign runs in hour order, and
+    * the normal approximation z = (R − E[R]) / √Var[R] with
+    * E[R] = 2·n₁·n₂/n + 1 and the Wald–Wolfowitz variance.
+    *
+    * Float policy: R, n₁, n₂ are exact integers; E's and Var's
+    * numerators/denominators are exact BIGINT products, each crossing
+    * to double in ONE division; z composes those with one sqrt and one
+    * division (the [[graft.queries.Graph.assortativity]] shape — no
+    * a−b·c fusion hazard). The z numerator R·n − 2n₁n₂ − n is carried
+    * as an exact integer.
+    *
+    * Scale shape: fact → calendar-bounded bars, one percentile + one
+    * lag window + one aggregate on the bar grid. Nothing after the
+    * first aggregate is fact-sized.
+    */
+  def runsTest(s: SparkSession, dir: String): DataFrame = {
+    val bars = hourlyBars(s, dir)
+    val med = bars.groupBy(col("event_type").as("m_type"))
+      .agg(Pctl.p("bar", 0.5).as("med"))
+    val signed = bars.join(med, col("m_type") === col("event_type"))
+      .filter(col("bar") =!= col("med"))
+      .select(col("event_type"), col("hour"),
+        when(col("bar") > col("med"), 1L).otherwise(0L).as("sgn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour"))
+    val m = signed
+      .withColumn("chg",
+        when(lag(col("sgn"), 1).over(w).isNull, 1L)
+          .when(col("sgn") =!= lag(col("sgn"), 1).over(w), 1L)
+          .otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(sum(col("chg")).as("n_runs"), sum(col("sgn")).as("n_above"),
+        (count(lit(1)) - sum(col("sgn"))).as("n_below"),
+        count(lit(1)).as("n"))
+    val two = col("n_above") * col("n_below") * 2L
+    val eNum = two + col("n")                        // E[R]·n, exact
+    val varNum = two * (two - col("n"))              // Var·n²(n−1), exact
+    val varDen = col("n") * col("n") * (col("n") - 1L)
+    val zNum = (col("n_runs") * col("n") - eNum).cast(DoubleType)
+    val z = zNum / (col("n").cast(DoubleType) *
+      sqrt(varNum.cast(DoubleType) / varDen.cast(DoubleType)))
+    m.filter(col("n_above") > 0 && col("n_below") > 0)
+      .select(col("event_type"), col("n_runs"), col("n_above"), col("n_below"),
+        round(eNum.cast(DoubleType) / col("n").cast(DoubleType), 6)
+          .as("expected_runs"),
+        round(z, 6).as("z_score"))
+      .orderBy(col("event_type"))
+  }
+
+  val runsTestOracle: String =
+    s"""WITH bars AS (
+       |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+       |    round(CAST(SUM(CAST("value" AS DECIMAL(38,12))) AS DOUBLE)
+       |      / COUNT(*), 6) AS bar
+       |  FROM events GROUP BY 1, 2),
+       |med AS (SELECT event_type, ${Pctl.sql("bar", 0.5)} AS med
+       |  FROM bars GROUP BY 1),
+       |signed AS (
+       |  SELECT b.event_type, b.hour,
+       |    CASE WHEN b.bar > m.med THEN 1 ELSE 0 END AS sgn
+       |  FROM bars b JOIN med m USING (event_type)
+       |  WHERE b.bar <> m.med),
+       |chg AS (
+       |  SELECT event_type, sgn,
+       |    CASE WHEN lag(sgn) OVER (PARTITION BY event_type ORDER BY hour)
+       |        IS DISTINCT FROM sgn THEN 1 ELSE 0 END AS chg
+       |  FROM signed),
+       |m AS (
+       |  SELECT event_type, CAST(SUM(chg) AS BIGINT) AS n_runs,
+       |    CAST(SUM(sgn) AS BIGINT) AS n_above,
+       |    CAST(COUNT(*) - SUM(sgn) AS BIGINT) AS n_below,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM chg GROUP BY 1)
+       |SELECT event_type, n_runs, n_above, n_below,
+       |  round(CAST(2 * n_above * n_below + n AS DOUBLE) / CAST(n AS DOUBLE), 6)
+       |    AS expected_runs,
+       |  round(CAST(n_runs * n - (2 * n_above * n_below + n) AS DOUBLE)
+       |    / (CAST(n AS DOUBLE)
+       |      * sqrt(CAST(2 * n_above * n_below
+       |            * (2 * n_above * n_below - n) AS DOUBLE)
+       |          / CAST(n * n * (n - 1) AS DOUBLE))), 6) AS z_score
+       |FROM m WHERE n_above > 0 AND n_below > 0
+       |ORDER BY event_type""".stripMargin
+
+  private val RollWindowH = 24
+
+  /** Rolling trailing-24h p95 of the hourly bars per event type — the
+    * SLO-burn baseline every alerting stack keeps beside the static
+    * [[hourlyQuantiles]]: each hour's threshold adapts to the last day
+    * of behaviour. The window is a CALENDAR range (bars b ⋈ bars l on
+    * (b.hour−23h, b.hour]) so missing hours never stretch the window —
+    * the [[seasonalNaive]] calendar-lag discipline, generalized from
+    * one lag to a band. Percentiles via [[Pctl]]; also emits the
+    * window's actual row count so downstream can discount thin
+    * windows at the stream head.
+    *
+    * Scale shape: the fact collapses to bars first; the band self-join
+    * fans each bar to ≤ [[RollWindowH]] rows (grid × 24, never
+    * fact-sized) and one hash aggregate lands back on the grid.
+    */
+  def rollingP95(s: SparkSession, dir: String): DataFrame = {
+    val bars = hourlyBars(s, dir)
+    val lagged = bars.select(col("event_type").as("l_type"),
+      col("hour").as("l_hour"), col("bar").as("l_bar"))
+    bars.join(lagged,
+        col("l_type") === col("event_type") &&
+          col("l_hour") <= col("hour") &&
+          col("l_hour") > col("hour") - expr(s"INTERVAL $RollWindowH HOURS"))
+      .groupBy(col("event_type"), col("hour"), col("bar"))
+      .agg(count(lit(1)).as("n_window"),
+        Pctl.p("l_bar", 0.95).as("p95_24h"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  val rollingP95Oracle: String =
+    s"""WITH bars AS (
+       |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+       |    round(CAST(SUM(CAST("value" AS DECIMAL(38,12))) AS DOUBLE)
+       |      / COUNT(*), 6) AS bar
+       |  FROM events GROUP BY 1, 2)
+       |SELECT b.event_type, b.hour, b.bar,
+       |  COUNT(*) AS n_window,
+       |  ${Pctl.sql("l.bar", 0.95)} AS p95_24h
+       |FROM bars b JOIN bars l ON l.event_type = b.event_type
+       |  AND l.hour <= b.hour AND l.hour > b.hour - INTERVAL $RollWindowH HOUR
+       |GROUP BY 1, 2, 3
+       |ORDER BY b.event_type, b.hour""".stripMargin
+
+  /** POSITION-BASED (U-shaped) multi-touch attribution over the
+    * view→purchase touchpoints [[attributionBatch]] emits raw: the
+    * first and last touch in the 30-minute window earn 40% each, the
+    * middles split the remaining 20% — the standard marketing-science
+    * compromise between first-touch and last-touch bias (k = 1 → 100%,
+    * k = 2 → 50/50). Credits are EXACT integer ratios — numerator 2
+    * over 5 for the ends, 1 over 5·(k−2) for middles — rounded once at
+    * 6 dp (a single integer division; the repo float policy).
+    *
+    * Scale shape: the touch join is [[attributionBatch]]'s interval
+    * join; position/count ride one window over the per-purchase touch
+    * list (≤ window-bounded touches per purchase), and the credit is a
+    * projection. Nothing beyond the touch relation is materialized.
+    */
+  def attribPosition(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "events")
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val touches = purchases.join(views,
+      col("user_id") === col("p_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")) <= GapUs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("purchase_id"))
+      .orderBy(col("view_ts"), col("view_id"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("purchase_id"))
+    val pos = touches
+      .withColumn("pos", row_number().over(w))
+      .withColumn("k", count(lit(1)).over(wAll))
+    val cn = when(col("k") === 1, 1L)
+      .when(col("pos") === 1 || col("pos") === col("k"),
+        when(col("k") === 2, 1L).otherwise(2L))
+      .otherwise(1L)
+    val cd = when(col("k") === 1, 1L)
+      .when(col("pos") === 1 || col("pos") === col("k"),
+        when(col("k") === 2, 2L).otherwise(5L))
+      .otherwise(lit(5L) * (col("k") - 2))
+    pos.select(col("user_id"), col("purchase_id"), col("view_id"),
+        col("pos"), col("k").as("n_touch"),
+        round(cn.cast(DoubleType) / cd.cast(DoubleType), 6).as("credit"))
+      .orderBy(col("user_id"), col("purchase_id"), col("pos"))
+  }
+
+  val attribPositionOracle: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+       |touch AS (
+       |  SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+       |    v.ts AS view_ts
+       |  FROM e p JOIN e v
+       |    ON p.event_type = 'purchase' AND v.event_type = 'view'
+       |   AND v.user_id = p.user_id AND v.ts <= p.ts
+       |   AND epoch_us(p.ts) - epoch_us(v.ts) <= $GapUs),
+       |pos AS (
+       |  SELECT user_id, purchase_id, view_id,
+       |    ROW_NUMBER() OVER (PARTITION BY purchase_id
+       |      ORDER BY view_ts, view_id) AS pos,
+       |    COUNT(*) OVER (PARTITION BY purchase_id) AS k
+       |  FROM touch)
+       |SELECT user_id, purchase_id, view_id, pos, k AS n_touch,
+       |  round(CAST(CASE WHEN k = 1 THEN 1
+       |      WHEN pos = 1 OR pos = k THEN (CASE WHEN k = 2 THEN 1 ELSE 2 END)
+       |      ELSE 1 END AS DOUBLE)
+       |    / CAST(CASE WHEN k = 1 THEN 1
+       |      WHEN pos = 1 OR pos = k THEN (CASE WHEN k = 2 THEN 2 ELSE 5 END)
+       |      ELSE 5 * (k - 2) END AS DOUBLE), 6) AS credit
+       |FROM pos ORDER BY user_id, purchase_id, pos""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st_rolling_p95", rollingP95, Some(rollingP95Oracle)),
+    QueryDef("st_attrib_position", attribPosition, Some(attribPositionOracle)),
+    QueryDef("st_runs_test", runsTest, Some(runsTestOracle)),
     QueryDef("st_concurrency", concurrency, Some(concurrencyOracle)),
     QueryDef("st_trend_mk", trendMk, Some(trendMkOracle)),
     QueryDef("st_control_chart", controlChart, Some(controlChartOracle)),

@@ -1,0 +1,248 @@
+package graft
+
+import graft.queries.{Graph, LlmCuration, LlmVectors, StatOps, StreamingGates}
+import org.apache.spark.sql.functions._
+
+/** Driver-side reference checks for the round-12 gates, on the
+  * house pattern: every oracle-gated query also proves its algebra
+  * against an independently-coded reference at sf0.001, so a shared
+  * mistake both engines would replay identically still fails.
+  */
+class Round12GatesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("st_runs_test: runs count and z replay a driver-side sweep") {
+    val got = StreamingGates.runsTest(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(5))).toSeq
+    assert(got.nonEmpty)
+    // reference: collect the bars, dichotomize, count runs in order
+    val bars = graft.queries.StreamingGates.hourlyBars(spark, dir)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .groupBy(_._1)
+    for ((typ, nRuns, nAbove, nBelow, z) <- got) {
+      val series = bars(typ).sortBy(_._2.getTime).map(_._3)
+      val med = {
+        val s = series.sorted
+        val n = s.length
+        val m = if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+        BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val signs = series.filter(_ != med).map(_ > med)
+      val refRuns = if (signs.isEmpty) 0
+        else 1 + signs.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+      val refAbove = signs.count(identity)
+      assert((nRuns, nAbove, nBelow) === ((refRuns.toLong, refAbove.toLong,
+        (signs.length - refAbove).toLong)), s"type $typ")
+      val n1 = refAbove.toDouble; val n2 = (signs.length - refAbove).toDouble
+      val n = n1 + n2
+      val e = 2 * n1 * n2 / n + 1
+      val v = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+      val refZ = BigDecimal((refRuns - e) / math.sqrt(v))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(z - refZ) < 2e-6, s"type $typ: z $z vs ref $refZ")
+    }
+  }
+
+  test("gr_harmonic: equals a driver-side 2-hop BFS over the support graph") {
+    val got = Graph.harmonic(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val edges = Graph.supportEdges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    for ((node, n1, n2, hc) <- got) {
+      val h1 = adj(node)
+      val h2 = h1.flatMap(adj(_)) -- h1 - node
+      assert(n1 === h1.size.toLong, s"node $node n1")
+      assert(n2 === h2.size.toLong, s"node $node n2")
+      assert(hc === (2 * h1.size + h2.size) / 2.0, s"node $node hc")
+    }
+  }
+
+  test("ta_heaps_fit: sane Heaps exponents and an exact doc count per lang") {
+    val got = LlmCuration.heapsFit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(4)))
+    assert(got.nonEmpty)
+    val docCounts = Tables.t(spark, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, nDocs, beta, r2) <- got) {
+      assert(nDocs === docCounts(lang))
+      // natural-text vocabulary growth is sublinear but real
+      assert(beta > 0.0 && beta < 1.0, s"$lang beta=$beta")
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9, s"$lang r2=$r2")
+    }
+  }
+
+  test("ops_elasticity: OLS replays a driver-side reference per brand") {
+    val got = StatOps.elasticity(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(4)))
+    assert(got.nonEmpty)
+    val li = Tables.t(spark, dir, "lineitem")
+      .select(col("l_partkey"), expr("CAST(round(l_quantity) AS BIGINT)").as("u"))
+      .groupBy(col("l_partkey")).agg(sum(col("u")).as("q")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pts = Tables.t(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("c")).collect()
+      .flatMap(r => li.get(r.getLong(0)).map(q =>
+        (r.getString(1), math.log(r.getLong(2).toDouble), math.log(q.toDouble))))
+      .groupBy(_._1)
+    for ((brand, nParts, slope, r2) <- got) {
+      val xs = pts(brand).map(_._2); val ys = pts(brand).map(_._3)
+      assert(nParts === xs.length.toLong, s"$brand n")
+      val n = xs.length.toDouble
+      val cov = n * xs.zip(ys).map(p => p._1 * p._2).sum - xs.sum * ys.sum
+      val vx = n * xs.map(x => x * x).sum - xs.sum * xs.sum
+      assert(math.abs(slope - cov / vx) < 1e-4, s"$brand slope")
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9, s"$brand r2")
+    }
+  }
+
+  test("gr_ktruss: fixed rounds reach the true fixpoint; support >= k-2 holds") {
+    val got = Graph.kTruss(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty, "k-truss is degenerate at spec scale")
+    // reference: peel to the TRUE fixpoint on the collected graph
+    var und = Graph.supportEdges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(p => p._1 < p._2).toSet
+    def support(es: Set[(Long, Long)]): Map[(Long, Long), Int] = {
+      val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2) }
+      es.iterator.map { case (u, v) =>
+        (u, v) -> (adj(u) intersect adj(v)).size
+      }.toMap
+    }
+    var changed = true
+    while (changed) {
+      val sup = support(und)
+      val next = und.filter(e => sup(e) >= 1)
+      changed = next != und
+      und = next
+    }
+    assert(got.map(e => (e._1, e._2)).toSet === und,
+      "fixed-rounds truss != true fixpoint (raise TrussRounds)")
+    val finalSup = support(und)
+    for ((u, v, s) <- got) {
+      assert(s === finalSup((u, v)).toLong, s"support of ($u,$v)")
+      assert(s >= 1L, s"edge ($u,$v) in truss with zero support")
+    }
+  }
+
+  test("st_rolling_p95: saturated windows agree with a driver-side trailing percentile") {
+    val got = StreamingGates.rollingP95(spark, dir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    val bars = StreamingGates.hourlyBars(spark, dir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+      .groupBy(_._1)
+    def p95(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val rank = 0.95 * (s.length - 1)
+      val lo = s(rank.toInt)
+      val hi = s(math.min(rank.toInt + 1, s.length - 1))
+      val v = lo + (rank - rank.toInt) * (hi - lo)
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for ((typ, hour, nw, p) <- got) {
+      val h = hour.getTime
+      val window = bars(typ)
+        .filter(b => b._2 <= h && b._2 > h - 24L * 3600000L).map(_._3)
+      assert(nw === window.length.toLong, s"$typ $hour window size")
+      assert(math.abs(p - p95(window)) < 2e-6, s"$typ $hour p95")
+    }
+  }
+
+  test("st_attrib_position: credits sum to ~1 per purchase, U-shape end weights") {
+    val got = StreamingGates.attribPosition(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getInt(3).toLong, r.getLong(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    for ((pid, rows) <- got.groupBy(_._1)) {
+      val k = rows.head._3
+      assert(rows.length.toLong === k, s"purchase $pid touch count")
+      val total = rows.map(_._4).sum
+      assert(math.abs(total - 1.0) < 1e-4, s"purchase $pid credits sum $total")
+      if (k >= 3) {
+        val byPos = rows.map(r => r._2 -> r._4).toMap
+        assert(byPos(1L) === 0.4 && byPos(k) === 0.4, s"purchase $pid ends")
+        assert(rows.filter(r => r._2 > 1 && r._2 < k)
+          .forall(r => math.abs(r._4 - 0.2 / (k - 2)) < 1e-5), s"purchase $pid mids")
+      }
+    }
+    // the touch SET matches the raw attribution gate's
+    val raw = StreamingGates.attributionBatch(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    val mine = StreamingGates.attribPosition(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(mine === raw)
+  }
+
+  test("ta_bigram_novelty: first doc is fully novel; a driver recount agrees on a sample") {
+    val got = LlmCuration.bigramNovelty(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.nonEmpty)
+    assert(got.head._4 === 1.0, "first document must be 100% novel")
+    // driver recount over the full corpus, checked on every 25th doc
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val ref = docs.map { case (id, text) =>
+      val toks = text.split(" ")
+      val bgs = toks.sliding(2).filter(_.length == 2)
+        .map(a => a(0) + " " + a(1)).toSet
+      val novel = bgs.count(!seen(_))
+      seen ++= bgs
+      id -> (bgs.size.toLong, novel.toLong)
+    }.toMap
+    for ((id, nb, nn, nov) <- got if id % 25 == 0) {
+      assert((nb, nn) === ref(id), s"doc $id counts")
+      val expect = BigDecimal(nn.toDouble / nb)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(nov === expect, s"doc $id novelty")
+    }
+  }
+
+  test("sim_mmr_rerank: the unrolled picks replay a driver-side greedy MMR") {
+    val got = LlmVectors.mmrRerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    // reference: greedy over the same round-6 candidate relation
+    val emb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      val c = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for ((q, picks) <- byQ) {
+      val ranked = picks.sortBy(_._2).map(_._3)
+      assert(ranked.distinct.length === ranked.length, s"q $q dup picks")
+      // candidate pool: top-10 by rounded cosine, vec_id tie-break
+      val pool = emb.keys.filter(_ != q).toSeq
+        .map(v => (v, cos6(emb(v), emb(q))))
+        .sortBy { case (v, c) => (-c, v) }.take(10)
+      val poolMap = pool.toMap
+      var picked = Vector.empty[Long]
+      for (_ <- 1 to ranked.length) {
+        val remaining = pool.filterNot(p => picked.contains(p._1))
+        val next = remaining.map { case (v, rel) =>
+          val ms = if (picked.isEmpty) 0.0
+            else picked.map(p => cos6(emb(v), emb(p))).max
+          (v, rel - ms)
+        }.minBy { case (v, margin) =>
+          (-BigDecimal(margin).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble, v)
+        }._1
+        picked :+= next
+      }
+      assert(ranked.toVector === picked, s"q $q: $ranked vs $picked")
+      assert(ranked.forall(poolMap.contains), s"q $q pick outside pool")
+    }
+  }
+}
