@@ -314,6 +314,13 @@ object ScaleBench {
       "ta_heaps_fit" -> graft.queries.LlmCuration.heapsFit _,
       "ops_elasticity" -> graft.queries.StatOps.elasticity _,
       "sim_mmr_rerank" -> graft.queries.LlmVectors.mmrRerank _,
+      "gr_ktruss" -> graft.queries.Graph.kTruss _,
+      "ta_bigram_novelty" -> graft.queries.LlmCuration.bigramNovelty _,
+      "st_rolling_p95" -> graft.queries.StreamingGates.rollingP95 _,
+      "st_attrib_position" -> graft.queries.StreamingGates.attribPosition _,
+      "st_cusum2" -> graft.queries.StreamingGates.cusum2 _,
+      "ta_js_divergence" -> graft.queries.LlmCuration.jsDivergence _,
+      "sim_ann_recall" -> graft.queries.LlmVectors.annRecall _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

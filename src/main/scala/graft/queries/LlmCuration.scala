@@ -504,6 +504,116 @@ object LlmCuration {
       .orderBy(col("lang"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between the SOURCES' unigram
+    * distributions (Lin 1991 — the symmetric, bounded [0, ln 2]
+    * distribution distance every mixture designer reads before setting
+    * [[domainMix]]/[[temperatureMix]] weights: near 0 ⇒ the sources
+    * are interchangeable, near ln 2 ⇒ disjoint registers): add-one
+    * smoothing over each PAIR's joint vocabulary (so Σp = Σq = 1
+    * exactly and no ln(0) exists), JSD = ½Σ[p·ln(p/m) + q·ln(q/m)]
+    * with m the midpoint.
+    *
+    * Float policy: p/m and q/m are ln's of EXACT-INTEGER cross-ratios
+    * — p/m = 2(c_a+1)(N_b+V) / [(c_a+1)(N_b+V) + (c_b+1)(N_a+V)] — so
+    * libm sees one division of exact BIGINTs per term ([[woeIv]]'s
+    * device); the p/q weights are single divisions; terms ride a
+    * DECIMAL(38,12) sum.
+    *
+    * Scale shape: one tokenize → (source × vocab) hash aggregate; the
+    * pair relation is a vocab-sized full-outer join per source pair
+    * (|sources|²/2 pairs, each vocab-sized — never token-sized); the
+    * JSD is one aggregate per pair.
+    */
+  def jsDivergence(s: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    val totals = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val a = cnt.select(col("source").as("src_a"), col("token"), col("c").as("ca"))
+    val b = cnt.select(col("source").as("src_b"), col("token"), col("c").as("cb"))
+    // per unordered source pair: the union vocabulary with both counts
+    // (0 when absent)
+    val srcs = totals.select(col("source"))
+    val pairGrid = srcs.select(col("source").as("src_a"))
+      .crossJoin(srcs.select(col("source").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    // union vocab per pair via TWO equi-joins (an OR-predicate join
+    // would plan as a nested-loop scan of pairs × vocab; the union of
+    // hash joins carries the same relation with equi shuffles only)
+    val srcTok = cnt.select(col("source"), col("token")).distinct()
+    val vocabPair = pairGrid
+      .join(srcTok, col("source") === col("src_a")).drop("source")
+      .unionByName(pairGrid
+        .join(srcTok, col("source") === col("src_b")).drop("source"))
+      .distinct()
+    val joined = vocabPair
+      .join(a, Seq("src_a", "token"), "left")
+      .join(b, Seq("src_b", "token"), "left")
+      .select(col("src_a"), col("src_b"), col("token"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val vPair = joined.groupBy(col("src_a").as("v_a"), col("src_b").as("v_b"))
+      .agg(count(lit(1)).as("v"))
+    val withN = joined
+      .join(vPair, col("v_a") === col("src_a") && col("v_b") === col("src_b"))
+      .drop("v_a", "v_b")
+      .join(totals.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+      .join(totals.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+    val xa = (col("ca") + 1) * (col("nb") + col("v"))   // exact BIGINT
+    val xb = (col("cb") + 1) * (col("na") + col("v"))
+    val den = xa + xb
+    val p = (col("ca") + 1).cast(DoubleType) / (col("na") + col("v")).cast(DoubleType)
+    val q = (col("cb") + 1).cast(DoubleType) / (col("nb") + col("v")).cast(DoubleType)
+    val term = p * log(lit(2.0) * xa.cast(DoubleType) / den.cast(DoubleType)) +
+      q * log(lit(2.0) * xb.cast(DoubleType) / den.cast(DoubleType))
+    withN
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(max(col("v")).as("vocab_union"),
+        (sum(term.cast(DecimalType(38, 12))).cast(DoubleType) / 2.0).as("jsd0"))
+      .select(col("src_a"), col("src_b"), col("vocab_union"),
+        round(col("jsd0"), 6).as("jsd"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val jsDivergenceOracle: String =
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |cnt AS (SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b
+      |  FROM totals a JOIN totals b ON a.source < b.source),
+      |vocab AS (
+      |  SELECT DISTINCT p.src_a, p.src_b, c.token
+      |  FROM pairs p JOIN cnt c ON c.source = p.src_a OR c.source = p.src_b),
+      |joined AS (
+      |  SELECT v.src_a, v.src_b, v.token,
+      |    CAST(COALESCE(ca.c, 0) AS BIGINT) AS ca,
+      |    CAST(COALESCE(cb.c, 0) AS BIGINT) AS cb
+      |  FROM vocab v
+      |  LEFT JOIN cnt ca ON ca.source = v.src_a AND ca.token = v.token
+      |  LEFT JOIN cnt cb ON cb.source = v.src_b AND cb.token = v.token),
+      |vp AS (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS v
+      |  FROM joined GROUP BY 1, 2),
+      |terms AS (
+      |  SELECT j.src_a, j.src_b, vp.v,
+      |    (CAST(j.ca + 1 AS DOUBLE) / CAST(ta.n + vp.v AS DOUBLE))
+      |      * ln(2.0 * CAST((j.ca + 1) * (tb.n + vp.v) AS DOUBLE)
+      |        / CAST((j.ca + 1) * (tb.n + vp.v) + (j.cb + 1) * (ta.n + vp.v)
+      |          AS DOUBLE))
+      |    + (CAST(j.cb + 1 AS DOUBLE) / CAST(tb.n + vp.v AS DOUBLE))
+      |      * ln(2.0 * CAST((j.cb + 1) * (ta.n + vp.v) AS DOUBLE)
+      |        / CAST((j.ca + 1) * (tb.n + vp.v) + (j.cb + 1) * (ta.n + vp.v)
+      |          AS DOUBLE)) AS term
+      |  FROM joined j
+      |  JOIN vp USING (src_a, src_b)
+      |  JOIN totals ta ON ta.source = j.src_a
+      |  JOIN totals tb ON tb.source = j.src_b)
+      |SELECT src_a, src_b, MAX(v) AS vocab_union,
+      |  round(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE) / 2.0, 6) AS jsd
+      |FROM terms GROUP BY 1, 2
+      |ORDER BY src_a, src_b""".stripMargin
+
   /** Per-document BIGRAM NOVELTY over the ingestion order ([[heapsFit]]
     * read per-doc; this is the screen a streaming curator thresholds):
     * for each document, the fraction of its DISTINCT adjacent bigrams
@@ -1068,6 +1178,7 @@ object LlmCuration {
        |FROM w ORDER BY doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ta_js_divergence", jsDivergence, Some(jsDivergenceOracle)),
     QueryDef("ta_bigram_novelty", bigramNovelty, Some(bigramNoveltyOracle)),
     QueryDef("ta_heaps_fit", heapsFit, Some(heapsFitOracle)),
     QueryDef("cu_dsir_weights", dsirWeights, Some(dsirWeightsOracle)),

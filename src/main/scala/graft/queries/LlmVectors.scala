@@ -1133,7 +1133,69 @@ object LlmVectors {
        |ORDER BY q_id, pick_rank""".stripMargin
   }
 
+  /** ANN recall@K as a FIRST-CLASS queryable metric (the number every
+    * vector-store evaluation reports, here oracle-gated instead of
+    * spec-asserted): per query, |[[annTopk]] ∩ [[topkExact]]| / K.
+    * The production loop this powers: re-run after every index
+    * parameter change (bands, probes), alert when recall dips. Exact
+    * integer intersection counts; one rounded division.
+    *
+    * Scale shape: both input plans are the gated ones (corpus scan ×
+    * broadcast queries); the intersection joins two ≤ NQueries·K
+    * relations.
+    */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = topkExact(s, dir).select(col("q_id"), col("vec_id"))
+    val ann = annTopk(s, dir)
+      .select(col("q_id").as("a_q"), col("vec_id").as("a_vec"))
+    val hits = exact
+      .join(ann, col("q_id") === col("a_q") && col("vec_id") === col("a_vec"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast(DoubleType) /
+          col("k").cast(DoubleType), 6).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
+  val annRecallOracle: String = {
+    val vBands = (0 until Bands).map(b => s"${bandKeySql("emb", b)} AS b$b").mkString(", ")
+    val anyBand = (0 until Bands).map(b => s"x.b$b = q.b$b").mkString(" OR ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |ex AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.vec_id AS q_id, x.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(x.emb, q.emb), 9) DESC,
+       |          x.vec_id) AS rank
+       |    FROM v x JOIN v q ON x.vec_id <> q.vec_id
+       |      AND q.vec_id < $NQueries)
+       |  WHERE rank <= $K),
+       |k AS (SELECT vec_id, emb, $vBands FROM v),
+       |qb AS (SELECT * FROM k WHERE vec_id < $NQueries),
+       |ann AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.vec_id AS q_id, x.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(x.emb, q.emb), 9) DESC,
+       |          x.vec_id) AS rank
+       |    FROM k x JOIN qb q ON x.vec_id <> q.vec_id AND ($anyBand))
+       |  WHERE rank <= $K),
+       |hits AS (
+       |  SELECT ex.q_id, COUNT(*) AS n_hits
+       |  FROM ex JOIN ann ON ex.q_id = ann.q_id AND ex.vec_id = ann.vec_id
+       |  GROUP BY 1)
+       |SELECT e.q_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+       |FROM ex e LEFT JOIN hits h USING (q_id)
+       |GROUP BY e.q_id, h.n_hits
+       |ORDER BY e.q_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_ann_recall", annRecall, Some(annRecallOracle)),
     QueryDef("sim_mmr_rerank", mmrRerank, Some(mmrRerankOracle)),
     QueryDef("sim_topk_exact", topkExact, Some(topkExactOracle)),
     QueryDef("sim_prefix_rerank", prefixRerank, Some(prefixRerankOracle)),

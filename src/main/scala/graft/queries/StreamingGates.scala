@@ -1477,7 +1477,107 @@ object StreamingGates {
        |      ELSE 5 * (k - 2) END AS DOUBLE), 6) AS credit
        |FROM pos ORDER BY user_id, purchase_id, pos""".stripMargin
 
+  /** TWO-LEVEL BINARY SEGMENTATION over the hourly bars (Scott &
+    * Knott 1974's recursive device applied to the [[cusumShift]]
+    * locator — the standard escalation when one changepoint isn't the
+    * whole story): level 1 locates the global argmax-|CUSUM| hour per
+    * type; level 2 re-runs the SAME integer-exact locator on the two
+    * halves it induces. Reported per (type, level, segment) with the
+    * segment-relative drift magnitude, so a reviewer sees whether the
+    * secondary shifts are comparable to the primary or noise.
+    *
+    * Float policy: the [[cusumShift]] discipline verbatim — micro-unit
+    * BIGINT bars, count-scaled integer deviations, BIGINT cumulative
+    * fold, ONE division at the end per row.
+    *
+    * Scale shape: two window passes over the bar grid (types×hours),
+    * one small join between them. The fact is touched once, by
+    * [[hourlyBars]].
+    */
+  def cusum2(s: SparkSession, dir: String): DataFrame = {
+    val bars = hourlyBars(s, dir)
+      .withColumn("b6", round(col("bar") * 1e6).cast(LongType))
+    def locate(in: DataFrame): DataFrame = {
+      val tot = in.groupBy(col("event_type").as("t_type"), col("seg").as("t_seg"))
+        .agg(sum(col("b6")).as("s6"), count(lit(1)).as("n"))
+      val wcs = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"), col("seg")).orderBy(col("hour"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"), col("seg"))
+        .orderBy(abs(col("cusum")).desc, col("hour"))
+      in.join(tot, col("t_type") === col("event_type") && col("t_seg") === col("seg"))
+        .drop("t_type", "t_seg")
+        .withColumn("dev", col("b6") * col("n") - col("s6"))
+        .withColumn("cusum", sum(col("dev")).over(wcs))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("seg"), col("hour").as("shift_hour"),
+          round(abs(col("cusum")).cast(DoubleType) / (col("n") * 1e6), 6)
+            .as("drift_mag"))
+    }
+    val l1 = locate(bars.withColumn("seg", lit("all")))
+    val l2 = locate(bars
+      .join(l1.select(col("event_type").as("s_type"), col("shift_hour")),
+        col("s_type") === col("event_type")).drop("s_type")
+      .withColumn("seg",
+        when(col("hour") <= col("shift_hour"), "left").otherwise("right"))
+      .drop("shift_hour"))
+    l1.withColumn("level", lit(1))
+      .unionByName(l2.withColumn("level", lit(2)))
+      .select(col("event_type"), col("level"), col("seg").as("segment"),
+        col("shift_hour"), col("drift_mag"))
+      .orderBy(col("event_type"), col("level"), col("segment"))
+  }
+
+  val cusum2Oracle: String =
+    """WITH bars AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+      |    CAST(round(round(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+      |      / COUNT(*), 6) * 1e6) AS BIGINT) AS b6
+      |  FROM events GROUP BY 1, 2),
+      |l1 AS (
+      |  SELECT event_type, hour AS shift_hour,
+      |    round(CAST(abs(cusum) AS DOUBLE) / (n * 1e6), 6) AS drift_mag
+      |  FROM (
+      |    SELECT event_type, hour, cusum, n,
+      |      ROW_NUMBER() OVER (PARTITION BY event_type
+      |        ORDER BY abs(cusum) DESC, hour) AS rn
+      |    FROM (
+      |      SELECT b.event_type, b.hour, t.n,
+      |        SUM(b.b6 * t.n - t.s6) OVER (PARTITION BY b.event_type
+      |          ORDER BY b.hour ROWS UNBOUNDED PRECEDING) AS cusum
+      |      FROM bars b JOIN (SELECT event_type, SUM(b6) AS s6, COUNT(*) AS n
+      |        FROM bars GROUP BY 1) t USING (event_type)))
+      |  WHERE rn = 1),
+      |seg AS (
+      |  SELECT b.event_type, b.hour, b.b6,
+      |    CASE WHEN b.hour <= l1.shift_hour THEN 'left' ELSE 'right' END AS seg
+      |  FROM bars b JOIN l1 USING (event_type)),
+      |l2 AS (
+      |  SELECT event_type, seg, hour AS shift_hour,
+      |    round(CAST(abs(cusum) AS DOUBLE) / (n * 1e6), 6) AS drift_mag
+      |  FROM (
+      |    SELECT event_type, seg, hour, cusum, n,
+      |      ROW_NUMBER() OVER (PARTITION BY event_type, seg
+      |        ORDER BY abs(cusum) DESC, hour) AS rn
+      |    FROM (
+      |      SELECT s.event_type, s.seg, s.hour, t.n,
+      |        SUM(s.b6 * t.n - t.s6) OVER (PARTITION BY s.event_type, s.seg
+      |          ORDER BY s.hour ROWS UNBOUNDED PRECEDING) AS cusum
+      |      FROM seg s JOIN (SELECT event_type, seg, SUM(b6) AS s6,
+      |          COUNT(*) AS n FROM seg GROUP BY 1, 2) t
+      |        USING (event_type, seg)))
+      |  WHERE rn = 1)
+      |SELECT event_type, 1 AS level, 'all' AS segment, shift_hour, drift_mag
+      |FROM l1
+      |UNION ALL
+      |SELECT event_type, 2 AS level, seg AS segment, shift_hour, drift_mag
+      |FROM l2
+      |ORDER BY event_type, level, segment""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st_cusum2", cusum2, Some(cusum2Oracle)),
     QueryDef("st_rolling_p95", rollingP95, Some(rollingP95Oracle)),
     QueryDef("st_attrib_position", attribPosition, Some(attribPositionOracle)),
     QueryDef("st_runs_test", runsTest, Some(runsTestOracle)),

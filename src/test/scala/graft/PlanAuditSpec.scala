@@ -59,7 +59,13 @@ class PlanAuditSpec extends SparkSpec {
       // 5-row BM25 query term + 5-row exemplar embedding broadcasts
       "ta_hybrid_rrf",
       // 1-row total-edge-count aggregate onto the community grid
-      "gr_modularity")
+      "gr_modularity",
+      // source-pair grid: |sources|² domain-bounded rows (a categorical
+      // dimension, like ops_psi_drift's type domain)
+      "ta_js_divergence",
+      // composes sim_topk_exact + sim_ann_lsh — inherits their allowed
+      // <=NQueries-row broadcast-query non-equi scans
+      "sim_ann_recall")
 
   // the oracle-less bench-only twins stay under the same plan audit:
   // they run in every bench even though they left the correctness map
@@ -75,6 +81,8 @@ class PlanAuditSpec extends SparkSpec {
       "gr_salsa" -> ((s, d) => graft.queries.Graph.salsaPlan(s, d)._1),
       "gr_label_prop" -> ((s, d) => graft.queries.Graph.labelPropPlan(s, d)._1),
       "gr_modularity" -> ((s, d) => graft.queries.Graph.modularityPlan(s, d)._1),
+      "gr_harmonic" -> ((s, d) => graft.queries.Graph.harmonicPlan(s, d)._1),
+      "gr_ktruss" -> ((s, d) => graft.queries.Graph.kTrussPlan(s, d)._1),
     )
 
   private def auditSurface: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
@@ -139,7 +147,12 @@ class PlanAuditSpec extends SparkSpec {
       // 5-row query-term + exemplar-embedding broadcasts (bm25 device)
       "ta_hybrid_rrf",
       // 1-row total-edge-count aggregate
-      "gr_modularity")
+      "gr_modularity",
+      // composes sim_topk_exact + sim_ann_lsh, inheriting their
+      // constant-bounded (<= NQueries rows) query-side hints
+      "sim_ann_recall",
+      // MMR candidate build is sim_topk_exact's broadcast-query scan
+      "sim_mmr_rerank")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>

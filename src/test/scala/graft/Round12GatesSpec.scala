@@ -206,6 +206,76 @@ class Round12GatesSpec extends SparkSpec {
     }
   }
 
+  test("st_cusum2: level 1 equals the single-shift locator; segments partition the series") {
+    val got = StreamingGates.cusum2(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getTimestamp(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    val single = StreamingGates.cusumShift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+    val l1 = got.filter(_._2 == 1).map(r => (r._1, r._4, r._5)).toSeq
+    assert(l1.sortBy(_._1) === single.sortBy(_._1),
+      "level-1 must equal the cusumShift gate")
+    // each type has exactly one 'all', one 'left', one 'right' row
+    for ((typ, rows) <- got.groupBy(_._1)) {
+      assert(rows.map(r => (r._2, r._3)).toSet ===
+        Set((1, "all"), (2, "left"), (2, "right")), s"type $typ segments")
+      val all = rows.find(_._2 == 1).get._4
+      val left = rows.find(r => r._3 == "left").get._4
+      val right = rows.find(r => r._3 == "right").get._4
+      assert(!left.after(all), s"type $typ: left locator beyond the split")
+      assert(right.after(all), s"type $typ: right locator not after the split")
+    }
+  }
+
+  test("ta_js_divergence: bounds hold and one pair replays driver-side") {
+    val got = LlmCuration.jsDivergence(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val ln2 = math.log(2.0)
+    for ((a, b, _, jsd) <- got) {
+      assert(a < b, "pairs must be ordered once")
+      assert(jsd >= 0.0 && jsd <= ln2 + 1e-9, s"($a,$b) jsd=$jsd out of [0, ln2]")
+    }
+    // driver replay of the first pair
+    val (sa, sb, v, jsd) = got.head
+    val cnt = Tables.t(spark, dir, "documents")
+      .filter(col("source").isin(sa, sb))
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val vocab = cnt.keys.map(_._2).toSet
+    assert(v === vocab.size.toLong)
+    val na = cnt.collect { case ((s, _), c) if s == sa => c }.sum
+    val nb = cnt.collect { case ((s, _), c) if s == sb => c }.sum
+    val terms = vocab.toSeq.map { t =>
+      val p = (cnt.getOrElse((sa, t), 0L) + 1).toDouble / (na + vocab.size)
+      val q = (cnt.getOrElse((sb, t), 0L) + 1).toDouble / (nb + vocab.size)
+      val m = (p + q) / 2
+      p * math.log(p / m) + q * math.log(q / m)
+    }
+    val ref = terms.sum / 2
+    assert(math.abs(jsd - ref) < 1e-5, s"jsd $jsd vs driver $ref")
+  }
+
+  test("sim_ann_recall: matches a recall recomputed from the two gated lists") {
+    val got = LlmVectors.annRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    val exact = LlmVectors.topkExact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val ann = LlmVectors.annTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    for ((q, hits, recall) <- got) {
+      val ex = exact(q).map(_._2).toSet
+      val an = ann.get(q).map(_.map(_._2).toSet).getOrElse(Set.empty)
+      assert(hits === (ex intersect an).size.toLong, s"q $q hits")
+      assert(recall === BigDecimal(hits.toDouble / ex.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"q $q recall")
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+  }
+
   test("sim_mmr_rerank: the unrolled picks replay a driver-side greedy MMR") {
     val got = LlmVectors.mmrRerank(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
