@@ -43,6 +43,14 @@ final case class EwmaBuf(ts: List[Long], ids: List[Long], vs: List[Double])
 final case class TwapBuf(dayMs: Long, lastUs: Long, lastId: Long,
     lastVm: Long, wsum: String, spanUs: Long, nIntervals: Long)
 
+/** Recent view touchpoints (ids + their event-time micros, parallel
+  * lists) for [[EventsStream.attribPosition]] — pruned to the
+  * attribution window on every event, so state is bounded by the
+  * window duration × per-user view rate.
+  */
+final case class AttribBuf(viewIds: List[Long], viewUs: List[Long],
+    lastUs: Long)
+
 /** Buffered step timestamps (epoch ms) + last-activity time for
   * [[EventsStream.funnel]] — top-level for the state encoder, like
   * [[SessionState]].
@@ -374,6 +382,85 @@ object EventsStream {
     }
 
     events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  final case class TouchRow(user_id: Long, purchase_id: Long, view_id: Long,
+      pos: Int, n_touch: Long, credit: Double)
+
+  /** Streaming twin of the batch `st_attrib_position` gate: U-shaped
+    * multi-touch credits emitted AT the purchase, from an
+    * [[AttribBuf]] of the user's views inside the 30-minute window —
+    * state is pruned on every event, so it holds at most one window's
+    * views per user. The credit arithmetic replays the batch column
+    * exactly (same integer ratios, same HALF_UP round-6), and
+    * same-timestamp views sort BEFORE purchases (the batch join's
+    * inclusive view_ts ≤ purchase_ts), so an `AvailableNow` replay is
+    * bit-equal to the batch gate (EventsStreamSpec parity). Straggler
+    * policy as [[ewma]]: an event at or before the buffer's newest
+    * point is dropped.
+    */
+  def attribPosition(events: Dataset[Event],
+      windowMinutes: Int = 30, graceMinutes: Int = 60): Dataset[TouchRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val WindowUs = windowMinutes * 60000000L
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    def us(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
+    def credit(pos: Int, k: Int): Double = {
+      val (cn, cd) =
+        if (k == 1) (1L, 1L)
+        else if (pos == 1 || pos == k) { if (k == 2) (1L, 2L) else (2L, 5L) }
+        else (1L, 5L * (k - 2))
+      round6(cn.toDouble / cd.toDouble)
+    }
+
+    def fn(userId: Long, rows: Iterator[Event],
+        state: GroupState[AttribBuf]): Iterator[TouchRow] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        // same-ts views order before purchases: the batch join is
+        // inclusive on view_ts <= purchase_ts
+        val sorted = rows.toSeq.sortBy(e =>
+          (us(e.ts), if (e.event_type == "purchase") 1 else 0, e.event_id))
+        var buf = state.getOption.getOrElse(AttribBuf(Nil, Nil, Long.MinValue))
+        val out = Seq.newBuilder[TouchRow]
+        sorted.foreach { e =>
+          val u = us(e.ts)
+          if (u >= buf.lastUs || buf.lastUs == Long.MinValue) {
+            val keep = buf.viewUs.zip(buf.viewIds).filter(_._1 >= u - WindowUs)
+            buf = AttribBuf(keep.map(_._2), keep.map(_._1), math.max(u, buf.lastUs))
+            e.event_type match {
+              case "view" =>
+                buf = AttribBuf(buf.viewIds :+ e.event_id,
+                  buf.viewUs :+ u, buf.lastUs)
+              case "purchase" =>
+                val touches = buf.viewUs.zip(buf.viewIds)
+                  .filter(t => t._1 >= u - WindowUs && t._1 <= u)
+                  .sortBy(identity)
+                val k = touches.length
+                touches.zipWithIndex.foreach { case ((_, vid), i) =>
+                  out += TouchRow(userId, e.event_id, vid, i + 1, k.toLong,
+                    credit(i + 1, k))
+                }
+              case _ => ()
+            }
+          } // sub-buffer straggler: dropped by policy
+        }
+        state.update(buf)
+        state.setTimeoutTimestamp(math.max(
+          buf.lastUs / 1000L + (windowMinutes + graceMinutes) * 60000L,
+          state.getCurrentWatermarkMs + 1))
+        out.result().iterator
+      }
+    }
+
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "purchase")
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)

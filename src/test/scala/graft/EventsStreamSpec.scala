@@ -203,6 +203,51 @@ class EventsStreamSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("twap") === 2.0)
   }
 
+  test("streaming U-shaped attribution: bit-parity with the batch gate, incl. same-ts view") {
+    val in = tmpDir("at-in"); val out = tmpDir("at-out"); val ck = tmpDir("at-ck")
+    val lines = Seq(
+      // user 1: 3 views then a purchase -> 0.4 / 0.2 / 0.4
+      ev(1, 1, "view", 1.0, "2025-07-01T10:00:00Z"),
+      ev(1, 2, "view", 1.0, "2025-07-01T10:05:00Z"),
+      ev(1, 3, "view", 1.0, "2025-07-01T10:10:00Z"),
+      ev(1, 4, "purchase", 9.0, "2025-07-01T10:20:00Z"),
+      // user 2: view AT the purchase timestamp (inclusive <=) plus one
+      // earlier view -> k=2, 0.5 each
+      ev(2, 5, "view", 1.0, "2025-07-01T11:00:00Z"),
+      ev(2, 7, "view", 1.0, "2025-07-01T11:15:00Z"),
+      ev(2, 6, "purchase", 9.0, "2025-07-01T11:15:00Z"),
+      // user 3: view outside the 30-min window -> purchase with no touches
+      ev(3, 8, "view", 1.0, "2025-07-01T09:00:00Z"),
+      ev(3, 9, "purchase", 9.0, "2025-07-01T12:00:00Z"),
+      ev(99, 999, "view", 0.0, "2025-07-02T23:00:00Z"), // sentinel
+    )
+    Files.writeString(Paths.get(in, "events.jsonl"), lines.mkString("\n"))
+    import spark.implicits._
+    EventsStream.runToParquet(
+      EventsStream.attribPosition(EventsStream.parse(spark.readStream.text(in))).toDF(),
+      out, ck).awaitTermination(120000)
+    val got = spark.read.parquet(out)
+      .select(col("user_id"), col("purchase_id"), col("view_id"), col("pos"),
+        col("n_touch"), col("credit"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(got === Set(
+      (1L, 4L, 1L, 1, 3L, 0.4), (1L, 4L, 2L, 2, 3L, 0.2), (1L, 4L, 3L, 3, 3L, 0.4),
+      (2L, 6L, 5L, 1, 2L, 0.5), (2L, 6L, 7L, 2, 2L, 0.5),
+    ))
+    // bit-parity with the batch gate over the same rows (sentinel has
+    // no purchase, so it cannot contribute)
+    val tmp = tmpDir("at-tbl")
+    EventsStream.parse(spark.read.text(in).select(col("value"))).toDF()
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val batch = graft.queries.StreamingGates.attribPosition(spark, tmp)
+      .select(col("user_id"), col("purchase_id"), col("view_id"), col("pos"),
+        col("n_touch"), col("credit"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(got === batch, s"streaming $got vs batch $batch")
+  }
+
   test("streaming EWMA: batch parity on the fixture, head point is its own average") {
     val in = tmpDir("ew-in"); val out = tmpDir("ew-out"); val ck = tmpDir("ew-ck")
     writeInput(in)
