@@ -321,6 +321,9 @@ object ScaleBench {
       "st_cusum2" -> graft.queries.StreamingGates.cusum2 _,
       "ta_js_divergence" -> graft.queries.LlmCuration.jsDivergence _,
       "sim_ann_recall" -> graft.queries.LlmVectors.annRecall _,
+      "ops_gains_curve" -> graft.queries.StatOps.gainsCurve _,
+      "ops_churn_fit" -> graft.queries.StatOps.churnFit _,
+      "ops_seasonality_strength" -> graft.queries.StatOps.seasonalityStrength _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

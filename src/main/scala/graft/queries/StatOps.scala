@@ -1133,7 +1133,252 @@ object StatOps {
       |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
       |FROM m ORDER BY brand""".stripMargin
 
+  /** Cumulative GAINS curve (the marketing-science response-decile
+    * chart behind every "top 20% of customers drive X% of purchases"
+    * claim, and the model-free baseline a propensity model must beat):
+    * rank users by PRE-period spend (the targeting score), cut into
+    * deciles best-first, and report each decile's cumulative share of
+    * POST-period purchases plus the lift over random targeting.
+    *
+    * Float policy: spend and responses are exact integers; shares are
+    * single divisions; the lift is ONE division of the exact integer
+    * cross-ratio cum_resp·total_users / (cum_users·total_resp).
+    *
+    * Scale shape: one fact pass to the user grid (the [[cuped]]
+    * period device), one user-sized NTILE window, windowed sums on
+    * the 10-row decile grid.
+    */
+  def gainsCurve(s: SparkSession, dir: String): DataFrame = {
+    val users = withPeriod(Tables.t(s, dir, "events"))
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(col("period") === "pre",
+          round(col("value") * 1000000).cast(LongType))), lit(0L)).as("pre_vm"),
+        sum(when(col("period") === "post" &&
+          col("event_type") === "purchase", 1L).otherwise(0L)).as("resp"))
+    val ranked = users.withColumn("decile", ntile(10).over(
+      Window.orderBy(col("pre_vm").desc, col("user_id"))))
+    val grid = ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("resp")).as("responses"))
+    val w = Window.partitionBy()
+    val wCum = w.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum_users", sum(col("n_users")).over(wCum))
+      .withColumn("cum_resp", sum(col("responses")).over(wCum))
+      .withColumn("t_users", sum(col("n_users")).over(w))
+      .withColumn("t_resp", sum(col("responses")).over(w))
+      .select(col("decile").cast(LongType).as("decile"),
+        col("n_users"), col("responses"),
+        round(col("cum_resp").cast(DoubleType) /
+          col("t_resp").cast(DoubleType), 6).as("cum_resp_share"),
+        round(col("cum_users").cast(DoubleType) /
+          col("t_users").cast(DoubleType), 6).as("cum_user_share"),
+        round((col("cum_resp") * col("t_users")).cast(DoubleType) /
+          (col("cum_users") * col("t_resp")).cast(DoubleType), 6).as("lift"))
+      .orderBy(col("decile"))
+  }
+
+  val gainsCurveOracle: String =
+    s"""WITH mid AS ($PeriodSql),
+       |users AS (
+       |  SELECT user_id,
+       |    CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) < mid.mid
+       |      THEN CAST(round("value" * 1000000) AS BIGINT) END), 0) AS BIGINT)
+       |      AS pre_vm,
+       |    CAST(SUM(CASE WHEN epoch_us(ts) >= mid.mid
+       |      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS resp
+       |  FROM events CROSS JOIN mid GROUP BY 1),
+       |ranked AS (
+       |  SELECT user_id, resp,
+       |    ntile(10) OVER (ORDER BY pre_vm DESC, user_id) AS decile
+       |  FROM users),
+       |grid AS (
+       |  SELECT decile, COUNT(*) AS n_users, CAST(SUM(resp) AS BIGINT)
+       |    AS responses
+       |  FROM ranked GROUP BY 1),
+       |cum AS (
+       |  SELECT decile, n_users, responses,
+       |    SUM(n_users) OVER (ORDER BY decile
+       |      ROWS UNBOUNDED PRECEDING) AS cum_users,
+       |    SUM(responses) OVER (ORDER BY decile
+       |      ROWS UNBOUNDED PRECEDING) AS cum_resp,
+       |    SUM(n_users) OVER () AS t_users,
+       |    SUM(responses) OVER () AS t_resp
+       |  FROM grid)
+       |SELECT CAST(decile AS BIGINT) AS decile, n_users, responses,
+       |  round(CAST(cum_resp AS DOUBLE) / CAST(t_resp AS DOUBLE), 6)
+       |    AS cum_resp_share,
+       |  round(CAST(cum_users AS DOUBLE) / CAST(t_users AS DOUBLE), 6)
+       |    AS cum_user_share,
+       |  round(CAST(cum_resp * t_users AS DOUBLE)
+       |    / CAST(cum_users * t_resp AS DOUBLE), 6) AS lift
+       |FROM cum ORDER BY decile""".stripMargin
+
+  /** Exponential retention-decay fit per weekly cohort (the churn
+    * constant behind every LTV model: if retention is geometric,
+    * ln n_active is linear in week index and −slope is the weekly
+    * churn rate): OLS of ln(active users) on weeks-since-cohort over
+    * the [[graft.queries.StreamingGates.retentionBatch]] relation,
+    * with the half-life ln2/(−slope) for cohorts that do decay.
+    * Cohorts with < 3 observed weeks are excluded (a 2-point fit is
+    * always r² = 1 noise).
+    *
+    * Float policy: ln inputs are exact integer counts; the OLS is the
+    * [[graft.queries.LlmCuration.zipfFit]] recipe; ln 2 is a round-6
+    * literal (0.693147, house style — no query-time libm constants);
+    * the half-life divides that literal by the UNROUNDED slope, the
+    * same fixed-order expression both engines evaluate.
+    *
+    * Scale shape: one distinct (user, week) pass, one user-sized MIN,
+    * cohort-grid OLS. Nothing after the distinct is fact-sized.
+    */
+  def churnFit(s: SparkSession, dir: String): DataFrame = {
+    val wk = date_trunc("week", col("ts")).cast(DateType)
+    val act = Tables.t(s, dir, "events")
+      .select(col("user_id"), wk.as("wk")).distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    val grid = act.join(first, "user_id")
+      .groupBy(col("cohort_week"),
+        expr("datediff(wk, cohort_week) DIV 7").as("w"))
+      .agg(count(lit(1)).as("n_users"))
+    val xy = grid.select(col("cohort_week"),
+      col("w").cast(DoubleType).as("x"),
+      log(col("n_users").cast(DoubleType)).as("y"))
+    def dsum(c: Column) = sum(c.cast(DecimalType(38, 12))).cast(DoubleType)
+    val m = xy.groupBy(col("cohort_week")).agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsum(col("x") * col("y")).as("sxy"),
+      dsum(col("x") * col("x")).as("sxx"),
+      dsum(col("y") * col("y")).as("syy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    val slope0 = cov / vx
+    m.filter(col("n") >= 3)
+      .select(col("cohort_week"), col("n").cast(LongType).as("n_weeks"),
+        round(slope0, 6).as("decay"),
+        round((cov * cov) / (vx * vy), 6).as("r2"),
+        when(slope0 < 0, round(lit(0.693147) / -slope0, 6))
+          .as("half_life_weeks"))
+      .orderBy(col("cohort_week"))
+  }
+
+  val churnFitOracle: String =
+    """WITH act AS (SELECT DISTINCT user_id,
+      |  CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+      |  FROM events),
+      |first AS (SELECT user_id, MIN(wk) AS cohort_week FROM act GROUP BY 1),
+      |grid AS (
+      |  SELECT f.cohort_week,
+      |    date_diff('day', f.cohort_week, a.wk) // 7 AS w,
+      |    COUNT(*) AS n_users
+      |  FROM act a JOIN first f USING (user_id)
+      |  GROUP BY 1, 2),
+      |xy AS (SELECT cohort_week, CAST(w AS DOUBLE) AS x,
+      |    ln(CAST(n_users AS DOUBLE)) AS y FROM grid),
+      |m AS (SELECT cohort_week, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+      |  FROM xy GROUP BY 1)
+      |SELECT cohort_week, CAST(n AS BIGINT) AS n_weeks,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS decay,
+      |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+      |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+      |  CASE WHEN (n * sxy - sx * sy) / (n * sxx - sx * sx) < 0
+      |    THEN round(0.693147 / -((n * sxy - sx * sy) / (n * sxx - sx * sx)), 6)
+      |    END AS half_life_weeks
+      |FROM m WHERE n >= 3 ORDER BY cohort_week""".stripMargin
+
+  /** STRENGTH OF SEASONALITY per event type (Hyndman & Athanasopoulos'
+    * FPP feature, two-way-decomposition form: bar = grand + day effect
+    * + hour-of-day effect + residual; strength = SS_hod / (SS_hod +
+    * SS_res) — the share of non-trend variance the daily cycle
+    * explains, in [0,1]): the one-number screen that says whether
+    * [[graft.queries.StreamingGates.seasonalNaive]]'s t−24h forecast
+    * should beat persistence BEFORE evaluating both.
+    *
+    * Float policy: the three component means are round-6 decimal
+    * means; residuals are fixed-order arithmetic over those identical
+    * doubles; the squares ride DECIMAL(38,12) sums and the strength is
+    * ONE division of two exact decimal sums.
+    *
+    * Scale shape: the fact collapses to bars once; three grid-sized
+    * mean aggregates joined back onto the bar grid, one grid aggregate.
+    */
+  def seasonalityStrength(s: SparkSession, dir: String): DataFrame = {
+    val bars = graft.queries.StreamingGates.hourlyBars(s, dir)
+      .withColumn("day", date_trunc("day", col("hour")))
+      .withColumn("hod", hour(col("hour")))
+    def dmean(src: DataFrame, keys: Seq[String], name: String) =
+      src.groupBy(keys.map(col): _*)
+        .agg(round(sum(col("bar").cast(DecimalType(38, 12))).cast(DoubleType) /
+          count(lit(1)), 6).as(name))
+    val gm = dmean(bars, Seq("event_type"), "gm")
+    val dm = dmean(bars, Seq("event_type", "day"), "dm")
+    val hm = dmean(bars, Seq("event_type", "hod"), "hm")
+    val joined = bars.join(gm, "event_type")
+      .join(dm, Seq("event_type", "day"))
+      .join(hm, Seq("event_type", "hod"))
+    val resid = col("bar") - col("dm") - col("hm") + col("gm")
+    val hdev = col("hm") - col("gm")
+    joined.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_bars"),
+        sum((hdev * hdev).cast(DecimalType(38, 12))).as("ssh"),
+        sum((resid * resid).cast(DecimalType(38, 12))).as("ssr"))
+      .select(col("event_type"), col("n_bars"),
+        round(col("ssh").cast(DoubleType), 6).as("ss_hod"),
+        round(col("ssr").cast(DoubleType), 6).as("ss_resid"),
+        round(col("ssh").cast(DoubleType) /
+          (col("ssh") + col("ssr")).cast(DoubleType), 6).as("strength"))
+      .orderBy(col("event_type"))
+  }
+
+  val seasonalityStrengthOracle: String =
+    """WITH bars AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+      |    round(CAST(SUM(CAST("value" AS DECIMAL(38,12))) AS DOUBLE)
+      |      / COUNT(*), 6) AS bar
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT event_type, hour, bar,
+      |    date_trunc('day', hour) AS day, EXTRACT(hour FROM hour) AS hod
+      |  FROM bars),
+      |gm AS (SELECT event_type,
+      |    round(CAST(SUM(CAST(bar AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+      |      AS gm FROM b GROUP BY 1),
+      |dm AS (SELECT event_type, day,
+      |    round(CAST(SUM(CAST(bar AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+      |      AS dm FROM b GROUP BY 1, 2),
+      |hm AS (SELECT event_type, hod,
+      |    round(CAST(SUM(CAST(bar AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+      |      AS hm FROM b GROUP BY 1, 2),
+      |j AS (
+      |  SELECT b.event_type,
+      |    (b.bar - dm.dm - hm.hm + gm.gm) AS resid,
+      |    (hm.hm - gm.gm) AS hdev
+      |  FROM b JOIN gm USING (event_type)
+      |  JOIN dm ON dm.event_type = b.event_type AND dm.day = b.day
+      |  JOIN hm ON hm.event_type = b.event_type AND hm.hod = b.hod)
+      |SELECT event_type, COUNT(*) AS n_bars,
+      |  round(CAST(SUM(CAST(hdev * hdev AS DECIMAL(38,12))) AS DOUBLE), 6)
+      |    AS ss_hod,
+      |  round(CAST(SUM(CAST(resid * resid AS DECIMAL(38,12))) AS DOUBLE), 6)
+      |    AS ss_resid,
+      |  round(CAST(SUM(CAST(hdev * hdev AS DECIMAL(38,12))) AS DOUBLE)
+      |    / CAST(SUM(CAST(hdev * hdev AS DECIMAL(38,12)))
+      |      + SUM(CAST(resid * resid AS DECIMAL(38,12))) AS DOUBLE), 6)
+      |    AS strength
+      |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ops_gains_curve", gainsCurve, Some(gainsCurveOracle)),
+    QueryDef("ops_churn_fit", churnFit, Some(churnFitOracle)),
+    QueryDef("ops_seasonality_strength", seasonalityStrength,
+      Some(seasonalityStrengthOracle)),
     QueryDef("ops_elasticity", elasticity, Some(elasticityOracle)),
     QueryDef("ops_gini", gini, Some(giniOracle)),
     QueryDef("ops_trimmed_mean", trimmedMean, Some(trimmedMeanOracle)),

@@ -276,6 +276,58 @@ class Round12GatesSpec extends SparkSpec {
     }
   }
 
+  test("ops_gains_curve: monotone shares reaching 1, lift decreasing to 1") {
+    val got = StatOps.gainsCurve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).sortBy(_._1)
+    assert(got.length === 10)
+    // cumulative shares are non-decreasing and end at exactly 1
+    assert(got.map(_._4).sliding(2).forall(p => p(0) <= p(1) + 1e-9))
+    assert(got.last._4 === 1.0 && got.last._5 === 1.0)
+    assert(got.last._6 === 1.0, "final lift must be exactly 1 (everyone targeted)")
+    // internal consistency: share columns replay from the counts
+    val tUsers = got.map(_._2).sum; val tResp = got.map(_._3).sum
+    var cu = 0L; var cr = 0L
+    for ((_, nu, re, rs, us, _) <- got) {
+      cu += nu; cr += re
+      assert(rs === BigDecimal(cr.toDouble / tResp)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(us === BigDecimal(cu.toDouble / tUsers)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("ops_churn_fit: OLS replays driver-side from the retention grid") {
+    val got = StatOps.churnFit(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty, "no cohort with >= 3 weeks at spec scale")
+    val grid = StreamingGates.retentionBatch(spark, dir).collect()
+      .map(r => (r.getDate(0).toString,
+        (r.getDate(1).toLocalDate.toEpochDay -
+          r.getDate(0).toLocalDate.toEpochDay) / 7, r.getLong(2)))
+      .groupBy(_._1)
+    for ((cw, nWeeks, decay) <- got) {
+      val pts = grid(cw).map(p => (p._2.toDouble, math.log(p._3.toDouble)))
+      assert(nWeeks === pts.length.toLong)
+      val n = pts.length.toDouble
+      val cov = n * pts.map(p => p._1 * p._2).sum - pts.map(_._1).sum * pts.map(_._2).sum
+      val vx = n * pts.map(p => p._1 * p._1).sum - math.pow(pts.map(_._1).sum, 2)
+      assert(math.abs(decay - cov / vx) < 1e-4, s"cohort $cw decay")
+    }
+  }
+
+  test("ops_seasonality_strength: bounded in [0,1] and SS identity holds") {
+    val got = StatOps.seasonalityStrength(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    for ((typ, ssh, ssr, st) <- got) {
+      assert(st >= 0.0 && st <= 1.0, s"$typ strength $st")
+      assert(ssh >= 0.0 && ssr >= 0.0)
+      // strength replays from the (rounded) SS columns within rounding slop
+      assert(math.abs(st - ssh / (ssh + ssr)) < 1e-4, s"$typ identity")
+    }
+  }
+
   test("sim_mmr_rerank: the unrolled picks replay a driver-side greedy MMR") {
     val got = LlmVectors.mmrRerank(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
