@@ -324,6 +324,7 @@ object ScaleBench {
       "ops_gains_curve" -> graft.queries.StatOps.gainsCurve _,
       "ops_churn_fit" -> graft.queries.StatOps.churnFit _,
       "ops_seasonality_strength" -> graft.queries.StatOps.seasonalityStrength _,
+      "ops_price_index" -> graft.queries.DataOps.priceIndex _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

@@ -746,7 +746,93 @@ object DataOps {
       |    AS xyz_class
       |FROM cum ORDER BY l_partkey""".stripMargin
 
+  /** Laspeyres / Paasche / Fisher PRICE INDICES by ship month (the
+    * index-number trio every pricing and inflation dashboard carries
+    * — Laspeyres weights by the BASE month's basket, Paasche by the
+    * current month's, Fisher is their geometric mean): unit values
+    * p_t(part) = effective cents (price × (1−discount)) over units,
+    * per part-month; each index compares months over the COMMON
+    * basket (parts traded in both the base and the current month) so
+    * entry/exit never masquerades as inflation.
+    *
+    * Float policy: unit values are round-6 decimal ratios of exact
+    * integers (the hourly-bar discipline), so both engines form the
+    * p·q products from IDENTICAL doubles; the products ride an
+    * order-independent DECIMAL(38,12) sum, each index is ONE division
+    * of two such sums, and Fisher is one sqrt over their product (the
+    * [[graft.queries.Graph.assortativity]] fixed-order shape).
+    *
+    * Scale shape: one fact pass to the (part × month) grid; the
+    * common-basket join and the index aggregates run on grid-sized
+    * relations. At 100 TB the grid is catalog × months — never the
+    * fact.
+    */
+  def priceIndex(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+      .select(col("l_partkey").as("part"),
+        date_trunc("month", col("l_shipdate")).cast(DateType).as("month"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast(LongType).as("ec"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("q"))
+    val grid = li.groupBy(col("part"), col("month"))
+      .agg(sum(col("ec")).as("ec"), sum(col("q")).as("q"))
+      .withColumn("p", round(col("ec").cast(DoubleType) /
+        col("q").cast(DoubleType), 6))
+    val baseMonth = grid.agg(min(col("month")).as("base_month"))
+    val base = grid.join(broadcast(baseMonth),
+        col("month") === col("base_month"))
+      .select(col("part"), col("p").as("p0"), col("q").as("q0"))
+    val d = DecimalType(38, 12)
+    val idx = grid.join(base, "part")
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum((col("p") * col("q0")).cast(d)).as("ptq0"),
+        sum((col("p0") * col("q0")).cast(d)).as("p0q0"),
+        sum((col("p") * col("q")).cast(d)).as("ptqt"),
+        sum((col("p0") * col("q")).cast(d)).as("p0qt"))
+    val lasp = col("ptq0").cast(DoubleType) / col("p0q0").cast(DoubleType)
+    val paas = col("ptqt").cast(DoubleType) / col("p0qt").cast(DoubleType)
+    idx.select(col("month"), col("n_parts"),
+        round(lasp, 6).as("laspeyres"),
+        round(paas, 6).as("paasche"),
+        round(sqrt(lasp * paas), 6).as("fisher"))
+      .orderBy(col("month"))
+  }
+
+  val priceIndexOracle: String =
+    """WITH li AS (
+      |  SELECT l_partkey AS part,
+      |    CAST(date_trunc('month', CAST(l_shipdate AS TIMESTAMP)) AS DATE)
+      |      AS month,
+      |    CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+      |      AS ec,
+      |    CAST(round(l_quantity) AS BIGINT) AS q
+      |  FROM lineitem),
+      |grid AS (
+      |  SELECT part, month, round(CAST(SUM(ec) AS DOUBLE)
+      |      / CAST(SUM(q) AS DOUBLE), 6) AS p,
+      |    CAST(SUM(q) AS BIGINT) AS q
+      |  FROM li GROUP BY 1, 2),
+      |base AS (
+      |  SELECT part, p AS p0, q AS q0 FROM grid
+      |  WHERE month = (SELECT MIN(month) FROM grid)),
+      |idx AS (
+      |  SELECT g.month, COUNT(*) AS n_parts,
+      |    SUM(CAST(g.p * b.q0 AS DECIMAL(38,12))) AS ptq0,
+      |    SUM(CAST(b.p0 * b.q0 AS DECIMAL(38,12))) AS p0q0,
+      |    SUM(CAST(g.p * g.q AS DECIMAL(38,12))) AS ptqt,
+      |    SUM(CAST(b.p0 * g.q AS DECIMAL(38,12))) AS p0qt
+      |  FROM grid g JOIN base b USING (part)
+      |  GROUP BY 1)
+      |SELECT month, n_parts,
+      |  round(CAST(ptq0 AS DOUBLE) / CAST(p0q0 AS DOUBLE), 6) AS laspeyres,
+      |  round(CAST(ptqt AS DOUBLE) / CAST(p0qt AS DOUBLE), 6) AS paasche,
+      |  round(sqrt((CAST(ptq0 AS DOUBLE) / CAST(p0q0 AS DOUBLE))
+      |    * (CAST(ptqt AS DOUBLE) / CAST(p0qt AS DOUBLE))), 6) AS fisher
+      |FROM idx ORDER BY month""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ops_price_index", priceIndex, Some(priceIndexOracle)),
     QueryDef("ops_abc_xyz", abcXyz, Some(abcXyzOracle)),
     QueryDef("ops_benford", benford, Some(benfordOracle)),
     QueryDef("ops_psi_drift", psiDrift, Some(psiDriftOracle)),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Graph, LlmCuration, LlmVectors, StatOps, StreamingGates}
+import graft.queries.{DataOps, Graph, LlmCuration, LlmVectors, StatOps, StreamingGates}
 import org.apache.spark.sql.functions._
 
 /** Driver-side reference checks for the round-12 gates, on the
@@ -325,6 +325,23 @@ class Round12GatesSpec extends SparkSpec {
       assert(ssh >= 0.0 && ssr >= 0.0)
       // strength replays from the (rounded) SS columns within rounding slop
       assert(math.abs(st - ssh / (ssh + ssr)) < 1e-4, s"$typ identity")
+    }
+  }
+
+  test("ops_price_index: base month is exactly 1, Fisher between Laspeyres and Paasche") {
+    val got = DataOps.priceIndex(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    assert(got.length >= 2, "need at least two months for an index")
+    val (_, _, l0, p0, f0) = got.head
+    assert(l0 === 1.0 && p0 === 1.0 && f0 === 1.0, "base month must index at 1")
+    for ((m, n, l, p, f) <- got) {
+      assert(n > 0, s"$m empty basket")
+      assert(l > 0 && p > 0, s"$m non-positive index")
+      // Fisher is the geometric mean: strictly between (or equal to)
+      // its two factors
+      assert(f >= math.min(l, p) - 1e-6 && f <= math.max(l, p) + 1e-6,
+        s"$m fisher $f outside [$l, $p]")
     }
   }
 
