@@ -51,6 +51,15 @@ final case class TwapBuf(dayMs: Long, lastUs: Long, lastId: Long,
 final case class AttribBuf(viewIds: List[Long], viewUs: List[Long],
     lastUs: Long)
 
+/** Per-type rolling-percentile state for [[EventsStream.rollingP95]]:
+  * the OPEN hour's exact decimal accumulator (sum carried as a string
+  * of the DECIMAL(38,12) value) plus the trailing CLOSED hourly bars
+  * (≤ window size, pruned on every close) — O(window) state per type
+  * forever.
+  */
+final case class RollBuf(openHourMs: Long, openSum: String, openN: Long,
+    barHourMs: List[Long], barVals: List[Double])
+
 /** Buffered step timestamps (epoch ms) + last-activity time for
   * [[EventsStream.funnel]] — top-level for the state encoder, like
   * [[SessionState]].
@@ -463,6 +472,99 @@ object EventsStream {
       .filter(e => e.event_type == "view" || e.event_type == "purchase")
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  final case class RollRow(event_type: String, hour: Timestamp, bar: Double,
+      n_window: Long, p95_24h: Double)
+
+  /** Streaming twin of the batch `st_rolling_p95` gate: per type, the
+    * trailing-24h p95 of the hourly bars, emitted when each hour
+    * CLOSES (a later-hour event arrives, or the event-time timeout
+    * fires past the hour boundary). State is one [[RollBuf]] per type
+    * — the open hour's exact decimal accumulator plus ≤ 24 closed
+    * bars — O(window) forever. The arithmetic replays the batch
+    * columns exactly: per-value DECIMAL(38,12) HALF_UP quantization
+    * and exact decimal sums for the bar mean, and Spark's OWN
+    * two-product interpolation form (higher−pos)·lo + (pos−lower)·hi
+    * for the percentile, both HALF_UP round-6 — so an `AvailableNow`
+    * replay emits rows bit-equal to the batch gate for every closed
+    * hour (EventsStreamSpec parity). Stragglers into closed hours are
+    * dropped ([[ewma]]'s policy).
+    */
+  def rollingP95(events: Dataset[Event], windowHours: Int = 24,
+      graceMinutes: Int = 60): Dataset[RollRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val HourMs = 3600000L
+    val WindowMs = windowHours * HourMs
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dec12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, scala.math.BigDecimal.RoundingMode.HALF_UP)
+    // Spark Percentile.getPercentile's exact two-product form
+    def p95(sortedBars: IndexedSeq[Double]): Double = {
+      val pos = (sortedBars.length - 1) * 0.95
+      val lower = math.floor(pos).toInt
+      val higher = math.ceil(pos).toInt
+      val raw =
+        if (lower == higher) sortedBars(lower)
+        else (higher - pos) * sortedBars(lower) + (pos - lower) * sortedBars(higher)
+      round6(raw)
+    }
+    def closeHour(typ: String, b: RollBuf): (RollBuf, Option[RollRow]) = {
+      if (b.openN == 0) (b, None)
+      else {
+        val bar = round6(BigDecimal(b.openSum).toDouble / b.openN)
+        val keptH = (b.barHourMs :+ b.openHourMs)
+          .zip(b.barVals :+ bar)
+          .filter(_._1 > b.openHourMs - WindowMs)
+        val nb = RollBuf(b.openHourMs, "0", 0L, keptH.map(_._1), keptH.map(_._2))
+        val window = keptH.sortBy(_._1).map(_._2)
+        val row = RollRow(typ, new Timestamp(b.openHourMs), bar,
+          window.length.toLong, p95(window.sorted.toIndexedSeq))
+        (nb, Some(row))
+      }
+    }
+
+    def fn(typ: String, rows: Iterator[Event],
+        state: GroupState[RollBuf]): Iterator[RollRow] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(closeHour(typ, _)).flatMap(_._2)
+        state.remove()
+        out.iterator
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var buf = state.getOption.orNull
+        val out = Seq.newBuilder[RollRow]
+        sorted.foreach { e =>
+          val h = Math.floorDiv(e.ts.getTime, HourMs) * HourMs
+          if (buf == null)
+            buf = RollBuf(h, dec12(e.value).toString, 1L, Nil, Nil)
+          else if (h > buf.openHourMs) {
+            val (nb, row) = closeHour(typ, buf)
+            row.foreach(out += _)
+            buf = RollBuf(h, dec12(e.value).toString, 1L,
+              nb.barHourMs, nb.barVals)
+          } else if (h == buf.openHourMs) {
+            buf = buf.copy(
+              openSum = (BigDecimal(buf.openSum) + dec12(e.value)).toString,
+              openN = buf.openN + 1)
+          } // straggler into a closed hour: dropped by policy
+        }
+        if (buf != null) {
+          state.update(buf)
+          state.setTimeoutTimestamp(math.max(
+            buf.openHourMs + HourMs + graceMinutes * 60000L,
+            state.getCurrentWatermarkMs + 1))
+        }
+        out.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 

@@ -248,6 +248,46 @@ class EventsStreamSpec extends SparkSpec {
     assert(got === batch, s"streaming $got vs batch $batch")
   }
 
+  test("streaming rolling p95: closed hours are bit-equal to the batch gate") {
+    val in = tmpDir("rp-in"); val out = tmpDir("rp-out"); val ck = tmpDir("rp-ck")
+    // two types over four hours with multiple events per hour, values
+    // chosen to exercise real interpolation; sentinel closes everything
+    val lines = (0 until 4).flatMap { h =>
+      Seq(
+        ev(1, h * 10 + 1, "view", 1.0 + h + 0.123456, s"2025-07-01T1$h:05:00Z"),
+        ev(1, h * 10 + 2, "view", 2.5 - h * 0.3, s"2025-07-01T1$h:25:00Z"),
+        ev(2, h * 10 + 3, "purchase", 10.0 * (h + 1) + 0.77, s"2025-07-01T1$h:40:00Z"),
+      )
+    } :+ ev(99, 999, "view", 0.0, "2025-07-03T12:00:00Z")
+    Files.writeString(Paths.get(in, "events.jsonl"), lines.mkString("\n"))
+    import spark.implicits._
+    EventsStream.runToParquet(
+      EventsStream.rollingP95(EventsStream.parse(spark.readStream.text(in))).toDF(),
+      out, ck).awaitTermination(120000)
+    val got = spark.read.parquet(out)
+      .select(col("event_type"), col("hour"), col("bar"), col("n_window"),
+        col("p95_24h"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getDouble(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(got.nonEmpty)
+    // batch twin over the same rows; the sentinel's own (never-closed)
+    // hour is the only batch row the stream cannot emit
+    val tmp = tmpDir("rp-tbl")
+    EventsStream.parse(spark.read.text(in).select(col("value"))).toDF()
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val sentinelHour = java.time.Instant.parse("2025-07-03T12:00:00Z").toEpochMilli
+    val batch = graft.queries.StreamingGates.rollingP95(spark, tmp)
+      .select(col("event_type"), col("hour"), col("bar"), col("n_window"),
+        col("p95_24h"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getDouble(2), r.getLong(3), r.getDouble(4)))
+      .filter(_._2 < sentinelHour).toSet
+    assert(got === batch, s"streaming $got vs batch $batch")
+    // 8 rows: 2 types x 4 hours, windows growing 1..4
+    assert(got.size === 8)
+    assert(got.filter(_._1 == "view").map(_._4) === Set(1L, 2L, 3L, 4L))
+  }
+
   test("streaming EWMA: batch parity on the fixture, head point is its own average") {
     val in = tmpDir("ew-in"); val out = tmpDir("ew-out"); val ck = tmpDir("ew-ck")
     writeInput(in)

@@ -39,9 +39,11 @@ class Round12GatesSpec extends SparkSpec {
       val n = n1 + n2
       val e = 2 * n1 * n2 / n + 1
       val v = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
-      val refZ = BigDecimal((refRuns - e) / math.sqrt(v))
+      val zRaw = (refRuns - e) / math.sqrt(v)
+      val refZ = BigDecimal(zRaw)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(math.abs(z - refZ) < 2e-6, s"type $typ: z $z vs ref $refZ")
+      assert(RoundingAudit.safe6(zRaw), s"type $typ: z sits on a rounding boundary")
     }
   }
 
@@ -98,6 +100,7 @@ class Round12GatesSpec extends SparkSpec {
       val vx = n * xs.map(x => x * x).sum - xs.sum * xs.sum
       assert(math.abs(slope - cov / vx) < 1e-4, s"$brand slope")
       assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9, s"$brand r2")
+      assert(RoundingAudit.safe6(cov / vx), s"$brand slope on a rounding boundary")
     }
   }
 
@@ -313,6 +316,7 @@ class Round12GatesSpec extends SparkSpec {
       val cov = n * pts.map(p => p._1 * p._2).sum - pts.map(_._1).sum * pts.map(_._2).sum
       val vx = n * pts.map(p => p._1 * p._1).sum - math.pow(pts.map(_._1).sum, 2)
       assert(math.abs(decay - cov / vx) < 1e-4, s"cohort $cw decay")
+      assert(RoundingAudit.safe6(cov / vx), s"cohort $cw decay on a rounding boundary")
     }
   }
 

@@ -15,16 +15,15 @@ import org.apache.spark.sql.DataFrame
   * in value units for the round-6 outputs — so any last-ulp engine
   * divergence rounds to the same decimal.
   */
-class RoundingAuditSpec extends SparkSpec {
-
-  private val sfDir = "/root/testdata/sf0.001"
-  private val gateDir = "/root/testdata/sf0.01"
-
+/** Shared boundary-distance probe — also used by Round12GatesSpec's
+  * driver-side replays to certify THEIR pre-round values.
+  */
+object RoundingAudit {
   /** Distance of x from the nearest round-half boundary, in units of
     * 10^-scale (0.5 = dead center of a decimal cell, 0.0 = exactly on
     * a x.xxx5 boundary).
     */
-  private def boundaryDist(x: Double, scale: Int): Double = {
+  def boundaryDist(x: Double, scale: Int): Double = {
     val scaled = math.abs(x) * math.pow(10, scale)
     if (scaled.isNaN || scaled.isInfinite || scaled >= 1e15) 0.5
     else {
@@ -32,6 +31,20 @@ class RoundingAuditSpec extends SparkSpec {
       math.abs(frac - 0.5)
     }
   }
+
+  /** True when a value this close to x (same formula, ulp-level
+    * divergence at most) must round to the same 6-dp decimal.
+    */
+  def safe6(x: Double): Boolean = boundaryDist(x, 6) >= 1e-3
+}
+
+class RoundingAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val gateDir = "/root/testdata/sf0.01"
+
+  private def boundaryDist(x: Double, scale: Int): Double =
+    RoundingAudit.boundaryDist(x, scale)
 
   private def audit(name: String, df: DataFrame,
       cols: Seq[(String, Int)]): Unit = {
