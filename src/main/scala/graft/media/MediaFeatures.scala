@@ -79,7 +79,10 @@ object MediaFeatures {
 
     private val registry =
       scala.collection.concurrent.TrieMap[String, Int => Decoder](
-        "stub" -> (new StubDecoder(_)))
+        "stub" -> (new StubDecoder(_)),
+        // RIFF/WAVE PCM is decodable in pure JVM code — a REAL codec
+        // registered beside the stub (WavDecoderSpec drives it)
+        "wav" -> (new WavDecoder(_)))
 
     def register(name: String, factory: Int => Decoder): Unit =
       registry.put(name, factory)
