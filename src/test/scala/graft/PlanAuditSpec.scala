@@ -54,6 +54,8 @@ class PlanAuditSpec extends SparkSpec {
       "ta_npmi_colloc",
       // 1-row experiment-clock midpoint resp. pooled-moment aggregates
       "ops_did", "ops_cuped",
+      // same 1-row experiment-clock midpoint device (withPeriod)
+      "ops_gains_curve",
       // 1-row observation-end aggregate against the user relation
       "ops_survival_km",
       // 5-row BM25 query term + 5-row exemplar embedding broadcasts
@@ -142,6 +144,10 @@ class PlanAuditSpec extends SparkSpec {
       "ta_npmi_colloc",
       // 1-row experiment-clock midpoint resp. pooled-moment aggregates
       "ops_did", "ops_cuped",
+      // same 1-row experiment-clock midpoint device (withPeriod)
+      "ops_gains_curve",
+      // 1-row base-month aggregate (min month) for the common-basket join
+      "ops_price_index",
       // 1-row observation-end aggregate
       "ops_survival_km",
       // 5-row query-term + exemplar-embedding broadcasts (bm25 device)
