@@ -325,6 +325,8 @@ object ScaleBench {
       "ops_churn_fit" -> graft.queries.StatOps.churnFit _,
       "ops_seasonality_strength" -> graft.queries.StatOps.seasonalityStrength _,
       "ops_price_index" -> graft.queries.DataOps.priceIndex _,
+      "ta_readability" -> graft.queries.TextScores.readability _,
+      "ta_rake_keywords" -> graft.queries.TextScores.rakeKeywords _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

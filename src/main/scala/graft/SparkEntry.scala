@@ -42,6 +42,7 @@ object SparkEntry {
         graft.queries.TpchMore.defs ++
         graft.queries.TpchFinal.defs ++
         graft.queries.Retrieval.defs ++
+        graft.queries.TextScores.defs ++
         graft.queries.Graph.defs ++
         graft.queries.Basket.defs ++
         graft.queries.StatOps.defs

@@ -1,0 +1,194 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Document scoring operators beyond the corpus-statistics families in
+  * [[LlmText]]/[[LlmCuration]]: classic readability metrics and RAKE
+  * keyword extraction — the remaining per-document signals a curation
+  * pipeline ranks and filters on.
+  *
+  * House float policy throughout: integer counts cross engines exactly;
+  * every surviving double is either a single division of exact integers
+  * or a DECIMAL(38,12)-summed series, rounded to 6 dp at the boundary.
+  */
+object TextScores {
+
+  // ---------------------------------------------------------------------
+  // Readability (Flesch 1948 / Kincaid 1975)
+  // ---------------------------------------------------------------------
+
+  /** Syllable heuristic: vowel-group count per word, floored at 1 (the
+    * standard dictionary-free approximation — "scan" → 1, "value" → 2,
+    * "by" → 0 groups → floored to 1). Runs entirely inside the row:
+    * transform + regexp per token, then an integer fold.
+    */
+  private def syllables(toks: Column): Column =
+    aggregate(
+      transform(toks, t =>
+        greatest(lit(1L), size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0)))
+          .cast(LongType))),
+      lit(0L), (acc, x) => acc + x)
+
+  private val syllablesSql: String =
+    """list_reduce(list_transform(string_split(text, ' '),
+      |  t -> greatest(CAST(1 AS BIGINT),
+      |       CAST(len(regexp_extract_all(t, '[aeiouy]+')) AS BIGINT))),
+      |  (a, b) -> a + b)""".stripMargin.replace("\n", " ")
+
+  /** Flesch Reading Ease + Flesch-Kincaid grade per document. The
+    * synthetic corpus carries no sentence punctuation, so the sentence
+    * count is a fixed 1 per document (stated in the output so the
+    * metric is honest about its input); words and syllables are exact
+    * integers, each score is a fixed-order affine combination of two
+    * single divisions, rounded at 6 dp.
+    *
+    * Scale shape: a pure narrow projection over the documents scan —
+    * no shuffle, one whole-stage-codegen map, same as [[LlmText.textStats]].
+    */
+  def readability(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nW = size(toks).cast(LongType)
+    val nSyl = syllables(toks)
+    val wps = nW.cast(DoubleType) // words per sentence (1 sentence)
+    val spw = nSyl.cast(DoubleType) / nW.cast(DoubleType)
+    Tables.t(s, dir, "documents").select(
+      col("doc_id"),
+      nW.as("n_words"),
+      nSyl.as("n_syllables"),
+      lit(1L).as("n_sentences"),
+      round(spw, 6).as("syll_per_word"),
+      round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6)
+        .as("flesch_ease"),
+      round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6)
+        .as("fk_grade"),
+    ).orderBy(col("doc_id"))
+  }
+
+  val readabilityOracle: String =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |  $syllablesSql AS n_syllables,
+       |  CAST(1 AS BIGINT) AS n_sentences,
+       |  round(CAST($syllablesSql AS DOUBLE)
+       |    / len(string_split(text, ' ')), 6) AS syll_per_word,
+       |  round(206.835 - 1.015 * CAST(len(string_split(text, ' ')) AS DOUBLE)
+       |    - 84.6 * (CAST($syllablesSql AS DOUBLE)
+       |              / len(string_split(text, ' '))), 6) AS flesch_ease,
+       |  round(0.39 * CAST(len(string_split(text, ' ')) AS DOUBLE)
+       |    + 11.8 * (CAST($syllablesSql AS DOUBLE)
+       |              / len(string_split(text, ' '))) - 15.59, 6) AS fk_grade
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // RAKE keyword extraction (Rose et al. 2010)
+  // ---------------------------------------------------------------------
+
+  /** RAKE delimiters: the [[LlmText]] English stopword list. Kept
+    * private-local so the gate is self-contained; must stay in sync
+    * with the SQL rendering below.
+    */
+  private val rakeStops = Seq("the", "a", "of", "and", "in", "to")
+
+  /** Candidate phrases: maximal stopword-free token runs. Implemented
+    * with the doubled-space device so consecutive stopwords cannot
+    * hide behind a shared separator: double every space, mark each
+    * ` stop ` occurrence (now guaranteed its own padding) with `|`,
+    * split on `|`, renormalize whitespace, drop empties. Pure string
+    * ops — identical semantics in Spark and DuckDB.
+    */
+  private def phrases(text: Column): Column = {
+    val padded = concat(lit(" "), regexp_replace(text, " ", "  "), lit(" "))
+    val marked = regexp_replace(padded,
+      s" (${rakeStops.mkString("|")}) ", " | ")
+    filter(
+      transform(split(marked, "\\|"),
+        p => trim(regexp_replace(p, " +", " "))),
+      p => length(p) > 0)
+  }
+
+  private val phrasesSql: String = {
+    val alt = rakeStops.mkString("|")
+    s"""list_filter(list_transform(
+       |  string_split(regexp_replace(' ' || replace(text, ' ', '  ') || ' ',
+       |    ' ($alt) ', ' | ', 'g'), '|'),
+       |  p -> trim(regexp_replace(p, ' +', ' ', 'g'))),
+       |  p -> length(p) > 0)""".stripMargin.replace("\n", " ")
+  }
+
+  /** Corpus-level RAKE: explode candidate phrases, score each member
+    * word by degree/frequency over the whole corpus (degree counts
+    * co-membership including self, the original formulation), score a
+    * phrase as the sum of its member word scores, and report the
+    * top 25 distinct phrases.
+    *
+    * Float policy: deg and freq are exact integers; the word score is
+    * ONE division; phrase scores sum the round-6 word scores as
+    * DECIMAL(38,12) (fixed inputs ⇒ order-free), rounded at 6.
+    *
+    * Scale shape: two explodes (linear in tokens) into hash
+    * aggregates; the word-score join is vocabulary-sized; top-k is a
+    * TakeOrderedAndProject. No all-pairs anywhere.
+    */
+  def rakeKeywords(s: SparkSession, dir: String): DataFrame = {
+    val ph = Tables.t(s, dir, "documents")
+      .select(explode(phrases(col("text"))).as("phrase"))
+    // every phrase occurrence contributes len(phrase) to each member
+    // word's degree and 1 to its frequency
+    val occ = ph.select(col("phrase"), size(split(col("phrase"), " ")).as("len"),
+      explode(split(col("phrase"), " ")).as("word"))
+    val wordScore = occ.groupBy(col("word"))
+      .agg(sum(col("len").cast(LongType)).as("deg"), count(lit(1)).as("freq"))
+      .select(col("word"),
+        round(col("deg").cast(DoubleType) / col("freq").cast(DoubleType), 6)
+          .as("wscore"))
+    val phraseScore = occ
+      .join(wordScore, "word")
+      .groupBy(col("phrase"))
+      .agg(
+        count(lit(1)).as("n_occ_words"),
+        sum(col("wscore").cast(DecimalType(38, 12))).as("sum_ws"))
+    // n_occ_words counts (occurrences × member words); normalize to a
+    // per-occurrence phrase score: occurrences = n_occ_words / len
+    phraseScore
+      .withColumn("len", size(split(col("phrase"), " ")).cast(LongType))
+      .withColumn("occurrences", (col("n_occ_words") / col("len")).cast(LongType))
+      .select(col("phrase"), col("len").as("n_words"), col("occurrences"),
+        round(col("sum_ws").cast(DoubleType) / col("occurrences"), 6)
+          .as("rake_score"))
+      .orderBy(col("rake_score").desc, col("phrase"))
+      .limit(25)
+  }
+
+  val rakeKeywordsOracle: String =
+    s"""WITH ph AS (
+       |  SELECT unnest($phrasesSql) AS phrase FROM documents),
+       |occ AS (
+       |  SELECT phrase, len(string_split(phrase, ' ')) AS len,
+       |    unnest(string_split(phrase, ' ')) AS word
+       |  FROM ph),
+       |ws AS (
+       |  SELECT word,
+       |    round(CAST(SUM(CAST(len AS BIGINT)) AS DOUBLE) / COUNT(*), 6)
+       |      AS wscore
+       |  FROM occ GROUP BY 1),
+       |psc AS (
+       |  SELECT o.phrase, COUNT(*) AS n_occ_words,
+       |    SUM(CAST(ws.wscore AS DECIMAL(38,12))) AS sum_ws
+       |  FROM occ o JOIN ws USING (word) GROUP BY 1)
+       |SELECT phrase,
+       |  CAST(len(string_split(phrase, ' ')) AS BIGINT) AS n_words,
+       |  CAST(n_occ_words // len(string_split(phrase, ' ')) AS BIGINT)
+       |    AS occurrences,
+       |  round(CAST(sum_ws AS DOUBLE)
+       |    / (n_occ_words // len(string_split(phrase, ' '))), 6) AS rake_score
+       |FROM psc
+       |ORDER BY rake_score DESC, phrase LIMIT 25""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("ta_readability", readability, Some(readabilityOracle)),
+    QueryDef("ta_rake_keywords", rakeKeywords, Some(rakeKeywordsOracle)),
+  )
+}

@@ -388,4 +388,64 @@ class Round12GatesSpec extends SparkSpec {
       assert(ranked.forall(poolMap.contains), s"q $q pick outside pool")
     }
   }
+
+  test("ta_readability: scores replay a driver-side syllable count") {
+    val got = graft.queries.TextScores.readability(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5),
+        r.getDouble(6))).toSeq
+    assert(got.nonEmpty)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vg = "[aeiouy]+".r
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for ((id, nW, nSyl, ease, fk) <- got) {
+      val toks = docs(id).split(" ", -1)
+      val refSyl = toks.map(t => math.max(1, vg.findAllIn(t).length)).map(_.toLong).sum
+      assert(nW === toks.length.toLong, s"doc $id words")
+      assert(nSyl === refSyl, s"doc $id syllables")
+      val spw = refSyl.toDouble / toks.length
+      assert(ease === r6(206.835 - 1.015 * toks.length - 84.6 * spw), s"doc $id ease")
+      assert(fk === r6(0.39 * toks.length + 11.8 * spw - 15.59), s"doc $id fk")
+    }
+  }
+
+  test("ta_rake_keywords: top phrases replay a driver-side RAKE pass") {
+    val got = graft.queries.TextScores.rakeKeywords(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === 25)
+    val stops = Set("the", "a", "of", "and", "in", "to")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("text").collect().map(_.getString(0))
+    // candidate phrases: maximal stopword-free runs
+    val phrases = docs.flatMap { t =>
+      val runs = scala.collection.mutable.Buffer.empty[Vector[String]]
+      var cur = Vector.empty[String]
+      for (w <- t.split(" ", -1)) {
+        if (stops(w)) { if (cur.nonEmpty) runs += cur; cur = Vector.empty }
+        else cur :+= w
+      }
+      if (cur.nonEmpty) runs += cur
+      runs
+    }
+    val deg = scala.collection.mutable.Map.empty[String, Long]
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    for (p <- phrases; w <- p) {
+      deg(w) = deg.getOrElse(w, 0L) + p.length
+      freq(w) = freq.getOrElse(w, 0L) + 1L
+    }
+    def r6(x: BigDecimal) =
+      x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wscore = deg.keys.map(w =>
+      w -> r6(BigDecimal(deg(w)) / BigDecimal(freq(w)))).toMap
+    val byPhrase = phrases.groupBy(_.mkString(" "))
+    val scored = byPhrase.map { case (ph, occs) =>
+      val sumWs = occs.flatMap(_.map(w => BigDecimal(wscore(w)))).sum
+      (ph, occs.head.length.toLong, occs.length.toLong,
+        r6(sumWs / occs.length))
+    }.toSeq
+    val refTop = scored.sortBy { case (ph, _, _, sc) => (-sc, ph) }.take(25)
+    assert(got.toSeq === refTop)
+  }
 }
