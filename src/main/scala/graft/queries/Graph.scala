@@ -712,6 +712,29 @@ object Graph {
   }
 
   private[graft] def modularityPlan(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+    val (raw, pinned) = modularityRawPlan(s, dir)
+    // Signed-zero normalization (VERDICT r12 #1): 144 near-singleton
+    // communities at gate scale carry tiny NEGATIVE q_num (−1, −4, …
+    // over E² ≈ 10¹⁰); DuckDB's round() preserves IEEE −0.0 while
+    // Spark's (BigDecimal HALF_UP) has no signed zero — rows and
+    // schema matched but the driver's hash flipped on the sign bit
+    // for two rounds. `+ 0.0` is the IEEE identity for every value
+    // EXCEPT −0.0 (−0.0 + 0.0 = +0.0), applied on BOTH engines so
+    // the rendered zeros agree bit-for-bit.
+    val out = raw
+      .select(col("community"), col("n_members"),
+        expr("e_sym DIV 2").as("internal_edges"), col("dsum").as("degree_sum"),
+        (round(col("q_part0"), 6) + lit(0.0)).as("q_part"),
+        (round(col("q0"), 6) + lit(0.0)).as("modularity"))
+      .orderBy(col("community"))
+    (out, pinned)
+  }
+
+  /** Pre-round frame (q_num/q_den exact integers, q_part0/q0 the
+    * single-division doubles) — RoundingAuditSpec's signed-zero and
+    * boundary probe surface.
+    */
+  private[graft] def modularityRawPlan(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     val (labels, pinned) = labelPropPlan(s, dir)
     val edges = pinned.head
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -749,10 +772,6 @@ object Graph {
         .cast(org.apache.spark.sql.types.DecimalType(38, 0))).over(wAll)
         .cast(org.apache.spark.sql.types.DoubleType) /
         col("q_den").cast(org.apache.spark.sql.types.DoubleType))
-      .select(col("community"), col("n_members"),
-        expr("e_sym DIV 2").as("internal_edges"), col("dsum").as("degree_sum"),
-        round(col("q_part0"), 6).as("q_part"), round(col("q0"), 6).as("modularity"))
-      .orderBy(col("community"))
     (out, pinned)
   }
 
@@ -796,9 +815,10 @@ object Graph {
        |  FROM byc LEFT JOIN internal USING (community) CROSS JOIN tot)
        |SELECT community, n_members, e_sym // 2 AS internal_edges,
        |  dsum AS degree_sum,
-       |  round(CAST(q_num AS DOUBLE) / CAST(q_den AS DOUBLE), 6) AS q_part,
+       |  round(CAST(q_num AS DOUBLE) / CAST(q_den AS DOUBLE), 6) + 0.0
+       |    AS q_part,
        |  round(CAST(SUM(CAST(q_num AS DECIMAL(38,0))) OVER () AS DOUBLE)
-       |    / CAST(q_den AS DOUBLE), 6) AS modularity
+       |    / CAST(q_den AS DOUBLE), 6) + 0.0 AS modularity
        |FROM parts ORDER BY community""".stripMargin
   }
 

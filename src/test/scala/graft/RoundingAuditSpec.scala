@@ -36,6 +36,15 @@ object RoundingAudit {
     * divergence at most) must round to the same 6-dp decimal.
     */
   def safe6(x: Double): Boolean = boundaryDist(x, 6) >= 1e-3
+
+  private val NegZeroBits = java.lang.Double.doubleToRawLongBits(-0.0)
+
+  /** IEEE −0.0 detector (bit-level — `v == 0.0` is true for BOTH
+    * zeros, which is exactly how the r12 `gr_modularity` divergence
+    * hid from value-equality checks while flipping the driver hash).
+    */
+  def isNegZero(v: Double): Boolean =
+    java.lang.Double.doubleToRawLongBits(v) == NegZeroBits
 }
 
 class RoundingAuditSpec extends SparkSpec {
@@ -88,6 +97,65 @@ class RoundingAuditSpec extends SparkSpec {
   test("st_seasonal_naive pre-round values are boundary-safe at gate scale") {
     audit("st_seasonal_naive", StreamingGates.seasonalNaiveRaw(spark, gateDir),
       Seq(("mn", 6), ("ms", 6), ("mase0", 6)))
+  }
+
+  /** Signed-zero audit (VERDICT r12 #3): the r12 red gate was NOT a
+    * boundary miss — it was DuckDB's round() preserving IEEE −0.0 on
+    * 144 negative near-zero quotients while Spark's BigDecimal round
+    * has no signed zero. The boundary audit above cannot see that
+    * hazard, so this one does: for every double column of a gate's
+    * FINAL output, no value may carry the −0.0 bit pattern (the Spark
+    * side of the contract), and any gate whose pre-round values go
+    * negative-but-rounds-to-zero must sign-normalize in its ORACLE
+    * text too (the DuckDB side — asserted on the SQL itself, which is
+    * what a revert would delete).
+    */
+  private def auditNoNegZero(name: String, df: DataFrame): Unit = {
+    val doubleCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.DoubleType)
+      .map(_.name)
+    assert(doubleCols.nonEmpty, s"$name: no double columns to audit")
+    val rows = df.select(doubleCols.map(org.apache.spark.sql.functions.col): _*)
+      .collect()
+    for (row <- rows; (cname, i) <- doubleCols.zipWithIndex)
+      if (!row.isNullAt(i))
+        assert(!RoundingAudit.isNegZero(row.getDouble(i)),
+          s"$name.$cname emits IEEE -0.0 — sign-normalize (`+ 0.0`) " +
+            "before this flips the driver hash (gr_modularity r11/r12)")
+  }
+
+  test("gr_modularity: the -0.0 hazard is live at gate scale and normalized on both engines") {
+    import org.apache.spark.sql.functions._
+    // (a) the hazard is REAL on the driver's verify data: communities
+    // with negative exact numerators whose quotient rounds to zero —
+    // without sign normalization these render -0.0 in DuckDB, +0.0 in
+    // Spark (the two-round red gate)
+    val (raw, _) = Graph.modularityRawPlan(spark, gateDir)
+    val hazard = raw
+      .filter(col("q_num") < 0 && round(col("q_part0"), 6) === 0.0)
+    assert(hazard.count() > 0,
+      "expected negative-numerator round-to-zero communities at gate " +
+        "scale; if the data shifted, this audit needs a new live probe")
+    // (b) Spark's final projection never emits the -0.0 bit pattern
+    auditNoNegZero("gr_modularity", Graph.modularity(spark, gateDir))
+    // (c) the ORACLE carries the identical normalization — this is the
+    // assertion that fails if the r13 fix is reverted
+    for (colName <- Seq("q_part", "modularity"))
+      assert(Graph.modularityOracle.contains(s"+ 0.0 AS $colName") ||
+        Graph.modularityOracle.replaceAll("\\s+", " ")
+          .contains(s"+ 0.0 AS $colName"),
+        s"modularityOracle lost the `+ 0.0 AS $colName` sign " +
+          "normalization — DuckDB will render -0.0 and the gate goes red")
+  }
+
+  test("rounded-double gate outputs carry no -0.0 bit pattern at gate scale") {
+    import org.apache.spark.sql.functions._
+    auditNoNegZero("gr_assortativity", Graph.assortativity(spark, gateDir))
+    auditNoNegZero("ops_cuped", StatOps.cuped(spark, gateDir))
+    auditNoNegZero("st_lag_autocorr",
+      StreamingGates.lagAutocorr(spark, gateDir))
+    auditNoNegZero("st_seasonal_naive",
+      StreamingGates.seasonalNaive(spark, gateDir))
   }
 
   test("public gates equal their raw frames rounded (refactor is a pure split)") {

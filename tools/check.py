@@ -25,7 +25,12 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v + 0.0  # normalize -0.0
+        # STRICT: repr round-trips the exact double and, unlike float
+        # equality, distinguishes -0.0 from 0.0 — the driver's hash is
+        # sign-sensitive (gr_modularity r11/r12), and the old `v + 0.0`
+        # normalization here masked exactly that failure for two rounds.
+        # A mirror must never be more lenient than the gate it mirrors.
+        return repr(v)
     if isinstance(v, (list, tuple)):
         return tuple(canon(x) for x in v)
     if isinstance(v, dict):
