@@ -23,7 +23,9 @@ object TextScores {
   /** Syllable heuristic: vowel-group count per word, floored at 1 (the
     * standard dictionary-free approximation — "scan" → 1, "value" → 2,
     * "by" → 0 groups → floored to 1). Runs entirely inside the row:
-    * transform + regexp per token, then an integer fold.
+    * transform + regexp per token, then an integer fold. Tokens arrive
+    * pre-lowercased (ADVICE r12: a case-sensitive vowel class floors
+    * "The"/"AI" to 1 — both gates lowercase at the scan).
     */
   private def syllables(toks: Column): Column =
     aggregate(
@@ -33,7 +35,7 @@ object TextScores {
       lit(0L), (acc, x) => acc + x)
 
   private val syllablesSql: String =
-    """list_reduce(list_transform(string_split(text, ' '),
+    """list_reduce(list_transform(string_split(lower(text), ' '),
       |  t -> greatest(CAST(1 AS BIGINT),
       |       CAST(len(regexp_extract_all(t, '[aeiouy]+')) AS BIGINT))),
       |  (a, b) -> a + b)""".stripMargin.replace("\n", " ")
@@ -45,11 +47,14 @@ object TextScores {
     * integers, each score is a fixed-order affine combination of two
     * single divisions, rounded at 6 dp.
     *
-    * Scale shape: a pure narrow projection over the documents scan —
-    * no shuffle, one whole-stage-codegen map, same as [[LlmText.textStats]].
+    * Scale shape: a narrow whole-stage-codegen projection over the
+    * documents scan, plus the deterministic-output `ORDER BY doc_id`
+    * (one range-partition exchange + sort) that every hash-compared
+    * gate carries — the compute itself is shuffle-free, the sort is
+    * the gate contract.
     */
   def readability(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
+    val toks = split(lower(col("text")), " ")
     val nW = size(toks).cast(LongType)
     val nSyl = syllables(toks)
     val wps = nW.cast(DoubleType) // words per sentence (1 sentence)
@@ -69,17 +74,19 @@ object TextScores {
 
   val readabilityOracle: String =
     s"""SELECT doc_id,
-       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
        |  $syllablesSql AS n_syllables,
        |  CAST(1 AS BIGINT) AS n_sentences,
        |  round(CAST($syllablesSql AS DOUBLE)
-       |    / len(string_split(text, ' ')), 6) AS syll_per_word,
-       |  round(206.835 - 1.015 * CAST(len(string_split(text, ' ')) AS DOUBLE)
+       |    / len(string_split(lower(text), ' ')), 6) AS syll_per_word,
+       |  round(206.835
+       |    - 1.015 * CAST(len(string_split(lower(text), ' ')) AS DOUBLE)
        |    - 84.6 * (CAST($syllablesSql AS DOUBLE)
-       |              / len(string_split(text, ' '))), 6) AS flesch_ease,
-       |  round(0.39 * CAST(len(string_split(text, ' ')) AS DOUBLE)
+       |              / len(string_split(lower(text), ' '))), 6) AS flesch_ease,
+       |  round(0.39 * CAST(len(string_split(lower(text), ' ')) AS DOUBLE)
        |    + 11.8 * (CAST($syllablesSql AS DOUBLE)
-       |              / len(string_split(text, ' '))) - 15.59, 6) AS fk_grade
+       |              / len(string_split(lower(text), ' '))) - 15.59, 6)
+       |    AS fk_grade
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -92,19 +99,32 @@ object TextScores {
     */
   private val rakeStops = Seq("the", "a", "of", "and", "in", "to")
 
-  /** Candidate phrases: maximal stopword-free token runs. Implemented
-    * with the doubled-space device so consecutive stopwords cannot
-    * hide behind a shared separator: double every space, mark each
-    * ` stop ` occurrence (now guaranteed its own padding) with `|`,
-    * split on `|`, renormalize whitespace, drop empties. Pure string
-    * ops — identical semantics in Spark and DuckDB.
+  /** In-band phrase delimiter for the split device below. ADVICE r12:
+    * `|` could legitimately appear inside a corpus token and would
+    * then split it mid-token on both engines while the driver-side
+    * replay (a plain token walk) would not. BEL (\u0007) is a control
+    * character no text corpus carries — and Round12GatesSpec asserts
+    * its absence from `documents.text` so the assumption is checked,
+    * not hoped.
+    */
+  private[graft] val PhraseDelim = '\u0007'
+
+  /** Candidate phrases: maximal stopword-free token runs over the
+    * LOWERCASED text (so "The"/"In" delimit like their lowercase
+    * forms). Implemented with the doubled-space device so consecutive
+    * stopwords cannot hide behind a shared separator: double every
+    * space, mark each ` stop ` occurrence (now guaranteed its own
+    * padding) with the BEL delimiter, split on it, renormalize
+    * whitespace, drop empties. Pure string ops — identical semantics
+    * in Spark and DuckDB.
     */
   private def phrases(text: Column): Column = {
-    val padded = concat(lit(" "), regexp_replace(text, " ", "  "), lit(" "))
+    val padded = concat(lit(" "),
+      regexp_replace(lower(text), " ", "  "), lit(" "))
     val marked = regexp_replace(padded,
-      s" (${rakeStops.mkString("|")}) ", " | ")
+      s" (${rakeStops.mkString("|")}) ", s" $PhraseDelim ")
     filter(
-      transform(split(marked, "\\|"),
+      transform(split(marked, PhraseDelim.toString),
         p => trim(regexp_replace(p, " +", " "))),
       p => length(p) > 0)
   }
@@ -112,8 +132,9 @@ object TextScores {
   private val phrasesSql: String = {
     val alt = rakeStops.mkString("|")
     s"""list_filter(list_transform(
-       |  string_split(regexp_replace(' ' || replace(text, ' ', '  ') || ' ',
-       |    ' ($alt) ', ' | ', 'g'), '|'),
+       |  string_split(regexp_replace(
+       |    ' ' || replace(lower(text), ' ', '  ') || ' ',
+       |    ' ($alt) ', ' ' || chr(7) || ' ', 'g'), chr(7)),
        |  p -> trim(regexp_replace(p, ' +', ' ', 'g'))),
        |  p -> length(p) > 0)""".stripMargin.replace("\n", " ")
   }
@@ -187,8 +208,65 @@ object TextScores {
        |FROM psc
        |ORDER BY rake_score DESC, phrase LIMIT 25""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Lexical diversity (type-token ratio family)
+  // ---------------------------------------------------------------------
+
+  /** Per-document lexical diversity: type-token ratio, hapax ratio
+    * (within-document hapax legomena over types), and Guiraud's R
+    * (types/√tokens, the length-corrected variant) — the standard
+    * repetitiveness signals a curation pipeline filters on (a doc with
+    * TTR ≈ 0 is boilerplate/spam regardless of its quality score).
+    *
+    * Float policy: tokens/types/hapax are exact integers; each ratio is
+    * one division (√tokens of an exact integer is correctly rounded in
+    * both engines), rounded at 6 dp.
+    *
+    * Scale shape: one explode (linear in tokens) into a (doc, word)
+    * hash aggregate, then a doc-sized aggregate — the [[LlmText]]
+    * postings shape, no joins at all.
+    */
+  def ttrDiversity(s: SparkSession, dir: String): DataFrame = {
+    val byWord = Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
+    byWord.groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast(DoubleType) / col("n_tokens"), 6).as("ttr"),
+        round(col("n_hapax").cast(DoubleType) / col("n_types"), 6)
+          .as("hapax_ratio"),
+        round(col("n_types").cast(DoubleType)
+          / sqrt(col("n_tokens").cast(DoubleType)), 6).as("guiraud_r"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ttrDiversityOracle: String =
+    """WITH bw AS (
+      |  SELECT doc_id, word, COUNT(*) AS n FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, SUM(n) AS n_tokens, COUNT(*) AS n_types,
+      |    SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS n_hapax
+      |  FROM bw GROUP BY 1)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_types AS BIGINT) AS n_types,
+      |  CAST(n_hapax AS BIGINT) AS n_hapax,
+      |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+      |  round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_ratio,
+      |  round(CAST(n_types AS DOUBLE) / sqrt(CAST(n_tokens AS DOUBLE)), 6)
+      |    AS guiraud_r
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ta_readability", readability, Some(readabilityOracle)),
     QueryDef("ta_rake_keywords", rakeKeywords, Some(rakeKeywordsOracle)),
+    QueryDef("ta_ttr_diversity", ttrDiversity, Some(ttrDiversityOracle)),
   )
 }

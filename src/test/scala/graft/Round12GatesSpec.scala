@@ -401,7 +401,7 @@ class Round12GatesSpec extends SparkSpec {
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     for ((id, nW, nSyl, ease, fk) <- got) {
-      val toks = docs(id).split(" ", -1)
+      val toks = docs(id).toLowerCase.split(" ", -1)
       val refSyl = toks.map(t => math.max(1, vg.findAllIn(t).length)).map(_.toLong).sum
       assert(nW === toks.length.toLong, s"doc $id words")
       assert(nSyl === refSyl, s"doc $id syllables")
@@ -418,11 +418,16 @@ class Round12GatesSpec extends SparkSpec {
     val stops = Set("the", "a", "of", "and", "in", "to")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .selectExpr("text").collect().map(_.getString(0))
-    // candidate phrases: maximal stopword-free runs
+    // the in-band split device assumes the delimiter never appears in
+    // a corpus token (ADVICE r12) — assert it, don't hope
+    assert(!docs.exists(_.contains(graft.queries.TextScores.PhraseDelim)),
+      "documents.text contains the RAKE phrase delimiter \\u0007 — " +
+        "pick a different delimiter in TextScores.phrases")
+    // candidate phrases: maximal stopword-free runs over lowercased text
     val phrases = docs.flatMap { t =>
       val runs = scala.collection.mutable.Buffer.empty[Vector[String]]
       var cur = Vector.empty[String]
-      for (w <- t.split(" ", -1)) {
+      for (w <- t.toLowerCase.split(" ", -1)) {
         if (stops(w)) { if (cur.nonEmpty) runs += cur; cur = Vector.empty }
         else cur :+= w
       }
@@ -435,15 +440,21 @@ class Round12GatesSpec extends SparkSpec {
       deg(w) = deg.getOrElse(w, 0L) + p.length
       freq(w) = freq.getOrElse(w, 0L) + 1L
     }
-    def r6(x: BigDecimal) =
-      x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // ADVICE r12: mirror the gate's DOUBLE arithmetic exactly — Spark
+    // rounds the binary double (BigDecimal.valueOf semantics), so the
+    // replay must divide in Double too, not in exact decimals, or a
+    // decimal-halfway quotient flakes the === compare
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val wscore = deg.keys.map(w =>
-      w -> r6(BigDecimal(deg(w)) / BigDecimal(freq(w)))).toMap
+      w -> r6(deg(w).toDouble / freq(w).toDouble)).toMap
     val byPhrase = phrases.groupBy(_.mkString(" "))
     val scored = byPhrase.map { case (ph, occs) =>
+      // the gate sums round-6 word scores as DECIMAL(38,12) (exact for
+      // 6-dp inputs), then divides as DOUBLE
       val sumWs = occs.flatMap(_.map(w => BigDecimal(wscore(w)))).sum
       (ph, occs.head.length.toLong, occs.length.toLong,
-        r6(sumWs / occs.length))
+        r6(sumWs.toDouble / occs.length))
     }.toSeq
     val refTop = scored.sortBy { case (ph, _, _, sc) => (-sc, ph) }.take(25)
     assert(got.toSeq === refTop)
