@@ -9,11 +9,14 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * streamed through it — never a per-row decoder construction, never a
   * driver-side collect).
   *
-  * The decode itself is a clearly-marked deterministic STUB — the media
-  * codecs aren't in this container — but the Spark-side contract is the
-  * real one: schema in/out, encoder-backed batch shape, per-partition
-  * init/close lifecycle. Swapping [[StubDecoder]] for a JNI/FFmpeg-backed
-  * decoder changes no plan shape.
+  * The registry ships two REAL pure-JVM codecs — [[WavDecoder]]
+  * (RIFF/WAVE PCM) and [[ImageDecoder]] (JPEG/PNG/GIF/BMP via
+  * `javax.imageio`) — plus a clearly-marked deterministic STUB as the
+  * default binding for formats whose codecs aren't in this container
+  * (mp3, video). The Spark-side contract is identical for all three:
+  * schema in/out, encoder-backed batch shape, per-partition init/close
+  * lifecycle. Swapping the binding (e.g. for a JNI/FFmpeg-backed
+  * decoder) changes no plan shape.
   *
   * Mirrors the reference's audio path intent (spotify_audio_ingest.py:
   * 35-76 — fetch bytes, record metadata pointers).
@@ -82,7 +85,13 @@ object MediaFeatures {
         "stub" -> (new StubDecoder(_)),
         // RIFF/WAVE PCM is decodable in pure JVM code — a REAL codec
         // registered beside the stub (WavDecoderSpec drives it)
-        "wav" -> (new WavDecoder(_)))
+        "wav" -> (new WavDecoder(_)),
+        // JPEG/PNG/GIF/BMP via the JDK's javax.imageio — the second
+        // real modality (ImageDecoderSpec drives it); format aliases
+        // all bind the same magic-byte-sniffing decoder
+        "image" -> (new ImageDecoder(_)),
+        "jpeg" -> (new ImageDecoder(_)),
+        "png" -> (new ImageDecoder(_)))
 
     def register(name: String, factory: Int => Decoder): Unit =
       registry.put(name, factory)
