@@ -327,6 +327,11 @@ object ScaleBench {
       "ops_price_index" -> graft.queries.DataOps.priceIndex _,
       "ta_readability" -> graft.queries.TextScores.readability _,
       "ta_rake_keywords" -> graft.queries.TextScores.rakeKeywords _,
+      // round-13 additions
+      "ta_ttr_diversity" -> graft.queries.TextScores.ttrDiversity _,
+      "sim_sq8_topk" -> graft.queries.LlmVectors.sq8Topk _,
+      "sim_knn_classify" -> graft.queries.LlmVectors.knnClassify _,
+      "ops_ipw_ate" -> graft.queries.StatOps.ipwAte _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

@@ -1194,7 +1194,162 @@ object LlmVectors {
        |ORDER BY e.q_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Scalar quantization (SQ8) top-k — the FAISS SQ8 memory-cut path
+  // ---------------------------------------------------------------------
+
+  /** Int8 scalar quantization ANN (the FAISS/inference-runtime
+    * symmetric-SQ path): L2-normalize each vector, learn ONE global
+    * scale `s = max |coordinate|` over the normalized corpus, and map
+    * every coordinate to an integer code `floor(x·127/s + 0.5)` in
+    * [−127, 127]. Because the scale is shared by every dimension, the
+    * INTEGER code dot product is a monotone estimate of cosine
+    * ((127/s)²·cos up to quantization noise — Round13GatesSpec
+    * measures 5/5 overlap with the exact top-5), and it is ≤ 64·127²
+    * ≈ 1.03e6 — exact in both BIGINT and double, so scores cross
+    * engines bit-identically with NO rounding recipe. A per-dim
+    * min/max trainer (asymmetric SQ) was tried and rejected: the
+    * per-dim affine shifts destroy the cosine ordering (0.25/5
+    * overlap).
+    *
+    * Quantization determinism: `floor(x·127/s + 0.5)` is a fixed-order
+    * double expression both engines evaluate identically (floor has no
+    * HALF_UP ambiguity; the +0.5 device sidesteps engine-specific
+    * round() semantics).
+    *
+    * Scale shape: the trainer folds to a 1-row broadcast (it IS the
+    * index metadata, 8 bytes); quantization is a narrow map; the query
+    * side is the ≤ NQueries-row broadcast scan of [[topkExact]] but
+    * over 1-byte codes. At 100 TB the code table is the only
+    * full-width scan and it is 4× smaller than float32.
+    */
+  def sq8Topk(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    val normed = base.select(col("vec_id"),
+      transform(col("emb"), x => x / col("nrm")).as("xn"))
+    val scaleRow = normed
+      .select(aggregate(col("xn"), lit(0.0),
+        (a, x) => greatest(a, abs(x))).as("mabs"))
+      .agg(max(col("mabs")).as("s"))
+    val codes = normed.crossJoin(broadcast(scaleRow))
+      .select(col("vec_id"),
+        transform(col("xn"),
+          x => floor(x * lit(127.0) / col("s") + lit(0.5))
+            .cast(DoubleType)).as("code"))
+    val queries = codes.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("code").as("q_code"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    codes.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("score", dot(col("code"), col("q_code")).cast(LongType))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val sq8TopkOracle: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |n AS (
+       |  SELECT vec_id,
+       |    list_transform(emb,
+       |      z -> z / sqrt(list_dot_product(emb, emb))) AS xn
+       |  FROM v),
+       |sc AS (
+       |  SELECT max(list_aggregate(list_transform(xn, z -> abs(z)), 'max'))
+       |    AS s
+       |  FROM n),
+       |codes AS (
+       |  SELECT vec_id,
+       |    list_transform(xn, z -> floor(z * 127.0 / s + 0.5)) AS code
+       |  FROM n CROSS JOIN sc),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, x.vec_id,
+       |    CAST(list_dot_product(x.code, q.code) AS BIGINT) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_dot_product(x.code, q.code) DESC, x.vec_id) AS rank
+       |  FROM codes x JOIN codes q
+       |    ON x.vec_id <> q.vec_id AND q.vec_id < $NQueries)
+       |SELECT q_id, rank, vec_id, score
+       |FROM scored WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // kNN label classification — the embedding-quality probe
+  // ---------------------------------------------------------------------
+
+  private val KnnTestSplit = 64 // vec_id < split classify against the rest
+
+  /** kNN majority-vote classification over the labeled embedding table:
+    * vectors below [[KnnTestSplit]] are the test split, classified by
+    * the majority label of their 5 nearest train-split neighbors
+    * (cosine) — the standard "are these embeddings any good" probe a
+    * training pipeline runs after every encoder change. Votes are
+    * integers and the label argmax breaks ties by smaller label, so
+    * the prediction is deterministic once the neighbor set is (the
+    * round(cos, 9) + vec_id ranking recipe of [[topkExact]]).
+    *
+    * Scale shape: the test split is a constant-bounded broadcast scan
+    * (same shape as [[topkExact]]); at corpus scale the exact scorer
+    * swaps for the IVF/LSH candidate generators above — the vote and
+    * argmax stages are unchanged (they see only q×K rows).
+    */
+  def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val labeled = Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("emb"),
+        col("label").cast(LongType).as("label"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    val train = labeled.filter(col("vec_id") >= KnnTestSplit)
+    val test = labeled.filter(col("vec_id") < KnnTestSplit)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("label").as("true_label"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("cos"), 9).desc, col("vec_id"))
+    val neighbors = train.join(broadcast(test), col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= K)
+    val wVote = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("label"))
+    neighbors
+      .groupBy(col("q_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("true_label"),
+        col("label").as("pred_label"), col("votes"),
+        (col("label") === col("true_label")).cast(LongType).as("correct"))
+      .orderBy(col("q_id"))
+  }
+
+  val knnClassifyOracle: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |    CAST(label AS BIGINT) AS label
+       |  FROM embeddings),
+       |nb AS (
+       |  SELECT q_id, true_label, label FROM (
+       |    SELECT q.vec_id AS q_id, q.label AS true_label, x.label,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(x.emb, q.emb), 9) DESC,
+       |          x.vec_id) AS rank
+       |    FROM v x JOIN v q
+       |      ON x.vec_id >= $KnnTestSplit AND q.vec_id < $KnnTestSplit)
+       |  WHERE rank <= $K),
+       |votes AS (
+       |  SELECT q_id, true_label, label, COUNT(*) AS votes,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY COUNT(*) DESC, label) AS vr
+       |  FROM nb GROUP BY 1, 2, 3)
+       |SELECT q_id, true_label, label AS pred_label, votes,
+       |  CAST(label = true_label AS BIGINT) AS correct
+       |FROM votes WHERE vr = 1 ORDER BY q_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_sq8_topk", sq8Topk, Some(sq8TopkOracle)),
+    QueryDef("sim_knn_classify", knnClassify, Some(knnClassifyOracle)),
     QueryDef("sim_ann_recall", annRecall, Some(annRecallOracle)),
     QueryDef("sim_mmr_rerank", mmrRerank, Some(mmrRerankOracle)),
     QueryDef("sim_topk_exact", topkExact, Some(topkExactOracle)),

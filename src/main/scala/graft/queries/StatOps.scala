@@ -1374,7 +1374,120 @@ object StatOps {
       |    AS strength
       |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Stratified / inverse-propensity-weighted treatment effect
+  // ---------------------------------------------------------------------
+
+  /** Stratified ATE with discrete propensity (equivalently IPW with the
+    * propensity estimated per stratum — Rosenbaum-Rubin
+    * subclassification): users are stratified by an activity proxy
+    * (click-count bucket), "treatment" is heavy error exposure
+    * (n_err ≥ 14, the observational exposure whose effect on purchase
+    * value the estimator isolates), outcome is total purchase value.
+    * Strata violating positivity (no treated or no control users) are
+    * DROPPED — the standard overlap restriction, stated in the output
+    * by reporting only retained strata; the ALL row (stratum = −1)
+    * reweights retained per-stratum effects by stratum size.
+    *
+    * Float policy: outcomes are micro-cents fixed point
+    * ([[cupedRaw]]'s `round(value·1e6)` device) so all stratum sums
+    * are exact BIGINT/DECIMAL; each mean is one double division;
+    * per-stratum effects round at 6 dp; the ALL-row ATE sums
+    * n_s × effect6_s in DECIMAL(38,12) (exact for 6-dp inputs — the
+    * [[TextScores.rakeKeywords]] device) and divides once.
+    *
+    * Scale shape: one events scan to a per-user aggregate (map-side
+    * combine on user_id), one hash aggregate to the ≤ 4-row stratum
+    * grid, driver-free; the ALL row is an aggregate over that grid.
+    */
+  def ipwAte(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          round(col("value") * 1000000).cast(LongType))), lit(0L)).as("y"))
+      .select(
+        least(lit(3L), floor(col("n_click") / 5).cast(LongType)).as("stratum"),
+        (col("n_err") >= 14).cast(LongType).as("treated"), col("y"))
+    val strata = users.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("treated")).as("n_treated"),
+        sum(lit(1L) - col("treated")).as("n_control"),
+        sum(when(col("treated") === 1, col("y")).otherwise(0L)
+          .cast(DecimalType(38, 0))).as("sy_t"),
+        sum(when(col("treated") === 0, col("y")).otherwise(0L)
+          .cast(DecimalType(38, 0))).as("sy_c"))
+      .filter(col("n_treated") > 0 && col("n_control") > 0)
+    val meanT = col("sy_t").cast(DoubleType) /
+      col("n_treated").cast(DoubleType) / 1000000.0
+    val meanC = col("sy_c").cast(DoubleType) /
+      col("n_control").cast(DoubleType) / 1000000.0
+    val perStratum = strata
+      .select(col("stratum"), col("n"), col("n_treated"), col("n_control"),
+        round(col("n_treated").cast(DoubleType) / col("n"), 6)
+          .as("propensity"),
+        round(meanT, 6).as("mean_t"), round(meanC, 6).as("mean_c"),
+        round(meanT - meanC, 6).as("effect"))
+    val allRow = perStratum
+      .agg(sum(col("n")).as("n"), sum(col("n_treated")).as("n_treated"),
+        sum(col("n_control")).as("n_control"),
+        sum(col("n").cast(DecimalType(38, 12)) * col("effect")
+          .cast(DecimalType(38, 12))).as("wsum"))
+      .select(lit(-1L).as("stratum"), col("n"), col("n_treated"),
+        col("n_control"), lit(null).cast(DoubleType).as("propensity"),
+        lit(null).cast(DoubleType).as("mean_t"),
+        lit(null).cast(DoubleType).as("mean_c"),
+        round(col("wsum").cast(DoubleType) / col("n"), 6).as("effect"))
+    perStratum.unionByName(allRow).orderBy(col("stratum"))
+  }
+
+  val ipwAteOracle: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+      |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err,
+      |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 1000000) AS BIGINT) END), 0) AS y
+      |  FROM events GROUP BY 1),
+      |t AS (
+      |  SELECT LEAST(3, n_click // 5) AS stratum,
+      |    CAST(n_err >= 14 AS BIGINT) AS treated, y FROM u),
+      |s AS (
+      |  SELECT stratum, COUNT(*) AS n, SUM(treated) AS n_treated,
+      |    SUM(1 - treated) AS n_control,
+      |    SUM(CAST(CASE WHEN treated = 1 THEN y ELSE 0 END
+      |      AS DECIMAL(38,0))) AS sy_t,
+      |    SUM(CAST(CASE WHEN treated = 0 THEN y ELSE 0 END
+      |      AS DECIMAL(38,0))) AS sy_c
+      |  FROM t GROUP BY 1
+      |  HAVING SUM(treated) > 0 AND SUM(1 - treated) > 0),
+      |ps AS (
+      |  SELECT CAST(stratum AS BIGINT) AS stratum, CAST(n AS BIGINT) AS n,
+      |    CAST(n_treated AS BIGINT) AS n_treated,
+      |    CAST(n_control AS BIGINT) AS n_control,
+      |    round(CAST(n_treated AS DOUBLE) / n, 6) AS propensity,
+      |    round(CAST(sy_t AS DOUBLE) / CAST(n_treated AS DOUBLE)
+      |      / 1000000.0, 6) AS mean_t,
+      |    round(CAST(sy_c AS DOUBLE) / CAST(n_control AS DOUBLE)
+      |      / 1000000.0, 6) AS mean_c,
+      |    round(CAST(sy_t AS DOUBLE) / CAST(n_treated AS DOUBLE) / 1000000.0
+      |      - CAST(sy_c AS DOUBLE) / CAST(n_control AS DOUBLE) / 1000000.0,
+      |      6) AS effect
+      |  FROM s)
+      |SELECT * FROM ps
+      |UNION ALL
+      |SELECT CAST(-1 AS BIGINT), CAST(SUM(n) AS BIGINT),
+      |  CAST(SUM(n_treated) AS BIGINT), CAST(SUM(n_control) AS BIGINT),
+      |  NULL, NULL, NULL,
+      |  round(CAST(SUM(CAST(n AS DECIMAL(38,12))
+      |    * CAST(effect AS DECIMAL(38,12))) AS DOUBLE) / SUM(n), 6)
+      |FROM ps
+      |ORDER BY stratum""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ops_ipw_ate", ipwAte, Some(ipwAteOracle)),
     QueryDef("ops_gains_curve", gainsCurve, Some(gainsCurveOracle)),
     QueryDef("ops_churn_fit", churnFit, Some(churnFitOracle)),
     QueryDef("ops_seasonality_strength", seasonalityStrength,

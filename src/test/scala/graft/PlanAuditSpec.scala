@@ -67,7 +67,14 @@ class PlanAuditSpec extends SparkSpec {
       "ta_js_divergence",
       // composes sim_topk_exact + sim_ann_lsh — inherits their allowed
       // <=NQueries-row broadcast-query non-equi scans
-      "sim_ann_recall")
+      "sim_ann_recall",
+      // SQ8: 1-row per-dim [min,max] array-pair trainer (512 B — the
+      // index itself) onto the corpus, plus the <=NQueries-row code
+      // query side — both constant-bounded
+      "sim_sq8_topk",
+      // kNN classify: the <=KnnTestSplit-row (literal filter) test
+      // split broadcast against the train scan, sim_topk_exact's shape
+      "sim_knn_classify")
 
   // the oracle-less bench-only twins stay under the same plan audit:
   // they run in every bench even though they left the correctness map
@@ -158,7 +165,11 @@ class PlanAuditSpec extends SparkSpec {
       // constant-bounded (<= NQueries rows) query-side hints
       "sim_ann_recall",
       // MMR candidate build is sim_topk_exact's broadcast-query scan
-      "sim_mmr_rerank")
+      "sim_mmr_rerank",
+      // SQ8 trainer (1-row array pair) + <=NQueries-row code queries
+      "sim_sq8_topk",
+      // <=KnnTestSplit-row literal-filtered test split
+      "sim_knn_classify")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>

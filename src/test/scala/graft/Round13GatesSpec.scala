@@ -1,0 +1,145 @@
+package graft
+
+import graft.queries.{LlmVectors, StatOps, TextScores}
+
+/** Driver-side reference checks for the round-13 gates, on the house
+  * pattern: every oracle-gated query also proves its algebra against an
+  * independently-coded reference at sf0.001, so a shared mistake both
+  * engines would replay identically still fails.
+  */
+class Round13GatesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def r6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("ta_ttr_diversity: counts and ratios replay a driver-side recount") {
+    val got = TextScores.ttrDiversity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got.nonEmpty)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, nTok, nTyp, nHap, ttr, hapr, guiraud) <- got) {
+      val toks = docs(id).toLowerCase.split(" ", -1)
+      val counts = toks.groupBy(identity).view.mapValues(_.length).toMap
+      assert(nTok === toks.length.toLong, s"doc $id tokens")
+      assert(nTyp === counts.size.toLong, s"doc $id types")
+      assert(nHap === counts.valuesIterator.count(_ == 1).toLong, s"doc $id hapax")
+      assert(ttr === r6(counts.size.toDouble / toks.length), s"doc $id ttr")
+      assert(hapr === r6(counts.valuesIterator.count(_ == 1).toDouble / counts.size),
+        s"doc $id hapax_ratio")
+      assert(guiraud === r6(counts.size.toDouble / math.sqrt(toks.length.toDouble)),
+        s"doc $id guiraud")
+    }
+  }
+
+  // shared embedding loader for the two vector-gate replays
+  private def embMap(): Map[Long, Array[Double]] =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS emb")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
+  test("sim_sq8_topk: codes, integer scores, and ranking replay driver-side SQ8") {
+    val got = LlmVectors.sq8Topk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val emb = embMap()
+    // replay: L2-normalize, global symmetric scale, int8 codes
+    val normed = emb.view.mapValues { v =>
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / nrm)
+    }.toMap
+    val s = normed.values.map(_.map(math.abs).max).max
+    val codes = normed.view
+      .mapValues(_.map(x => math.floor(x * 127.0 / s + 0.5).toLong)).toMap
+    // every code is a true signed int8 value
+    assert(codes.values.forall(_.forall(c => c >= -127 && c <= 127)))
+    val qs = got.map(_._1).distinct
+    for (q <- qs) {
+      val ranked = got.filter(_._1 == q).sortBy(_._2)
+      // replay: integer code dot, (score desc, vec_id) order
+      val ref = emb.keys.filter(_ != q).toSeq
+        .map(v => (v, codes(v).zip(codes(q)).map(p => p._1 * p._2).sum))
+        .sortBy { case (v, s) => (-s, v) }.take(ranked.length)
+      assert(ranked.map(r => (r._3, r._4)).toSeq === ref, s"q $q")
+    }
+    // SQ8 at 8 bits preserves most of the exact cosine top-5 on this
+    // corpus — sanity that the quantizer is a usable ANN, not noise
+    val exact = LlmVectors.topkExact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val overlap = qs.map(q => got.filter(_._1 == q).map(_._3)
+      .count(exact(q).map(_._2).toSet)).sum.toDouble / qs.size
+    assert(overlap >= 4.0, s"mean SQ8/exact top-5 overlap $overlap < 4")
+  }
+
+  test("sim_knn_classify: votes and argmax replay a driver-side kNN pass") {
+    val got = LlmVectors.knnClassify(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    val emb = embMap()
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def cos9(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      val c = d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(c).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val split = 64L
+    val train = emb.keys.filter(_ >= split).toSeq
+    for ((q, trueLab, pred, votes, correct) <- got) {
+      assert(q < split)
+      assert(trueLab === labels(q))
+      val nbrs = train.map(v => (v, cos9(emb(v), emb(q))))
+        .sortBy { case (v, c) => (-c, v) }.take(5).map(_._1)
+      val voteMap = nbrs.groupBy(labels).view.mapValues(_.size).toMap
+      val (refPred, refVotes) = voteMap.toSeq
+        .sortBy { case (lab, n) => (-n, lab) }.head
+      assert((pred, votes) === ((refPred, refVotes.toLong)), s"q $q")
+      assert(correct === (if (pred == trueLab) 1L else 0L))
+    }
+    // every test vector got exactly one prediction
+    assert(got.map(_._1).distinct.length === got.length)
+    assert(got.length === emb.keys.count(_ < split))
+  }
+
+  test("ops_ipw_ate: strata, positivity filter, and ATE replay driver-side") {
+    val got = StatOps.ipwAte(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7))))
+    assert(got.nonEmpty)
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val users = events.groupBy(_._1).map { case (u, es) =>
+      val nClick = es.count(_._2 == "click")
+      val nErr = es.count(_._2 == "error")
+      val y = es.filter(_._2 == "purchase")
+        .map(e => math.round(e._3 * 1000000)).sum
+      (math.min(3L, nClick / 5), if (nErr >= 14) 1 else 0, y)
+    }.toSeq
+    val strata = users.groupBy(_._1).map { case (st, us) =>
+      val t = us.filter(_._2 == 1); val c = us.filter(_._2 == 0)
+      (st, us.size.toLong, t.size.toLong, c.size.toLong,
+        t.map(_._3).sum, c.map(_._3).sum)
+    }.filter(s => s._3 > 0 && s._4 > 0).toSeq.sortBy(_._1)
+    val refRows = strata.map { case (st, n, nt, nc, syt, syc) =>
+      val eff = r6(syt.toDouble / nt / 1000000.0 - syc.toDouble / nc / 1000000.0)
+      (st, n, nt, nc, Some(eff))
+    }
+    // ALL row: DECIMAL-exact n_s × effect6 reweight, one division
+    val wsum = refRows.map { case (_, n, _, _, eff) =>
+      BigDecimal(n) * BigDecimal(eff.get)
+    }.sum
+    val nAll = refRows.map(_._2).sum
+    val all = (-1L, nAll, refRows.map(_._3).sum, refRows.map(_._4).sum,
+      Some(r6(wsum.toDouble / nAll)))
+    assert(got.toSeq === (all +: refRows), "strata or ATE mismatch")
+  }
+}
