@@ -332,6 +332,8 @@ object ScaleBench {
       "sim_sq8_topk" -> graft.queries.LlmVectors.sq8Topk _,
       "sim_knn_classify" -> graft.queries.LlmVectors.knnClassify _,
       "ops_ipw_ate" -> graft.queries.StatOps.ipwAte _,
+      "cu_filter_funnel" -> graft.queries.TrainingPrep.filterFunnel _,
+      "ops_jackknife_se" -> graft.queries.StatOps.jackknifeSe _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

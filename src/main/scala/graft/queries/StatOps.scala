@@ -1310,29 +1310,45 @@ object StatOps {
     * Scale shape: the fact collapses to bars once; three grid-sized
     * mean aggregates joined back onto the bar grid, one grid aggregate.
     */
+  /** Round-13 exactness rewrite (the sf0.1 verify sweep caught a
+    * one-ulp flip): the component means were round-6 of a
+    * decimal→double crossing, and DuckDB's two-step decimal→double
+    * conversion can land an ulp away from Spark's — at sf0.1 one
+    * hour-of-day mean sat close enough to a HALF boundary for the
+    * engines' round(·, 6) to disagree (Δss_hod ≈ 3.4e-4). Everything
+    * now stays in micro-unit BIGINT: bars are already exact 6-dp, so
+    * the second-level means use the integer HALF_UP formula
+    * `(2·Σm + n) DIV (2n)`, deviations/squares/SS are exact integers,
+    * and the only doubles left are exact-6dp renderings plus ONE
+    * correctly-rounded division for the strength ratio — bit-identical
+    * on any engine at any scale.
+    */
   def seasonalityStrength(s: SparkSession, dir: String): DataFrame = {
     val bars = graft.queries.StreamingGates.hourlyBars(s, dir)
       .withColumn("day", date_trunc("day", col("hour")))
       .withColumn("hod", hour(col("hour")))
-    def dmean(src: DataFrame, keys: Seq[String], name: String) =
+      .withColumn("m", round(col("bar") * 1000000).cast(LongType))
+    def imean(src: DataFrame, keys: Seq[String], name: String) =
       src.groupBy(keys.map(col): _*)
-        .agg(round(sum(col("bar").cast(DecimalType(38, 12))).cast(DoubleType) /
-          count(lit(1)), 6).as(name))
-    val gm = dmean(bars, Seq("event_type"), "gm")
-    val dm = dmean(bars, Seq("event_type", "day"), "dm")
-    val hm = dmean(bars, Seq("event_type", "hod"), "hm")
+        .agg(expr("(2 * sum(m) + count(1)) DIV (2 * count(1))").as(name))
+    val gm = imean(bars, Seq("event_type"), "gm")
+    val dm = imean(bars, Seq("event_type", "day"), "dm")
+    val hm = imean(bars, Seq("event_type", "hod"), "hm")
     val joined = bars.join(gm, "event_type")
       .join(dm, Seq("event_type", "day"))
       .join(hm, Seq("event_type", "hod"))
-    val resid = col("bar") - col("dm") - col("hm") + col("gm")
+    val resid = col("m") - col("dm") - col("hm") + col("gm")
     val hdev = col("hm") - col("gm")
+    // Σ micro² ≈ n·(5e6)² — fits BIGINT through ~1e5 bars; widen the
+    // two sums to DECIMAL(38,0) beyond that
     joined.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_bars"),
-        sum((hdev * hdev).cast(DecimalType(38, 12))).as("ssh"),
-        sum((resid * resid).cast(DecimalType(38, 12))).as("ssr"))
+        sum(hdev * hdev).as("ssh"), sum(resid * resid).as("ssr"))
       .select(col("event_type"), col("n_bars"),
-        round(col("ssh").cast(DoubleType), 6).as("ss_hod"),
-        round(col("ssr").cast(DoubleType), 6).as("ss_resid"),
+        (expr("(2 * ssh + 1000000) DIV 2000000").cast(DoubleType) /
+          1000000.0).as("ss_hod"),
+        (expr("(2 * ssr + 1000000) DIV 2000000").cast(DoubleType) /
+          1000000.0).as("ss_resid"),
         round(col("ssh").cast(DoubleType) /
           (col("ssh") + col("ssr")).cast(DoubleType), 6).as("strength"))
       .orderBy(col("event_type"))
@@ -1344,35 +1360,36 @@ object StatOps {
       |    round(CAST(SUM(CAST("value" AS DECIMAL(38,12))) AS DOUBLE)
       |      / COUNT(*), 6) AS bar
       |  FROM events GROUP BY 1, 2),
-      |b AS (SELECT event_type, hour, bar,
+      |b AS (SELECT event_type, hour,
+      |    CAST(round(bar * 1000000) AS BIGINT) AS m,
       |    date_trunc('day', hour) AS day, EXTRACT(hour FROM hour) AS hod
       |  FROM bars),
       |gm AS (SELECT event_type,
-      |    round(CAST(SUM(CAST(bar AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
-      |      AS gm FROM b GROUP BY 1),
+      |    (2 * SUM(m) + COUNT(*)) // (2 * COUNT(*)) AS gm
+      |  FROM b GROUP BY 1),
       |dm AS (SELECT event_type, day,
-      |    round(CAST(SUM(CAST(bar AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
-      |      AS dm FROM b GROUP BY 1, 2),
+      |    (2 * SUM(m) + COUNT(*)) // (2 * COUNT(*)) AS dm
+      |  FROM b GROUP BY 1, 2),
       |hm AS (SELECT event_type, hod,
-      |    round(CAST(SUM(CAST(bar AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
-      |      AS hm FROM b GROUP BY 1, 2),
+      |    (2 * SUM(m) + COUNT(*)) // (2 * COUNT(*)) AS hm
+      |  FROM b GROUP BY 1, 2),
       |j AS (
       |  SELECT b.event_type,
-      |    (b.bar - dm.dm - hm.hm + gm.gm) AS resid,
-      |    (hm.hm - gm.gm) AS hdev
+      |    CAST(b.m - dm.dm - hm.hm + gm.gm AS BIGINT) AS resid,
+      |    CAST(hm.hm - gm.gm AS BIGINT) AS hdev
       |  FROM b JOIN gm USING (event_type)
       |  JOIN dm ON dm.event_type = b.event_type AND dm.day = b.day
-      |  JOIN hm ON hm.event_type = b.event_type AND hm.hod = b.hod)
-      |SELECT event_type, COUNT(*) AS n_bars,
-      |  round(CAST(SUM(CAST(hdev * hdev AS DECIMAL(38,12))) AS DOUBLE), 6)
-      |    AS ss_hod,
-      |  round(CAST(SUM(CAST(resid * resid AS DECIMAL(38,12))) AS DOUBLE), 6)
-      |    AS ss_resid,
-      |  round(CAST(SUM(CAST(hdev * hdev AS DECIMAL(38,12))) AS DOUBLE)
-      |    / CAST(SUM(CAST(hdev * hdev AS DECIMAL(38,12)))
-      |      + SUM(CAST(resid * resid AS DECIMAL(38,12))) AS DOUBLE), 6)
-      |    AS strength
-      |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin
+      |  JOIN hm ON hm.event_type = b.event_type AND hm.hod = b.hod),
+      |ss AS (
+      |  SELECT event_type, COUNT(*) AS n_bars,
+      |    CAST(SUM(hdev * hdev) AS BIGINT) AS ssh,
+      |    CAST(SUM(resid * resid) AS BIGINT) AS ssr
+      |  FROM j GROUP BY 1)
+      |SELECT event_type, n_bars,
+      |  CAST((2 * ssh + 1000000) // 2000000 AS DOUBLE) / 1000000.0 AS ss_hod,
+      |  CAST((2 * ssr + 1000000) // 2000000 AS DOUBLE) / 1000000.0 AS ss_resid,
+      |  round(CAST(ssh AS DOUBLE) / CAST(ssh + ssr AS DOUBLE), 6) AS strength
+      |FROM ss ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
   // Stratified / inverse-propensity-weighted treatment effect
@@ -1486,7 +1503,105 @@ object StatOps {
       |FROM ps
       |ORDER BY stratum""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Delete-one-group jackknife standard error
+  // ---------------------------------------------------------------------
+
+  private val JkGroups = 10
+
+  /** Delete-one-group jackknife SE of the mean purchase value (Tukey
+    * 1958; the grouped form is THE production resampling scheme at
+    * scale — delete-one-ROW needs n re-estimates, delete-one-GROUP
+    * needs g, and partitions/shards are natural groups): users hash
+    * into g = 10 buckets (user_id % 10), each leave-one-bucket-out
+    * mean θ₍ᵦ₎ = (S − s_b)/(N − n_b) is reported per bucket, and the
+    * summary row carries SE = √((g−1)/g · Σ(θᵦ − θ̄)²).
+    *
+    * Float policy: sums are micro-cents DECIMAL; each θ₍ᵦ₎ is one
+    * double division, rounded at 6 dp; the SE recenters on the exact
+    * micro-unit integers d_b = θ₍ᵦ₎·1e6 (round-6 values, so the
+    * scaled integers are exact) and forms g·Σd² − (Σd)² in
+    * DECIMAL(38,0) — order-free — before ONE double crossing, sqrt,
+    * and round ([[spearman]]'s moment recipe).
+    *
+    * Scale shape: one events scan to per-user sums (map-side combine),
+    * one hash aggregate to the 10-row bucket grid; all jackknife
+    * arithmetic happens on the grid + its 1-row total.
+    */
+  def jackknifeSe(s: SparkSession, dir: String): DataFrame = {
+    val d0 = DecimalType(38, 0)
+    val users = Tables.t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 1000000).cast(LongType)).as("y"))
+    val buckets = users.groupBy((col("user_id") % JkGroups).as("bucket"))
+      .agg(count(lit(1)).as("n_users"), sum(col("y").cast(d0)).as("sy"))
+    val tot = buckets.agg(sum(col("n_users")).as("nn"),
+      sum(col("sy")).as("ss"))
+    val thetaLoo = round(
+      (col("ss") - col("sy")).cast(DoubleType) /
+        (col("nn") - col("n_users")).cast(DoubleType) / 1000000.0, 6)
+    val grid = buckets.crossJoin(broadcast(tot))
+      .withColumn("theta_loo", thetaLoo)
+      .withColumn("d", round(col("theta_loo") * 1000000).cast(d0))
+    val g = lit(JkGroups).cast(d0)
+    val summary = grid
+      .agg(max(col("nn")).as("n_users"),
+        max(col("ss")).as("ss"),
+        sum(col("d")).as("sd"), sum(col("d") * col("d")).as("sdd"))
+      .select(lit(-1L).as("bucket"), col("n_users"),
+        lit(null).cast(DoubleType).as("theta_loo"),
+        round(col("ss").cast(DoubleType) / col("n_users") / 1000000.0, 6)
+          .as("mean_value"),
+        round(
+          sqrt((lit(JkGroups - 1).cast(d0) *
+            (g * col("sdd") - col("sd") * col("sd"))).cast(DoubleType)) /
+            JkGroups / 1000000.0, 6).as("jackknife_se"))
+    grid.select(col("bucket"), col("n_users").cast(LongType).as("n_users"),
+        col("theta_loo"), lit(null).cast(DoubleType).as("mean_value"),
+        lit(null).cast(DoubleType).as("jackknife_se"))
+      .unionByName(summary.select(col("bucket"),
+        col("n_users").cast(LongType).as("n_users"), col("theta_loo"),
+        col("mean_value"), col("jackknife_se")))
+      .orderBy(col("bucket"))
+  }
+
+  val jackknifeSeOracle: String =
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    SUM(CAST(round(value * 1000000) AS BIGINT)) AS y
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |b AS (
+       |  SELECT user_id % $JkGroups AS bucket, COUNT(*) AS n_users,
+       |    SUM(CAST(y AS DECIMAL(38,0))) AS sy
+       |  FROM u GROUP BY 1),
+       |t AS (SELECT SUM(n_users) AS nn, SUM(sy) AS ss FROM b),
+       |grid AS (
+       |  SELECT bucket, n_users,
+       |    round(CAST(ss - sy AS DOUBLE)
+       |      / CAST(nn - n_users AS DOUBLE) / 1000000.0, 6) AS theta_loo
+       |  FROM b CROSS JOIN t),
+       |dd AS (
+       |  SELECT CAST(round(theta_loo * 1000000) AS DECIMAL(38,0)) AS d
+       |  FROM grid),
+       |se AS (
+       |  SELECT round(sqrt(CAST(($JkGroups - 1) *
+       |      ($JkGroups * SUM(d * d) - SUM(d) * SUM(d)) AS DOUBLE))
+       |      / $JkGroups / 1000000.0, 6) AS jackknife_se
+       |  FROM dd)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(n_users AS BIGINT) AS n_users, theta_loo,
+       |  CAST(NULL AS DOUBLE) AS mean_value,
+       |  CAST(NULL AS DOUBLE) AS jackknife_se
+       |FROM grid
+       |UNION ALL
+       |SELECT -1, (SELECT CAST(nn AS BIGINT) FROM t), NULL,
+       |  (SELECT round(CAST(ss AS DOUBLE) / nn / 1000000.0, 6) FROM t),
+       |  (SELECT jackknife_se FROM se)
+       |ORDER BY bucket""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ops_jackknife_se", jackknifeSe, Some(jackknifeSeOracle)),
     QueryDef("ops_ipw_ate", ipwAte, Some(ipwAteOracle)),
     QueryDef("ops_gains_curve", gainsCurve, Some(gainsCurveOracle)),
     QueryDef("ops_churn_fit", churnFit, Some(churnFitOracle)),

@@ -1376,17 +1376,41 @@ object StreamingGates {
     * fans each bar to ≤ [[RollWindowH]] rows (grid × 24, never
     * fact-sized) and one hash aggregate lands back on the grid.
     */
+  /** Round-13 exactness rewrite (the sf0.1 verify sweep caught two
+    * one-ulp flips): the windowed bars are exact 6-dp values, so the
+    * percentile interpolation runs ENTIRELY in micro-unit BIGINT —
+    * pos = (n−1)·0.95 scaled to hundredths, two integer products, and
+    * the `(2v + 100) DIV 200` HALF_UP round — instead of Spark's
+    * double two-product form, whose last-ulp could straddle a HALF
+    * boundary differently per engine. The interpolated rational is
+    * identical ((100−rem)·lo + rem·hi over 100·10⁶); only its
+    * representation changed. The streaming twin mirrors the same
+    * integer arithmetic, keeping the bit-parity replay contract.
+    */
   def rollingP95(s: SparkSession, dir: String): DataFrame = {
     val bars = hourlyBars(s, dir)
     val lagged = bars.select(col("event_type").as("l_type"),
-      col("hour").as("l_hour"), col("bar").as("l_bar"))
+      col("hour").as("l_hour"),
+      round(col("bar") * 1000000).cast(LongType).as("l_m"))
     bars.join(lagged,
         col("l_type") === col("event_type") &&
           col("l_hour") <= col("hour") &&
           col("l_hour") > col("hour") - expr(s"INTERVAL $RollWindowH HOURS"))
       .groupBy(col("event_type"), col("hour"), col("bar"))
       .agg(count(lit(1)).as("n_window"),
-        Pctl.p("l_bar", 0.95).as("p95_24h"))
+        sort_array(collect_list(col("l_m"))).as("arr"))
+      .withColumn("n", size(col("arr")))
+      .withColumn("p", (col("n") - 1) * 95)
+      .withColumn("lw", expr("p DIV 100").cast(IntegerType))
+      .withColumn("rem", (col("p") - col("lw") * 100).cast(LongType))
+      .withColumn("lo", element_at(col("arr"), col("lw") + 1))
+      .withColumn("hi", element_at(col("arr"),
+        least(col("lw") + lit(2), col("n"))))
+      .withColumn("v", col("lo") * (lit(100L) - col("rem")) +
+        col("hi") * col("rem"))
+      .select(col("event_type"), col("hour"), col("bar"), col("n_window"),
+        (expr("(2 * v + 100) DIV 200").cast(DoubleType) / 1000000.0)
+          .as("p95_24h"))
       .orderBy(col("event_type"), col("hour"))
   }
 
@@ -1395,14 +1419,23 @@ object StreamingGates {
        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
        |    round(CAST(SUM(CAST("value" AS DECIMAL(38,12))) AS DOUBLE)
        |      / COUNT(*), 6) AS bar
-       |  FROM events GROUP BY 1, 2)
-       |SELECT b.event_type, b.hour, b.bar,
-       |  COUNT(*) AS n_window,
-       |  ${Pctl.sql("l.bar", 0.95)} AS p95_24h
-       |FROM bars b JOIN bars l ON l.event_type = b.event_type
-       |  AND l.hour <= b.hour AND l.hour > b.hour - INTERVAL $RollWindowH HOUR
-       |GROUP BY 1, 2, 3
-       |ORDER BY b.event_type, b.hour""".stripMargin
+       |  FROM events GROUP BY 1, 2),
+       |w AS (
+       |  SELECT b.event_type, b.hour, b.bar, COUNT(*) AS n_window,
+       |    list(CAST(round(l.bar * 1000000) AS BIGINT)
+       |      ORDER BY round(l.bar * 1000000)) AS arr
+       |  FROM bars b JOIN bars l ON l.event_type = b.event_type
+       |    AND l.hour <= b.hour AND l.hour > b.hour - INTERVAL $RollWindowH HOUR
+       |  GROUP BY 1, 2, 3),
+       |c AS (
+       |  SELECT *, len(arr) AS n, (len(arr) - 1) * 95 AS p FROM w),
+       |d AS (
+       |  SELECT *, p // 100 AS lw, p - (p // 100) * 100 AS rem FROM c)
+       |SELECT event_type, hour, bar, n_window,
+       |  CAST((2 * (arr[lw + 1] * (100 - rem)
+       |    + arr[LEAST(lw + 2, n)] * rem) + 100) // 200 AS DOUBLE)
+       |    / 1000000.0 AS p95_24h
+       |FROM d ORDER BY event_type, hour""".stripMargin
 
   /** POSITION-BASED (U-shaped) multi-touch attribution over the
     * view→purchase touchpoints [[attributionBatch]] emits raw: the

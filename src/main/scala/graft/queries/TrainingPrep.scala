@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -431,7 +431,91 @@ object TrainingPrep {
        |FROM blocks GROUP BY doc_id, n_tokens
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Curation filter funnel
+  // ---------------------------------------------------------------------
+
+  private val FunnelStops = Seq("the", "a", "of", "and", "in", "to")
+
+  /** Sequential curation-filter attrition report — the per-filter
+    * removal table every production corpus pipeline publishes (what
+    * fraction died at language ID, what at length, what at lexical
+    * quality): four ordered filters (language = en, length bounds,
+    * TTR floor, stopword-fraction ceiling), each row stating how many
+    * docs entered the step, failed it, and survived. Counts are exact
+    * integers; the ratio thresholds compare a single double division
+    * against an exact constant — deterministic cross-engine.
+    *
+    * Scale shape: ONE documents scan computes all four flags per row
+    * (narrow codegen map), one global aggregate builds the cumulative
+    * counters with map-side combine, and the 4-row funnel unpivots
+    * from that single aggregate row — no joins, no second scan.
+    */
+  def filterFunnel(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast(DoubleType)
+    val stopFrac = size(filter(toks,
+      t => t.isin(FunnelStops: _*))).cast(DoubleType) / nTok
+    val flags = Tables.t(s, dir, "documents").select(
+      (col("lang") === "en").as("f1"),
+      col("n_chars").between(100, 500).as("f2"),
+      (size(array_distinct(toks)).cast(DoubleType) / nTok >= 0.3).as("f3"),
+      (stopFrac <= 0.5).as("f4"))
+    val cum = flags.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("f1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("f1") && col("f2") && col("f3"), 1L).otherwise(0L)).as("n3"),
+      sum(when(col("f1") && col("f2") && col("f3") && col("f4"), 1L)
+        .otherwise(0L)).as("n4"))
+    val step = (i: Int, name: String, nin: Column, nout: Column) =>
+      struct(lit(i.toLong).as("step"), lit(name).as("filter"),
+        nin.as("n_in"), (nin - nout).as("n_fail"), nout.as("n_out"))
+    cum.select(explode(array(
+        step(1, "lang_en", col("n0"), col("n1")),
+        step(2, "len_100_500", col("n1"), col("n2")),
+        step(3, "ttr_min_03", col("n2"), col("n3")),
+        step(4, "stopfrac_max_05", col("n3"), col("n4")))).as("r"))
+      .select(col("r.step"), col("r.filter"), col("r.n_in"),
+        col("r.n_fail"), col("r.n_out"))
+      .orderBy(col("step"))
+  }
+
+  val filterFunnelOracle: String = {
+    val stopsIn = FunnelStops.map(w => s"'$w'").mkString(", ")
+    s"""WITH fl AS (
+       |  SELECT lang = 'en' AS f1,
+       |    n_chars BETWEEN 100 AND 500 AS f2,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) >= 0.3 AS f3,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      t -> t IN ($stopsIn))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) <= 0.5 AS f4
+       |  FROM documents),
+       |cum AS (
+       |  SELECT COUNT(*) AS n0,
+       |    SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS n1,
+       |    SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS n2,
+       |    SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS n3,
+       |    SUM(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS n4
+       |  FROM fl)
+       |SELECT CAST(step AS BIGINT) AS step, filter,
+       |  CAST(n_in AS BIGINT) AS n_in,
+       |  CAST(n_in - n_out AS BIGINT) AS n_fail,
+       |  CAST(n_out AS BIGINT) AS n_out
+       |FROM (
+       |  SELECT 1 AS step, 'lang_en' AS filter, n0 AS n_in, n1 AS n_out FROM cum
+       |  UNION ALL
+       |  SELECT 2, 'len_100_500', n1, n2 FROM cum
+       |  UNION ALL
+       |  SELECT 3, 'ttr_min_03', n2, n3 FROM cum
+       |  UNION ALL
+       |  SELECT 4, 'stopfrac_max_05', n3, n4 FROM cum)
+       |ORDER BY step""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("cu_filter_funnel", filterFunnel, Some(filterFunnelOracle)),
     QueryDef("cu_span_corrupt", spanCorrupt, Some(spanCorruptOracle)),
     QueryDef("cu_bpe_merges", bpeMerges, Some(bpeMergesOracle)),
     QueryDef("cu_target_encode", targetEncode, Some(targetEncodeOracle)),

@@ -485,9 +485,9 @@ object EventsStream {
     * — the open hour's exact decimal accumulator plus ≤ 24 closed
     * bars — O(window) forever. The arithmetic replays the batch
     * columns exactly: per-value DECIMAL(38,12) HALF_UP quantization
-    * and exact decimal sums for the bar mean, and Spark's OWN
-    * two-product interpolation form (higher−pos)·lo + (pos−lower)·hi
-    * for the percentile, both HALF_UP round-6 — so an `AvailableNow`
+    * and exact decimal sums for the bar mean, and the batch gate's
+    * integer micro-unit interpolation ((100−rem)·lo + rem·hi with a
+    * (2v+100) DIV 200 HALF_UP round) for the percentile — so an `AvailableNow`
     * replay emits rows bit-equal to the batch gate for every closed
     * hour (EventsStreamSpec parity). Stragglers into closed hours are
     * dropped ([[ewma]]'s policy).
@@ -502,15 +502,18 @@ object EventsStream {
       BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
     def dec12(x: Double): BigDecimal =
       BigDecimal(x).setScale(12, scala.math.BigDecimal.RoundingMode.HALF_UP)
-    // Spark Percentile.getPercentile's exact two-product form
+    // the batch gate's exact integer interpolation (round-13 rewrite):
+    // bars are exact 6-dp values → micro BIGINTs, pos scaled to
+    // hundredths, (2v + 100) DIV 200 HALF_UP — bit-parity by identical
+    // arithmetic, not by matching double ulps
     def p95(sortedBars: IndexedSeq[Double]): Double = {
-      val pos = (sortedBars.length - 1) * 0.95
-      val lower = math.floor(pos).toInt
-      val higher = math.ceil(pos).toInt
-      val raw =
-        if (lower == higher) sortedBars(lower)
-        else (higher - pos) * sortedBars(lower) + (pos - lower) * sortedBars(higher)
-      round6(raw)
+      val m = sortedBars.map(b => math.round(b * 1000000))
+      val n = m.length
+      val p = (n - 1) * 95
+      val lw = p / 100
+      val rem = p - lw * 100
+      val v = m(lw) * (100L - rem) + m(math.min(lw + 1, n - 1)) * rem
+      ((2 * v + 100) / 200).toDouble / 1000000.0
     }
     def closeHour(typ: String, b: RollBuf): (RollBuf, Option[RollRow]) = {
       if (b.openN == 0) (b, None)

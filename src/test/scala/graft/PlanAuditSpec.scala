@@ -58,6 +58,8 @@ class PlanAuditSpec extends SparkSpec {
       "ops_gains_curve",
       // 1-row observation-end aggregate against the user relation
       "ops_survival_km",
+      // 1-row jackknife total (N, S) onto the 10-row bucket grid
+      "ops_jackknife_se",
       // 5-row BM25 query term + 5-row exemplar embedding broadcasts
       "ta_hybrid_rrf",
       // 1-row total-edge-count aggregate onto the community grid
@@ -155,6 +157,8 @@ class PlanAuditSpec extends SparkSpec {
       "ops_gains_curve",
       // 1-row base-month aggregate (min month) for the common-basket join
       "ops_price_index",
+      // 1-row jackknife total (N, S) broadcast onto the bucket grid
+      "ops_jackknife_se",
       // 1-row observation-end aggregate
       "ops_survival_km",
       // 5-row query-term + exemplar-embedding broadcasts (bm25 device)

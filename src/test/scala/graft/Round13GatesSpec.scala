@@ -109,6 +109,65 @@ class Round13GatesSpec extends SparkSpec {
     assert(got.length === emb.keys.count(_ < split))
   }
 
+  test("cu_filter_funnel: attrition counts replay a driver-side cascade") {
+    val got = graft.queries.TrainingPrep.filterFunnel(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.length === 4)
+    val stops = Set("the", "a", "of", "and", "in", "to")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("lang", "n_chars", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // independent cascade: filter the doc list step by step
+    val s0 = docs
+    val s1 = s0.filter(_._1 == "en")
+    val s2 = s1.filter(d => d._2 >= 100 && d._2 <= 500)
+    def toks(t: String) = t.split(" ", -1)
+    val s3 = s2.filter { d =>
+      val tk = toks(d._3); tk.distinct.length.toDouble / tk.length >= 0.3
+    }
+    val s4 = s3.filter { d =>
+      val tk = toks(d._3); tk.count(stops).toDouble / tk.length <= 0.5
+    }
+    val expect = Seq(
+      (1L, "lang_en", s0.length, s0.length - s1.length, s1.length),
+      (2L, "len_100_500", s1.length, s1.length - s2.length, s2.length),
+      (3L, "ttr_min_03", s2.length, s2.length - s3.length, s3.length),
+      (4L, "stopfrac_max_05", s3.length, s3.length - s4.length, s4.length),
+    ).map(t => (t._1, t._2, t._3.toLong, t._4.toLong, t._5.toLong))
+    assert(got.toSeq === expect)
+    // the funnel must actually attrit somewhere (non-degenerate fixture)
+    assert(s4.length < s0.length && s4.nonEmpty)
+  }
+
+  test("ops_jackknife_se: LOO means and SE replay driver-side moments") {
+    val got = StatOps.jackknifeSe(spark, dir).collect()
+    val buckets = got.filter(_.getLong(0) >= 0)
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val all = got.filter(_.getLong(0) === -1L).head
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val perUser = events.filter(_._2 == "purchase").groupBy(_._1)
+      .map { case (u, es) => (u, es.map(e => math.round(e._3 * 1000000)).sum) }
+    val byBucket = perUser.groupBy(_._1 % 10)
+      .map { case (b, us) => (b, us.size.toLong, us.map(_._2).map(BigInt(_)).sum) }
+      .toSeq.sortBy(_._1)
+    val nn = byBucket.map(_._2).sum
+    val ss = byBucket.map(_._3).sum
+    val refLoo = byBucket.map { case (b, n, sy) =>
+      (b, n, r6((ss - sy).toDouble / (nn - n).toDouble / 1000000.0))
+    }
+    assert(buckets.toSeq === refLoo)
+    val ds = refLoo.map(t => BigInt(math.round(t._3 * 1000000)))
+    val g = BigInt(10)
+    val a = g * ds.map(d => d * d).sum - ds.sum * ds.sum
+    val refSe = r6(math.sqrt((BigInt(9) * a).toDouble) / 10 / 1000000.0)
+    assert(all.getDouble(4) === refSe)
+    assert(all.getDouble(3) === r6(ss.toDouble / nn.toDouble / 1000000.0))
+    assert(all.getLong(1) === nn)
+  }
+
   test("ops_ipw_ate: strata, positivity filter, and ATE replay driver-side") {
     val got = StatOps.ipwAte(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
