@@ -334,6 +334,9 @@ object ScaleBench {
       "ops_ipw_ate" -> graft.queries.StatOps.ipwAte _,
       "cu_filter_funnel" -> graft.queries.TrainingPrep.filterFunnel _,
       "ops_jackknife_se" -> graft.queries.StatOps.jackknifeSe _,
+      "sk_hll_distinct" -> graft.queries.Sketches.hllDistinct _,
+      "st_cohort_ltv" -> graft.queries.StreamingGates.cohortLtv _,
+      "ta_dup_ngram_frac" -> graft.queries.LlmText.dupNgramFrac _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

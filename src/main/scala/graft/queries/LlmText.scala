@@ -347,7 +347,97 @@ object LlmText {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Repeated-n-gram coverage (Gopher repetition filters, rule family
+  // of Rae et al. 2021 §A1.1: "fraction of characters in duplicate
+  // n-grams" — here token-level for the whitespace corpus)
+  // ------------------------------------------------------------------
+
+  private val DupGramN = 3
+
+  /** Within-document repetition screen: the fraction of a doc's tokens
+    * covered by at least one 3-gram that occurs ≥ 2 times IN THAT DOC
+    * — the Gopher/RefinedWeb duplicate-n-gram filter that catches
+    * boilerplate loops, spam keyword stuffing, and decoder
+    * degeneration, which per-token entropy misses when the repeats are
+    * long-range. Exact integer counts end-to-end: gram occurrences
+    * carry their positions, repeated grams re-explode to the covered
+    * position set, and coverage is a distinct-position count — the
+    * single round-6 division is the output ratio.
+    *
+    * Scale shape: two linear explodes (grams with positions, covered
+    * positions) and hash aggregates keyed by doc — the postings
+    * discipline; the repeated-gram join is (doc, gram)-keyed,
+    * doc-local, never cross-doc.
+    */
+  def dupNgramFrac(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("n_tokens"))
+    val grams = base.filter(col("n_tokens") >= DupGramN)
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(1), col("n_tokens") - (DupGramN - 1))).as("i"),
+        col("tk"))
+      .select(col("doc_id"), col("n_tokens"), col("i"),
+        array_join(slice(col("tk"), col("i"), lit(DupGramN)), " ").as("gram"))
+    val counts = grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val repeated = counts.filter(col("cnt") >= 2)
+      .select(col("doc_id"), col("gram"))
+    val covered = grams.join(repeated, Seq("doc_id", "gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (DupGramN - 1))).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("covered_tokens"))
+    val gramStats = counts.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_grams"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_repeated_grams"))
+    base.select(col("doc_id"), col("n_tokens").cast(LongType).as("n_tokens"))
+      .join(gramStats, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_distinct_grams"), lit(0L)).as("n_distinct_grams"),
+        coalesce(col("n_repeated_grams"), lit(0L)).as("n_repeated_grams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast(DoubleType) /
+          col("n_tokens"), 6).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dupNgramFracOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk,
+       |    len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, n_tokens, i,
+       |    array_to_string(tk[i : i + ${DupGramN - 1}], ' ') AS gram
+       |  FROM (SELECT doc_id, n_tokens, tk,
+       |          unnest(range(1, n_tokens - ${DupGramN - 2})) AS i
+       |        FROM t WHERE n_tokens >= $DupGramN)),
+       |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+       |rep AS (SELECT doc_id, gram FROM c WHERE cnt >= 2),
+       |cov AS (
+       |  SELECT doc_id, COUNT(*) AS covered_tokens FROM (
+       |    SELECT DISTINCT doc_id, pos FROM (
+       |      SELECT g.doc_id, unnest(range(g.i, g.i + $DupGramN)) AS pos
+       |      FROM g JOIN rep USING (doc_id, gram)))
+       |  GROUP BY 1),
+       |gs AS (
+       |  SELECT doc_id, COUNT(*) AS n_distinct_grams,
+       |    SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS n_repeated_grams
+       |  FROM c GROUP BY 1)
+       |SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(gs.n_distinct_grams, 0) AS BIGINT) AS n_distinct_grams,
+       |  CAST(COALESCE(gs.n_repeated_grams, 0) AS BIGINT) AS n_repeated_grams,
+       |  CAST(COALESCE(cov.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       |  round(CAST(COALESCE(cov.covered_tokens, 0) AS DOUBLE) / t.n_tokens, 6)
+       |    AS dup_frac
+       |FROM t LEFT JOIN gs USING (doc_id) LEFT JOIN cov USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ta_dup_ngram_frac", dupNgramFrac, Some(dupNgramFracOracle)),
     QueryDef("ta_text_stats", textStats, Some(textStatsOracle)),
     QueryDef("ta_langid", langId, Some(langIdOracle)),
     QueryDef("ta_fingerprint", fingerprint, Some(fingerprintOracle)),

@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Sketch operators: the approximate structures a 100 TB pipeline uses
   * where exact answers are too expensive to shuffle — distinct-count
@@ -457,7 +458,113 @@ object Sketches {
        |SELECT ex.grp, n_rows, p50_exact, p50_est
        |FROM ex JOIN est ON ex.grp = est.grp ORDER BY ex.grp""".stripMargin
 
+  // ---------------------------------------------------------------- HLL
+
+  private val HllM = 64 // registers (p = 6)
+  // α₆₄·m²·2⁵⁵ precomputed in Scala and rendered as ONE literal into
+  // BOTH engines' expressions (α₆₄ = 0.709, the Flajolet et al. 2007
+  // constant for m = 64) — identical parse, identical double, so the
+  // raw estimate is a single correctly-rounded division everywhere
+  private val HllNum: String = (0.709 * HllM * HllM * math.pow(2, 55)).toString
+  private val Pow54 = 18014398509481984L // 2^54
+
+  /** HyperLogLog distinct-customer estimate (Flajolet et al. 2007)
+    * with m = 64 registers over the [[h60]] md5 hash: bucket = top 6
+    * hash bits, register = max leading-zero rank of the remaining 54
+    * (computed INTEGER-exactly as 55 − bitlength via `bin()` string
+    * length — no float log anywhere in the register path), estimate =
+    * α·m²/Σ2^−M with the linear-counting small-range correction. The
+    * 2^−M sum is scaled by 2⁵⁵ into exact BIGINTs (order-free), so
+    * the only doubles are one division and the correction's ln.
+    *
+    * The gate pins the ESTIMATOR end-to-end like [[kmvDistinct]]:
+    * registers array + exact count + estimate + signed relative error
+    * in one row. 64 registers ≈ 13% typical error — the m that fits
+    * the fixture; production raises p, nothing else changes.
+    *
+    * Scale shape: one orders scan → 64-register hash aggregate with
+    * map-side combine (registers merge by MAX — the reason HLL
+    * distributes); everything after runs on ≤64 rows. The 100 TB
+    * deployment point: per-partition register blocks merge
+    * associatively, no distinct shuffle of the key relation at all.
+    */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.t(s, dir, "orders")
+    val rows = orders
+      .select(h60(col("o_custkey").cast("string")).as("h"))
+      .select(expr(s"h DIV $Pow54").as("bucket"),
+        pmod(col("h"), lit(Pow54)).as("w"))
+      .select(col("bucket"),
+        when(col("w") === 0, lit(55L))
+          .otherwise(lit(55L) - length(bin(col("w"))).cast(LongType))
+          .as("rank"))
+    val regs = rows.groupBy(col("bucket")).agg(max(col("rank")).as("mr"))
+    val full = s.range(HllM).toDF("bucket")
+      .join(regs, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("mr"), lit(0L)).as("mr"))
+    val exact = orders.agg(
+      countDistinct(col("o_custkey")).as("n_exact"))
+    val est = when(
+      lit(HllNum).cast(DoubleType) / col("s_scaled").cast(DoubleType)
+        <= 2.5 * HllM && col("v_zero") > 0,
+      round(lit(HllM.toDouble) *
+        log(lit(HllM.toDouble) / col("v_zero").cast(DoubleType)), 6))
+      .otherwise(round(
+        lit(HllNum).cast(DoubleType) / col("s_scaled").cast(DoubleType), 6))
+    full.agg(
+        sum(expr("CAST(pow(2, 55 - mr) AS BIGINT)")).as("s_scaled"),
+        sum(when(col("mr") === 0, 1L).otherwise(0L)).as("v_zero"),
+        transform(array_sort(collect_list(struct(col("bucket"), col("mr")))),
+          t => t.getField("mr")).as("registers"))
+      .crossJoin(broadcast(exact))
+      .select(lit(HllM.toLong).as("m"), col("n_exact"), col("v_zero"),
+        col("s_scaled"), col("registers"), est.as("estimate"),
+        round((est - col("n_exact").cast(DoubleType)) /
+          col("n_exact").cast(DoubleType), 6).as("rel_error"))
+  }
+
+  val hllOracle: String =
+    s"""WITH h AS (
+       |  SELECT ${h60Sql("CAST(o_custkey AS VARCHAR)")} AS h FROM orders),
+       |r AS (
+       |  SELECT h // $Pow54 AS bucket, h % $Pow54 AS w FROM h),
+       |rk AS (
+       |  SELECT bucket,
+       |    CASE WHEN w = 0 THEN 55
+       |      ELSE 55 - CAST(length(bin(w)) AS BIGINT) END AS rank
+       |  FROM r),
+       |regs AS (SELECT bucket, MAX(rank) AS mr FROM rk GROUP BY 1),
+       |reg64 AS (
+       |  SELECT g.bucket, COALESCE(regs.mr, 0) AS mr
+       |  FROM (SELECT unnest(range(0, $HllM)) AS bucket) g
+       |  LEFT JOIN regs USING (bucket)),
+       |agg AS (
+       |  SELECT CAST(SUM(CAST(pow(2, 55 - mr) AS BIGINT)) AS BIGINT)
+       |      AS s_scaled,
+       |    CAST(SUM(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS v_zero,
+       |    list(CAST(mr AS BIGINT) ORDER BY bucket) AS registers
+       |  FROM reg64),
+       |ex AS (SELECT COUNT(DISTINCT o_custkey) AS n_exact FROM orders)
+       |SELECT CAST($HllM AS BIGINT) AS m, n_exact, v_zero, s_scaled,
+       |  registers,
+       |  CASE WHEN CAST($HllNum AS DOUBLE) / CAST(s_scaled AS DOUBLE)
+       |      <= ${2.5 * HllM} AND v_zero > 0
+       |    THEN round(CAST($HllM AS DOUBLE)
+       |      * ln(CAST($HllM AS DOUBLE) / CAST(v_zero AS DOUBLE)), 6)
+       |    ELSE round(CAST($HllNum AS DOUBLE) / CAST(s_scaled AS DOUBLE), 6)
+       |  END AS estimate,
+       |  round((CASE WHEN CAST($HllNum AS DOUBLE) / CAST(s_scaled AS DOUBLE)
+       |      <= ${2.5 * HllM} AND v_zero > 0
+       |    THEN round(CAST($HllM AS DOUBLE)
+       |      * ln(CAST($HllM AS DOUBLE) / CAST(v_zero AS DOUBLE)), 6)
+       |    ELSE round(CAST($HllNum AS DOUBLE) / CAST(s_scaled AS DOUBLE), 6)
+       |  END - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6)
+       |    AS rel_error
+       |FROM agg CROSS JOIN ex""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("sk_hll_distinct", hllDistinct, Some(hllOracle)),
     QueryDef("sk_kmv_distinct", kmvDistinct, Some(kmvOracle)),
     QueryDef("sk_kmv_agg", kmvAgg, Some(kmvOracle)),
     QueryDef("sk_countmin_topk", countMinTopk, Some(countMinOracle)),

@@ -187,6 +187,82 @@ object StreamingGates {
       |GROUP BY f.cohort_week, a.wk
       |ORDER BY cohort_week, active_week""".stripMargin
 
+  /** Cohort LTV curve — [[retentionBatch]]'s value-sided complement
+    * (retention answers "do they come back", LTV answers "what are
+    * they worth by age"): users cohort on their first active week,
+    * and each (cohort, age-in-weeks) row reports the cohort's
+    * CUMULATIVE purchase value per cohort user up to that age — the
+    * curve whose plateau is the LTV a marketing model discounts.
+    * Rows exist only at ages with ≥ 1 purchase (the running sum
+    * carries across gaps). Micro-cents fixed point throughout; the
+    * per-user division is the single rounded double.
+    *
+    * Scale shape: one events pass for first-weeks (min-aggregate,
+    * map-side combine), one purchase-filtered pass joined to it
+    * (user-sized dim join), a (cohort × age) hash aggregate — the
+    * calendar-bounded grid — and a window sum over ≤ weeks rows per
+    * cohort.
+    */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "events")
+    val first = e.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast(DateType).as("cohort_week"))
+    val sizes = first.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast(DateType).as("wk"),
+        round(col("value") * 1000000).cast(LongType).as("vm"))
+    val byAge = buys.join(first, "user_id")
+      .select(col("cohort_week"),
+        expr("datediff(wk, cohort_week) DIV 7").as("age_weeks"), col("vm"))
+      .groupBy(col("cohort_week"), col("age_weeks"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("vm")).as("wk_vm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_week")).orderBy(col("age_weeks"))
+    byAge
+      .withColumn("cum_vm", sum(col("wk_vm")).over(w))
+      .join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("age_weeks"), col("cohort_users"),
+        col("n_purchases"),
+        round(col("cum_vm").cast(DoubleType) /
+          col("cohort_users").cast(DoubleType) / 1000000.0, 6)
+          .as("ltv_per_user"))
+      .orderBy(col("cohort_week"), col("age_weeks"))
+  }
+
+  val cohortLtvOracle: String =
+    """WITH first AS (
+      |  SELECT user_id,
+      |    CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS DATE)
+      |      AS cohort_week
+      |  FROM events GROUP BY 1),
+      |sizes AS (
+      |  SELECT cohort_week, COUNT(*) AS cohort_users FROM first GROUP BY 1),
+      |buys AS (
+      |  SELECT user_id,
+      |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk,
+      |    CAST(round(value * 1000000) AS BIGINT) AS vm
+      |  FROM events WHERE event_type = 'purchase'),
+      |byage AS (
+      |  SELECT f.cohort_week,
+      |    date_diff('day', f.cohort_week, b.wk) // 7 AS age_weeks,
+      |    COUNT(*) AS n_purchases, SUM(b.vm) AS wk_vm
+      |  FROM buys b JOIN first f USING (user_id)
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT cohort_week, age_weeks, n_purchases,
+      |    SUM(wk_vm) OVER (PARTITION BY cohort_week ORDER BY age_weeks)
+      |      AS cum_vm
+      |  FROM byage)
+      |SELECT c.cohort_week, CAST(c.age_weeks AS BIGINT) AS age_weeks,
+      |  CAST(s.cohort_users AS BIGINT) AS cohort_users,
+      |  CAST(c.n_purchases AS BIGINT) AS n_purchases,
+      |  round(CAST(c.cum_vm AS DOUBLE) / CAST(s.cohort_users AS DOUBLE)
+      |    / 1000000.0, 6) AS ltv_per_user
+      |FROM cum c JOIN sizes s USING (cohort_week)
+      |ORDER BY cohort_week, age_weeks""".stripMargin
+
   /** Time-series RESAMPLE with gap fill: the 5-minute bucket aggregate
     * re-gridded onto the complete (event_type × calendar bucket) frame,
     * empty buckets zero-filled and flagged — the step that makes event
@@ -1610,6 +1686,7 @@ object StreamingGates {
       |ORDER BY event_type, level, segment""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st_cohort_ltv", cohortLtv, Some(cohortLtvOracle)),
     QueryDef("st_cusum2", cusum2, Some(cusum2Oracle)),
     QueryDef("st_rolling_p95", rollingP95, Some(rollingP95Oracle)),
     QueryDef("st_attrib_position", attribPosition, Some(attribPositionOracle)),

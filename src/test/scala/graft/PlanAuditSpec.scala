@@ -60,6 +60,8 @@ class PlanAuditSpec extends SparkSpec {
       "ops_survival_km",
       // 1-row jackknife total (N, S) onto the 10-row bucket grid
       "ops_jackknife_se",
+      // 1-row exact-count aggregate onto the 1-row register summary
+      "sk_hll_distinct",
       // 5-row BM25 query term + 5-row exemplar embedding broadcasts
       "ta_hybrid_rrf",
       // 1-row total-edge-count aggregate onto the community grid
@@ -159,6 +161,8 @@ class PlanAuditSpec extends SparkSpec {
       "ops_price_index",
       // 1-row jackknife total (N, S) broadcast onto the bucket grid
       "ops_jackknife_se",
+      // 1-row exact-count aggregate beside the 1-row register summary
+      "sk_hll_distinct",
       // 1-row observation-end aggregate
       "ops_survival_km",
       // 5-row query-term + exemplar-embedding broadcasts (bm25 device)

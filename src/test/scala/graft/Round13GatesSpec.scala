@@ -168,6 +168,102 @@ class Round13GatesSpec extends SparkSpec {
     assert(all.getLong(1) === nn)
   }
 
+  test("ta_dup_ngram_frac: coverage replays a driver-side position walk") {
+    val got = graft.queries.LlmText.dupNgramFrac(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    var anyCovered = false
+    for ((id, nTok, nGrams, nRep, cov, frac) <- got) {
+      val tk = docs(id).split(" ", -1)
+      assert(nTok === tk.length.toLong)
+      val grams = (0 to tk.length - 3).map(i => (i, tk.slice(i, i + 3).mkString(" ")))
+      val cnt = grams.groupBy(_._2).view.mapValues(_.size).toMap
+      assert(nGrams === cnt.size.toLong, s"doc $id distinct grams")
+      assert(nRep === cnt.valuesIterator.count(_ >= 2).toLong, s"doc $id repeated")
+      val covered = grams.filter(g => cnt(g._2) >= 2)
+        .flatMap(g => g._1 to g._1 + 2).distinct.size
+      assert(cov === covered.toLong, s"doc $id coverage")
+      assert(frac === r6(covered.toDouble / tk.length), s"doc $id frac")
+      if (covered > 0) anyCovered = true
+    }
+    assert(anyCovered, "fixture has no repeated 3-grams anywhere — probe is dead")
+  }
+
+  test("sk_hll_distinct: registers and estimate replay a driver-side HLL") {
+    val got = graft.queries.Sketches.hllDistinct(spark, dir).collect().head
+    val m = 64
+    // independent register build over the same md5-60bit hash
+    val keys = spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("CAST(o_custkey AS STRING) AS k").collect().map(_.getString(0))
+    def h60(sv: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val regs = Array.fill(m)(0L)
+    for (k <- keys) {
+      val h = h60(k)
+      val bucket = (h / 18014398509481984L).toInt
+      val w = h % 18014398509481984L
+      val rank = if (w == 0) 55L else 55L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rank > regs(bucket)) regs(bucket) = rank
+    }
+    assert(got.getSeq[Long](4).toSeq === regs.toSeq, "register mismatch")
+    val sScaled = regs.map(r => 1L << (55 - r)).sum
+    assert(got.getLong(3) === sScaled)
+    val vZero = regs.count(_ == 0L)
+    assert(got.getLong(2) === vZero.toLong)
+    val num = 0.709 * m * m * math.pow(2, 55)
+    val raw = num / sScaled.toDouble
+    val refEst =
+      if (raw <= 2.5 * m && vZero > 0) r6(m.toDouble * math.log(m.toDouble / vZero))
+      else r6(raw)
+    assert(got.getDouble(5) === refEst)
+    val exact = keys.distinct.length
+    assert(got.getLong(1) === exact.toLong)
+    // the estimator is a real estimator: within 5 standard errors
+    // (1.04/sqrt(64) ≈ 13%) of truth on this fixture
+    assert(math.abs(got.getDouble(6)) < 5 * 1.04 / math.sqrt(m.toDouble),
+      s"rel_error ${got.getDouble(6)} implausibly large")
+  }
+
+  test("st_cohort_ltv: curve replays a driver-side cohort walk") {
+    val got = graft.queries.StreamingGates.cohortLtv(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    val rows = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id", "event_type", "value",
+        "CAST(date_trunc('week', ts) AS DATE) AS wk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDate(3)))
+    val firstWk = rows.groupBy(_._1).view.mapValues(_.map(_._4).minBy(_.getTime)).toMap
+    val sizes = firstWk.values.groupBy(identity).view.mapValues(_.size).toMap
+    val byAge = rows.filter(_._2 == "purchase")
+      .map { case (u, _, v, wk) =>
+        val cw = firstWk(u)
+        ((cw, (wk.toLocalDate.toEpochDay - cw.toLocalDate.toEpochDay) / 7),
+          math.round(v * 1000000))
+      }
+      .groupBy(_._1).view
+      .mapValues(vs => (vs.size.toLong, vs.map(_._2).sum)).toMap
+    val ref = byAge.toSeq
+      .sortBy { case ((cw, age), _) => (cw.toString, age) }
+      .groupBy(_._1._1).toSeq.flatMap { case (cw, entries) =>
+        var cum = 0L
+        entries.sortBy(_._1._2).map { case ((_, age), (np, vm)) =>
+          cum += vm
+          (cw.toString, age, sizes(cw).toLong, np,
+            r6(cum.toDouble / sizes(cw) / 1000000.0))
+        }
+      }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq === ref)
+  }
+
   test("ops_ipw_ate: strata, positivity filter, and ATE replay driver-side") {
     val got = StatOps.ipwAte(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
