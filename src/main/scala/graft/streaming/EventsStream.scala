@@ -131,6 +131,13 @@ final case class BloomBucketState(words: Array[Long])
 /** One cardinality estimate per event type per quiesce. */
 final case class KmvUserEstimate(event_type: String, k_seen: Int, n_est: Double)
 
+/** 64 HLL registers per group — 64 longs of state, forever, whatever
+  * the stream's cardinality ([[EventsStream.hllDistinctUsers]]).
+  */
+final case class HllStreamState(regs: Seq[Long])
+
+final case class HllUserEstimate(event_type: String, v_zero: Int, n_est: Double)
+
 object EventsStream {
 
   val eventSchema: StructType = StructType(Seq(
@@ -850,6 +857,113 @@ object EventsStream {
           when(col("k_seen") < k, col("k_seen").cast("double"))
             .otherwise(lit((k - 1).toDouble * math.pow(2, 60)) / col("kth").cast("double")),
           6).as("n_est"))
+  }
+
+  /** STREAMING HyperLogLog distinct-count — [[kmvDistinctUsers]]'s
+    * sibling on the other classic sketch: per event type, 64 registers
+    * (64 longs, forever) updated by MAX as user hashes arrive — the
+    * associative merge that makes HLL the 100 TB distinct-count (here
+    * it is also what makes the stream trivially correct: max-merge is
+    * order-insensitive, so replay order cannot change the registers).
+    * Hash, bucketing, rank, and estimator replay
+    * [[graft.queries.Sketches.hllDistinct]]'s integer-exact derivation
+    * column for column (bitlength rank, 2⁵⁵-scaled sum, α₆₄, linear
+    * counting); the batch twin below is the parity target
+    * (EventsStreamSpec).
+    *
+    * Emission: append-once per quiesce, exactly [[kmvDistinctUsers]]'s
+    * contract — registers are kept (cardinality is monotone), a later
+    * burst re-arms the timeout.
+    */
+  def hllDistinctUsers(events: Dataset[Event],
+      quiesceMinutes: Int = 30): Dataset[HllUserEstimate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val quiesceMs = quiesceMinutes * 60L * 1000L
+    val M = 64
+    val hashed = events
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_type"),
+        graft.queries.Sketches.h60(
+          concat_ws(":", col("user_id"), lit("hll"))).as("h"),
+        col("ts"))
+      .as[(String, Long, Timestamp)]
+
+    def estimate(regs: Seq[Long]): (Int, Double) = {
+      val sScaled = regs.map(r => 1L << (55 - r)).sum
+      val raw = 0.709 * M * M * math.pow(2, 55) / sScaled.toDouble
+      val v = regs.count(_ == 0L)
+      val est =
+        if (raw <= 2.5 * M && v > 0) M.toDouble * math.log(M.toDouble / v)
+        else raw
+      (v, math.round(est * 1e6) / 1e6)
+    }
+
+    def fn(typ: String, rows: Iterator[(String, Long, Timestamp)],
+        state: GroupState[HllStreamState]): Iterator[HllUserEstimate] = {
+      if (state.hasTimedOut) {
+        val (v, est) = estimate(state.get.regs)
+        Iterator.single(HllUserEstimate(typ, v, est))
+      } else {
+        val batch = rows.toSeq
+        val regs = state.getOption.map(_.regs.toArray)
+          .getOrElse(Array.fill(M)(0L))
+        batch.foreach { case (_, h, _) =>
+          val b = (h / 18014398509481984L).toInt // h DIV 2^54
+          val w = h % 18014398509481984L
+          val rank =
+            if (w == 0) 55L
+            else 55L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+          if (rank > regs(b)) regs(b) = rank
+        }
+        state.update(HllStreamState(regs.toVector))
+        val lastMs = batch.map(_._3.getTime).max
+        state.setTimeoutTimestamp(
+          math.max(lastMs + quiesceMs, state.getCurrentWatermarkMs + 1))
+        Iterator.empty
+      }
+    }
+
+    hashed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Batch twin of [[hllDistinctUsers]] over the same rows: the
+    * relational register derivation of
+    * [[graft.queries.Sketches.hllDistinct]] keyed by event type over
+    * the same salted user hash — the exact derivation the stream must
+    * reproduce (parity spec).
+    */
+  def hllDistinctUsersBatch(events: Dataset[Event]): DataFrame = {
+    val spark = events.sparkSession
+    val M = 64
+    val pow54 = 18014398509481984L
+    val rows = events.toDF()
+      .select(col("event_type"),
+        graft.queries.Sketches.h60(
+          concat_ws(":", col("user_id"), lit("hll"))).as("h"))
+      .select(col("event_type"), expr(s"h DIV $pow54").as("bucket"),
+        pmod(col("h"), lit(pow54)).as("w"))
+      .select(col("event_type"), col("bucket"),
+        when(col("w") === 0, lit(55L))
+          .otherwise(lit(55L) - length(bin(col("w"))).cast("long")).as("rank"))
+    val regs = rows.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rank")).as("mr"))
+    val grid = rows.select(col("event_type")).distinct()
+      .crossJoin(spark.range(M).toDF("bucket"))
+    val full = grid.join(regs, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), coalesce(col("mr"), lit(0L)).as("mr"))
+    val num = 0.709 * M * M * math.pow(2, 55)
+    full.groupBy(col("event_type"))
+      .agg(sum(expr("CAST(pow(2, 55 - mr) AS BIGINT)")).as("s_scaled"),
+        sum(when(col("mr") === 0, 1).otherwise(0)).cast("int").as("v_zero"))
+      .select(col("event_type"), col("v_zero"),
+        round(
+          when(lit(num) / col("s_scaled").cast("double") <= 2.5 * M &&
+              col("v_zero") > 0,
+            lit(M.toDouble) * log(lit(M.toDouble) / col("v_zero").cast("double")))
+            .otherwise(lit(num) / col("s_scaled").cast("double")), 6)
+          .as("n_est"))
   }
 
   /** Streaming exact dedup: drop re-deliveries of the same event_id

@@ -409,6 +409,39 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed("purchase")._1 === 2)
   }
 
+  test("streaming HLL: quiesce estimates replay the batch register derivation") {
+    val in = tmpDir("hll-in"); val out = tmpDir("hll-out"); val ck = tmpDir("hll-ck")
+    // 40 distinct view users + 12 purchase users — enough to spread
+    // across registers; the sentinel pushes the watermark past quiesce
+    val views = (1 to 40).map(u =>
+      ev(u, u, "view", 1.0, f"2025-07-01T10:${u % 60}%02d:00Z"))
+    val buys = (1 to 12).map(u =>
+      ev(100 + u, 200 + u, "purchase", 5.0, f"2025-07-01T10:${u % 60}%02d:30Z"))
+    Files.writeString(Paths.get(in, "events.jsonl"),
+      (views ++ buys :+ ev(999, 999, "wmpush", 0.0, "2025-07-01T23:00:00Z"))
+        .mkString("\n"))
+    import spark.implicits._
+    EventsStream.runToParquet(
+      EventsStream.hllDistinctUsers(
+        EventsStream.parse(spark.readStream.text(in))).toDF(),
+      out, ck).awaitTermination(120000)
+    val streamed = spark.read.parquet(out).as[(String, Int, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(streamed.keySet === Set("view", "purchase"))
+    val batch = EventsStream.hllDistinctUsersBatch(
+      EventsStream.parse(spark.read.text(in)).toDF().as[EventsStream.Event]
+        .filter(e => e.event_type != "wmpush"))
+      .as[(String, Int, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    streamed.foreach { case (typ, (vZero, est)) =>
+      val (bv, be) = batch(typ)
+      assert(vZero === bv, s"$typ v_zero")
+      assert(math.abs(est - be) <= 1e-6, s"$typ estimate: stream $est vs batch $be")
+    }
+    // the estimates are plausible cardinalities, not register noise
+    assert(math.abs(streamed("view")._2 - 40) < 40 * 0.7, streamed("view"))
+    assert(math.abs(streamed("purchase")._2 - 12) < 12 * 0.9, streamed("purchase"))
+  }
+
   test("novelty filter: first event per user emitted exactly once, state survives runs") {
     val in = tmpDir("nv-in"); val out = tmpDir("nv-out"); val ck = tmpDir("nv-ck")
     def run(): Unit =
