@@ -91,7 +91,14 @@ object MediaFeatures {
         // all bind the same magic-byte-sniffing decoder
         "image" -> (new ImageDecoder(_)),
         "jpeg" -> (new ImageDecoder(_)),
-        "png" -> (new ImageDecoder(_)))
+        "png" -> (new ImageDecoder(_)),
+        // animated GIF via the ImageIO sequence reader — the registry's
+        // first true MULTI-FRAME decode (GifDecoderSpec drives it)
+        "gif" -> (new GifDecoder(_)),
+        // MPEG Layer III frame walker — true sample rate/channels/
+        // duration + VBR bitrate envelope, no PCM synthesis (stated in
+        // Mp3Decoder's scaladoc; Mp3DecoderSpec drives it)
+        "mp3" -> (new Mp3Decoder(_)))
 
     def register(name: String, factory: Int => Decoder): Unit =
       registry.put(name, factory)

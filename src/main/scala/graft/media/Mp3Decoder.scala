@@ -1,0 +1,115 @@
+package graft.media
+
+import graft.media.MediaFeatures.{Decoder, MediaBlob, MediaFeature}
+
+/** A REAL MPEG audio (mp3) parser for the [[MediaFeatures.Codecs]]
+  * registry: walks the public ISO/IEC 11172-3 / 13818-3 Layer III frame
+  * format (11-bit sync, version/layer/bitrate/samplerate nibbles, the
+  * `144·bitrate/samplerate (+padding)` frame-length law) in pure JVM
+  * code with zero dependencies — mp3 is the reference's actual audio
+  * format (spotify_audio_ingest.py:62-67), previously the last
+  * stub-bound modality.
+  *
+  * What is REAL here: ID3v2 skip (syncsafe size), frame-by-frame header
+  * walk with cross-frame consistency checks (every frame must re-agree
+  * on version/layer/samplerate), true sample rate / channel mode /
+  * total PCM sample-frame count, and the per-segment mean BITRATE
+  * envelope — the VBR temporal signature, a physical property of the
+  * bitstream. What is NOT: PCM synthesis (Huffman + IMDCT + polyphase
+  * filterbank) — the features are the bitrate envelope, not audio
+  * energy; stated rather than hidden. A full decoder binds at the same
+  * registry seam with no pipeline change.
+  *
+  * Feature mapping onto the fixed [[MediaFeature]] schema (same
+  * convention as [[WavDecoder]]): `width` = sample rate, `height` =
+  * channel count, `n_frames` = total PCM sample frames (so duration =
+  * n_frames / width), `features` = mean frame bitrate per time segment
+  * normalized by the format ceiling (320 kbps).
+  */
+final class Mp3Decoder(featureDim: Int) extends Decoder {
+
+  // bitrate tables, kbps, Layer III (index 0 = free-format, 15 = bad)
+  private val BitrateV1 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+  private val BitrateV2 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, -1)
+  // sample-rate tables by version (index 3 = reserved)
+  private val SrV1 = Array(44100, 48000, 32000, -1)
+  private val SrV2 = Array(22050, 24000, 16000, -1)
+  private val SrV25 = Array(11025, 12000, 8000, -1)
+
+  private def id3v2Size(d: Array[Byte]): Int =
+    if (d.length >= 10 && d(0) == 'I' && d(1) == 'D' && d(2) == '3')
+      // syncsafe 28-bit size, 10-byte header (footer bit adds 10 more)
+      10 + (((d(6) & 0x7f) << 21) | ((d(7) & 0x7f) << 14) |
+        ((d(8) & 0x7f) << 7) | (d(9) & 0x7f)) +
+        (if ((d(5) & 0x10) != 0) 10 else 0)
+    else 0
+
+  override def decode(b: MediaBlob): MediaFeature = {
+    val d = b.payload
+    var off = id3v2Size(d)
+    require(off + 4 <= d.length, s"${b.media_id}: payload too short for an MPEG frame")
+
+    var sampleRate = -1; var version = -1; var channels = -1
+    var mpegFrames = 0
+    val kbps = scala.collection.mutable.ArrayBuffer.empty[Int]
+
+    while (off + 4 <= d.length) {
+      val h = ((d(off) & 0xff) << 24) | ((d(off + 1) & 0xff) << 16) |
+        ((d(off + 2) & 0xff) << 8) | (d(off + 3) & 0xff)
+      if ((h >>> 21) != 0x7ff) {
+        // not a frame start: tolerate only an ID3v1 trailer ("TAG", 128
+        // bytes) or sub-header trailing slack; anything else is loud
+        val isId3v1 = d(off) == 'T' && off + 1 < d.length && d(off + 1) == 'A' &&
+          off + 2 < d.length && d(off + 2) == 'G' && d.length - off == 128
+        require(isId3v1, s"${b.media_id}: lost sync at byte $off (frame $mpegFrames)")
+        off = d.length
+      } else {
+        val ver = (h >>> 19) & 3   // 0=MPEG2.5, 2=MPEG2, 3=MPEG1
+        val layer = (h >>> 17) & 3 // 1 = Layer III
+        require(ver != 1 && layer == 1,
+          s"${b.media_id}: not MPEG Layer III (version bits $ver, layer bits $layer)")
+        val brIdx = (h >>> 12) & 0xf
+        val srIdx = (h >>> 10) & 3
+        val padding = (h >>> 9) & 1
+        val mode = (h >>> 6) & 3 // 3 = mono
+        val sr = (if (ver == 3) SrV1 else if (ver == 2) SrV2 else SrV25)(srIdx)
+        val br = (if (ver == 3) BitrateV1 else BitrateV2)(brIdx)
+        require(sr > 0, s"${b.media_id}: reserved sample-rate index")
+        require(br > 0, s"${b.media_id}: free-format/bad bitrate index $brIdx unsupported")
+        if (mpegFrames == 0) {
+          sampleRate = sr; version = ver; channels = if (mode == 3) 1 else 2
+        } else require(sr == sampleRate && ver == version,
+          s"${b.media_id}: frame $mpegFrames changes stream parameters")
+        // Layer III frame length: MPEG1 144·br/sr, MPEG2/2.5 72·br/sr
+        val len = (if (ver == 3) 144 else 72) * br * 1000 / sr + padding
+        require(len > 4, s"${b.media_id}: degenerate frame length $len")
+        kbps += br
+        mpegFrames += 1
+        off += len
+      }
+    }
+    require(mpegFrames > 0, s"${b.media_id}: no MPEG frames")
+    val samplesPerFrame = if (version == 3) 1152 else 576
+    // mean-bitrate envelope over featureDim equal time segments, /320
+    val feats = Array.tabulate(featureDim) { seg =>
+      val lo = (seg.toLong * mpegFrames / featureDim).toInt
+      val hi = (((seg + 1).toLong * mpegFrames) / featureDim).toInt
+      if (hi > lo) {
+        var s = 0L; var i = lo
+        while (i < hi) { s += kbps(i); i += 1 }
+        (s.toDouble / (hi - lo) / 320.0).toFloat
+      } else 0f
+    }
+    MediaFeature(b.media_id, b.kind, d.length,
+      width = sampleRate, height = channels,
+      n_frames = mpegFrames * samplesPerFrame, features = feats)
+  }
+}
+
+object Mp3Decoder {
+  /** Register under "mp3" — called once per JVM (idempotent TrieMap put). */
+  def register(): Unit =
+    MediaFeatures.Codecs.register("mp3", new Mp3Decoder(_))
+}
