@@ -337,6 +337,11 @@ object ScaleBench {
       "sk_hll_distinct" -> graft.queries.Sketches.hllDistinct _,
       "st_cohort_ltv" -> graft.queries.StreamingGates.cohortLtv _,
       "ta_dup_ngram_frac" -> graft.queries.LlmText.dupNgramFrac _,
+      "sk_kmv_intersect" -> graft.queries.Sketches.kmvIntersect _,
+      "ops_fdr_bh" -> graft.queries.StatOps.fdrBh _,
+      "ops_kruskal_wallis" -> graft.queries.StatOps.kruskalWallis _,
+      "ops_bootstrap_poisson" -> graft.queries.StatOps.bootstrapPoisson _,
+      "cu_pii_scrub" -> graft.queries.LlmCuration.piiScrub _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

@@ -1177,7 +1177,70 @@ object LlmCuration {
        |     ORDER BY weight DESC, doc_id) <= $DsirKeep) AS keep
        |FROM w ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- PII scrub
+
+  private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhonePat = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrubbing — the redaction pass every public-corpus pipeline
+    * runs before tokenization (C4 strips lines with "lorem ipsum" and
+    * braces; CCNet and Dolma mask emails/phones/IPs; see Soldaini et
+    * al. 2024 §2.3 "PII filtering"): mask email addresses and
+    * NANP-shaped phone numbers, and report per-row redaction counts so
+    * the pipeline can quarantine PII-dense documents rather than just
+    * silently rewrite them. The synthetic contact text is derived
+    * deterministically from the customer dimension (the corpus tables
+    * carry no PII by construction — which is itself the property the
+    * testdata should have); the OPERATOR is the regex algebra, which
+    * is dialect-portable: both engines run the same RE2-safe patterns
+    * (no backrefs, no lookaround), Spark's `regexp_replace` is global
+    * by default and DuckDB gets the explicit 'g' flag.
+    *
+    * Scale shape: a pure per-row projection — narrow column read, one
+    * whole-stage-codegen map, zero shuffles besides the deterministic
+    * output sort. At 100 TB this is the cheapest operator class there
+    * is; the regex cost is linear in bytes scanned.
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val email = concat(
+      regexp_replace(lower(col("c_name")), "#", "."), lit("@example.com"))
+    val phone = concat(
+      lpad((col("c_custkey") % 900 + 100).cast("string"), 3, "0"),
+      lit("-555-"), lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))
+    val text = concat(lit("contact "), email, lit(" or call "), phone,
+      lit(" ref #"), col("c_custkey").cast("string"))
+    Tables.t(s, dir, "customer")
+      .select(col("c_custkey"), text.as("text"))
+      .select(col("c_custkey"),
+        regexp_replace(regexp_replace(col("text"), EmailPat, "[EMAIL]"),
+          PhonePat, "[PHONE]").as("scrubbed"),
+        size(regexp_extract_all(col("text"), lit(EmailPat), lit(0)))
+          .cast(LongType).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhonePat), lit(0)))
+          .cast(LongType).as("n_phones"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val piiScrubOracle: String = {
+    val email = "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'"
+    val phone = "'[0-9]{3}-[0-9]{3}-[0-9]{4}'"
+    s"""WITH t AS (
+       |  SELECT c_custkey,
+       |    'contact ' || replace(lower(c_name), '#', '.') || '@example.com'
+       |    || ' or call ' || lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0')
+       |    || '-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+       |    || ' ref #' || CAST(c_custkey AS VARCHAR) AS text
+       |  FROM customer)
+       |SELECT c_custkey,
+       |  regexp_replace(regexp_replace(text, $email, '[EMAIL]', 'g'),
+       |    $phone, '[PHONE]', 'g') AS scrubbed,
+       |  CAST(len(regexp_extract_all(text, $email)) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, $phone)) AS BIGINT) AS n_phones
+       |FROM t ORDER BY c_custkey""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("cu_pii_scrub", piiScrub, Some(piiScrubOracle)),
     QueryDef("ta_js_divergence", jsDivergence, Some(jsDivergenceOracle)),
     QueryDef("ta_bigram_novelty", bigramNovelty, Some(bigramNoveltyOracle)),
     QueryDef("ta_heaps_fit", heapsFit, Some(heapsFitOracle)),

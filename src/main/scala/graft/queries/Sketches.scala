@@ -563,8 +563,113 @@ object Sketches {
        |    AS rel_error
        |FROM agg CROSS JOIN ex""".stripMargin
 
+  // ------------------------------------------------- theta set operations
+
+  /** Theta-sketch set operations (Dasgupta, Lang, Rhodes & Thaler,
+    * "A Framework for Estimating Cardinalities of Set Expressions",
+    * the DataSketches theta algebra): estimate |A ∪ B| and |A ∩ B|
+    * from two KMV sketches without ever materializing either set.
+    * Sets here: orders containing a returned ('R') line vs orders
+    * containing an accepted ('A') line — overlapping key populations.
+    *
+    * Algebra: each set keeps its k smallest distinct 60-bit hashes;
+    * θ = min(kth_A, kth_B); every retained hash < θ is a uniform
+    * sample of the union at rate θ/2⁶⁰, so |kept| · 2⁶⁰/θ estimates
+    * the union and |kept in both| · 2⁶⁰/θ the intersection — the
+    * estimator composes over set expressions, which is why warehouses
+    * ship it for audience-overlap queries. Exact counts ride along so
+    * the gate pins the estimator end-to-end, not a tolerance band.
+    *
+    * Determinism: hashes, ranks, θ, and kept counts are all exact
+    * integers; the two estimates each cross to DOUBLE in one final
+    * expression written identically in both engines.
+    *
+    * Scale shape: one distinct + WindowGroupLimit (top-k per set, no
+    * full sort) reduces each population to ≤k rows; everything after
+    * runs on ≤2k rows. The exact-count aggregate is one map-combined
+    * pass; its 1-row result joins the 1-row sketch summary (bounded
+    * BNLJ, allowlisted). At 100 TB the sketch state is still 2·256
+    * longs.
+    */
+  def kmvIntersect(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem").filter(col("l_returnflag").isin("A", "R"))
+    val hashes = li
+      .select(col("l_returnflag").as("st"),
+        h60(col("l_orderkey").cast("string")).as("h"))
+      .distinct()
+    val kept = hashes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("st")).orderBy(col("h"))))
+      .filter(col("rn") <= KmvK)
+    val sketch = kept
+      .withColumn("theta_set", max(col("h")).over(Window.partitionBy(col("st"))))
+      .withColumn("theta", min(col("theta_set")).over(Window.partitionBy()))
+      .filter(col("h") < col("theta"))
+      .groupBy(col("h"), col("theta"))
+      .agg(count(lit(1)).as("nsets"))
+      .groupBy(col("theta"))
+      .agg(count(lit(1)).as("kept_union"),
+        sum(when(col("nsets") === 2, 1L).otherwise(0L)).as("kept_inter"))
+    val exact = li
+      .groupBy(col("l_orderkey"))
+      .agg(max(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("a"),
+        max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("b"))
+      .agg(sum(col("a")).as("n_a_exact"), sum(col("b")).as("n_b_exact"),
+        sum(col("a") * col("b")).as("n_inter_exact"),
+        count(lit(1)).as("n_union_exact"))
+    val pow60 = lit(1152921504606846976L).cast(DoubleType)
+    sketch.crossJoin(broadcast(exact))
+      .select(col("n_a_exact"), col("n_b_exact"), col("n_inter_exact"),
+        col("n_union_exact"), col("theta"), col("kept_union"), col("kept_inter"),
+        round(col("kept_union").cast(DoubleType) * pow60
+          / col("theta").cast(DoubleType), 6).as("est_union"),
+        round(col("kept_inter").cast(DoubleType) * pow60
+          / col("theta").cast(DoubleType), 6).as("est_inter"))
+  }
+
+  val kmvIntersectOracle: String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT l_returnflag AS st,
+       |    ${h60Sql("CAST(l_orderkey AS VARCHAR)")} AS h
+       |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+       |kmv AS (
+       |  SELECT st, h FROM (
+       |    SELECT st, h, row_number() OVER (PARTITION BY st ORDER BY h) AS rn
+       |    FROM h) t
+       |  WHERE rn <= $KmvK),
+       |th AS (
+       |  SELECT MIN(theta_set) AS theta FROM (
+       |    SELECT st, MAX(h) AS theta_set FROM kmv GROUP BY st) q),
+       |kept AS (
+       |  SELECT h, theta, COUNT(*) AS nsets
+       |  FROM kmv CROSS JOIN th WHERE h < theta GROUP BY h, theta),
+       |sk AS (
+       |  SELECT theta, CAST(COUNT(*) AS BIGINT) AS kept_union,
+       |    CAST(SUM(CASE WHEN nsets = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS kept_inter
+       |  FROM kept GROUP BY theta),
+       |ex AS (
+       |  SELECT CAST(SUM(a) AS BIGINT) AS n_a_exact,
+       |    CAST(SUM(b) AS BIGINT) AS n_b_exact,
+       |    CAST(SUM(a * b) AS BIGINT) AS n_inter_exact,
+       |    CAST(COUNT(*) AS BIGINT) AS n_union_exact
+       |  FROM (
+       |    SELECT l_orderkey,
+       |      MAX(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS a,
+       |      MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS b
+       |    FROM lineitem WHERE l_returnflag IN ('A', 'R')
+       |    GROUP BY l_orderkey) g)
+       |SELECT n_a_exact, n_b_exact, n_inter_exact, n_union_exact, theta,
+       |  kept_union, kept_inter,
+       |  round(CAST(kept_union AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+       |    / CAST(theta AS DOUBLE), 6) AS est_union,
+       |  round(CAST(kept_inter AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+       |    / CAST(theta AS DOUBLE), 6) AS est_inter
+       |FROM sk CROSS JOIN ex""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("sk_hll_distinct", hllDistinct, Some(hllOracle)),
+    QueryDef("sk_kmv_intersect", kmvIntersect, Some(kmvIntersectOracle)),
     QueryDef("sk_kmv_distinct", kmvDistinct, Some(kmvOracle)),
     QueryDef("sk_kmv_agg", kmvAgg, Some(kmvOracle)),
     QueryDef("sk_countmin_topk", countMinTopk, Some(countMinOracle)),

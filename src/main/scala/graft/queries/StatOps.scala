@@ -1600,7 +1600,274 @@ object StatOps {
        |  (SELECT jackknife_se FROM se)
        |ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------ multiple testing
+
+  /** Benjamini–Hochberg FDR control (1995) over the per-event-type
+    * Welch tests — the multiple-comparisons step every metrics
+    * platform runs after a battery of per-segment tests: order the m
+    * p-values ascending, find the largest k with p_(k) ≤ k·q/m
+    * (q = 0.10), reject hypotheses 1..k. P-values come from the
+    * logistic approximation to the normal CDF (Bowling et al. 2009:
+    * Φ(x) ≈ 1/(1+e^(−1.702x)), max abs error < 0.0095) — two-sided
+    * p = 2/(1+e^(1.702·|t|)) — chosen because `exp` is the one
+    * transcendental both engines evaluate identically (the
+    * [[churnFit]] precedent); an inverse-t CDF is not
+    * cross-engine-expressible. All comparisons run on round-6 values
+    * so the accept/reject boundary is bit-identical in both engines.
+    *
+    * Scale shape: the expensive part IS [[welchTTest]] (one
+    * map-combined fact aggregate); BH itself runs on the m-row test
+    * grid — m = |event types|, never data-sized.
+    */
+  def fdrBh(s: SparkSession, dir: String): DataFrame = {
+    val wall = Window.partitionBy()
+    welchTTest(s, dir)
+      .select(col("event_type"), col("t_stat"))
+      .withColumn("p_value",
+        round(lit(2.0) / (lit(1.0) + exp(lit(1.702) * abs(col("t_stat")))), 6))
+      .withColumn("m", count(lit(1)).over(wall))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("p_value"), col("event_type"))))
+      .withColumn("crit",
+        round(col("rk").cast(DoubleType) * lit(0.1)
+          / col("m").cast(DoubleType), 6))
+      .withColumn("k_max",
+        max(when(col("p_value") <= col("crit"), col("rk")).otherwise(lit(0)))
+          .over(wall))
+      .select(col("event_type"), col("t_stat"), col("p_value"),
+        col("rk").cast(LongType).as("rk"), col("crit"),
+        when(col("rk") <= col("k_max"), 1).otherwise(0).as("rejected"))
+      .orderBy(col("rk"))
+  }
+
+  val fdrBhOracle: String =
+    s"""WITH w AS ($welchOracle),
+       |p AS (
+       |  SELECT event_type, t_stat,
+       |    round(2.0 / (1.0 + exp(1.702 * abs(t_stat))), 6) AS p_value
+       |  FROM w),
+       |r AS (
+       |  SELECT *, COUNT(*) OVER () AS m,
+       |    row_number() OVER (ORDER BY p_value, event_type) AS rk
+       |  FROM p),
+       |c AS (
+       |  SELECT *, round(CAST(rk AS DOUBLE) * 0.1 / CAST(m AS DOUBLE), 6)
+       |    AS crit
+       |  FROM r),
+       |k AS (
+       |  SELECT *, MAX(CASE WHEN p_value <= crit THEN rk ELSE 0 END)
+       |    OVER () AS k_max
+       |  FROM c)
+       |SELECT event_type, t_stat, p_value, CAST(rk AS BIGINT) AS rk, crit,
+       |  CAST(CASE WHEN rk <= k_max THEN 1 ELSE 0 END AS INT) AS rejected
+       |FROM k ORDER BY rk""".stripMargin
+
+  /** Kruskal–Wallis H (1952): the k-group rank ANOVA of event value
+    * across event types — [[mannWhitney]]'s k-sample generalization,
+    * with the tie correction C = 1 − Σ(t³−t)/(N³−N). Midranks stay
+    * exact integers by carrying 2·midrank = 2·rank_min + (ties−1);
+    * per-group Σ(2r̄)² terms cross to double once each and sum through
+    * DECIMAL(38,12) (the [[chi2Assoc]] device), so the statistic is
+    * order-of-aggregation-independent.
+    *
+    * Scale shape: one global rank window (a range-partitioned sort of
+    * the value column — the same shape as [[spearman]]; at 100 TB the
+    * rank would come from a two-pass histogram, same algebra), one
+    * hash aggregate to the k-row group grid, one vm-grouped tie
+    * aggregate whose 1-row total joins the grid (bounded broadcast).
+    */
+  def kruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(38, 0)
+    val ev = Tables.t(s, dir, "events")
+      .select(col("event_type").as("grp"),
+        round(col("value") * 1000000).cast(LongType).as("vm"))
+    val ranked = ev
+      .withColumn("rmin", rank().over(Window.orderBy(col("vm"))))
+      .withColumn("tcnt", count(lit(1)).over(Window.partitionBy(col("vm"))))
+      .withColumn("r2", lit(2L) * col("rmin") + col("tcnt") - lit(1L))
+    val grp = ranked.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("r2").cast(d)).as("s2"))
+    val ties = ev.groupBy(col("vm")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum((col("t") * col("t") * col("t") - col("t")).cast(d)),
+        lit(0).cast(d)).as("tie3"))
+    val wall = Window.partitionBy()
+    val h = lit(3.0) * col("ssd") /
+      (col("nn").cast(d) * (col("nn") + 1)).cast(DoubleType) -
+      lit(3.0) * (col("nn") + 1).cast(DoubleType)
+    val c = lit(1.0) - col("tie3").cast(DoubleType) /
+      (col("nn").cast(d) * col("nn") * col("nn") - col("nn")).cast(DoubleType)
+    grp
+      .withColumn("nn", sum(col("n")).over(wall))
+      .withColumn("ssd",
+        sum(((col("s2").cast(DoubleType) * col("s2").cast(DoubleType))
+          / col("n").cast(DoubleType)).cast(DecimalType(38, 12)))
+          .over(wall).cast(DoubleType))
+      .crossJoin(broadcast(ties))
+      .select(col("grp").as("event_type"), col("n"),
+        col("s2").cast(LongType).as("r2_sum"),
+        round(col("s2").cast(DoubleType)
+          / (lit(2.0) * col("n").cast(DoubleType)), 6).as("mean_rank"),
+        round(h, 6).as("h_stat"), round(c, 6).as("tie_c"),
+        round(h / c, 6).as("h_adj"))
+      .orderBy(col("event_type"))
+  }
+
+  val kruskalWallisOracle: String = {
+    val h = "3.0 * CAST(ssd AS DOUBLE) / CAST(nn * (nn + 1) AS DOUBLE) - 3.0 * CAST(nn + 1 AS DOUBLE)"
+    val c = "1.0 - CAST(tie3 AS DOUBLE) / CAST(nn * nn * nn - nn AS DOUBLE)"
+    s"""WITH ev AS (
+       |  SELECT event_type AS grp,
+       |    CAST(round("value" * 1000000) AS BIGINT) AS vm
+       |  FROM events),
+       |rk AS (
+       |  SELECT grp, vm, rank() OVER (ORDER BY vm) AS rmin,
+       |    COUNT(*) OVER (PARTITION BY vm) AS tcnt
+       |  FROM ev),
+       |r2 AS (SELECT grp, 2 * rmin + tcnt - 1 AS r2 FROM rk),
+       |g AS (
+       |  SELECT grp, COUNT(*) AS n, SUM(CAST(r2 AS DECIMAL(38,0))) AS s2
+       |  FROM r2 GROUP BY grp),
+       |t3 AS (
+       |  SELECT COALESCE(SUM(CAST(t * t * t - t AS DECIMAL(38,0))),
+       |    CAST(0 AS DECIMAL(38,0))) AS tie3
+       |  FROM (SELECT vm, COUNT(*) AS t FROM ev GROUP BY vm) q),
+       |w AS (
+       |  SELECT grp, n, s2, SUM(n) OVER () AS nn,
+       |    SUM(CAST((CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+       |      / CAST(n AS DOUBLE) AS DECIMAL(38,12))) OVER () AS ssd
+       |  FROM g)
+       |SELECT grp AS event_type, CAST(n AS BIGINT) AS n,
+       |  CAST(s2 AS BIGINT) AS r2_sum,
+       |  round(CAST(s2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)), 6) AS mean_rank,
+       |  round($h, 6) AS h_stat,
+       |  round($c, 6) AS tie_c,
+       |  round(($h) / ($c), 6) AS h_adj
+       |FROM w CROSS JOIN t3 ORDER BY event_type""".stripMargin
+  }
+
+  // Poisson(1) inverse CDF as 8-hex-digit thresholds on a uniform
+  // md5 draw: cumulative e^{-1}·Σ 1/k! scaled by 16^8, precomputed as
+  // literals (the benford device) so both engines compare the SAME
+  // hex strings. P(X > 6) ≈ 8.3e-5 truncates to w = 6.
+  private val PoissonHex =
+    Seq("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797", "ff1025f5", "ffd90f3b")
+  private val BootR = 25
+
+  /** Poisson bootstrap (Chamandy et al. 2012, "Estimating Uncertainty
+    * for Massive Data Streams" — the Google recipe for bootstrap on
+    * sharded data): instead of resampling n rows with replacement
+    * (which needs global coordination), weight every row independently
+    * with w ~ Poisson(1) per resample r — at n → ∞ the two schemes
+    * coincide, and the weighted pass is embarrassingly parallel. Here:
+    * R = 25 deterministic resamples of mean order price per priority,
+    * reporting the full-sample mean, the bootstrap mean / SE (over
+    * resample means, the Σ-through-DECIMAL device), and the min/max
+    * resample envelope. Draws are md5-derived (hash-deterministic: the
+    * same row gets the same weight in both engines and on re-run).
+    *
+    * Scale shape: the fact scan fans out ×R through a 25-row literal
+    * grid (bounded BNLJ), then map-side combines straight down to the
+    * (priority × r) grid — shuffle volume is k·R rows, not n·R; the
+    * envelope/SE pass runs on that grid. This is why Poisson beats
+    * index-resampling at 100 TB: no shuffle ever carries resampled
+    * data rows.
+    */
+  def bootstrapPoisson(s: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(38, 0)
+    val d12 = DecimalType(38, 12)
+    val o = Tables.t(s, dir, "orders")
+      .select(col("o_orderpriority").as("pri"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+    val reps = s.range(1, BootR + 1).toDF("r")
+    val u8 = substring(md5(concat(col("o_orderkey").cast("string"),
+      lit(":boot"), col("r").cast("string"))), 1, 8)
+    val w = PoissonHex.zipWithIndex.foldRight(lit(6L): Column) {
+      case ((hex, k), rest) => when(u8 < hex, k.toLong).otherwise(rest)
+    }
+    val res = o.crossJoin(broadcast(reps))
+      .select(col("pri"), col("r"), w.as("w"), col("cents"))
+      .groupBy(col("pri"), col("r"))
+      .agg(sum(col("w").cast(d)).as("sw"),
+        sum((col("w") * col("cents")).cast(d)).as("swc"))
+      .withColumn("mean_r",
+        col("swc").cast(DoubleType) / col("sw").cast(DoubleType))
+    val wpri = Window.partitionBy(col("pri"))
+    val boot = res
+      .withColumn("mbar", sum(col("mean_r").cast(d12)).over(wpri)
+        .cast(DoubleType) / lit(BootR.toDouble))
+      .groupBy(col("pri"))
+      .agg(max(col("mbar")).as("mbar"),
+        sum(((col("mean_r") - col("mbar")) * (col("mean_r") - col("mbar")))
+          .cast(d12)).as("sdev2"),
+        min(col("mean_r")).as("lo"), max(col("mean_r")).as("hi"))
+    val full = o.groupBy(col("pri"))
+      .agg(count(lit(1)).as("n"), sum(col("cents").cast(d)).as("sc"))
+    full.join(boot, "pri")
+      .select(col("pri").as("o_orderpriority"), col("n"),
+        round(col("sc").cast(DoubleType) / col("n").cast(DoubleType)
+          / 100.0, 6).as("mean_price"),
+        round(col("mbar") / 100.0, 6).as("boot_mean"),
+        round(sqrt(col("sdev2").cast(DoubleType) / lit((BootR - 1).toDouble))
+          / 100.0, 6).as("boot_se"),
+        round(col("lo") / 100.0, 6).as("boot_lo"),
+        round(col("hi") / 100.0, 6).as("boot_hi"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val bootstrapPoissonOracle: String = {
+    val wCase = PoissonHex.zipWithIndex
+      .map { case (hex, k) => s"WHEN u8 < '$hex' THEN $k" }
+      .mkString("CASE ", " ", " ELSE 6 END")
+    s"""WITH o AS (
+       |  SELECT o_orderpriority AS pri, o_orderkey,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders),
+       |reps AS (SELECT unnest(range(1, ${BootR + 1})) AS r),
+       |wts AS (
+       |  SELECT pri, r, cents, $wCase AS w
+       |  FROM (
+       |    SELECT o.*, reps.r,
+       |      substr(md5(CAST(o_orderkey AS VARCHAR) || ':boot'
+       |        || CAST(r AS VARCHAR)), 1, 8) AS u8
+       |    FROM o CROSS JOIN reps) q),
+       |res AS (
+       |  SELECT pri, r, SUM(CAST(w AS DECIMAL(38,0))) AS sw,
+       |    SUM(CAST(w * cents AS DECIMAL(38,0))) AS swc
+       |  FROM wts GROUP BY pri, r),
+       |m AS (
+       |  SELECT pri, r,
+       |    CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE) AS mean_r
+       |  FROM res),
+       |mb AS (
+       |  SELECT pri, r, mean_r,
+       |    CAST(SUM(CAST(mean_r AS DECIMAL(38,12))) OVER (PARTITION BY pri)
+       |      AS DOUBLE) / ${BootR}.0 AS mbar
+       |  FROM m),
+       |bt AS (
+       |  SELECT pri, MAX(mbar) AS mbar,
+       |    SUM(CAST((mean_r - mbar) * (mean_r - mbar) AS DECIMAL(38,12)))
+       |      AS sdev2,
+       |    MIN(mean_r) AS lo, MAX(mean_r) AS hi
+       |  FROM mb GROUP BY pri),
+       |fs AS (
+       |  SELECT pri, COUNT(*) AS n, SUM(CAST(cents AS DECIMAL(38,0))) AS sc
+       |  FROM o GROUP BY pri)
+       |SELECT pri AS o_orderpriority, CAST(n AS BIGINT) AS n,
+       |  round(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6)
+       |    AS mean_price,
+       |  round(mbar / 100.0, 6) AS boot_mean,
+       |  round(sqrt(CAST(sdev2 AS DOUBLE) / ${BootR - 1}.0) / 100.0, 6)
+       |    AS boot_se,
+       |  round(lo / 100.0, 6) AS boot_lo,
+       |  round(hi / 100.0, 6) AS boot_hi
+       |FROM fs JOIN bt USING (pri) ORDER BY o_orderpriority""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ops_fdr_bh", fdrBh, Some(fdrBhOracle)),
+    QueryDef("ops_kruskal_wallis", kruskalWallis, Some(kruskalWallisOracle)),
+    QueryDef("ops_bootstrap_poisson", bootstrapPoisson,
+      Some(bootstrapPoissonOracle)),
     QueryDef("ops_jackknife_se", jackknifeSe, Some(jackknifeSeOracle)),
     QueryDef("ops_ipw_ate", ipwAte, Some(ipwAteOracle)),
     QueryDef("ops_gains_curve", gainsCurve, Some(gainsCurveOracle)),

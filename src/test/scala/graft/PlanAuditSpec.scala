@@ -78,7 +78,13 @@ class PlanAuditSpec extends SparkSpec {
       "sim_sq8_topk",
       // kNN classify: the <=KnnTestSplit-row (literal filter) test
       // split broadcast against the train scan, sim_topk_exact's shape
-      "sim_knn_classify")
+      "sim_knn_classify",
+      // 1-row exact-count aggregate onto the 1-row theta-sketch summary
+      "sk_kmv_intersect",
+      // 1-row tie-correction aggregate onto the 5-row group grid
+      "ops_kruskal_wallis",
+      // 25-row literal resample grid fanned onto the fact scan
+      "ops_bootstrap_poisson")
 
   // the oracle-less bench-only twins stay under the same plan audit:
   // they run in every bench even though they left the correctness map
@@ -177,7 +183,13 @@ class PlanAuditSpec extends SparkSpec {
       // SQ8 trainer (1-row array pair) + <=NQueries-row code queries
       "sim_sq8_topk",
       // <=KnnTestSplit-row literal-filtered test split
-      "sim_knn_classify")
+      "sim_knn_classify",
+      // 1-row exact-count aggregate beside the 1-row sketch summary
+      "sk_kmv_intersect",
+      // 1-row tie-correction aggregate
+      "ops_kruskal_wallis",
+      // 25-row literal resample grid
+      "ops_bootstrap_poisson")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>

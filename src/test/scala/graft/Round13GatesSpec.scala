@@ -297,4 +297,192 @@ class Round13GatesSpec extends SparkSpec {
       Some(r6(wsum.toDouble / nAll)))
     assert(got.toSeq === (all +: refRows), "strata or ATE mismatch")
   }
+
+  // shared md5-derived 60-bit hash (the Sketches.h60 device), replayed
+  // independently of Spark's conv/substring pipeline
+  private def md5h60(sv: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  private def md5hex8(sv: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+
+  // the engine's Σ-through-DECIMAL(38,12) device: each double term is
+  // rounded to 12 dp (HALF_UP, Spark's cast semantics) before the sum
+  private def decSum12(xs: Iterable[Double]): Double =
+    xs.map(x => BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+
+  test("sk_kmv_intersect: theta algebra replays a driver-side sketch build") {
+    val got = graft.queries.Sketches.kmvIntersect(spark, dir).collect().head
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_returnflag")
+      .filter("l_returnflag IN ('A','R')").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val setA = li.filter(_._2 == "A").map(_._1).toSet
+    val setB = li.filter(_._2 == "R").map(_._1).toSet
+    val k = graft.functions.KmvSketch.K
+    val kA = setA.toSeq.map(x => md5h60(x.toString)).sorted.take(k)
+    val kB = setB.toSeq.map(x => md5h60(x.toString)).sorted.take(k)
+    val theta = math.min(kA.last, kB.last)
+    val keptA = kA.filter(_ < theta).toSet
+    val keptB = kB.filter(_ < theta).toSet
+    assert(got.getLong(0) === setA.size.toLong)
+    assert(got.getLong(1) === setB.size.toLong)
+    assert(got.getLong(2) === (setA intersect setB).size.toLong)
+    assert(got.getLong(3) === (setA union setB).size.toLong)
+    assert(got.getLong(4) === theta)
+    assert(got.getLong(5) === (keptA union keptB).size.toLong)
+    assert(got.getLong(6) === (keptA intersect keptB).size.toLong)
+    val pow60 = math.pow(2, 60)
+    assert(got.getDouble(7) ===
+      r6((keptA union keptB).size.toDouble * pow60 / theta.toDouble))
+    assert(got.getDouble(8) ===
+      r6((keptA intersect keptB).size.toDouble * pow60 / theta.toDouble))
+    // the estimates estimate: within 4 relative standard errors of truth
+    // wherever the sketch is saturated (rse ≈ 1/sqrt(k-1))
+    val rse = 4.0 / math.sqrt((k - 1).toDouble)
+    val union = (setA union setB).size.toDouble
+    assert(math.abs(got.getDouble(7) - union) / union < rse)
+  }
+
+  test("ops_fdr_bh: step-up threshold replays the BH procedure over the welch grid") {
+    val got = StatOps.fdrBh(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+    assert(got.nonEmpty)
+    val welch = StatOps.welchTTest(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("t_stat")).toSeq
+    val m = welch.size
+    val ranked = welch
+      .map { case (et, t) => (et, t, r6(2.0 / (1.0 + math.exp(1.702 * math.abs(t))))) }
+      .sortBy { case (et, _, p) => (p, et) }
+      .zipWithIndex
+      .map { case ((et, t, p), i) =>
+        (et, t, p, (i + 1).toLong, r6((i + 1).toDouble * 0.1 / m.toDouble))
+      }
+    val kMax = ranked.collect { case (_, _, p, rk, crit) if p <= crit => rk }
+      .foldLeft(0L)(math.max)
+    val ref = ranked.map { case (et, t, p, rk, crit) =>
+      (et, t, p, rk, crit, if (rk <= kMax) 1 else 0)
+    }
+    assert(got.toSeq === ref)
+    // p-values are honest probabilities and monotone in rank
+    assert(ref.forall(r => r._3 > 0.0 && r._3 <= 1.0))
+    assert(ref.map(_._3) === ref.map(_._3).sorted)
+  }
+
+  test("ops_kruskal_wallis: midranks, H, and tie correction replay driver-side") {
+    val got = StatOps.kruskalWallis(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.nonEmpty)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("event_type", "CAST(round(value * 1000000) AS BIGINT) AS vm")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = ev.length
+    // midrank in halves: 2*midrank = 2*min_rank + (ties - 1)
+    val byVm = ev.map(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    val minRank = {
+      val sorted = ev.map(_._2).sorted
+      sorted.distinct.map(v => v -> (sorted.indexWhere(_ == v) + 1).toLong).toMap
+    }
+    val r2 = ev.map { case (g, v) => (g, 2L * minRank(v) + byVm(v) - 1L) }
+    val groups = r2.groupBy(_._1).map { case (g, xs) =>
+      (g, xs.length.toLong, xs.map(_._2).sum)
+    }.toSeq.sortBy(_._1)
+    val tie3 = byVm.values.map(t => t.toLong * t * t - t).sum
+    val ssd = decSum12(groups.map { case (_, ni, s2) =>
+      s2.toDouble * s2.toDouble / ni.toDouble
+    })
+    val h = 3.0 * ssd / (n.toLong * (n + 1L)).toDouble - 3.0 * (n + 1L).toDouble
+    val c = 1.0 - tie3.toDouble / (n.toLong * n * n - n).toDouble
+    val ref = groups.map { case (g, ni, s2) =>
+      (g, ni, s2, r6(s2.toDouble / (2.0 * ni.toDouble)), r6(h), r6(c), r6(h / c))
+    }
+    got.zip(ref).foreach { case (a, b) =>
+      assert(a._1 === b._1); assert(a._2 === b._2); assert(a._3 === b._3)
+      assert(math.abs(a._4 - b._4) <= 1e-9, s"mean_rank ${a._1}")
+      assert(math.abs(a._5 - b._5) <= 1e-9, s"h_stat")
+      assert(math.abs(a._6 - b._6) <= 1e-9, s"tie_c")
+      assert(math.abs(a._7 - b._7) <= 1e-9, s"h_adj")
+    }
+    // H is nonnegative and the tie correction is a (0,1] shrinker
+    assert(got.head._5 >= 0.0 && got.head._6 > 0.0 && got.head._6 <= 1.0)
+  }
+
+  test("ops_bootstrap_poisson: hash draws, weights, and SE replay driver-side") {
+    val got = StatOps.bootstrapPoisson(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.nonEmpty)
+    val hexCdf = Seq("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
+      "ff1025f5", "ffd90f3b")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("o_orderpriority", "o_orderkey",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bootR = 25
+    val ref = orders.groupBy(_._1).map { case (pri, os) =>
+      val means = (1 to bootR).map { r =>
+        var sw = 0L; var swc = 0L
+        os.foreach { case (_, key, cents) =>
+          val u8 = md5hex8(s"$key:boot$r")
+          val w = hexCdf.indexWhere(u8 < _) match {
+            case -1 => 6L
+            case k => k.toLong
+          }
+          sw += w; swc += w * cents
+        }
+        swc.toDouble / sw.toDouble
+      }
+      val mbar = decSum12(means) / bootR.toDouble
+      val sdev2 = decSum12(means.map(x => (x - mbar) * (x - mbar)))
+      val n = os.length.toLong
+      val sc = os.map(_._3).sum
+      (pri, n, r6(sc.toDouble / n.toDouble / 100.0), r6(mbar / 100.0),
+        r6(math.sqrt(sdev2 / (bootR - 1).toDouble) / 100.0),
+        r6(means.min / 100.0), r6(means.max / 100.0))
+    }.toSeq.sortBy(_._1)
+    got.zip(ref).foreach { case (a, b) =>
+      assert(a._1 === b._1); assert(a._2 === b._2)
+      assert(math.abs(a._3 - b._3) <= 1e-9, s"mean_price ${a._1}")
+      assert(math.abs(a._4 - b._4) <= 1e-9, s"boot_mean ${a._1}")
+      assert(math.abs(a._5 - b._5) <= 1e-9, s"boot_se ${a._1}")
+      assert(math.abs(a._6 - b._6) <= 1e-9, s"boot_lo ${a._1}")
+      assert(math.abs(a._7 - b._7) <= 1e-9, s"boot_hi ${a._1}")
+    }
+    // the bootstrap mean tracks the sample mean (they estimate the same
+    // thing) and the envelope brackets it
+    got.foreach { r =>
+      assert(math.abs(r._4 - r._3) < 5 * r._5 + 1e-6, s"boot mean far: $r")
+      assert(r._6 <= r._4 && r._4 <= r._7, s"envelope: $r")
+    }
+  }
+
+  test("cu_pii_scrub: masks and counts replay java.util.regex driver-side") {
+    val got = graft.queries.LlmCuration.piiScrub(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .selectExpr("c_custkey", "c_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}".r
+    val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}".r
+    val ref = cust.map { case (k, name) =>
+      val text = s"contact ${name.toLowerCase.replace('#', '.')}@example.com" +
+        f" or call ${k % 900 + 100}%03d-555-${k % 10000}%04d ref #$k"
+      val scrubbed = phone.replaceAllIn(
+        email.replaceAllIn(text, "[EMAIL]"), "[PHONE]")
+      (k, scrubbed, email.findAllIn(text).size.toLong,
+        phone.findAllIn(text).size.toLong)
+    }
+    assert(got.toSeq === ref.toSeq)
+    // every row had exactly one email and one phone, and neither survives
+    assert(ref.forall(r => r._3 === 1L && r._4 === 1L))
+    assert(ref.forall(r => !r._2.contains("@example.com")))
+  }
 }
