@@ -342,6 +342,11 @@ object ScaleBench {
       "ops_kruskal_wallis" -> graft.queries.StatOps.kruskalWallis _,
       "ops_bootstrap_poisson" -> graft.queries.StatOps.bootstrapPoisson _,
       "cu_pii_scrub" -> graft.queries.LlmCuration.piiScrub _,
+      "ops_auc_roc" -> graft.queries.StatOps.aucRoc _,
+      "ops_calibration_ece" -> graft.queries.StatOps.calibrationEce _,
+      "ops_cohens_kappa" -> graft.queries.StatOps.cohensKappa _,
+      "ops_logrank_test" -> graft.queries.StatOps.logrankTest _,
+      "ops_bootstrap_xxhash" -> graft.queries.StatOps.bootstrapPoissonXx _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

@@ -21,7 +21,7 @@ object SparkEntry {
     * property-pinned by their specs.
     */
   def benchOnlyDefs: Seq[QueryDef] =
-    graft.queries.Sketches.benchOnlyDefs
+    graft.queries.Sketches.benchOnlyDefs ++ graft.queries.StatOps.benchOnlyDefs
 
   private lazy val queries_ : Map[String, QueryDef] = {
     val defs =

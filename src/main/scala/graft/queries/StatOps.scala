@@ -1863,7 +1863,404 @@ object StatOps {
        |FROM fs JOIN bt USING (pri) ORDER BY o_orderpriority""".stripMargin
   }
 
+  // ----------------------------------------------- classifier readout
+
+  /** ROC AUC by the rank statistic (Hanley & McNeil 1982: AUC =
+    * U/(n₁n₀), the Mann–Whitney identity) — the standard quality
+    * readout for any scoring model, here probing how well raw user
+    * activity (event count) predicts conversion (the [[abLift]]
+    * outcome). Integer scores tie heavily, which is exactly what the
+    * midrank machinery is for: 2·midrank = 2·rank_min + (ties−1)
+    * stays integer ([[kruskalWallis]] device), so
+    * AUC = (Σ2r₊ − n₁(n₁+1)) / (2n₁n₀) is an exact integer ratio
+    * crossed to DOUBLE in one division; Gini = 2·AUC − 1 likewise.
+    *
+    * Scale shape: one map-combined fact aggregate to users, one
+    * global rank window over the user grid (at 100 TB: two-pass
+    * histogram ranking, same algebra), one 1-row aggregate.
+    */
+  def aucRoc(s: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(38, 0)
+    val users = Tables.t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("score"),
+        max(when(col("event_type") === "purchase" &&
+            get_json_object(col("props"), "$.k").cast(IntegerType) >= 95, 1L)
+          .otherwise(0L)).as("label"))
+    val ranked = users
+      .withColumn("rmin", rank().over(Window.orderBy(col("score"))))
+      .withColumn("tcnt", count(lit(1)).over(Window.partitionBy(col("score"))))
+      .withColumn("r2", lit(2L) * col("rmin") + col("tcnt") - lit(1L))
+    val agg = ranked.agg(count(lit(1)).as("n_users"),
+      sum(col("label")).as("n_pos"),
+      sum(when(col("label") === 1L, col("r2")).otherwise(lit(0L)).cast(d))
+        .as("s2_pos"))
+    agg.select(col("n_users"), col("n_pos"),
+        (col("n_users") - col("n_pos")).as("n_neg"),
+        (col("s2_pos").cast(d) - col("n_pos").cast(d) * (col("n_pos") + 1))
+          .cast(LongType).as("auc_num"))
+      .select(col("n_users"), col("n_pos"), col("n_neg"),
+        round(col("auc_num").cast(DoubleType) /
+          (lit(2.0) * (col("n_pos").cast(d) * col("n_neg")).cast(DoubleType)),
+          6).as("auc"),
+        round(col("auc_num").cast(DoubleType) /
+          (col("n_pos").cast(d) * col("n_neg")).cast(DoubleType) - lit(1.0),
+          6).as("gini_auc"))
+  }
+
+  val aucRocOracle: String =
+    """WITH users AS (
+      |  SELECT user_id, COUNT(*) AS score,
+      |    MAX(CASE WHEN event_type = 'purchase'
+      |      AND CAST(json_extract_string(props, '$.k') AS INTEGER) >= 95
+      |      THEN 1 ELSE 0 END) AS label
+      |  FROM events GROUP BY 1),
+      |rk AS (
+      |  SELECT label, rank() OVER (ORDER BY score) AS rmin,
+      |    COUNT(*) OVER (PARTITION BY score) AS tcnt
+      |  FROM users),
+      |r2 AS (SELECT label, 2 * rmin + tcnt - 1 AS r2 FROM rk),
+      |agg AS (
+      |  SELECT COUNT(*) AS n_users, SUM(label) AS n_pos,
+      |    SUM(CASE WHEN label = 1 THEN CAST(r2 AS DECIMAL(38,0))
+      |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS s2_pos
+      |  FROM r2),
+      |base AS (
+      |  SELECT CAST(n_users AS BIGINT) AS n_users,
+      |    CAST(n_pos AS BIGINT) AS n_pos,
+      |    CAST(n_users - n_pos AS BIGINT) AS n_neg,
+      |    CAST(s2_pos - n_pos * (n_pos + 1) AS BIGINT) AS auc_num
+      |  FROM agg)
+      |SELECT n_users, n_pos, n_neg,
+      |  round(CAST(auc_num AS DOUBLE)
+      |    / (2.0 * CAST(n_pos * n_neg AS DOUBLE)), 6) AS auc,
+      |  round(CAST(auc_num AS DOUBLE)
+      |    / CAST(n_pos * n_neg AS DOUBLE) - 1.0, 6) AS gini_auc
+      |FROM base""".stripMargin
+
+  /** Reliability diagram + expected calibration error (Guo et al.
+    * 2017 "On Calibration of Modern Neural Networks", eq. 2) for a
+    * deterministic confidence score: p̂ = cnt/(cnt+10) (a monotone
+    * activity-based pseudo-probability) against the conversion
+    * outcome. The 10-bin assignment runs ENTIRELY in integers —
+    * bin = ⌊10·p̂⌋ = (10·cnt) DIV (cnt+10) — so no row ever sits on a
+    * floating bin boundary; per-bin confidence averages the exact
+    * rationals through the Σ-dec12 device, observed rates are exact
+    * integer ratios, and ECE = Σ (n_b/N)·|obs−conf| sums per-bin
+    * doubles through DECIMAL(38,12).
+    *
+    * Scale shape: one map-combined fact aggregate to users, one hash
+    * aggregate to ≤10 bin rows, windowed ECE over the bin grid.
+    */
+  def calibrationEce(s: SparkSession, dir: String): DataFrame = {
+    val d12 = DecimalType(38, 12)
+    val users = Tables.t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"),
+        max(when(col("event_type") === "purchase" &&
+            get_json_object(col("props"), "$.k").cast(IntegerType) >= 95, 1L)
+          .otherwise(0L)).as("label"))
+      .select(expr("(10 * cnt) DIV (cnt + 10)").as("bin"),
+        (col("cnt").cast(DoubleType) /
+          (col("cnt") + 10).cast(DoubleType)).as("conf"), col("label"))
+    val bins = users.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("conf").cast(d12)).as("conf_sum"),
+        sum(col("label")).as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("conf_sum").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("conf"),
+        (col("n_pos").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("obs"))
+    val wall = Window.partitionBy()
+    bins
+      .withColumn("nn", sum(col("n")).over(wall))
+      .withColumn("ece",
+        sum(((col("n").cast(DoubleType) * abs(col("obs") - col("conf"))))
+          .cast(d12)).over(wall).cast(DoubleType))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("conf"), 6).as("conf"), round(col("obs"), 6).as("obs"),
+        round(abs(col("obs") - col("conf")), 6).as("gap"),
+        round(col("ece") / col("nn").cast(DoubleType), 6).as("ece"))
+      .orderBy(col("bin"))
+  }
+
+  val calibrationEceOracle: String =
+    """WITH users AS (
+      |  SELECT user_id, COUNT(*) AS cnt,
+      |    MAX(CASE WHEN event_type = 'purchase'
+      |      AND CAST(json_extract_string(props, '$.k') AS INTEGER) >= 95
+      |      THEN 1 ELSE 0 END) AS label
+      |  FROM events GROUP BY 1),
+      |scored AS (
+      |  SELECT (10 * cnt) // (cnt + 10) AS bin,
+      |    CAST(cnt AS DOUBLE) / CAST(cnt + 10 AS DOUBLE) AS conf, label
+      |  FROM users),
+      |bins AS (
+      |  SELECT bin, COUNT(*) AS n,
+      |    SUM(CAST(conf AS DECIMAL(38,12))) AS conf_sum,
+      |    SUM(label) AS n_pos
+      |  FROM scored GROUP BY bin),
+      |rates AS (
+      |  SELECT bin, n, n_pos,
+      |    CAST(conf_sum AS DOUBLE) / CAST(n AS DOUBLE) AS conf,
+      |    CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS obs
+      |  FROM bins),
+      |tot AS (
+      |  SELECT *, SUM(n) OVER () AS nn,
+      |    CAST(SUM(CAST(CAST(n AS DOUBLE) * abs(obs - conf)
+      |      AS DECIMAL(38,12))) OVER () AS DOUBLE) AS ece_num
+      |  FROM rates)
+      |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+      |  CAST(n_pos AS BIGINT) AS n_pos,
+      |  round(conf, 6) AS conf, round(obs, 6) AS obs,
+      |  round(abs(obs - conf), 6) AS gap,
+      |  round(ece_num / CAST(nn AS DOUBLE), 6) AS ece
+      |FROM tot ORDER BY bin""".stripMargin
+
+  /** Cohen's kappa (1960) between two deterministic document-quality
+    * raters — the inter-annotator-agreement number every labeling /
+    * LLM-judge pipeline reports before trusting its labels. Rater A:
+    * the length gate (n_chars ≥ 250); rater B: the lexical-diversity
+    * gate (2·types ≥ tokens — TTR ≥ 0.5 decided in integers, no
+    * float boundary). κ = (p_o − p_e)/(1 − p_e) reduces to the exact
+    * integer ratio (N·(n₁₁+n₀₀) − X)/(N² − X) with
+    * X = a₁b₁ + a₀b₀ — ONE double division total.
+    *
+    * Scale shape: one explode-aggregate for per-doc token/type counts
+    * (the postings pass every ta_* gate shares), one 1-row contingency
+    * aggregate.
+    */
+  def cohensKappa(s: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(38, 0)
+    val docs = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("tok")).as("n_typ"))
+      .select(
+        when(col("n_chars") >= 250, 1L).otherwise(0L).as("a"),
+        when(col("n_typ") * 2 >= col("n_tok"), 1L).otherwise(0L).as("b"))
+    val cells = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("a") * col("b")).as("n11"),
+      sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+      sum((lit(1L) - col("a")) * col("b")).as("n01"),
+      sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+    val x = (col("n11") + col("n10")).cast(d) * (col("n11") + col("n01")) +
+      (col("n01") + col("n00")).cast(d) * (col("n10") + col("n00"))
+    cells
+      .withColumn("po_num", (col("n11") + col("n00")).cast(LongType))
+      .withColumn("x", x)
+      .select(col("n_docs"), col("n11"), col("n10"), col("n01"), col("n00"),
+        round(col("po_num").cast(DoubleType) / col("n_docs").cast(DoubleType),
+          6).as("p_o"),
+        round(col("x").cast(DoubleType) /
+          (col("n_docs").cast(d) * col("n_docs")).cast(DoubleType), 6)
+          .as("p_e"),
+        round((col("n_docs").cast(d) * col("po_num") - col("x"))
+          .cast(DoubleType) /
+          (col("n_docs").cast(d) * col("n_docs") - col("x")).cast(DoubleType),
+          6).as("kappa"))
+  }
+
+  val cohensKappaOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |counts AS (
+      |  SELECT doc_id, n_chars, COUNT(*) AS n_tok,
+      |    COUNT(DISTINCT tok) AS n_typ
+      |  FROM toks GROUP BY doc_id, n_chars),
+      |raters AS (
+      |  SELECT CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN n_typ * 2 >= n_tok THEN 1 ELSE 0 END AS b
+      |  FROM counts),
+      |cells AS (
+      |  SELECT COUNT(*) AS n_docs, SUM(a * b) AS n11,
+      |    SUM(a * (1 - b)) AS n10, SUM((1 - a) * b) AS n01,
+      |    SUM((1 - a) * (1 - b)) AS n00
+      |  FROM raters),
+      |k AS (
+      |  SELECT *, n11 + n00 AS po_num,
+      |    (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS x
+      |  FROM cells)
+      |SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n11 AS BIGINT) AS n11,
+      |  CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+      |  CAST(n00 AS BIGINT) AS n00,
+      |  round(CAST(po_num AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS p_o,
+      |  round(CAST(x AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE), 6) AS p_e,
+      |  round(CAST(n_docs * po_num - x AS DOUBLE)
+      |    / CAST(n_docs * n_docs - x AS DOUBLE), 6) AS kappa
+      |FROM k""".stripMargin
+
+  /** Two-arm log-rank test (Mantel 1966) over the [[survivalKm]]
+    * time-to-churn structure, split by the experiment arms: at each
+    * churn time, expected arm-A deaths under H₀ are d_t·n₁ₜ/n_t and
+    * the hypergeometric variance is d_t·(n₁ₜ/n_t)·(n₂ₜ/n_t)·
+    * (n_t−d_t)/(n_t−1); χ² = (Σ(d₁ₜ−E₁ₜ))²/ΣV_t. The at-risk counts
+    * are integer window cumsums per arm; per-time fraction terms
+    * cross to double once each and sum through DECIMAL(38,12).
+    *
+    * Scale shape: one map-combined fact aggregate to users, one
+    * aggregate to the (t, arm) grid, two windowed passes over the
+    * time grid — bounded by the observation calendar, not the corpus.
+    */
+  def logrankTest(s: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600000000L
+    val d12 = DecimalType(38, 12)
+    val users = Tables.t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+    val bounds = users.agg(max(col("last_us")).as("end_us"))
+    val lives = users.crossJoin(broadcast(bounds))
+      .select(when(col("user_id") % 2 === 0, "A").otherwise("B").as("arm"),
+        expr(s"(last_us - first_us) DIV $HourUs").as("t"),
+        (col("last_us") < col("end_us") - SurvivalCensorHours * HourUs)
+          .cast(LongType).as("churn"))
+    val grid = lives.groupBy(col("t"))
+      .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("c2"),
+        sum(when(col("arm") === "A", col("churn")).otherwise(0L)).as("d1"),
+        sum(when(col("arm") === "B", col("churn")).otherwise(0L)).as("d2"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = grid
+      .withColumn("n1", sum(col("c1")).over(wDesc))
+      .withColumn("n2", sum(col("c2")).over(wDesc))
+      .filter(col("d1") + col("d2") > 0)
+    val nT = (col("n1") + col("n2")).cast(DoubleType)
+    val dT = (col("d1") + col("d2")).cast(DoubleType)
+    val oe = col("d1").cast(DoubleType) -
+      dT * col("n1").cast(DoubleType) / nT
+    val vt = dT * (col("n1").cast(DoubleType) / nT) *
+      (col("n2").cast(DoubleType) / nT) *
+      (nT - dT) / (nT - lit(1.0))
+    risk
+      .filter(col("n1") + col("n2") > 1)
+      .select(sum(col("d1")).as("churn_a"), sum(col("d2")).as("churn_b"),
+        sum(oe.cast(d12)).cast(DoubleType).as("oe"),
+        sum(vt.cast(d12)).cast(DoubleType).as("v"))
+      .select(col("churn_a"), col("churn_b"),
+        round(col("oe"), 6).as("o_minus_e"), round(col("v"), 6).as("var_lr"),
+        round(col("oe") * col("oe") / col("v"), 6).as("chi2"))
+  }
+
+  val logrankTestOracle: String =
+    s"""WITH users AS (
+       |  SELECT user_id, MIN(epoch_us(ts)) AS first_us,
+       |    MAX(epoch_us(ts)) AS last_us
+       |  FROM events GROUP BY 1),
+       |bounds AS (SELECT MAX(last_us) AS end_us FROM users),
+       |lives AS (
+       |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+       |    (last_us - first_us) // 3600000000 AS t,
+       |    CASE WHEN last_us < end_us - $SurvivalCensorHours * 3600000000
+       |      THEN 1 ELSE 0 END AS churn
+       |  FROM users CROSS JOIN bounds),
+       |grid AS (
+       |  SELECT t,
+       |    SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS c1,
+       |    SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS c2,
+       |    SUM(CASE WHEN arm = 'A' THEN churn ELSE 0 END) AS d1,
+       |    SUM(CASE WHEN arm = 'B' THEN churn ELSE 0 END) AS d2
+       |  FROM lives GROUP BY t),
+       |risk AS (
+       |  SELECT t, d1, d2,
+       |    SUM(c1) OVER (ORDER BY t DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1,
+       |    SUM(c2) OVER (ORDER BY t DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n2
+       |  FROM grid),
+       |terms AS (
+       |  SELECT d1, d2,
+       |    CAST(d1 AS DOUBLE) - CAST(d1 + d2 AS DOUBLE)
+       |      * CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS oe_t,
+       |    CAST(d1 + d2 AS DOUBLE)
+       |      * (CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+       |      * (CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+       |      * (CAST(n1 + n2 AS DOUBLE) - CAST(d1 + d2 AS DOUBLE))
+       |      / (CAST(n1 + n2 AS DOUBLE) - 1.0) AS v_t
+       |  FROM risk WHERE d1 + d2 > 0 AND n1 + n2 > 1),
+       |agg AS (
+       |  SELECT CAST(SUM(d1) AS BIGINT) AS churn_a,
+       |    CAST(SUM(d2) AS BIGINT) AS churn_b,
+       |    CAST(SUM(CAST(oe_t AS DECIMAL(38,12))) AS DOUBLE) AS oe,
+       |    CAST(SUM(CAST(v_t AS DECIMAL(38,12))) AS DOUBLE) AS v
+       |  FROM terms)
+       |SELECT churn_a, churn_b, round(oe, 6) AS o_minus_e,
+       |  round(v, 6) AS var_lr, round(oe * oe / v, 6) AS chi2
+       |FROM agg""".stripMargin
+
+  // signed-long Poisson(1) inverse-CDF thresholds for the raw xxhash64
+  // draw: floor(cum·2⁶⁴) − 2⁶³ (xxhash64 is uniform over signed longs,
+  // so P(h < t) = (t + 2⁶³)/2⁶⁴ — the md5-hex thresholds' twin)
+  private val PoissonXx = Seq(
+    -2437194135585890534L, 4348983765682994741L, 7742072716317437378L,
+    8873102366528918257L, 9155859779081788477L, 9212411261592362521L)
+
+  /** [[bootstrapPoisson]] with the production hash: the per-(row,
+    * resample) draw is one codegen'd xxhash64 instead of an md5 hex
+    * render (the md5 is the DuckDB-reproducibility device and is most
+    * of the gated twin's cost — 8.3× of a 10× corpus is pure linear
+    * hash work). Same resample grid, same weight law, same SE algebra;
+    * not DuckDB-expressible, so it lives in the bench-only battery
+    * with the other xxhash twins and StatPropertySpec-style checks in
+    * Round13GatesSpec pin its agreement with the gated twin.
+    */
+  def bootstrapPoissonXx(s: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(38, 0)
+    val d12 = DecimalType(38, 12)
+    val o = Tables.t(s, dir, "orders")
+      .select(col("o_orderpriority").as("pri"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+    val reps = s.range(1, BootR + 1).toDF("r")
+    val hx = xxhash64(col("o_orderkey"), lit("boot"), col("r"))
+    val w = PoissonXx.zipWithIndex.foldRight(lit(6L): Column) {
+      case ((thr, k), rest) => when(hx < thr, k.toLong).otherwise(rest)
+    }
+    val res = o.crossJoin(broadcast(reps))
+      .select(col("pri"), col("r"), w.as("w"), col("cents"))
+      .groupBy(col("pri"), col("r"))
+      .agg(sum(col("w").cast(d)).as("sw"),
+        sum((col("w") * col("cents")).cast(d)).as("swc"))
+      .withColumn("mean_r",
+        col("swc").cast(DoubleType) / col("sw").cast(DoubleType))
+    val wpri = Window.partitionBy(col("pri"))
+    val boot = res
+      .withColumn("mbar", sum(col("mean_r").cast(d12)).over(wpri)
+        .cast(DoubleType) / lit(BootR.toDouble))
+      .groupBy(col("pri"))
+      .agg(max(col("mbar")).as("mbar"),
+        sum(((col("mean_r") - col("mbar")) * (col("mean_r") - col("mbar")))
+          .cast(d12)).as("sdev2"),
+        min(col("mean_r")).as("lo"), max(col("mean_r")).as("hi"))
+    val full = o.groupBy(col("pri"))
+      .agg(count(lit(1)).as("n"), sum(col("cents").cast(d)).as("sc"))
+    full.join(boot, "pri")
+      .select(col("pri").as("o_orderpriority"), col("n"),
+        round(col("sc").cast(DoubleType) / col("n").cast(DoubleType)
+          / 100.0, 6).as("mean_price"),
+        round(col("mbar") / 100.0, 6).as("boot_mean"),
+        round(sqrt(col("sdev2").cast(DoubleType) / lit((BootR - 1).toDouble))
+          / 100.0, 6).as("boot_se"),
+        round(col("lo") / 100.0, 6).as("boot_lo"),
+        round(col("hi") / 100.0, 6).as("boot_hi"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Production-hash twins: not DuckDB-expressible (xxhash64), timed
+    * by Bench next to the md5-gated versions — see
+    * [[graft.queries.Sketches.benchOnlyDefs]] for the pattern.
+    */
+  val benchOnlyDefs: Seq[QueryDef] = Seq(
+    QueryDef("ops_bootstrap_xxhash", bootstrapPoissonXx, None),
+  )
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ops_auc_roc", aucRoc, Some(aucRocOracle)),
+    QueryDef("ops_calibration_ece", calibrationEce, Some(calibrationEceOracle)),
+    QueryDef("ops_cohens_kappa", cohensKappa, Some(cohensKappaOracle)),
+    QueryDef("ops_logrank_test", logrankTest, Some(logrankTestOracle)),
     QueryDef("ops_fdr_bh", fdrBh, Some(fdrBhOracle)),
     QueryDef("ops_kruskal_wallis", kruskalWallis, Some(kruskalWallisOracle)),
     QueryDef("ops_bootstrap_poisson", bootstrapPoisson,

@@ -58,6 +58,8 @@ class PlanAuditSpec extends SparkSpec {
       "ops_gains_curve",
       // 1-row observation-end aggregate against the user relation
       "ops_survival_km",
+      // same 1-row observation-end device, arm-split
+      "ops_logrank_test",
       // 1-row jackknife total (N, S) onto the 10-row bucket grid
       "ops_jackknife_se",
       // 1-row exact-count aggregate onto the 1-row register summary
@@ -84,7 +86,9 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row tie-correction aggregate onto the 5-row group grid
       "ops_kruskal_wallis",
       // 25-row literal resample grid fanned onto the fact scan
-      "ops_bootstrap_poisson")
+      "ops_bootstrap_poisson",
+      // same 25-row grid, xxhash64 production twin
+      "ops_bootstrap_xxhash")
 
   // the oracle-less bench-only twins stay under the same plan audit:
   // they run in every bench even though they left the correctness map
@@ -171,6 +175,8 @@ class PlanAuditSpec extends SparkSpec {
       "sk_hll_distinct",
       // 1-row observation-end aggregate
       "ops_survival_km",
+      // same 1-row observation-end device, arm-split
+      "ops_logrank_test",
       // 5-row query-term + exemplar-embedding broadcasts (bm25 device)
       "ta_hybrid_rrf",
       // 1-row total-edge-count aggregate
@@ -189,7 +195,9 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row tie-correction aggregate
       "ops_kruskal_wallis",
       // 25-row literal resample grid
-      "ops_bootstrap_poisson")
+      "ops_bootstrap_poisson",
+      // same 25-row grid, xxhash64 production twin
+      "ops_bootstrap_xxhash")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>

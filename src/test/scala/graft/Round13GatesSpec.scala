@@ -463,6 +463,156 @@ class Round13GatesSpec extends SparkSpec {
     }
   }
 
+  test("ops_auc_roc: midrank U statistic replays a driver-side pair count") {
+    val got = StatOps.aucRoc(spark, dir).collect().head
+    val users = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id", "event_type",
+        "CAST(get_json_object(props, '$.k') AS INT) AS k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2)))
+      .groupBy(_._1).toSeq.map { case (_, es) =>
+        (es.length.toLong,
+          if (es.exists(e => e._2 == "purchase" && e._3 >= 95)) 1L else 0L)
+      }
+    val nPos = users.count(_._2 == 1L).toLong
+    val nNeg = users.size - nPos
+    // AUC by definition: P(score_pos > score_neg) + 0.5 P(tie), exact
+    // pair count over the (pos, neg) grid — independent of any ranking
+    val pos = users.filter(_._2 == 1L).map(_._1)
+    val neg = users.filter(_._2 == 0L).map(_._1)
+    var wins2 = 0L
+    for (p <- pos; q <- neg)
+      wins2 += (if (p > q) 2L else if (p == q) 1L else 0L)
+    assert(got.getLong(0) === users.size.toLong)
+    assert(got.getLong(1) === nPos)
+    assert(got.getLong(2) === nNeg)
+    val auc = wins2.toDouble / (2.0 * (nPos * nNeg).toDouble)
+    assert(math.abs(got.getDouble(3) - r6(auc)) <= 1e-9, "auc")
+    assert(math.abs(got.getDouble(4) - r6(2.0 * auc - 1.0)) <= 2e-6, "gini")
+    // score is genuinely informative on this fixture
+    assert(got.getDouble(3) > 0.5)
+  }
+
+  test("ops_calibration_ece: integer binning and ECE replay driver-side") {
+    val got = StatOps.calibrationEce(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.nonEmpty)
+    val users = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id", "event_type",
+        "CAST(get_json_object(props, '$.k') AS INT) AS k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2)))
+      .groupBy(_._1).toSeq.map { case (_, es) =>
+        (es.length.toLong,
+          if (es.exists(e => e._2 == "purchase" && e._3 >= 95)) 1L else 0L)
+      }
+    val n = users.size.toLong
+    val bins = users.groupBy { case (cnt, _) => (10 * cnt) / (cnt + 10) }
+      .map { case (b, us) =>
+        val conf = decSum12(us.map { case (cnt, _) =>
+          cnt.toDouble / (cnt + 10).toDouble }) / us.size
+        val obs = us.count(_._2 == 1L).toDouble / us.size
+        (b, us.size.toLong, us.count(_._2 == 1L).toLong, conf, obs)
+      }.toSeq.sortBy(_._1)
+    val ece = decSum12(bins.map { case (_, nb, _, conf, obs) =>
+      nb.toDouble * math.abs(obs - conf) }) / n.toDouble
+    got.zip(bins).foreach { case (a, (b, nb, np, conf, obs)) =>
+      assert(a._1 === b, "bin"); assert(a._2 === nb); assert(a._3 === np)
+      assert(math.abs(a._4 - r6(conf)) <= 1e-9, s"conf bin $b")
+      assert(math.abs(a._5 - r6(obs)) <= 1e-9, s"obs bin $b")
+      assert(math.abs(a._6 - r6(math.abs(obs - conf))) <= 1e-9, s"gap bin $b")
+      assert(math.abs(a._7 - r6(ece)) <= 1e-9, s"ece")
+    }
+    // ECE is a [0,1] mass-weighted gap and the bins partition the users
+    assert(got.head._7 >= 0.0 && got.head._7 <= 1.0)
+    assert(got.map(_._2).sum === n)
+  }
+
+  test("ops_cohens_kappa: contingency and kappa replay driver-side raters") {
+    val got = StatOps.cohensKappa(spark, dir).collect().head
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("text", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val cells = docs.map { case (text, nChars) =>
+      val toks = text.split(" ", -1)
+      val a = if (nChars >= 250) 1 else 0
+      val b = if (toks.distinct.length * 2 >= toks.length) 1 else 0
+      (a, b)
+    }
+    val n = cells.length.toLong
+    val n11 = cells.count(c => c._1 == 1 && c._2 == 1).toLong
+    val n10 = cells.count(c => c._1 == 1 && c._2 == 0).toLong
+    val n01 = cells.count(c => c._1 == 0 && c._2 == 1).toLong
+    val n00 = cells.count(c => c._1 == 0 && c._2 == 0).toLong
+    val x = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    assert(got.getLong(0) === n); assert(got.getLong(1) === n11)
+    assert(got.getLong(2) === n10); assert(got.getLong(3) === n01)
+    assert(got.getLong(4) === n00)
+    assert(got.getDouble(5) === r6((n11 + n00).toDouble / n))
+    assert(got.getDouble(6) === r6(x.toDouble / (n * n).toDouble))
+    assert(got.getDouble(7) ===
+      r6((n * (n11 + n00) - x).toDouble / (n * n - x).toDouble))
+    // kappa is a real agreement statistic: above chance, below perfect
+    assert(got.getDouble(7) > -1.0 && got.getDouble(7) < 1.0)
+  }
+
+  test("ops_logrank_test: O-E and variance replay a driver-side time walk") {
+    val got = StatOps.logrankTest(spark, dir).collect().head
+    val censorH = 12L
+    val users = graft.Tables.t(spark, dir, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS us").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, es) =>
+        (u, es.map(_._2).min, es.map(_._2).max)
+      }.toSeq
+    val endUs = users.map(_._3).max
+    val hourUs = 3600000000L
+    val lives = users.map { case (u, first, last) =>
+      (if (u % 2 == 0) "A" else "B", (last - first) / hourUs,
+        if (last < endUs - censorH * hourUs) 1L else 0L)
+    }
+    val ts = lives.map(_._2).distinct.sorted
+    var oe = List.empty[Double]; var vv = List.empty[Double]
+    var ca = 0L; var cb = 0L
+    for (t <- ts) {
+      val n1 = lives.count(l => l._1 == "A" && l._2 >= t).toLong
+      val n2 = lives.count(l => l._1 == "B" && l._2 >= t).toLong
+      val d1 = lives.filter(l => l._1 == "A" && l._2 == t).map(_._3).sum
+      val d2 = lives.filter(l => l._1 == "B" && l._2 == t).map(_._3).sum
+      val nT = (n1 + n2).toDouble; val dT = (d1 + d2).toDouble
+      if (d1 + d2 > 0 && n1 + n2 > 1) {
+        ca += d1; cb += d2
+        oe ::= d1.toDouble - dT * n1.toDouble / nT
+        vv ::= dT * (n1.toDouble / nT) * (n2.toDouble / nT) *
+          (nT - dT) / (nT - 1.0)
+      }
+    }
+    val oeS = decSum12(oe); val vS = decSum12(vv)
+    assert(got.getLong(0) === ca); assert(got.getLong(1) === cb)
+    assert(math.abs(got.getDouble(2) - r6(oeS)) <= 1e-9, "o_minus_e")
+    assert(math.abs(got.getDouble(3) - r6(vS)) <= 1e-9, "var")
+    assert(math.abs(got.getDouble(4) - r6(oeS * oeS / vS)) <= 1e-6, "chi2")
+    // chi2 is nonnegative and the variance positive
+    assert(got.getDouble(3) > 0.0 && got.getDouble(4) >= 0.0)
+  }
+
+  test("ops_bootstrap_xxhash: production twin agrees with the gated twin's algebra") {
+    val md5 = StatOps.bootstrapPoisson(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(4)))
+    val xx = StatOps.bootstrapPoissonXx(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(4)))
+    // same grid, same n, IDENTICAL full-sample means (only the draw
+    // stream differs); SEs estimate the same sampling noise scale
+    assert(md5.map(t => (t._1, t._2, t._3)).toSeq ===
+      xx.map(t => (t._1, t._2, t._3)).toSeq)
+    md5.zip(xx).foreach { case (a, b) =>
+      assert(b._4 > 0.0 && a._4 > 0.0)
+      assert(b._4 / a._4 < 4.0 && a._4 / b._4 < 4.0,
+        s"SE scales diverge: ${a._1} md5=${a._4} xx=${b._4}")
+    }
+  }
+
   test("cu_pii_scrub: masks and counts replay java.util.regex driver-side") {
     val got = graft.queries.LlmCuration.piiScrub(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
