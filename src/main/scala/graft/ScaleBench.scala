@@ -347,6 +347,8 @@ object ScaleBench {
       "ops_cohens_kappa" -> graft.queries.StatOps.cohensKappa _,
       "ops_logrank_test" -> graft.queries.StatOps.logrankTest _,
       "ops_bootstrap_xxhash" -> graft.queries.StatOps.bootstrapPoissonXx _,
+      "sk_hll_union" -> graft.queries.Sketches.hllUnion _,
+      "ops_cmh_test" -> graft.queries.StatOps.cmhTest _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

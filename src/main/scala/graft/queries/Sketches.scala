@@ -563,6 +563,144 @@ object Sketches {
        |    AS rel_error
        |FROM agg CROSS JOIN ex""".stripMargin
 
+  // --------------------------------------------------- HLL set algebra
+
+  /** HLL union + inclusion–exclusion intersection (Flajolet et al.
+    * 2007 §5: register-wise MAX is a LOSSLESS union — the merged
+    * sketch is bit-identical to the sketch of the concatenated
+    * streams) over the same two order populations as [[kmvIntersect]],
+    * so the two sketch families' overlap answers sit side by side:
+    * est(A), est(B), est(A∪B) from MAX-merged registers, and
+    * est(A∩B) = est(A)+est(B)−est(A∪B) on the round-6 estimates.
+    * Exact counts ride along; the estimator (linear-counting branch
+    * included) is [[hllDistinct]]'s, applied three times.
+    *
+    * Scale shape: one distinct-hash pass to (set, bucket, rank), a
+    * 2·64-row register relation, a 64-row MAX merge — state is 128
+    * longs at any corpus size, and the union costs NO data pass
+    * (that's the point of register algebra: cheap set expressions
+    * over pre-built per-partition/per-day sketches).
+    */
+  def hllUnion(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem").filter(col("l_returnflag").isin("A", "R"))
+    val ranks = li
+      .select(col("l_returnflag").as("st"),
+        h60(col("l_orderkey").cast("string")).as("h"))
+      .distinct()
+      .select(col("st"), expr(s"h DIV $Pow54").as("bucket"),
+        pmod(col("h"), lit(Pow54)).as("w"))
+      .select(col("st"), col("bucket"),
+        when(col("w") === 0, lit(55L))
+          .otherwise(lit(55L) - length(bin(col("w"))).cast(LongType))
+          .as("rank"))
+    // per-set registers on the completed 64-bucket grid (missing
+    // buckets are rank 0), then the MAX-merge union sketch
+    import s.implicits._
+    val grid = s.range(HllM).toDF("bucket")
+      .crossJoin(broadcast(Seq("A", "R").toDF("st")))
+    val regs = grid
+      .join(ranks.groupBy(col("st"), col("bucket"))
+        .agg(max(col("rank")).as("mr0")), Seq("st", "bucket"), "left")
+      .select(col("st"), col("bucket"), coalesce(col("mr0"), lit(0L)).as("mr"))
+    val merged = regs.groupBy(col("bucket"))
+      .agg(max(when(col("st") === "A", col("mr")).otherwise(0L)).as("mr_a"),
+        max(when(col("st") === "R", col("mr")).otherwise(0L)).as("mr_b"),
+        max(col("mr")).as("mr_u"))
+    val agg = merged.agg(
+      sum(expr("CAST(pow(2, 55 - mr_a) AS BIGINT)")).as("s_a"),
+      sum(when(col("mr_a") === 0, 1L).otherwise(0L)).as("v_a"),
+      sum(expr("CAST(pow(2, 55 - mr_b) AS BIGINT)")).as("s_b"),
+      sum(when(col("mr_b") === 0, 1L).otherwise(0L)).as("v_b"),
+      sum(expr("CAST(pow(2, 55 - mr_u) AS BIGINT)")).as("s_u"),
+      sum(when(col("mr_u") === 0, 1L).otherwise(0L)).as("v_u"))
+    def est(tag: String) = {
+      val raw = lit(HllNum).cast(DoubleType) /
+        col(s"s_$tag").cast(DoubleType)
+      round(when(raw <= 2.5 * HllM && col(s"v_$tag") > 0,
+        lit(HllM.toDouble) *
+          log(lit(HllM.toDouble) / col(s"v_$tag").cast(DoubleType)))
+        .otherwise(raw), 6)
+    }
+    val exact = li
+      .groupBy(col("l_orderkey"))
+      .agg(max(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("a"),
+        max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("b"))
+      .agg(sum(col("a")).as("n_a_exact"), sum(col("b")).as("n_b_exact"),
+        sum(col("a") * col("b")).as("n_inter_exact"),
+        count(lit(1)).as("n_union_exact"))
+    agg.crossJoin(broadcast(exact))
+      .withColumn("est_a", est("a")).withColumn("est_b", est("b"))
+      .withColumn("est_union", est("u"))
+      .select(col("n_a_exact"), col("n_b_exact"), col("n_union_exact"),
+        col("n_inter_exact"), col("v_a"), col("v_b"), col("v_u"),
+        col("est_a"), col("est_b"), col("est_union"),
+        round(col("est_a") + col("est_b") - col("est_union"), 6)
+          .as("est_inter"))
+  }
+
+  val hllUnionOracle: String = {
+    def estSql(tag: String) =
+      s"""CASE WHEN CAST($HllNum AS DOUBLE) / CAST(s_$tag AS DOUBLE)
+         |      <= ${2.5 * HllM} AND v_$tag > 0
+         |    THEN round(CAST($HllM AS DOUBLE)
+         |      * ln(CAST($HllM AS DOUBLE) / CAST(v_$tag AS DOUBLE)), 6)
+         |    ELSE round(CAST($HllNum AS DOUBLE) / CAST(s_$tag AS DOUBLE), 6)
+         |  END""".stripMargin
+    s"""WITH h AS (
+       |  SELECT DISTINCT l_returnflag AS st,
+       |    ${h60Sql("CAST(l_orderkey AS VARCHAR)")} AS h
+       |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+       |rk AS (
+       |  SELECT st, h // $Pow54 AS bucket,
+       |    CASE WHEN h % $Pow54 = 0 THEN 55
+       |      ELSE 55 - CAST(length(bin(h % $Pow54)) AS BIGINT) END AS rank
+       |  FROM h),
+       |grid AS (
+       |  SELECT st, bucket
+       |  FROM (SELECT unnest(['A', 'R']) AS st)
+       |  CROSS JOIN (SELECT unnest(range(0, $HllM)) AS bucket)),
+       |regs AS (
+       |  SELECT g.st, g.bucket, COALESCE(m.mr0, 0) AS mr
+       |  FROM grid g LEFT JOIN (
+       |    SELECT st, bucket, MAX(rank) AS mr0 FROM rk GROUP BY 1, 2) m
+       |    ON m.st = g.st AND m.bucket = g.bucket),
+       |merged AS (
+       |  SELECT bucket,
+       |    MAX(CASE WHEN st = 'A' THEN mr ELSE 0 END) AS mr_a,
+       |    MAX(CASE WHEN st = 'R' THEN mr ELSE 0 END) AS mr_b,
+       |    MAX(mr) AS mr_u
+       |  FROM regs GROUP BY bucket),
+       |agg AS (
+       |  SELECT
+       |    CAST(SUM(CAST(pow(2, 55 - mr_a) AS BIGINT)) AS BIGINT) AS s_a,
+       |    CAST(SUM(CASE WHEN mr_a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_a,
+       |    CAST(SUM(CAST(pow(2, 55 - mr_b) AS BIGINT)) AS BIGINT) AS s_b,
+       |    CAST(SUM(CASE WHEN mr_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_b,
+       |    CAST(SUM(CAST(pow(2, 55 - mr_u) AS BIGINT)) AS BIGINT) AS s_u,
+       |    CAST(SUM(CASE WHEN mr_u = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_u
+       |  FROM merged),
+       |ex AS (
+       |  SELECT CAST(SUM(a) AS BIGINT) AS n_a_exact,
+       |    CAST(SUM(b) AS BIGINT) AS n_b_exact,
+       |    CAST(SUM(a * b) AS BIGINT) AS n_inter_exact,
+       |    CAST(COUNT(*) AS BIGINT) AS n_union_exact
+       |  FROM (
+       |    SELECT l_orderkey,
+       |      MAX(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS a,
+       |      MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS b
+       |    FROM lineitem WHERE l_returnflag IN ('A', 'R')
+       |    GROUP BY l_orderkey) g),
+       |es AS (
+       |  SELECT n_a_exact, n_b_exact, n_union_exact, n_inter_exact,
+       |    v_a, v_b, v_u,
+       |    ${estSql("a")} AS est_a,
+       |    ${estSql("b")} AS est_b,
+       |    ${estSql("u")} AS est_union
+       |  FROM agg CROSS JOIN ex)
+       |SELECT *, round(est_a + est_b - est_union, 6) AS est_inter
+       |FROM es""".stripMargin
+  }
+
   // ------------------------------------------------- theta set operations
 
   /** Theta-sketch set operations (Dasgupta, Lang, Rhodes & Thaler,
@@ -669,6 +807,7 @@ object Sketches {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("sk_hll_distinct", hllDistinct, Some(hllOracle)),
+    QueryDef("sk_hll_union", hllUnion, Some(hllUnionOracle)),
     QueryDef("sk_kmv_intersect", kmvIntersect, Some(kmvIntersectOracle)),
     QueryDef("sk_kmv_distinct", kmvDistinct, Some(kmvOracle)),
     QueryDef("sk_kmv_agg", kmvAgg, Some(kmvOracle)),

@@ -2256,7 +2256,122 @@ object StatOps {
     QueryDef("ops_bootstrap_xxhash", bootstrapPoissonXx, None),
   )
 
+  /** Cochran–Mantel–Haenszel stratified 2×2 test (Mantel & Haenszel
+    * 1959) of arm × conversion controlling for activity stratum — the
+    * confounder-adjusted complement to [[abLift]]'s pooled z (Simpson's
+    *-paradox insurance every experimentation readout needs), sharing
+    * [[ipwAte]]'s stratum definition. Per stratum: E = n_A·m₁/n and
+    * the hypergeometric V = n_A·n_B·m₁·m₀/(n²(n−1)); the statistic is
+    * χ² = (Σ(a−E))²/ΣV (no continuity correction — determinism over
+    * convention, stated), plus the MH common odds ratio
+    * Σ(a·d/n)/Σ(b·c/n). Counts are exact integers; per-stratum terms
+    * cross to double once and sum through DECIMAL(38,12).
+    *
+    * Scale shape: one map-combined fact aggregate to users, one hash
+    * aggregate to the ≤4-row stratum grid; windows run on that grid.
+    */
+  def cmhTest(s: SparkSession, dir: String): DataFrame = {
+    val d12 = DecimalType(38, 12)
+    val users = Tables.t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+        max(when(col("event_type") === "purchase" &&
+            get_json_object(col("props"), "$.k").cast(IntegerType) >= 95, 1L)
+          .otherwise(0L)).as("conv"))
+      .select(least(lit(3L), floor(col("n_click") / 5).cast(LongType))
+          .as("stratum"),
+        when(col("user_id") % 2 === 0, 1L).otherwise(0L).as("in_a"),
+        col("conv"))
+    val strata = users.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("in_a")).as("n_a"),
+        sum(lit(1L) - col("in_a")).as("n_b"),
+        sum(col("in_a") * col("conv")).as("a"),
+        sum((lit(1L) - col("in_a")) * col("conv")).as("c"))
+      .filter(col("n") > 1 && col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("b", col("n_a") - col("a"))
+      .withColumn("d", col("n_b") - col("c"))
+      .withColumn("m1", col("a") + col("c"))
+      .withColumn("m0", col("b") + col("d"))
+    val nD = col("n").cast(DoubleType)
+    val eA = col("n_a").cast(DoubleType) * col("m1").cast(DoubleType) / nD
+    val vI = col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType) *
+      col("m1").cast(DoubleType) * col("m0").cast(DoubleType) /
+      (nD * nD * (nD - lit(1.0)))
+    val wall = Window.partitionBy()
+    strata
+      .withColumn("e_a", eA).withColumn("v_i", vI)
+      .withColumn("sum_ae",
+        sum((col("a").cast(DoubleType) - col("e_a")).cast(d12)).over(wall)
+          .cast(DoubleType))
+      .withColumn("sum_v", sum(col("v_i").cast(d12)).over(wall)
+        .cast(DoubleType))
+      .withColumn("or_num",
+        sum((col("a").cast(DoubleType) * col("d").cast(DoubleType) / nD)
+          .cast(d12)).over(wall).cast(DoubleType))
+      .withColumn("or_den",
+        sum((col("b").cast(DoubleType) * col("c").cast(DoubleType) / nD)
+          .cast(d12)).over(wall).cast(DoubleType))
+      .select(col("stratum"), col("n"), col("n_a"), col("n_b"),
+        col("a").as("conv_a"), col("c").as("conv_b"),
+        round(col("e_a"), 6).as("e_a"), round(col("v_i"), 6).as("v_i"),
+        round(col("sum_ae") * col("sum_ae") / col("sum_v"), 6).as("cmh_chi2"),
+        round(col("or_num") / col("or_den"), 6).as("or_mh"))
+      .orderBy(col("stratum"))
+  }
+
+  val cmhTestOracle: String =
+    """WITH users AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+      |    MAX(CASE WHEN event_type = 'purchase'
+      |      AND CAST(json_extract_string(props, '$.k') AS INTEGER) >= 95
+      |      THEN 1 ELSE 0 END) AS conv,
+      |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
+      |  FROM events GROUP BY user_id),
+      |assigned AS (
+      |  SELECT least(3, n_click // 5) AS stratum, in_a, conv FROM users),
+      |strata AS (
+      |  SELECT stratum, COUNT(*) AS n, SUM(in_a) AS n_a,
+      |    SUM(1 - in_a) AS n_b, SUM(in_a * conv) AS a,
+      |    SUM((1 - in_a) * conv) AS c
+      |  FROM assigned GROUP BY stratum
+      |  HAVING COUNT(*) > 1 AND SUM(in_a) > 0 AND SUM(1 - in_a) > 0),
+      |cells AS (
+      |  SELECT *, n_a - a AS b, n_b - c AS d, a + c AS m1,
+      |    (n_a - a) + (n_b - c) AS m0
+      |  FROM strata),
+      |terms AS (
+      |  SELECT *,
+      |    CAST(n_a AS DOUBLE) * CAST(m1 AS DOUBLE) / CAST(n AS DOUBLE) AS e_a,
+      |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * CAST(m1 AS DOUBLE)
+      |      * CAST(m0 AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |        * (CAST(n AS DOUBLE) - 1.0)) AS v_i
+      |  FROM cells),
+      |sums AS (
+      |  SELECT *,
+      |    CAST(SUM(CAST(CAST(a AS DOUBLE) - e_a AS DECIMAL(38,12)))
+      |      OVER () AS DOUBLE) AS sum_ae,
+      |    CAST(SUM(CAST(v_i AS DECIMAL(38,12))) OVER () AS DOUBLE) AS sum_v,
+      |    CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS DECIMAL(38,12))) OVER () AS DOUBLE)
+      |      AS or_num,
+      |    CAST(SUM(CAST(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS DECIMAL(38,12))) OVER () AS DOUBLE)
+      |      AS or_den
+      |  FROM terms)
+      |SELECT CAST(stratum AS BIGINT) AS stratum, CAST(n AS BIGINT) AS n,
+      |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  CAST(a AS BIGINT) AS conv_a, CAST(c AS BIGINT) AS conv_b,
+      |  round(e_a, 6) AS e_a, round(v_i, 6) AS v_i,
+      |  round(sum_ae * sum_ae / sum_v, 6) AS cmh_chi2,
+      |  round(or_num / or_den, 6) AS or_mh
+      |FROM sums ORDER BY stratum""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ops_cmh_test", cmhTest, Some(cmhTestOracle)),
     QueryDef("ops_auc_roc", aucRoc, Some(aucRocOracle)),
     QueryDef("ops_calibration_ece", calibrationEce, Some(calibrationEceOracle)),
     QueryDef("ops_cohens_kappa", cohensKappa, Some(cohensKappaOracle)),

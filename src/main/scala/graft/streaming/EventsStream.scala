@@ -131,6 +131,15 @@ final case class BloomBucketState(words: Array[Long])
 /** One cardinality estimate per event type per quiesce. */
 final case class KmvUserEstimate(event_type: String, k_seen: Int, n_est: Double)
 
+/** Two bounded KMV hash lists (≤k longs each, forever) — the streaming
+  * theta-sketch pair ([[EventsStream.thetaOverlapUsers]]).
+  */
+final case class ThetaStreamState(keptA: List[Long], keptB: List[Long])
+
+/** One set-overlap estimate per quiesce. */
+final case class ThetaOverlap(k_a: Int, k_b: Int, theta: Long,
+    kept_union: Int, kept_inter: Int, est_union: Double, est_inter: Double)
+
 /** 64 HLL registers per group — 64 longs of state, forever, whatever
   * the stream's cardinality ([[EventsStream.hllDistinctUsers]]).
   */
@@ -773,6 +782,116 @@ object EventsStream {
 
     hashed.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** STREAMING theta-sketch overlap — the audience-overlap question
+    * ("how many users both browse AND buy?") answered with two
+    * bounded KMV hash lists, the streaming sibling of
+    * [[graft.queries.Sketches.kmvIntersect]]: set A = view users,
+    * set B = purchase users, each kept as its k smallest distinct
+    * 60-bit md5 hashes (≤2k longs of state, forever); at quiesce,
+    * θ = min of the two max-kept hashes and the union/intersection
+    * estimates are |kept < θ| · 2⁶⁰/θ — the same algebra, on stream
+    * state, keyed by a single group here (a production deployment
+    * keys by segment/day; the state bound is per key either way).
+    * Order-insensitive by construction: top-k of a set union is
+    * associative and commutative, so replay order cannot change the
+    * sketch (the same argument as the HLL MAX-merge).
+    *
+    * Emission: append-once per quiesce, the [[kmvDistinctUsers]]
+    * contract (sketches kept, a later burst re-arms the timeout).
+    */
+  def thetaOverlapUsers(events: Dataset[Event], k: Int = 256,
+      quiesceMinutes: Int = 30): Dataset[ThetaOverlap] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val quiesceMs = quiesceMinutes * 60L * 1000L
+    // NO pre-group type filter: a filter gets pushed below the
+    // EventTimeWatermark node, so other-type rows (including a
+    // watermark-advancing sentinel) would stop feeding the event
+    // clock. Instead every row flows through; non-set types land in
+    // their own group (key 1) whose state never accumulates hashes
+    // and whose timeout emits nothing — the hllDistinctUsers design.
+    val hashed = events
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_type"),
+        graft.queries.Sketches.h60(
+          concat_ws(":", col("user_id"), lit("theta"))).as("h"),
+        col("ts"))
+      .as[(String, Long, Timestamp)]
+
+    def fn(key: Int, rows: Iterator[(String, Long, Timestamp)],
+        state: GroupState[ThetaStreamState]): Iterator[ThetaOverlap] = {
+      if (state.hasTimedOut) {
+        val st = state.get
+        if (st.keptA.isEmpty || st.keptB.isEmpty) Iterator.empty
+        else {
+          val theta = math.min(st.keptA.last, st.keptB.last)
+          val ua = st.keptA.filter(_ < theta).toSet
+          val ub = st.keptB.filter(_ < theta).toSet
+          val union = (ua ++ ub).size
+          val inter = (ua intersect ub).size
+          def est(n: Int): Double =
+            math.round(n.toDouble * math.pow(2, 60) / theta.toDouble * 1e6) / 1e6
+          Iterator.single(ThetaOverlap(st.keptA.size, st.keptB.size, theta,
+            union, inter, est(union), est(inter)))
+        }
+      } else {
+        val batch = rows.toSeq
+        val st = state.getOption.getOrElse(ThetaStreamState(Nil, Nil))
+        def fold(cur: List[Long], set: String): List[Long] =
+          (cur ++ batch.collect { case (s, h, _) if s == set => h })
+            .distinct.sorted.take(k)
+        state.update(ThetaStreamState(
+          fold(st.keptA, "view"), fold(st.keptB, "purchase")))
+        val lastMs = batch.map(_._3.getTime).max
+        state.setTimeoutTimestamp(
+          math.max(lastMs + quiesceMs, state.getCurrentWatermarkMs + 1))
+        Iterator.empty
+      }
+    }
+
+    hashed
+      .groupByKey(r => if (r._1 == "view" || r._1 == "purchase") 0 else 1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Batch twin of [[thetaOverlapUsers]] over the same rows — the
+    * relational theta algebra of
+    * [[graft.queries.Sketches.kmvIntersect]] on the view/purchase
+    * user populations (parity spec).
+    */
+  def thetaOverlapUsersBatch(events: Dataset[Event], k: Int = 256): DataFrame = {
+    val hashes = events.toDF()
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type").as("st"),
+        graft.queries.Sketches.h60(
+          concat_ws(":", col("user_id"), lit("theta"))).as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("st")).orderBy(col("h"))
+    val kept = hashes
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    val wSet = org.apache.spark.sql.expressions.Window.partitionBy(col("st"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    kept
+      .withColumn("k_set", count(lit(1)).over(wSet))
+      .withColumn("theta_set", max(col("h")).over(wSet))
+      .withColumn("theta", min(col("theta_set")).over(wAll))
+      .withColumn("k_a", max(when(col("st") === "view", col("k_set"))).over(wAll))
+      .withColumn("k_b", max(when(col("st") === "purchase", col("k_set"))).over(wAll))
+      .filter(col("h") < col("theta"))
+      .groupBy(col("h"), col("theta"), col("k_a"), col("k_b"))
+      .agg(count(lit(1)).as("nsets"))
+      .groupBy(col("theta"), col("k_a"), col("k_b"))
+      .agg(count(lit(1)).cast("int").as("kept_union"),
+        sum(when(col("nsets") === 2, 1).otherwise(0)).cast("int").as("kept_inter"))
+      .select(col("k_a").cast("int").as("k_a"), col("k_b").cast("int").as("k_b"),
+        col("theta"), col("kept_union"), col("kept_inter"),
+        round(col("kept_union").cast("double") * lit(math.pow(2, 60))
+          / col("theta").cast("double"), 6).as("est_union"),
+        round(col("kept_inter").cast("double") * lit(math.pow(2, 60))
+          / col("theta").cast("double"), 6).as("est_inter"))
   }
 
   /** splitmix64 — the Bloom position hash for [[noveltyFilter]]

@@ -442,6 +442,45 @@ class EventsStreamSpec extends SparkSpec {
     assert(math.abs(streamed("purchase")._2 - 12) < 12 * 0.9, streamed("purchase"))
   }
 
+  test("streaming theta overlap: quiesce estimate replays the batch sketch algebra") {
+    val in = tmpDir("th-in"); val out = tmpDir("th-out"); val ck = tmpDir("th-ck")
+    // 40 view users, purchase users 30..45 → true overlap 30..40; a
+    // small k forces the top-k cut and theta path; the non-set-type
+    // sentinel must still advance the watermark past quiesce
+    val views = (1 to 40).map(u =>
+      ev(u, u, "view", 1.0, f"2025-07-01T10:${u % 60}%02d:00Z"))
+    val buys = (30 to 45).map(u =>
+      ev(u, 500 + u, "purchase", 5.0, f"2025-07-01T10:${u % 60}%02d:30Z"))
+    Files.writeString(Paths.get(in, "events.jsonl"),
+      (views ++ buys :+ ev(999, 999, "wmpush", 0.0, "2025-07-01T23:00:00Z"))
+        .mkString("\n"))
+    import spark.implicits._
+    val k = 24
+    EventsStream.runToParquet(
+      EventsStream.thetaOverlapUsers(
+        EventsStream.parse(spark.readStream.text(in)), k).toDF(),
+      out, ck).awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+      .as[(Int, Int, Long, Int, Int, Double, Double)].collect()
+    assert(streamed.length === 1, "exactly one quiesce emission")
+    val batch = EventsStream.thetaOverlapUsersBatch(
+      EventsStream.parse(spark.read.text(in)).toDF()
+        .as[EventsStream.Event], k)
+      .as[(Int, Int, Long, Int, Int, Double, Double)].collect()
+    assert(batch.length === 1)
+    val (sv, bv) = (streamed.head, batch.head)
+    assert(sv._1 === bv._1, "k_a"); assert(sv._2 === bv._2, "k_b")
+    assert(sv._3 === bv._3, "theta")
+    assert(sv._4 === bv._4, "kept_union"); assert(sv._5 === bv._5, "kept_inter")
+    assert(math.abs(sv._6 - bv._6) <= 1e-6, "est_union")
+    assert(math.abs(sv._7 - bv._7) <= 1e-6, "est_inter")
+    // the top-k cut really ran (40 views > k) and the estimates are
+    // plausible cardinalities of union 45 / intersection 11
+    assert(sv._1 === k)
+    assert(math.abs(sv._6 - 45) < 45 * 0.9, s"union est ${sv._6}")
+    assert(sv._7 >= 0 && sv._7 < 45, s"inter est ${sv._7}")
+  }
+
   test("novelty filter: first event per user emitted exactly once, state survives runs") {
     val in = tmpDir("nv-in"); val out = tmpDir("nv-out"); val ck = tmpDir("nv-ck")
     def run(): Unit =

@@ -83,6 +83,9 @@ class PlanAuditSpec extends SparkSpec {
       "sim_knn_classify",
       // 1-row exact-count aggregate onto the 1-row theta-sketch summary
       "sk_kmv_intersect",
+      // 64-bucket × 2-set literal register grid + the 1-row exact
+      // aggregate onto the 1-row register summary
+      "sk_hll_union",
       // 1-row tie-correction aggregate onto the 5-row group grid
       "ops_kruskal_wallis",
       // 25-row literal resample grid fanned onto the fact scan
@@ -192,6 +195,8 @@ class PlanAuditSpec extends SparkSpec {
       "sim_knn_classify",
       // 1-row exact-count aggregate beside the 1-row sketch summary
       "sk_kmv_intersect",
+      // 2-row set-literal dim for the register grid + 1-row exact agg
+      "sk_hll_union",
       // 1-row tie-correction aggregate
       "ops_kruskal_wallis",
       // 25-row literal resample grid

@@ -613,6 +613,105 @@ class Round13GatesSpec extends SparkSpec {
     }
   }
 
+  test("sk_hll_union: register merge and set estimates replay driver-side") {
+    val got = graft.queries.Sketches.hllUnion(spark, dir).collect().head
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_returnflag")
+      .filter("l_returnflag IN ('A','R')").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val m = 64
+    def regsOf(keys: Set[Long]): Array[Long] = {
+      val regs = Array.fill(m)(0L)
+      for (key <- keys) {
+        val h = md5h60(key.toString)
+        val b = (h / 18014398509481984L).toInt
+        val w = h % 18014398509481984L
+        val rank = if (w == 0) 55L
+          else 55L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rank > regs(b)) regs(b) = rank
+      }
+      regs
+    }
+    def est(regs: Array[Long]): Double = {
+      val sS = regs.map(r => 1L << (55 - r)).sum
+      val v = regs.count(_ == 0L)
+      val raw = 0.709 * m * m * math.pow(2, 55) / sS.toDouble
+      if (raw <= 2.5 * m && v > 0) r6(m.toDouble * math.log(m.toDouble / v))
+      else r6(raw)
+    }
+    val setA = li.filter(_._2 == "A").map(_._1).toSet
+    val setB = li.filter(_._2 == "R").map(_._1).toSet
+    val (ra, rb) = (regsOf(setA), regsOf(setB))
+    val ru = ra.zip(rb).map(p => math.max(p._1, p._2))
+    // the union sketch is LOSSLESS: identical to sketching A ∪ B
+    assert(ru.toSeq === regsOf(setA union setB).toSeq)
+    assert(got.getLong(0) === setA.size.toLong)
+    assert(got.getLong(1) === setB.size.toLong)
+    assert(got.getLong(2) === (setA union setB).size.toLong)
+    assert(got.getLong(3) === (setA intersect setB).size.toLong)
+    assert(got.getLong(4) === ra.count(_ == 0L).toLong)
+    assert(got.getLong(5) === rb.count(_ == 0L).toLong)
+    assert(got.getLong(6) === ru.count(_ == 0L).toLong)
+    assert(got.getDouble(7) === est(ra))
+    assert(got.getDouble(8) === est(rb))
+    assert(got.getDouble(9) === est(ru))
+    assert(got.getDouble(10) === r6(est(ra) + est(rb) - est(ru)))
+    // inclusion–exclusion lands near the true overlap (wide HLL bars
+    // at m = 64: 3 sketches × ~13% rse on this fixture)
+    val trueInter = (setA intersect setB).size.toDouble
+    assert(math.abs(got.getDouble(10) - trueInter) <
+      0.8 * (setA union setB).size, s"inter est ${got.getDouble(10)}")
+  }
+
+  test("ops_cmh_test: stratum cells, chi2, and MH odds ratio replay driver-side") {
+    val got = StatOps.cmhTest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8), r.getDouble(9)))
+    assert(got.nonEmpty)
+    val users = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id", "event_type",
+        "CAST(get_json_object(props, '$.k') AS INT) AS k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2)))
+      .groupBy(_._1).toSeq.map { case (u, es) =>
+        val clicks = es.count(_._2 == "click").toLong
+        val conv =
+          if (es.exists(e => e._2 == "purchase" && e._3 >= 95)) 1L else 0L
+        (math.min(3L, clicks / 5L), if (u % 2 == 0) 1L else 0L, conv)
+      }
+    val strata = users.groupBy(_._1).toSeq.map { case (st, us) =>
+      val nA = us.count(_._2 == 1L).toLong
+      val nB = us.size - nA
+      val a = us.count(u => u._2 == 1L && u._3 == 1L).toLong
+      val c = us.count(u => u._2 == 0L && u._3 == 1L).toLong
+      (st, us.size.toLong, nA, nB, a, c)
+    }.filter(s => s._2 > 1 && s._3 > 0 && s._4 > 0).sortBy(_._1)
+    val terms = strata.map { case (st, n, nA, nB, a, c) =>
+      val b = nA - a; val d = nB - c; val m1 = a + c; val m0 = b + d
+      val e = nA.toDouble * m1.toDouble / n.toDouble
+      val v = nA.toDouble * nB.toDouble * m1.toDouble * m0.toDouble /
+        (n.toDouble * n.toDouble * (n.toDouble - 1.0))
+      (st, n, nA, nB, a, c, e, v,
+        a.toDouble - e, a.toDouble * d.toDouble / n.toDouble,
+        b.toDouble * c.toDouble / n.toDouble)
+    }
+    val sumAe = decSum12(terms.map(_._9))
+    val sumV = decSum12(terms.map(_._8))
+    val orNum = decSum12(terms.map(_._10))
+    val orDen = decSum12(terms.map(_._11))
+    got.zip(terms).foreach { case (g, t) =>
+      assert(g._1 === t._1); assert(g._2 === t._2); assert(g._3 === t._3)
+      assert(g._4 === t._4); assert(g._5 === t._5); assert(g._6 === t._6)
+      assert(math.abs(g._7 - r6(t._7)) <= 1e-9, s"e_a stratum ${t._1}")
+      assert(math.abs(g._8 - r6(t._8)) <= 1e-9, s"v_i stratum ${t._1}")
+      assert(math.abs(g._9 - r6(sumAe * sumAe / sumV)) <= 1e-6, "chi2")
+      assert(math.abs(g._10 - r6(orNum / orDen)) <= 1e-6, "or_mh")
+    }
+    // the test is a real chi-square: nonnegative, OR positive
+    assert(got.head._9 >= 0.0 && got.head._10 > 0.0)
+  }
+
   test("cu_pii_scrub: masks and counts replay java.util.regex driver-side") {
     val got = graft.queries.LlmCuration.piiScrub(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
