@@ -349,6 +349,8 @@ object ScaleBench {
       "ops_bootstrap_xxhash" -> graft.queries.StatOps.bootstrapPoissonXx _,
       "sk_hll_union" -> graft.queries.Sketches.hllUnion _,
       "ops_cmh_test" -> graft.queries.StatOps.cmhTest _,
+      "ta_kn_bigram" -> graft.queries.LlmCuration.knBigram _,
+      "st_forecast_eval" -> graft.queries.StreamingGates.forecastEval _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

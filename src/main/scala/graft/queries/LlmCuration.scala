@@ -1239,7 +1239,77 @@ object LlmCuration {
        |FROM t ORDER BY c_custkey""".stripMargin
   }
 
+  // ------------------------------------------- Kneser–Ney bigram LM
+
+  private val KnD = 0.75
+
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1999 eq. 4.17 — the reference smoothing for
+    * count-based LMs, and the scoring backbone of CCNet/DSIR-style
+    * corpus filters): P(w₂|w₁) = (c(w₁w₂)−D)/c(w₁·) +
+    * D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/B, with discount D = 0.75 and the
+    * CONTINUATION distribution N₁₊(·w₂)/B (how many distinct contexts
+    * precede w₂, over B distinct bigram types) — the insight that
+    * "Francisco" is frequent but predictable-only-after-"San". The
+    * max(c−D, 0) clip of the textbook formula is vacuous here
+    * (observed counts are ≥ 1 > D), stated rather than silently
+    * dropped. Top-30 bigrams by count; counts and the two ratio terms
+    * are exact integers crossed to double in one expression written
+    * identically in both engines.
+    *
+    * Scale shape: one bigram explode (linear in tokens), three hash
+    * aggregates on the bigram-type relation (vocabulary-sized, not
+    * corpus-sized), vocabulary-keyed joins, one 1-row type-count
+    * broadcast, TakeOrdered(30).
+    */
+  def knBigram(s: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val len2 = greatest(size(t) - 1, lit(0))
+    val bg = Tables.t(s, dir, "documents")
+      .select(explode(zip_with(
+        slice(t, lit(1), len2), slice(t, lit(2), len2),
+        (a, b) => struct(a.as("prev"), b.as("w")))).as("bg"))
+      .select(col("bg.prev").as("prev"), col("bg.w").as("w"))
+    val cb = bg.groupBy(col("prev"), col("w")).agg(count(lit(1)).as("cb"))
+    val cw1 = bg.groupBy(col("prev")).agg(count(lit(1)).as("c_w1"))
+    val n1f = cb.groupBy(col("prev")).agg(count(lit(1)).as("n1_fwd"))
+    val n1p = cb.groupBy(col("w")).agg(count(lit(1)).as("n1_prec"))
+    val btot = cb.agg(count(lit(1)).as("b_types"))
+    val pkn =
+      (col("cb").cast(DoubleType) - lit(KnD)) / col("c_w1").cast(DoubleType) +
+        lit(KnD) * col("n1_fwd").cast(DoubleType) /
+          col("c_w1").cast(DoubleType) *
+          (col("n1_prec").cast(DoubleType) / col("b_types").cast(DoubleType))
+    cb.join(cw1, "prev").join(n1f, "prev").join(n1p, "w")
+      .crossJoin(broadcast(btot))
+      .select(col("prev"), col("w"), col("cb"), col("c_w1"),
+        col("n1_fwd"), col("n1_prec"), col("b_types"),
+        round(pkn, 6).as("p_kn"))
+      .orderBy(col("cb").desc, col("prev"), col("w"))
+      .limit(30)
+  }
+
+  val knBigramOracle: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |bg AS (SELECT t[i] AS prev, t[i + 1] AS w
+       |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tok)),
+       |cb AS (SELECT prev, w, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+       |cw1 AS (SELECT prev, COUNT(*) AS c_w1 FROM bg GROUP BY 1),
+       |n1f AS (SELECT prev, COUNT(*) AS n1_fwd FROM cb GROUP BY 1),
+       |n1p AS (SELECT w, COUNT(*) AS n1_prec FROM cb GROUP BY 1),
+       |btot AS (SELECT COUNT(*) AS b_types FROM cb)
+       |SELECT prev, w, CAST(cb AS BIGINT) AS cb,
+       |  CAST(c_w1 AS BIGINT) AS c_w1, CAST(n1_fwd AS BIGINT) AS n1_fwd,
+       |  CAST(n1_prec AS BIGINT) AS n1_prec, CAST(b_types AS BIGINT) AS b_types,
+       |  round((CAST(cb AS DOUBLE) - $KnD) / CAST(c_w1 AS DOUBLE)
+       |    + $KnD * CAST(n1_fwd AS DOUBLE) / CAST(c_w1 AS DOUBLE)
+       |      * (CAST(n1_prec AS DOUBLE) / CAST(b_types AS DOUBLE)), 6) AS p_kn
+       |FROM cb JOIN cw1 USING (prev) JOIN n1f USING (prev)
+       |  JOIN n1p USING (w) CROSS JOIN btot
+       |ORDER BY cb DESC, prev, w LIMIT 30""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ta_kn_bigram", knBigram, Some(knBigramOracle)),
     QueryDef("cu_pii_scrub", piiScrub, Some(piiScrubOracle)),
     QueryDef("ta_js_divergence", jsDivergence, Some(jsDivergenceOracle)),
     QueryDef("ta_bigram_novelty", bigramNovelty, Some(bigramNoveltyOracle)),

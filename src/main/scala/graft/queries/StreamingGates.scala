@@ -675,6 +675,75 @@ object StreamingGates {
         (col("sum_s").cast(DoubleType) / col("sum_m").cast(DoubleType)).as("mase0"))
   }
 
+  /** Forecast-evaluation suite (Hyndman & Koehler 2006, "Another look
+    * at measures of forecast accuracy") for the 24-hour seasonal
+    * forecast of [[seasonalNaive]]: RMSE, MAPE (over nonzero-actual
+    * bars, with its n reported), and sMAPE — the three accuracy
+    * numbers an ops forecasting dashboard shows next to MASE (which
+    * [[seasonalNaive]] already gates). Inputs are the round-6 bar
+    * doubles (deterministic), per-bar terms cross identically in both
+    * engines and sum through DECIMAL(38,12); a zero |b|+|s| sMAPE
+    * denominator contributes an explicit 0 term (the Hyndman
+    * convention, stated).
+    *
+    * Scale shape: [[hourlyBars]]'s calendar-bounded grid self-joined
+    * on the 24-hour lag — everything downstream of one fact aggregate
+    * is grid-sized.
+    */
+  def forecastEval(s: SparkSession, dir: String): DataFrame = {
+    val d12 = DecimalType(38, 12)
+    val bars = hourlyBars(s, dir)
+    val season = bars.select(col("event_type").as("s_type"),
+      col("hour").as("s_hour"), col("bar").as("fc"))
+    val joined = bars
+      .join(season, col("s_type") === col("event_type") &&
+        col("s_hour") === col("hour") - expr("INTERVAL 24 HOURS"))
+    val err = col("bar") - col("fc")
+    val smapeT = when(abs(col("bar")) + abs(col("fc")) > 0.0,
+      lit(2.0) * abs(err) / (abs(col("bar")) + abs(col("fc"))))
+      .otherwise(lit(0.0))
+    joined.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum((err * err).cast(d12)).as("sse"),
+        sum(when(abs(col("bar")) > 0.0, (abs(err) / abs(col("bar"))).cast(d12))
+          .otherwise(lit(0.0).cast(d12))).as("sape"),
+        sum(when(abs(col("bar")) > 0.0, 1L).otherwise(0L)).as("n_nz"),
+        sum(smapeT.cast(d12)).as("ssmape"))
+      .select(col("event_type"), col("n_eval"), col("n_nz"),
+        round(sqrt(col("sse").cast(DoubleType) / col("n_eval")), 6).as("rmse"),
+        round(col("sape").cast(DoubleType) / col("n_nz"), 6).as("mape"),
+        round(col("ssmape").cast(DoubleType) / col("n_eval"), 6).as("smape"))
+      .orderBy(col("event_type"))
+  }
+
+  val forecastEvalOracle: String =
+    """WITH bars AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+      |    round(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS bar
+      |  FROM events GROUP BY 1, 2),
+      |j AS (
+      |  SELECT b.event_type, b.bar, s.bar AS fc
+      |  FROM bars b
+      |  JOIN bars s ON s.event_type = b.event_type
+      |    AND s.hour = b.hour - INTERVAL 24 HOUR),
+      |m AS (
+      |  SELECT event_type, COUNT(*) AS n_eval,
+      |    SUM(CAST((bar - fc) * (bar - fc) AS DECIMAL(38,12))) AS sse,
+      |    SUM(CASE WHEN abs(bar) > 0.0
+      |      THEN CAST(abs(bar - fc) / abs(bar) AS DECIMAL(38,12))
+      |      ELSE CAST(0.0 AS DECIMAL(38,12)) END) AS sape,
+      |    SUM(CASE WHEN abs(bar) > 0.0 THEN 1 ELSE 0 END) AS n_nz,
+      |    SUM(CAST(CASE WHEN abs(bar) + abs(fc) > 0.0
+      |      THEN 2.0 * abs(bar - fc) / (abs(bar) + abs(fc))
+      |      ELSE 0.0 END AS DECIMAL(38,12))) AS ssmape
+      |  FROM j GROUP BY 1)
+      |SELECT event_type, CAST(n_eval AS BIGINT) AS n_eval,
+      |  CAST(n_nz AS BIGINT) AS n_nz,
+      |  round(sqrt(CAST(sse AS DOUBLE) / n_eval), 6) AS rmse,
+      |  round(CAST(sape AS DOUBLE) / n_nz, 6) AS mape,
+      |  round(CAST(ssmape AS DOUBLE) / n_eval, 6) AS smape
+      |FROM m ORDER BY event_type""".stripMargin
+
   val seasonalNaiveOracle: String =
     """WITH bars AS (
       |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
@@ -1701,6 +1770,7 @@ object StreamingGates {
     QueryDef("st_lag_autocorr", lagAutocorr, Some(lagAutocorrOracle)),
     QueryDef("st_cusum_shift", cusumShift, Some(cusumShiftOracle)),
     QueryDef("st_seasonal_naive", seasonalNaive, Some(seasonalNaiveOracle)),
+    QueryDef("st_forecast_eval", forecastEval, Some(forecastEvalOracle)),
     QueryDef("st_ewma", ewmaSmooth, Some(ewmaSmoothOracle)),
     QueryDef("st_windowed_agg", windowedAgg, Some(windowedAggOracle)),
     QueryDef("st_ohlc_bars", ohlcBars, Some(ohlcBarsOracle)),

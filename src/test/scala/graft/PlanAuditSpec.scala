@@ -52,6 +52,8 @@ class PlanAuditSpec extends SparkSpec {
       "ops_chi2_assoc",
       // 1-row bigram-total aggregate broadcast onto the pair relation
       "ta_npmi_colloc",
+      // 1-row bigram-type-count aggregate onto the bigram relation
+      "ta_kn_bigram",
       // 1-row experiment-clock midpoint resp. pooled-moment aggregates
       "ops_did", "ops_cuped",
       // same 1-row experiment-clock midpoint device (withPeriod)
@@ -166,6 +168,8 @@ class PlanAuditSpec extends SparkSpec {
       "ops_chi2_assoc",
       // 1-row bigram-total aggregate
       "ta_npmi_colloc",
+      // 1-row bigram-type-count aggregate
+      "ta_kn_bigram",
       // 1-row experiment-clock midpoint resp. pooled-moment aggregates
       "ops_did", "ops_cuped",
       // same 1-row experiment-clock midpoint device (withPeriod)

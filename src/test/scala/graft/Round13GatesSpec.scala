@@ -712,6 +712,86 @@ class Round13GatesSpec extends SparkSpec {
     assert(got.head._9 >= 0.0 && got.head._10 > 0.0)
   }
 
+  test("ta_kn_bigram: counts, continuation mass, and sum-to-1 replay driver-side") {
+    val got = graft.queries.LlmCuration.knBigram(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))
+    assert(got.length === 30)
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("text").collect().map(_.getString(0))
+    val bigrams = texts.flatMap { t =>
+      val tk = t.split(" ", -1); tk.dropRight(1).zip(tk.drop(1))
+    }
+    val cb = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cw1 = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n1f = cb.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1p = cb.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val b = cb.size.toLong
+    val d = 0.75
+    def pkn(w1: String, w2: String): Double =
+      (cb((w1, w2)).toDouble - d) / cw1(w1).toDouble +
+        d * n1f(w1).toDouble / cw1(w1).toDouble *
+          (n1p(w2).toDouble / b.toDouble)
+    val refTop = cb.toSeq.map { case ((w1, w2), c) => (w1, w2, c) }
+      .sortBy { case (w1, w2, c) => (-c, w1, w2) }.take(30)
+    got.zip(refTop).foreach { case (g, (w1, w2, c)) =>
+      assert((g._1, g._2, g._3) === ((w1, w2, c)))
+      assert(g._4 === cw1(w1)); assert(g._5 === n1f(w1))
+      assert(g._6 === n1p(w2)); assert(g._7 === b)
+      assert(math.abs(g._8 - r6(pkn(w1, w2))) <= 1e-9, s"p_kn $w1 $w2")
+    }
+    // the KN identity: for a context w1, Σ_observed (c−D)/c(w1·) +
+    // λ(w1)·Σ_vocab P_cont = 1 — checked on the top row's context
+    val w1 = got.head._1
+    val obs = cb.keys.toSeq.filter(_._1 == w1).map { k =>
+      (cb(k).toDouble - d) / cw1(w1).toDouble }.sum
+    val lam = d * n1f(w1).toDouble / cw1(w1).toDouble
+    val contAll = n1p.values.map(_.toDouble / b.toDouble).sum
+    assert(math.abs(contAll - 1.0) < 1e-9, "continuation mass")
+    assert(math.abs(obs + lam * contAll - 1.0) < 1e-9, s"KN sums to 1 for '$w1'")
+  }
+
+  test("st_forecast_eval: RMSE/MAPE/sMAPE replay a driver-side bar walk") {
+    val got = graft.queries.StreamingGates.forecastEval(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    val bars = graft.Tables.t(spark, dir, "events")
+      .selectExpr("event_type", "date_trunc('hour', ts) AS hour", "value")
+      .collect().map(r => ((r.getString(0), r.getTimestamp(1)), r.getDouble(2)))
+      .groupBy(_._1).map { case (k, vs) =>
+        val s = vs.map(v => BigDecimal(v._2).setScale(12,
+          BigDecimal.RoundingMode.HALF_UP)).sum
+        k -> r6(s.toDouble / vs.size)
+      }
+    val hourMs = 3600000L
+    val ref = bars.keys.toSeq.groupBy(_._1).toSeq.map { case (typ, ks) =>
+      val pairs = ks.flatMap { case (_, h) =>
+        bars.get((typ, new java.sql.Timestamp(h.getTime - 24 * hourMs)))
+          .map(fc => (bars((typ, h)), fc))
+      }
+      val n = pairs.size
+      val sse = decSum12(pairs.map { case (bb, fc) => (bb - fc) * (bb - fc) })
+      val nz = pairs.filter { case (bb, _) => math.abs(bb) > 0.0 }
+      val sape = decSum12(nz.map { case (bb, fc) =>
+        math.abs(bb - fc) / math.abs(bb) })
+      val ssm = decSum12(pairs.map { case (bb, fc) =>
+        if (math.abs(bb) + math.abs(fc) > 0.0)
+          2.0 * math.abs(bb - fc) / (math.abs(bb) + math.abs(fc))
+        else 0.0 })
+      (typ, n.toLong, nz.size.toLong, r6(math.sqrt(sse / n)),
+        r6(sape / nz.size), r6(ssm / n))
+    }.sortBy(_._1)
+    got.zip(ref).foreach { case (a, b) =>
+      assert(a._1 === b._1); assert(a._2 === b._2); assert(a._3 === b._3)
+      assert(math.abs(a._4 - b._4) <= 1e-9, s"rmse ${a._1}")
+      assert(math.abs(a._5 - b._5) <= 1e-9, s"mape ${a._1}")
+      assert(math.abs(a._6 - b._6) <= 1e-9, s"smape ${a._1}")
+    }
+    // sMAPE is bounded [0, 2] by construction; RMSE ≥ MAE-like floors
+    got.foreach { r => assert(r._6 >= 0.0 && r._6 <= 2.0) }
+  }
+
   test("cu_pii_scrub: masks and counts replay java.util.regex driver-side") {
     val got = graft.queries.LlmCuration.piiScrub(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
