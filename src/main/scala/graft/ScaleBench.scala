@@ -351,6 +351,9 @@ object ScaleBench {
       "ops_cmh_test" -> graft.queries.StatOps.cmhTest _,
       "ta_kn_bigram" -> graft.queries.LlmCuration.knBigram _,
       "st_forecast_eval" -> graft.queries.StreamingGates.forecastEval _,
+      "st_shapley_attrib" -> graft.queries.StreamingGates.shapleyAttrib _,
+      "ops_theil_index" -> graft.queries.StatOps.theilIndex _,
+      "ops_capture_recapture" -> graft.queries.StatOps.captureRecapture _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

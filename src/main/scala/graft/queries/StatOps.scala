@@ -2370,7 +2370,130 @@ object StatOps {
       |  round(or_num / or_den, 6) AS or_mh
       |FROM sums ORDER BY stratum""".stripMargin
 
+  /** Theil T inequality index (Theil 1967) of customer order spend per
+    * market segment — [[gini]]'s information-theoretic sibling:
+    * T = Σᵢ (xᵢ/X)·ln(N·xᵢ/X), zero at perfect equality, ln N at
+    * total concentration. Unlike Gini it needs NO sort — one pass of
+    * per-row terms — which is why large-scale concentration monitors
+    * prefer it (and it decomposes additively across subgroups). Spend
+    * is exact cents; per-customer terms cross to double once (ln is
+    * the cross-engine transcendental, the [[churnFit]] precedent) and
+    * sum through DECIMAL(38,12).
+    *
+    * Scale shape: one fact hash aggregate to customers, a broadcast
+    * dim join, two segment-window passes, one hash aggregate to the
+    * 5-row segment grid — no window ever sorts (contrast [[gini]]'s
+    * rank window): the sort-free shape is the operator's selling
+    * point at 100 TB.
+    */
+  def theilIndex(s: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(38, 0)
+    val d12 = DecimalType(38, 12)
+    val spend = Tables.t(s, dir, "orders")
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast(LongType).as("c"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("c").cast(d)).cast(LongType).as("cents"))
+    val seg = spend
+      .join(Tables.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val wSeg = Window.partitionBy(col("c_mktsegment"))
+    val term = (col("cents").cast(DoubleType) / col("tot").cast(DoubleType)) *
+      log(col("n").cast(DoubleType) * col("cents").cast(DoubleType) /
+        col("tot").cast(DoubleType))
+    seg
+      .withColumn("n", count(lit(1)).over(wSeg))
+      .withColumn("tot", sum(col("cents").cast(d)).over(wSeg).cast(LongType))
+      .withColumn("term", term)
+      .groupBy(col("c_mktsegment"))
+      .agg(max(col("n")).as("n_customers"),
+        max(col("tot")).as("total_cents"),
+        sum(col("term").cast(d12)).cast(DoubleType).as("theil0"))
+      .select(col("c_mktsegment"), col("n_customers"), col("total_cents"),
+        round(col("theil0"), 6).as("theil"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val theilIndexOracle: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |seg AS (
+      |  SELECT c.c_mktsegment, s.cents
+      |  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey),
+      |w AS (
+      |  SELECT c_mktsegment, cents,
+      |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n,
+      |    CAST(SUM(cents) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS tot
+      |  FROM seg),
+      |t AS (
+      |  SELECT *,
+      |    (CAST(cents AS DOUBLE) / CAST(tot AS DOUBLE))
+      |      * ln(CAST(n AS DOUBLE) * CAST(cents AS DOUBLE)
+      |        / CAST(tot AS DOUBLE)) AS term
+      |  FROM w)
+      |SELECT c_mktsegment, CAST(MAX(n) AS BIGINT) AS n_customers,
+      |  MAX(tot) AS total_cents,
+      |  round(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6) AS theil
+      |FROM t GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Capture–recapture population estimation (Lincoln–Petersen and
+    * the bias-corrected Chapman 1951 estimator) — "how big is the
+    * corpus, given two independent samples and their overlap", the
+    * mark-recapture logic reused for estimating coverage of crawls
+    * and dedup universes. Two deterministic 25% md5 samples of the
+    * order population: N̂_LP = n₁n₂/m, N̂_Ch = (n₁+1)(n₂+1)/(m+1) − 1.
+    * All counts exact integers; one double division per estimate; the
+    * true N rides along so the gate pins estimator-vs-truth.
+    *
+    * Scale shape: one scan with two hash predicates, one 1-row
+    * aggregate — the estimate costs two Bernoulli samples, never a
+    * distinct-count.
+    */
+  def captureRecapture(s: SparkSession, dir: String): DataFrame = {
+    def inSample(salt: String) =
+      substring(md5(concat(col("o_orderkey").cast("string"), lit(salt))),
+        1, 4) < "4000"
+    Tables.t(s, dir, "orders")
+      .select(when(inSample(":cap1"), 1L).otherwise(0L).as("s1"),
+        when(inSample(":cap2"), 1L).otherwise(0L).as("s2"))
+      .agg(count(lit(1)).as("n_true"), sum(col("s1")).as("n1"),
+        sum(col("s2")).as("n2"), sum(col("s1") * col("s2")).as("m"))
+      .select(col("n_true"), col("n1"), col("n2"), col("m"),
+        round(col("n1").cast(DoubleType) * col("n2").cast(DoubleType) /
+          col("m").cast(DoubleType), 6).as("n_lp"),
+        round((col("n1") + 1).cast(DoubleType) *
+          (col("n2") + 1).cast(DoubleType) /
+          (col("m") + 1).cast(DoubleType) - lit(1.0), 6).as("n_chapman"))
+  }
+
+  val captureRecaptureOracle: String =
+    """WITH s AS (
+      |  SELECT
+      |    CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR) || ':cap1'), 1, 4)
+      |      < '4000' THEN 1 ELSE 0 END AS s1,
+      |    CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR) || ':cap2'), 1, 4)
+      |      < '4000' THEN 1 ELSE 0 END AS s2
+      |  FROM orders),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+      |    CAST(SUM(s1) AS BIGINT) AS n1, CAST(SUM(s2) AS BIGINT) AS n2,
+      |    CAST(SUM(s1 * s2) AS BIGINT) AS m
+      |  FROM s)
+      |SELECT n_true, n1, n2, m,
+      |  round(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(m AS DOUBLE), 6)
+      |    AS n_lp,
+      |  round(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+      |    / CAST(m + 1 AS DOUBLE) - 1.0, 6) AS n_chapman
+      |FROM agg""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ops_theil_index", theilIndex, Some(theilIndexOracle)),
+    QueryDef("ops_capture_recapture", captureRecapture,
+      Some(captureRecaptureOracle)),
     QueryDef("ops_cmh_test", cmhTest, Some(cmhTestOracle)),
     QueryDef("ops_auc_roc", aucRoc, Some(aucRocOracle)),
     QueryDef("ops_calibration_ece", calibrationEce, Some(calibrationEceOracle)),

@@ -1596,6 +1596,134 @@ object StreamingGates {
     * list (≤ window-bounded touches per purchase), and the credit is a
     * projection. Nothing beyond the touch relation is materialized.
     */
+  // Shapley channels and their bitmask values — view/click/signup/error
+  // touches; purchase is the OUTCOME, not a player
+  private val ShapChannels = Seq(("view", 1L), ("click", 2L),
+    ("signup", 4L), ("error", 8L))
+  // |S|!·(n−1−|S|)! for n = 4 players, |S| = 0..3; denominator n! = 24
+  private val ShapW = Seq(6L, 2L, 2L, 6L)
+
+  /** Exact Shapley-value channel attribution (Shapley 1953; the
+    * data-driven attribution model ad platforms ship as the principled
+    * alternative to last-touch/U-shaped — see [[attributionBatch]] /
+    * [[attribPosition]] for those baselines): players are the four
+    * touch channels, a user's journey is the SET of channels they
+    * touched, and the coalition value v(S) counts conversions whose
+    * journey is covered by S (v is monotone; v(∅) counts users who
+    * converted with no touches). With n = 4 players the 2⁴ = 16
+    * coalition values are computed EXACTLY from the per-mask
+    * conversion counts — no sampling, the textbook factorial-weighted
+    * sum: φᵢ = Σ_{S∌i} |S|!(n−1−|S|)!·(v(S∪i)−v(S)) / n!.
+    * Efficiency axiom Σφᵢ = v(full)−v(∅) rides along as output
+    * columns. Weighted deltas are exact integers; ONE double division
+    * (by 24) per channel at the end.
+    *
+    * Scale shape: one map-combined fact aggregate to users, one hash
+    * aggregate to ≤16 mask rows, then literal-bounded grids (16-row
+    * coalition × 4-row channel, 16-row subset-containment join) — the
+    * exponential lives in 2^n literal rows, never in data, which is
+    * why exact Shapley is tractable for channel counts ≤ ~20.
+    */
+  def shapleyAttrib(s: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(38, 0)
+    val chanBit = ShapChannels.foldRight(lit(0L): org.apache.spark.sql.Column) {
+      case ((name, bit), rest) =>
+        when(col("event_type") === name, bit).otherwise(rest)
+    }
+    import s.implicits._
+    val users = Tables.t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          get_json_object(col("props"), "$.k").cast(IntegerType) >= 95, 1L)
+        .otherwise(0L)).as("conv"))
+    // per-user channel mask: OR of touched channel bits = sum of
+    // DISTINCT bits (bits are power-of-two, each counted once)
+    val masks = Tables.t(s, dir, "events")
+      .select(col("user_id"), chanBit.as("bit"))
+      .distinct()
+      .groupBy(col("user_id"))
+      .agg(sum(col("bit")).as("mask"))
+    val mconv = users.join(masks, "user_id")
+      .groupBy(col("mask")).agg(sum(col("conv")).as("conv_cnt"))
+    val grid = s.range(16).toDF("coal")
+    // v(S) = conversions whose journey mask ⊆ S
+    val v = grid
+      .join(broadcast(mconv),
+        col("mask").bitwiseAND(col("coal")) === col("mask"), "left")
+      .groupBy(col("coal"))
+      .agg(coalesce(sum(col("conv_cnt")), lit(0L)).as("v"))
+    val chans = ShapChannels.toDF("channel", "bit")
+    val wCase = ShapW.zipWithIndex.foldRight(lit(0L): org.apache.spark.sql.Column) {
+      case ((w, size), rest) =>
+        when(bit_count(col("coal")) === size, w).otherwise(rest)
+    }
+    val pairs = v.select(col("coal"), col("v"))
+      .crossJoin(broadcast(chans))
+      .filter(col("coal").bitwiseAND(col("bit")) === 0)
+      .join(broadcast(v.select(col("coal").as("coal2"), col("v").as("v2"))),
+        col("coal2") === col("coal").bitwiseOR(col("bit")))
+      .select(col("channel"), (wCase * (col("v2") - col("v"))).as("wd"))
+    val tot = v.agg(
+      max(when(col("coal") === 15, col("v"))).as("v_full"),
+      max(when(col("coal") === 0, col("v"))).as("v_empty"))
+    pairs.groupBy(col("channel"))
+      .agg(sum(col("wd").cast(d)).as("swd"))
+      .crossJoin(broadcast(tot))
+      .select(col("channel"),
+        round(col("swd").cast(DoubleType) / 24.0, 6).as("phi"),
+        col("v_full"), col("v_empty"))
+      .orderBy(col("channel"))
+  }
+
+  val shapleyAttribOracle: String = {
+    val chanCase = ShapChannels
+      .map { case (n, b) => s"WHEN event_type = '$n' THEN $b" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val chanRows = ShapChannels
+      .map { case (n, b) => s"('$n', $b)" }.mkString(", ")
+    s"""WITH conv AS (
+       |  SELECT user_id,
+       |    MAX(CASE WHEN event_type = 'purchase'
+       |      AND CAST(json_extract_string(props, '$$.k') AS INTEGER) >= 95
+       |      THEN 1 ELSE 0 END) AS conv
+       |  FROM events GROUP BY user_id),
+       |bits AS (
+       |  SELECT DISTINCT user_id, $chanCase AS bit FROM events),
+       |masks AS (
+       |  SELECT user_id, CAST(SUM(bit) AS BIGINT) AS mask
+       |  FROM bits GROUP BY user_id),
+       |mconv AS (
+       |  SELECT mask, CAST(SUM(conv) AS BIGINT) AS conv_cnt
+       |  FROM conv JOIN masks USING (user_id) GROUP BY mask),
+       |grid AS (SELECT unnest(range(0, 16)) AS coal),
+       |v AS (
+       |  SELECT coal, CAST(COALESCE(SUM(conv_cnt), 0) AS BIGINT) AS v
+       |  FROM grid LEFT JOIN mconv ON (mask & coal) = mask
+       |  GROUP BY coal),
+       |chans AS (SELECT * FROM (VALUES $chanRows) AS t(channel, bit)),
+       |pairs AS (
+       |  SELECT c.channel,
+       |    (CASE WHEN bit_count(v.coal) = 0 THEN ${ShapW(0)}
+       |          WHEN bit_count(v.coal) = 1 THEN ${ShapW(1)}
+       |          WHEN bit_count(v.coal) = 2 THEN ${ShapW(2)}
+       |          WHEN bit_count(v.coal) = 3 THEN ${ShapW(3)}
+       |          ELSE 0 END) * (v2.v - v.v) AS wd
+       |  FROM v CROSS JOIN chans c
+       |  JOIN v v2 ON v2.coal = (v.coal | c.bit)
+       |  WHERE (v.coal & c.bit) = 0),
+       |tot AS (
+       |  SELECT MAX(CASE WHEN coal = 15 THEN v END) AS v_full,
+       |    MAX(CASE WHEN coal = 0 THEN v END) AS v_empty
+       |  FROM v)
+       |SELECT channel,
+       |  round(CAST(SUM(CAST(wd AS DECIMAL(38,0))) AS DOUBLE) / 24.0, 6)
+       |    AS phi,
+       |  CAST(v_full AS BIGINT) AS v_full, CAST(v_empty AS BIGINT) AS v_empty
+       |FROM pairs CROSS JOIN tot
+       |GROUP BY channel, v_full, v_empty
+       |ORDER BY channel""".stripMargin
+  }
+
   def attribPosition(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.t(s, dir, "events")
     val views = e.filter(col("event_type") === "view")
@@ -1759,6 +1887,7 @@ object StreamingGates {
     QueryDef("st_cusum2", cusum2, Some(cusum2Oracle)),
     QueryDef("st_rolling_p95", rollingP95, Some(rollingP95Oracle)),
     QueryDef("st_attrib_position", attribPosition, Some(attribPositionOracle)),
+    QueryDef("st_shapley_attrib", shapleyAttrib, Some(shapleyAttribOracle)),
     QueryDef("st_runs_test", runsTest, Some(runsTestOracle)),
     QueryDef("st_concurrency", concurrency, Some(concurrencyOracle)),
     QueryDef("st_trend_mk", trendMk, Some(trendMkOracle)),

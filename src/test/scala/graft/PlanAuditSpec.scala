@@ -93,7 +93,10 @@ class PlanAuditSpec extends SparkSpec {
       // 25-row literal resample grid fanned onto the fact scan
       "ops_bootstrap_poisson",
       // same 25-row grid, xxhash64 production twin
-      "ops_bootstrap_xxhash")
+      "ops_bootstrap_xxhash",
+      // 16-row coalition grid x 4-row channel dim, <=16-row mask-subset
+      // containment joins, 1-row efficiency-axiom totals - all literal
+      "st_shapley_attrib")
 
   // the oracle-less bench-only twins stay under the same plan audit:
   // they run in every bench even though they left the correctness map
@@ -206,7 +209,10 @@ class PlanAuditSpec extends SparkSpec {
       // 25-row literal resample grid
       "ops_bootstrap_poisson",
       // same 25-row grid, xxhash64 production twin
-      "ops_bootstrap_xxhash")
+      "ops_bootstrap_xxhash",
+      // 16-row coalition grid x 4-row channel dim, <=16-row mask-subset
+      // containment joins, 1-row efficiency-axiom totals - all literal
+      "st_shapley_attrib")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>

@@ -792,6 +792,100 @@ class Round13GatesSpec extends SparkSpec {
     got.foreach { r => assert(r._6 >= 0.0 && r._6 <= 2.0) }
   }
 
+  test("st_shapley_attrib: exact Shapley values replay a permutation-definition pass") {
+    val got = graft.queries.StreamingGates.shapleyAttrib(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === 4)
+    val chans = Seq("view" -> 1L, "click" -> 2L, "signup" -> 4L, "error" -> 8L)
+    val users = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id", "event_type",
+        "CAST(get_json_object(props, '$.k') AS INT) AS k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2)))
+      .groupBy(_._1).toSeq.map { case (_, es) =>
+        val mask = chans.collect {
+          case (n, b) if es.exists(_._2 == n) => b }.sum
+        val conv =
+          if (es.exists(e => e._2 == "purchase" && e._3 >= 95)) 1L else 0L
+        (mask, conv)
+      }
+    def v(coal: Long): Long =
+      users.collect { case (m, c) if (m & coal) == m => c }.sum
+    // Shapley by the PERMUTATION definition (average marginal
+    // contribution over all 4! channel orderings) — independent of the
+    // engine's factorial-weighted subset sum
+    val perms = chans.map(_._2).permutations.toSeq
+    val refPhi = chans.map { case (name, bit) =>
+      val contribs = perms.map { p =>
+        val before = p.takeWhile(_ != bit).sum
+        (v(before | bit) - v(before)).toDouble
+      }
+      name -> contribs.sum / perms.size
+    }.toMap
+    got.foreach { case (name, phi, vFull, vEmpty) =>
+      assert(math.abs(phi - r6(refPhi(name))) <= 1e-9, s"phi $name")
+      assert(vFull === v(15L)); assert(vEmpty === v(0L))
+    }
+    // efficiency axiom: Σφ = v(full) − v(∅)
+    val sumPhi = got.map(_._2).sum
+    assert(math.abs(sumPhi - (v(15L) - v(0L)).toDouble) < 1e-4,
+      s"efficiency: $sumPhi vs ${v(15L) - v(0L)}")
+  }
+
+  test("ops_theil_index: per-segment entropy terms replay driver-side") {
+    val got = StatOps.theilIndex(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val spend = spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("o_custkey", "CAST(round(o_totalprice * 100) AS BIGINT) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).toSeq.map { case (k, cs) => (k, cs.map(_._2).sum) }
+    val segOf = spark.read.parquet(s"$dir/customer.parquet")
+      .selectExpr("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ref = spend.flatMap { case (k, c) => segOf.get(k).map(s => (s, c)) }
+      .groupBy(_._1).toSeq.map { case (seg, xs) =>
+        val n = xs.size.toLong
+        val tot = xs.map(_._2).sum
+        val theil = decSum12(xs.map { case (_, x) =>
+          (x.toDouble / tot.toDouble) *
+            math.log(n.toDouble * x.toDouble / tot.toDouble) })
+        (seg, n, tot, theil)
+      }.sortBy(_._1)
+    got.zip(ref).foreach { case (a, b) =>
+      assert(a._1 === b._1); assert(a._2 === b._2); assert(a._3 === b._3)
+      assert(math.abs(a._4 - r6(b._4)) <= 1e-9, s"theil ${a._1}")
+    }
+    // Theil is nonnegative and below its ln N ceiling
+    got.foreach { r =>
+      assert(r._4 >= 0.0 && r._4 <= math.log(r._2.toDouble), r) }
+  }
+
+  test("ops_capture_recapture: sample overlap and estimators replay driver-side") {
+    val got = StatOps.captureRecapture(spark, dir).collect().head
+    val keys = spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("o_orderkey").collect().map(_.getLong(0))
+    def inS(k: Long, salt: String): Boolean =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$k$salt".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(4) < "4000"
+    val n1 = keys.count(inS(_, ":cap1")).toLong
+    val n2 = keys.count(inS(_, ":cap2")).toLong
+    val m = keys.count(k => inS(k, ":cap1") && inS(k, ":cap2")).toLong
+    assert(got.getLong(0) === keys.length.toLong)
+    assert(got.getLong(1) === n1); assert(got.getLong(2) === n2)
+    assert(got.getLong(3) === m)
+    assert(got.getDouble(4) === r6(n1.toDouble * n2.toDouble / m.toDouble))
+    assert(got.getDouble(5) ===
+      r6((n1 + 1).toDouble * (n2 + 1).toDouble / (m + 1).toDouble - 1.0))
+    // Chapman lands near truth: within 5 SEs of the estimator
+    val nTrue = keys.length.toDouble
+    val se = math.sqrt((n1 + 1).toDouble * (n2 + 1) * (n1 - m) * (n2 - m) /
+      ((m + 1).toDouble * (m + 1) * (m + 2)))
+    assert(math.abs(got.getDouble(5) - nTrue) < 5 * se,
+      s"Chapman ${got.getDouble(5)} vs true $nTrue (se $se)")
+  }
+
   test("cu_pii_scrub: masks and counts replay java.util.regex driver-side") {
     val got = graft.queries.LlmCuration.piiScrub(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
