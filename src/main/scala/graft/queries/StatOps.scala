@@ -975,7 +975,7 @@ object StatOps {
        |  round(CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 1000000.0, 6) AS mean_b,
        |  round((CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
        |      - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-       |    / sqrt($vA + $vB), 6) AS t_stat,
+       |    / sqrt($vA + $vB), 6) + 0.0 AS t_stat,
        |  round(($vA + $vB) * ($vA + $vB)
        |    / ($vA * $vA / CAST(n_a - 1 AS DOUBLE)
        |      + $vB * $vB / CAST(n_b - 1 AS DOUBLE)), 6) AS dof
@@ -1739,9 +1739,9 @@ object StatOps {
        |SELECT grp AS event_type, CAST(n AS BIGINT) AS n,
        |  CAST(s2 AS BIGINT) AS r2_sum,
        |  round(CAST(s2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)), 6) AS mean_rank,
-       |  round($h, 6) AS h_stat,
+       |  round($h, 6) + 0.0 AS h_stat,
        |  round($c, 6) AS tie_c,
-       |  round(($h) / ($c), 6) AS h_adj
+       |  round(($h) / ($c), 6) + 0.0 AS h_adj
        |FROM w CROSS JOIN t3 ORDER BY event_type""".stripMargin
   }
 
@@ -1935,7 +1935,7 @@ object StatOps {
       |  round(CAST(auc_num AS DOUBLE)
       |    / (2.0 * CAST(n_pos * n_neg AS DOUBLE)), 6) AS auc,
       |  round(CAST(auc_num AS DOUBLE)
-      |    / CAST(n_pos * n_neg AS DOUBLE) - 1.0, 6) AS gini_auc
+      |    / CAST(n_pos * n_neg AS DOUBLE) - 1.0, 6) + 0.0 AS gini_auc
       |FROM base""".stripMargin
 
   /** Reliability diagram + expected calibration error (Guo et al.
@@ -2187,7 +2187,7 @@ object StatOps {
        |    CAST(SUM(CAST(oe_t AS DECIMAL(38,12))) AS DOUBLE) AS oe,
        |    CAST(SUM(CAST(v_t AS DECIMAL(38,12))) AS DOUBLE) AS v
        |  FROM terms)
-       |SELECT churn_a, churn_b, round(oe, 6) AS o_minus_e,
+       |SELECT churn_a, churn_b, round(oe, 6) + 0.0 AS o_minus_e,
        |  round(v, 6) AS var_lr, round(oe * oe / v, 6) AS chi2
        |FROM agg""".stripMargin
 
@@ -2437,7 +2437,7 @@ object StatOps {
       |  FROM w)
       |SELECT c_mktsegment, CAST(MAX(n) AS BIGINT) AS n_customers,
       |  MAX(tot) AS total_cents,
-      |  round(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6) AS theil
+      |  round(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6) + 0.0 AS theil
       |FROM t GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   /** Capture–recapture population estimation (Lincoln–Petersen and

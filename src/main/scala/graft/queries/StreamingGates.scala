@@ -1717,7 +1717,7 @@ object StreamingGates {
        |  FROM v)
        |SELECT channel,
        |  round(CAST(SUM(CAST(wd AS DECIMAL(38,0))) AS DOUBLE) / 24.0, 6)
-       |    AS phi,
+       |    + 0.0 AS phi,
        |  CAST(v_full AS BIGINT) AS v_full, CAST(v_empty AS BIGINT) AS v_empty
        |FROM pairs CROSS JOIN tot
        |GROUP BY channel, v_full, v_empty

@@ -156,6 +156,32 @@ class RoundingAuditSpec extends SparkSpec {
       StreamingGates.lagAutocorr(spark, gateDir))
     auditNoNegZero("st_seasonal_naive",
       StreamingGates.seasonalNaive(spark, gateDir))
+    // round-13 negative-capable outputs: each also carries the `+ 0.0`
+    // sign normalization in its ORACLE (checked below) so a tiny
+    // negative pre-round value cannot render -0.0 in DuckDB only
+    auditNoNegZero("ops_ttest_welch", StatOps.welchTTest(spark, gateDir))
+    auditNoNegZero("ops_auc_roc", StatOps.aucRoc(spark, gateDir))
+    auditNoNegZero("ops_kruskal_wallis", StatOps.kruskalWallis(spark, gateDir))
+    auditNoNegZero("ops_logrank_test", StatOps.logrankTest(spark, gateDir))
+    auditNoNegZero("ops_theil_index", StatOps.theilIndex(spark, gateDir))
+    auditNoNegZero("st_shapley_attrib",
+      StreamingGates.shapleyAttrib(spark, gateDir))
+  }
+
+  test("round-13 negative-capable oracles carry the -0.0 sign normalization") {
+    val probes = Seq(
+      StatOps.welchOracle -> "t_stat",
+      StatOps.aucRocOracle -> "gini_auc",
+      StatOps.kruskalWallisOracle -> "h_stat",
+      StatOps.kruskalWallisOracle -> "h_adj",
+      StatOps.logrankTestOracle -> "o_minus_e",
+      StatOps.theilIndexOracle -> "theil",
+      StreamingGates.shapleyAttribOracle -> "phi")
+    for ((sql, colName) <- probes)
+      assert(sql.replaceAll("\\s+", " ").contains(s"+ 0.0 AS $colName"),
+        s"oracle lost the `+ 0.0 AS $colName` sign normalization — a " +
+          "tiny negative pre-round value renders -0.0 in DuckDB only " +
+          "and flips the driver hash (the gr_modularity r11/r12 class)")
   }
 
   test("public gates equal their raw frames rounded (refactor is a pure split)") {
