@@ -354,6 +354,11 @@ object ScaleBench {
       "st_shapley_attrib" -> graft.queries.StreamingGates.shapleyAttrib _,
       "ops_theil_index" -> graft.queries.StatOps.theilIndex _,
       "ops_capture_recapture" -> graft.queries.StatOps.captureRecapture _,
+      "ops_isotonic_calib" -> graft.queries.StatMore.isotonicCalib _,
+      "ops_kendall_tau" -> graft.queries.StatMore.kendallTau _,
+      "ops_nelson_aalen" -> graft.queries.StatMore.nelsonAalen _,
+      "ops_tornqvist_index" -> graft.queries.StatMore.tornqvistIndex _,
+      "ops_sprt_ab" -> graft.queries.StatMore.sprtAb _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

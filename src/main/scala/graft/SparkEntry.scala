@@ -45,7 +45,8 @@ object SparkEntry {
         graft.queries.TextScores.defs ++
         graft.queries.Graph.defs ++
         graft.queries.Basket.defs ++
-        graft.queries.StatOps.defs
+        graft.queries.StatOps.defs ++
+        graft.queries.StatMore.defs
     // a name collision would silently shrink the correctness gate
     // (toMap keeps the last duplicate) — fail loudly instead; the
     // bench-only names share the namespace (Bench times both sets)

@@ -166,6 +166,10 @@ class RoundingAuditSpec extends SparkSpec {
     auditNoNegZero("ops_theil_index", StatOps.theilIndex(spark, gateDir))
     auditNoNegZero("st_shapley_attrib",
       StreamingGates.shapleyAttrib(spark, gateDir))
+    auditNoNegZero("ops_kendall_tau",
+      graft.queries.StatMore.kendallTau(spark, gateDir))
+    auditNoNegZero("ops_sprt_ab",
+      graft.queries.StatMore.sprtAb(spark, gateDir))
   }
 
   test("round-13 negative-capable oracles carry the -0.0 sign normalization") {
@@ -176,7 +180,10 @@ class RoundingAuditSpec extends SparkSpec {
       StatOps.kruskalWallisOracle -> "h_adj",
       StatOps.logrankTestOracle -> "o_minus_e",
       StatOps.theilIndexOracle -> "theil",
-      StreamingGates.shapleyAttribOracle -> "phi")
+      StreamingGates.shapleyAttribOracle -> "phi",
+      graft.queries.StatMore.kendallTauOracle -> "tau_b",
+      graft.queries.StatMore.sprtAbOracle -> "delta",
+      graft.queries.StatMore.sprtAbOracle -> "ln_lambda")
     for ((sql, colName) <- probes)
       assert(sql.replaceAll("\\s+", " ").contains(s"+ 0.0 AS $colName"),
         s"oracle lost the `+ 0.0 AS $colName` sign normalization — a " +
