@@ -359,6 +359,17 @@ object ScaleBench {
       "ops_nelson_aalen" -> graft.queries.StatMore.nelsonAalen _,
       "ops_tornqvist_index" -> graft.queries.StatMore.tornqvistIndex _,
       "ops_sprt_ab" -> graft.queries.StatMore.sprtAb _,
+      "gr_rich_club" -> graft.queries.GraphMore.richClub _,
+      // round-13 tranche C (classical tests / drift / concentration /
+      // LM scoring / IR eval)
+      "ops_cliffs_delta" -> graft.queries.StatTests.cliffsDelta _,
+      "ops_brown_forsythe" -> graft.queries.StatTests.brownForsythe _,
+      "ops_friedman" -> graft.queries.StatTests.friedmanTest _,
+      "ops_sen_slope" -> graft.queries.StatTests.senSlope _,
+      "ops_emd_drift" -> graft.queries.StatTests.emdDrift _,
+      "ops_hhi" -> graft.queries.StatTests.hhiConcentration _,
+      "ta_lm_perplexity" -> graft.queries.TextEval.lmPerplexity _,
+      "ta_ndcg_eval" -> graft.queries.TextEval.ndcgEval _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

@@ -46,7 +46,10 @@ object SparkEntry {
         graft.queries.Graph.defs ++
         graft.queries.Basket.defs ++
         graft.queries.StatOps.defs ++
-        graft.queries.StatMore.defs
+        graft.queries.StatMore.defs ++
+        graft.queries.GraphMore.defs ++
+        graft.queries.StatTests.defs ++
+        graft.queries.TextEval.defs
     // a name collision would silently shrink the correctness gate
     // (toMap keeps the last duplicate) — fail loudly instead; the
     // bench-only names share the namespace (Bench times both sets)

@@ -427,8 +427,10 @@ object Graph {
         .unionByName(pr.select(col("y").as("src"), col("x").as("dst"))))
   }
 
-  /** The oracle rendering of [[supportEdges]]'s threshold. */
-  private def minSupSql: String =
+  /** The oracle rendering of [[supportEdges]]'s threshold (shared
+    * with [[GraphMore.richClub]]'s oracle).
+    */
+  private[queries] def minSupSql: String =
     s"GREATEST($CoreMinSupport, ((SELECT COUNT(*) FROM orders) + ${SupportPerOrders - 1}) // $SupportPerOrders)"
 
   private[graft] def kCorePlan(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {

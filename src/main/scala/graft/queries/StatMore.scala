@@ -61,12 +61,15 @@ object StatMore {
       col("n_pos").as("jp"), col("cw").as("jcw"), col("cp").as("jcp"))
     val hi = cum.select(col("bin").as("kbin"), col("cw").as("kcw"),
       col("cp").as("kcp"))
-    val pairs = lo.join(hi, col("jbin") <= col("kbin"))
+    // both non-equi sides are capped at 10 rows by the least(9, ·)
+    // bin cap — broadcast so the interval joins plan as BNLJ over a
+    // literal-bounded grid, never a shuffled cartesian
+    val pairs = lo.join(broadcast(hi), col("jbin") <= col("kbin"))
       .select(col("jbin"), col("kbin"),
         ((col("kcp") - col("jcp") + col("jp")).cast(DoubleType) /
           (col("kcw") - col("jcw") + col("jn")).cast(DoubleType)).as("avg"))
     val iso = pairs
-      .join(bins.select(col("bin")),
+      .join(broadcast(bins.select(col("bin"))),
         col("jbin") <= col("bin") && col("kbin") >= col("bin"))
       .groupBy(col("bin"), col("jbin"))
       .agg(min(col("avg")).as("mn"))
@@ -134,9 +137,11 @@ object StatMore {
     */
   def kendallTau(s: SparkSession, dir: String): DataFrame = {
     val dec0 = DecimalType(38, 0)
+    // customer is data-bounded (grows with SF) — no broadcast hint,
+    // AQE picks the strategy; nation is spec-constant (25 rows)
     val grid = Tables.t(s, dir, "orders")
-      .join(broadcast(Tables.t(s, dir, "customer")
-        .select(col("c_custkey"), col("c_nationkey"))),
+      .join(Tables.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.t(s, dir, "nation")
         .select(col("n_nationkey"), col("n_name"))),

@@ -1,0 +1,546 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-13 extension tranche C: the classical-inference and
+  * distribution-comparison operators that complete families already
+  * on the surface — effect size beside the Mann–Whitney test
+  * ([[StatOps.mannWhitney]]), variance homogeneity beside the Welch
+  * t ([[StatOps]]' `ops_ttest_welch`), the blocked-design rank test
+  * beside Kruskal–Wallis (`ops_kruskal_wallis`), the robust slope
+  * beside the Mann–Kendall trend (`st_trend_mk`), earth-mover drift
+  * beside PSI/KS/JS (`ops_psi_drift`/`ops_ks_drift`/
+  * `ta_js_divergence`), and market concentration beside
+  * Gini/Lorenz/Theil (`ops_gini`/`ops_lorenz`/`ops_theil_index`).
+  * Same float policy as [[StatOps]]: exact integers through
+  * aggregation, per-term doubles written identically in the Spark
+  * plan and the DuckDB oracle, order-free Σ via DECIMAL(38,12) where
+  * a sum crosses rows, round-6 output, `+ 0.0` oracle normalization
+  * on negative-capable columns.
+  */
+object StatTests {
+
+  /** Cliff's delta ordinal effect size (Cliff 1993) of event value
+    * between the two experiment arms, per event type — the
+    * magnitude companion to [[StatOps.mannWhitney]]'s significance:
+    * δ = P(A > B) − P(B > A), the probability a random A observation
+    * exceeds a random B one minus the reverse. Derived EXACTLY from
+    * the same doubled mid-rank carry as the U test (δ =
+    * 2U_A/(n_A·n_B) − 1, with U_A from the rank sum, ties counted
+    * half), so δ never touches an O(n²) pair join; the qualitative
+    * band (negligible < 0.147 ≤ small < 0.33 ≤ medium < 0.474 ≤
+    * large, Romano et al. 2006) is decided by INTEGER
+    * cross-multiplication — no double ever enters a comparison.
+    *
+    * Scale shape: one fact-sized rank window per type (the
+    * mannWhitney shape), one map-combined aggregate; the δ formula
+    * runs on the 5-row type grid.
+    */
+  def cliffsDelta(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+      .select(col("event_type").as("t"),
+        when(col("user_id") % 2 === 0, "A").otherwise("B").as("arm"),
+        col("value"))
+    val r2 = (lit(2) * rank().over(
+      Window.partitionBy(col("t")).orderBy(col("value")))
+      + count(lit(1)).over(Window.partitionBy(col("t"), col("value"))) - 1)
+      .cast(LongType)
+    val d = DecimalType(38, 0)
+    val agg = ev.withColumn("r2", r2)
+      .groupBy(col("t"))
+      .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === "A", col("r2").cast(d))).as("s2a"))
+    // 2·U_A = s2a − n_a(n_a+1);  δ·(n_a·n_b) = 2·U_A − n_a·n_b — all
+    // exact integers; |num| vs 0.147/0.33/0.474 thresholds compared
+    // as num·1000 vs 147/330/474·(n_a·n_b)
+    val num = (col("s2a") - (col("n_a") * (col("n_a") + 1)).cast(d) -
+      (col("n_a") * col("n_b")).cast(d)).as("num")
+    agg.select(col("t"), col("n_a"), col("n_b"), num,
+      (col("n_a") * col("n_b")).cast(d).as("den"))
+      .select(col("t").as("event_type"), col("n_a"), col("n_b"),
+        round(col("num").cast(DoubleType) / col("den").cast(DoubleType), 6)
+          .as("cliffs_delta"),
+        when(abs(col("num")) * 1000 < col("den") * 147, "negligible")
+          .when(abs(col("num")) * 1000 < col("den") * 330, "small")
+          .when(abs(col("num")) * 1000 < col("den") * 474, "medium")
+          .otherwise("large").as("magnitude"))
+      .orderBy(col("event_type"))
+  }
+
+  val cliffsDeltaOracle: String =
+    """WITH ev AS (
+      |  SELECT event_type AS t,
+      |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm, "value"
+      |  FROM events),
+      |r AS (
+      |  SELECT t, arm,
+      |    CAST(2 * rank() OVER (PARTITION BY t ORDER BY "value")
+      |      + COUNT(*) OVER (PARTITION BY t, "value") - 1 AS BIGINT) AS r2
+      |  FROM ev),
+      |agg AS (
+      |  SELECT t,
+      |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    SUM(CASE WHEN arm = 'A' THEN CAST(r2 AS DECIMAL(38,0)) END) AS s2a
+      |  FROM r GROUP BY 1),
+      |f AS (
+      |  SELECT t, n_a, n_b,
+      |    s2a - CAST(n_a * (n_a + 1) AS DECIMAL(38,0))
+      |      - CAST(n_a * n_b AS DECIMAL(38,0)) AS num,
+      |    CAST(n_a * n_b AS DECIMAL(38,0)) AS den
+      |  FROM agg)
+      |SELECT t AS event_type, n_a, n_b,
+      |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) + 0.0
+      |    AS cliffs_delta,
+      |  CASE WHEN abs(num) * 1000 < den * 147 THEN 'negligible'
+      |    WHEN abs(num) * 1000 < den * 330 THEN 'small'
+      |    WHEN abs(num) * 1000 < den * 474 THEN 'medium'
+      |    ELSE 'large' END AS magnitude
+      |FROM f ORDER BY event_type""".stripMargin
+
+  /** Brown–Forsythe variance-homogeneity test (Brown & Forsythe
+    * 1974 — Levene's test with MEDIAN centers, the robust variant
+    * every ANOVA pre-check uses): are order-value spreads equal
+    * across the five customer market segments? W = ((N−k)/(k−1)) ·
+    * Σnᵢ(Z̄ᵢ−Z̄)² / ΣᵢΣⱼ(Zᵢⱼ−Z̄ᵢ)² with Zᵢⱼ = |xᵢⱼ − medᵢ|. The
+    * medians ride [[Pctl]] (integer cents → the interpolated median
+    * is an exact half-integer), so the DOUBLED deviations
+    * z2 = |2x − 2·med| are exact integers: the within-group sums
+    * Sᵢ = Σz2 and Qᵢ = Σz2² aggregate exactly (DECIMAL(38,0)); the
+    * 4× unit factor cancels in W's ratio. Per-group double terms
+    * (Sᵢ²/nᵢ) cross once each and Σ over the 5-segment grid rides
+    * DECIMAL(38,12), so no row-order enters a float sum.
+    *
+    * Scale shape: two fact passes (one exact-percentile sort per
+    * segment, one deviation aggregate with the 5-row median grid
+    * broadcast back), then 5-row grid algebra.
+    */
+  def brownForsythe(s: SparkSession, dir: String): DataFrame = {
+    val d0 = DecimalType(38, 0)
+    val d12 = DecimalType(38, 12)
+    val ord = Tables.t(s, dir, "orders")
+      .join(Tables.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+    val med = ord.groupBy(col("seg"))
+      .agg(Pctl.p("cents", 0.5).as("med"))
+      .withColumn("m2", (col("med") * 2).cast(LongType))
+    val dev = ord.join(broadcast(med), "seg")
+      .select(col("seg"), col("med"),
+        abs(col("cents") * 2 - col("m2")).as("z2"))
+    val g = dev.groupBy(col("seg"), col("med"))
+      .agg(count(lit(1)).as("n"), sum(col("z2").cast(d0)).as("s"),
+        sum((col("z2") * col("z2")).cast(d0)).as("q"))
+    // per-group double terms, written once; Σ over groups rides dec12
+    val between = col("s").cast(DoubleType) * col("s").cast(DoubleType) /
+      col("n").cast(DoubleType)
+    val within = col("q").cast(DoubleType) - between
+    val tot = g.agg(count(lit(1)).as("k"), sum(col("n")).as("n_tot"),
+      sum(col("s")).as("s_tot"),
+      sum(between.cast(d12)).cast(DoubleType).as("a_raw"),
+      sum(within.cast(d12)).cast(DoubleType).as("b"))
+    val aNum = col("a_raw") -
+      col("s_tot").cast(DoubleType) * col("s_tot").cast(DoubleType) /
+        col("n_tot").cast(DoubleType)
+    val w = (col("n_tot") - col("k")).cast(DoubleType) /
+      (col("k") - 1).cast(DoubleType) * aNum / col("b")
+    g.crossJoin(broadcast(tot.filter(col("b") > 0)))
+      .select(col("seg").as("segment"), col("n"),
+        round(col("med"), 6).as("median_price"),
+        round(col("s").cast(DoubleType) /
+          (lit(2.0) * col("n").cast(DoubleType)), 6).as("mean_absdev"),
+        round(w, 6).as("w_stat"),
+        (col("k") - 1).as("df1"), (col("n_tot") - col("k")).as("df2"))
+      .orderBy(col("segment"))
+  }
+
+  val brownForsytheOracle: String = {
+    val between = "CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+    s"""WITH ord AS (
+       |  SELECT c.c_mktsegment AS seg,
+       |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+       |med AS (
+       |  SELECT seg, ${Pctl.sql("cents", 0.5)} AS med FROM ord GROUP BY 1),
+       |dev AS (
+       |  SELECT o.seg, m.med,
+       |    abs(o.cents * 2 - CAST(m.med * 2 AS BIGINT)) AS z2
+       |  FROM ord o JOIN med m USING (seg)),
+       |g AS (
+       |  SELECT seg, med, COUNT(*) AS n,
+       |    SUM(CAST(z2 AS DECIMAL(38,0))) AS s,
+       |    SUM(CAST(z2 * z2 AS DECIMAL(38,0))) AS q
+       |  FROM dev GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n_tot,
+       |    SUM(s) AS s_tot,
+       |    CAST(SUM(CAST($between AS DECIMAL(38,12))) AS DOUBLE) AS a_raw,
+       |    CAST(SUM(CAST(CAST(q AS DOUBLE) - $between AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS b
+       |  FROM g)
+       |SELECT g.seg AS segment, g.n,
+       |  round(g.med, 6) AS median_price,
+       |  round(CAST(g.s AS DOUBLE) / (2.0 * CAST(g.n AS DOUBLE)), 6)
+       |    AS mean_absdev,
+       |  round(CAST(t.n_tot - t.k AS DOUBLE) / CAST(t.k - 1 AS DOUBLE)
+       |    * (t.a_raw - CAST(t.s_tot AS DOUBLE) * CAST(t.s_tot AS DOUBLE)
+       |        / CAST(t.n_tot AS DOUBLE))
+       |    / t.b, 6) + 0.0 AS w_stat,
+       |  t.k - 1 AS df1, t.n_tot - t.k AS df2
+       |FROM g CROSS JOIN tot t
+       |WHERE t.b > 0
+       |ORDER BY segment""".stripMargin
+  }
+
+  /** Friedman blocked rank test (Friedman 1937) — the
+    * repeated-measures complement to `ops_kruskal_wallis`: within
+    * each ship-month BLOCK, rank the five order priorities by total
+    * revenue, then ask whether any priority systematically out-ranks
+    * the others across months. Observations are exact integer cent
+    * sums per (month, priority) cell; only COMPLETE blocks (all 5
+    * priorities present) enter, filtered relationally on both
+    * engines. Ranks carry the doubled mid-rank trick (2r + t − 1) so
+    * ties stay integer; χ²_F = 3·ΣⱼR2ⱼ²/(b·k·(k+1)) − 3·b·(k+1)
+    * (the doubled-rank rendering of 12/(bk(k+1))·ΣRⱼ² − 3b(k+1))
+    * crosses to double once, and Kendall's concordance W =
+    * χ²_F/(b·(k−1)) comes free.
+    *
+    * Scale shape: one fact hash aggregate to the (month × priority)
+    * grid, grid-sized rank windows, one k-row aggregate — the fact
+    * is touched once.
+    */
+  def friedmanTest(s: SparkSession, dir: String): DataFrame = {
+    val d0 = DecimalType(38, 0)
+    val cells = Tables.t(s, dir, "orders")
+      .select(date_trunc("month", col("o_orderdate").cast(TimestampType))
+        .cast(DateType).as("block"),
+        col("o_orderpriority").as("trt"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      .groupBy(col("block"), col("trt"))
+      .agg(sum(col("cents").cast(d0)).as("obs"))
+    val kTot = cells.select(col("trt")).distinct()
+      .agg(count(lit(1)).as("k"))
+    val full = cells
+      .withColumn("n_trt", count(lit(1))
+        .over(Window.partitionBy(col("block"))))
+      .crossJoin(broadcast(kTot))
+      .filter(col("n_trt") === col("k"))
+    val r2 = (lit(2) * rank().over(
+      Window.partitionBy(col("block")).orderBy(col("obs")))
+      + count(lit(1)).over(Window.partitionBy(col("block"), col("obs"))) - 1)
+      .cast(LongType)
+    val ranked = full.withColumn("r2", r2)
+    val byTrt = ranked.groupBy(col("trt"), col("k"))
+      .agg(count(lit(1)).as("b"), sum(col("r2")).as("rs2"))
+    val stat = byTrt.groupBy(col("k"), col("b"))
+      .agg(sum((col("rs2") * col("rs2")).cast(d0)).as("ss2"))
+      .select(col("k"), col("b"),
+        (lit(3.0) * col("ss2").cast(DoubleType) /
+          (col("b") * col("k") * (col("k") + 1)).cast(DoubleType) -
+          lit(3.0) * (col("b") * (col("k") + 1)).cast(DoubleType))
+          .as("chi2"))
+    byTrt.join(stat, Seq("k", "b"))
+      .select(col("trt").as("priority"), col("b").as("n_blocks"),
+        col("rs2").as("rank_sum2"),
+        round(col("rs2").cast(DoubleType) /
+          (lit(2.0) * col("b").cast(DoubleType)), 6).as("mean_rank"),
+        round(col("chi2"), 6).as("chi2_f"),
+        (col("k") - 1).as("df"),
+        round(col("chi2") / (col("b") * (col("k") - 1)).cast(DoubleType), 6)
+          .as("kendall_w"))
+      .orderBy(col("priority"))
+  }
+
+  val friedmanTestOracle: String =
+    """WITH cells AS (
+      |  SELECT CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+      |      AS DATE) AS block,
+      |    o_orderpriority AS trt,
+      |    SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+      |      AS DECIMAL(38,0))) AS obs
+      |  FROM orders GROUP BY 1, 2),
+      |kt AS (SELECT COUNT(DISTINCT trt) AS k FROM cells),
+      |full_blocks AS (
+      |  SELECT c.*, kt.k FROM cells c CROSS JOIN kt
+      |  QUALIFY COUNT(*) OVER (PARTITION BY c.block) = kt.k),
+      |ranked AS (
+      |  SELECT *,
+      |    CAST(2 * rank() OVER (PARTITION BY block ORDER BY obs)
+      |      + COUNT(*) OVER (PARTITION BY block, obs) - 1 AS BIGINT) AS r2
+      |  FROM full_blocks),
+      |by_trt AS (
+      |  SELECT trt, k, COUNT(*) AS b, CAST(SUM(r2) AS BIGINT) AS rs2
+      |  FROM ranked GROUP BY 1, 2),
+      |stat AS (
+      |  SELECT k, b,
+      |    3.0 * CAST(SUM(CAST(rs2 * rs2 AS DECIMAL(38,0))) AS DOUBLE)
+      |      / CAST(b * k * (k + 1) AS DOUBLE)
+      |      - 3.0 * CAST(b * (k + 1) AS DOUBLE) AS chi2
+      |  FROM by_trt GROUP BY 1, 2)
+      |SELECT t.trt AS priority, t.b AS n_blocks, t.rs2 AS rank_sum2,
+      |  round(CAST(t.rs2 AS DOUBLE) / (2.0 * CAST(t.b AS DOUBLE)), 6)
+      |    AS mean_rank,
+      |  round(s.chi2, 6) + 0.0 AS chi2_f,
+      |  t.k - 1 AS df,
+      |  round(s.chi2 / CAST(t.b * (t.k - 1) AS DOUBLE), 6) + 0.0 AS kendall_w
+      |FROM by_trt t JOIN stat s USING (k, b)
+      |ORDER BY priority""".stripMargin
+
+  /** Theil–Sen robust slope (Theil 1950; Sen 1968) of each nation's
+    * monthly revenue series — the estimator that ANSWERS the
+    * question `st_trend_mk`'s Mann–Kendall test only decides: not
+    * "is there a monotone trend" but "how steep is it", immune to
+    * outlier months (29% breakdown point). Slope of every month
+    * pair is one double division of exact integers (Δcents /
+    * Δmonth-index); the estimate is the [[Pctl]] median over the
+    * per-nation slope set. Degenerate nations (<2 months) never
+    * form a pair and drop out relationally.
+    *
+    * Scale shape: one fact hash aggregate to the (nation × month)
+    * grid (the kendallTau grid), one within-nation month²-sized
+    * pair join — never fact-sized — and a 25-group exact
+    * percentile over ~month²/2 slopes each.
+    */
+  def senSlope(s: SparkSession, dir: String): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val grid = Tables.t(s, dir, "orders")
+      .join(Tables.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast(LongType).as("mi"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      .groupBy(col("n_name"), col("mi"))
+      .agg(sum(col("cents").cast(dec0)).cast(LongType).as("rev"))
+    val a = grid.select(col("n_name").as("nn"), col("mi").as("m1"),
+      col("rev").as("r1"))
+    val b = grid.select(col("n_name").as("nn2"), col("mi").as("m2"),
+      col("rev").as("r2"))
+    val pairs = a.join(b, col("nn") === col("nn2") && col("m1") < col("m2"))
+      .select(col("nn"),
+        ((col("r2") - col("r1")).cast(DoubleType) /
+          (col("m2") - col("m1")).cast(DoubleType)).as("slope"))
+    val months = grid.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_months"))
+    pairs.groupBy(col("nn"))
+      .agg(count(lit(1)).as("n_pairs"), Pctl.p("slope", 0.5).as("sen"))
+      .join(months, col("nn") === col("n_name"))
+      .select(col("n_name"), col("n_months"), col("n_pairs"),
+        col("sen").as("sen_slope_cents"))
+      .orderBy(col("n_name"))
+  }
+
+  val senSlopeOracle: String =
+    s"""WITH grid AS (
+       |  SELECT n.n_name,
+       |    CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT)
+       |      AS mi,
+       |    CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev
+       |  FROM orders o
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a.n_name,
+       |    CAST(b.rev - a.rev AS DOUBLE) / CAST(b.mi - a.mi AS DOUBLE)
+       |      AS slope
+       |  FROM grid a JOIN grid b
+       |    ON a.n_name = b.n_name AND a.mi < b.mi),
+       |months AS (SELECT n_name, COUNT(*) AS n_months FROM grid GROUP BY 1)
+       |SELECT p.n_name, m.n_months, p.n_pairs,
+       |  p.sen + 0.0 AS sen_slope_cents
+       |FROM (SELECT n_name, COUNT(*) AS n_pairs,
+       |    ${Pctl.sql("slope", 0.5)} AS sen
+       |  FROM pairs GROUP BY 1) p
+       |JOIN months m USING (n_name)
+       |ORDER BY p.n_name""".stripMargin
+
+  /** 1-D earth-mover (Wasserstein-1) drift between the first- and
+    * second-half order-value distributions (split at the relational
+    * midpoint of the date span) — the drift measure that,
+    * unlike PSI/KS/JS (`ops_psi_drift`/`ops_ks_drift`/
+    * `ta_js_divergence`), is in the UNITS of the metric ("average
+    * dollars a value must move"), so a monitoring page can alarm on
+    * it directly. On $10k value bins, W₁ = Σ|F_A−F_B|·Δ collapses
+    * to EXACT integers: per occupied bin the CDF gap is
+    * |cumA·N_B − cumB·N_A| (integer cross-multiplication — no
+    * rational ever floats), weighted by the gap to the next
+    * occupied bin so sparse grids integrate exactly; ONE double
+    * division at the end.
+    *
+    * Scale shape: one fact pass to the value-bin grid, two
+    * grid-sized cumulative windows, a 1-row aggregate.
+    */
+  def emdDrift(s: SparkSession, dir: String): DataFrame = {
+    val BinCents = 1000000L // $10k bins
+    val d0 = DecimalType(38, 0)
+    // the [[StatOps]] experiment-clock device: the pivot is the
+    // midpoint of the order-date span, derived relationally (a 1-row
+    // min/max broadcast) so the split never depends on a calendar
+    // constant the testdata may not straddle
+    val pivot = Tables.t(s, dir, "orders")
+      .agg(min(col("o_orderdate")).as("d0"), max(col("o_orderdate")).as("d1"))
+      .select(date_add(col("d0"),
+        (datediff(col("d1"), col("d0")) / 2).cast(IntegerType)).as("pivot"))
+    val bins = Tables.t(s, dir, "orders")
+      .crossJoin(broadcast(pivot))
+      .select(expr(s"CAST(round(o_totalprice * 100) AS BIGINT) DIV $BinCents")
+        .as("bin"),
+        (col("o_orderdate") < col("pivot")).as("early"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("early"), 1L).otherwise(0L)).as("nb"))
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.orderBy(col("bin"))
+    val tot = bins.agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"))
+    val terms = bins
+      .withColumn("ca", sum(col("na")).over(wCum))
+      .withColumn("cb", sum(col("nb")).over(wCum))
+      .withColumn("gap",
+        coalesce(lead(col("bin"), 1).over(wLead) - col("bin"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      // cross-multiply in DECIMAL(38,0): cum·total can pass 2⁶³ long
+      // before the subtraction at large row counts
+      .select(col("n_a"), col("n_b"),
+        (abs(col("ca").cast(d0) * col("n_b").cast(d0) -
+          col("cb").cast(d0) * col("n_a").cast(d0)) *
+          col("gap").cast(d0)).as("term"))
+    terms.groupBy(col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("term")).as("num"))
+      .select(col("n_a"), col("n_b"), col("n_bins"),
+        round(col("num").cast(DoubleType) /
+          (col("n_a") * col("n_b")).cast(DoubleType), 6).as("emd_bins"),
+        round(col("num").cast(DoubleType) /
+          (col("n_a") * col("n_b")).cast(DoubleType) * lit(10000.0), 6)
+          .as("emd_dollars"))
+  }
+
+  val emdDriftOracle: String =
+    """WITH pv AS (
+      |  SELECT CAST(MIN(o_orderdate) AS DATE)
+      |    + CAST((CAST(MAX(o_orderdate) AS DATE)
+      |      - CAST(MIN(o_orderdate) AS DATE)) // 2 AS INTEGER) AS cutoff
+      |  FROM orders),
+      |bins AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 1000000 AS bin,
+      |    SUM(CASE WHEN CAST(o_orderdate AS DATE) < pv.cutoff
+      |      THEN 1 ELSE 0 END) AS na,
+      |    SUM(CASE WHEN CAST(o_orderdate AS DATE) < pv.cutoff
+      |      THEN 0 ELSE 1 END) AS nb
+      |  FROM orders CROSS JOIN pv GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+      |    CAST(SUM(nb) AS BIGINT) AS n_b FROM bins),
+      |terms AS (
+      |  SELECT t.n_a, t.n_b,
+      |    abs(CAST(SUM(na) OVER w AS DECIMAL(38,0))
+      |        * CAST(t.n_b AS DECIMAL(38,0))
+      |      - CAST(SUM(nb) OVER w AS DECIMAL(38,0))
+      |        * CAST(t.n_a AS DECIMAL(38,0)))
+      |      * CAST(COALESCE(lead(bin, 1) OVER (ORDER BY bin) - bin, 0)
+      |        AS DECIMAL(38,0)) AS term
+      |  FROM bins CROSS JOIN tot t
+      |  WINDOW w AS (ORDER BY bin
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT n_a, n_b, COUNT(*) AS n_bins,
+      |  round(CAST(SUM(term) AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 6)
+      |    AS emd_bins,
+      |  round(CAST(SUM(term) AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)
+      |    * 10000.0, 6) AS emd_dollars
+      |FROM terms GROUP BY n_a, n_b""".stripMargin
+
+  /** Herfindahl–Hirschman market concentration per region — the
+    * antitrust-desk summary ("is this market competitive?") that
+    * completes the inequality family (`ops_gini`/`ops_lorenz`/
+    * `ops_theil_index`) with its square-of-shares form: HHI =
+    * Σᵢsᵢ² over supplier revenue shares, the normalized
+    * HHI* = (n·HHI − 1)/(n − 1), and the effective number of firms
+    * 1/HHI. Supplier revenues are exact cent sums; HHI =
+    * Σrᵢ²/(Σrᵢ)² keeps both Σ as DECIMAL(38,0) integers (rᵢ² can
+    * pass 2⁶³) and crosses to double ONCE per output column; the
+    * normalized form multiplies through by n before any division so
+    * the comparison algebra stays integer too.
+    *
+    * Scale shape: one fact pass to the (region × supplier) grid
+    * (broadcast dim joins for nation→region), one hash aggregate to
+    * the 5-row region grid.
+    */
+  def hhiConcentration(s: SparkSession, dir: String): DataFrame = {
+    val d0 = DecimalType(38, 0)
+    val rev = Tables.t(s, dir, "lineitem")
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast(LongType).as("cents"))
+      .join(Tables.t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.t(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("s_suppkey"))
+      .agg(sum(col("cents").cast(d0)).as("r"))
+    rev.groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("r")).as("s"), sum(col("r") * col("r")).as("q"))
+      .filter(col("n_suppliers") > 1)
+      .select(col("r_name").as("region"), col("n_suppliers"),
+        col("s").cast(LongType).as("rev_cents"),
+        round(col("q").cast(DoubleType) /
+          (col("s") * col("s")).cast(DoubleType), 6).as("hhi"),
+        round((col("n_suppliers") * col("q") - col("s") * col("s"))
+          .cast(DoubleType) /
+          ((col("s") * col("s")).cast(DoubleType) *
+            (col("n_suppliers") - 1).cast(DoubleType)), 6).as("hhi_norm"),
+        round((col("s") * col("s")).cast(DoubleType) /
+          col("q").cast(DoubleType), 6).as("effective_firms"))
+      .orderBy(col("region"))
+  }
+
+  val hhiConcentrationOracle: String =
+    """WITH rev AS (
+      |  SELECT r.r_name, l.l_suppkey,
+      |    SUM(CAST(CAST(round(l.l_extendedprice * (1.0 - l.l_discount)
+      |      * 100) AS BIGINT) AS DECIMAL(38,0))) AS rv
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  GROUP BY 1, 2),
+      |g AS (
+      |  SELECT r_name, COUNT(*) AS n_suppliers,
+      |    SUM(rv) AS s, SUM(rv * rv) AS q
+      |  FROM rev GROUP BY 1)
+      |SELECT r_name AS region, n_suppliers,
+      |  CAST(s AS BIGINT) AS rev_cents,
+      |  round(CAST(q AS DOUBLE) / CAST(s * s AS DOUBLE), 6) AS hhi,
+      |  round(CAST(n_suppliers * q - s * s AS DOUBLE)
+      |    / (CAST(s * s AS DOUBLE) * CAST(n_suppliers - 1 AS DOUBLE)), 6)
+      |    AS hhi_norm,
+      |  round(CAST(s * s AS DOUBLE) / CAST(q AS DOUBLE), 6)
+      |    AS effective_firms
+      |FROM g WHERE n_suppliers > 1 ORDER BY region""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("ops_cliffs_delta", cliffsDelta, Some(cliffsDeltaOracle)),
+    QueryDef("ops_brown_forsythe", brownForsythe, Some(brownForsytheOracle)),
+    QueryDef("ops_friedman", friedmanTest, Some(friedmanTestOracle)),
+    QueryDef("ops_sen_slope", senSlope, Some(senSlopeOracle)),
+    QueryDef("ops_emd_drift", emdDrift, Some(emdDriftOracle)),
+    QueryDef("ops_hhi", hhiConcentration, Some(hhiConcentrationOracle)),
+  )
+}

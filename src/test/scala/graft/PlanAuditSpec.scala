@@ -96,7 +96,25 @@ class PlanAuditSpec extends SparkSpec {
       "ops_bootstrap_xxhash",
       // 16-row coalition grid x 4-row channel dim, <=16-row mask-subset
       // containment joins, 1-row efficiency-axiom totals - all literal
-      "st_shapley_attrib")
+      "st_shapley_attrib",
+      // PAV minimax interval joins: both non-equi sides capped at 10
+      // rows by the least(9, bin) literal — bin²-sized at ANY fact
+      // scale (the st_shapley_attrib containment-grid shape)
+      "ops_isotonic_calib",
+      // 1-row observation-end aggregate onto the user relation — the
+      // ops_survival_km device verbatim
+      "ops_nelson_aalen",
+      // 1-row grand-total (k, N, ΣS, A, B) aggregate onto the 5-row
+      // segment grid — the ops_kruskal_wallis tie-total shape
+      "ops_brown_forsythe",
+      // 1-row distinct-treatment-count aggregate onto the block grid
+      "ops_friedman",
+      // 1-row date-span midpoint (the experiment-clock device) onto
+      // the fact scan + 1-row arm-total aggregate onto the bin grid
+      "ops_emd_drift",
+      // 1-row bigram-type-count aggregate onto the bigram-type
+      // relation — the ta_kn_bigram device verbatim
+      "ta_lm_perplexity")
 
   // the oracle-less bench-only twins stay under the same plan audit:
   // they run in every bench even though they left the correctness map
@@ -212,7 +230,33 @@ class PlanAuditSpec extends SparkSpec {
       "ops_bootstrap_xxhash",
       // 16-row coalition grid x 4-row channel dim, <=16-row mask-subset
       // containment joins, 1-row efficiency-axiom totals - all literal
-      "st_shapley_attrib")
+      "st_shapley_attrib",
+      // <=10-row bin-grid sides of the PAV interval joins (literal
+      // least(9, bin) cap)
+      "ops_isotonic_calib",
+      // nation dim only: fixed 25 rows by spec (customer side is
+      // un-hinted — data-bounded, AQE decides)
+      "ops_kendall_tau",
+      // 1-row observation-end aggregate (ops_survival_km device)
+      "ops_nelson_aalen",
+      // 1-row base-month aggregate (ops_price_index device)
+      "ops_tornqvist_index",
+      // 5-row median grid back onto the fact + the 1-row grand-total
+      "ops_brown_forsythe",
+      // 1-row distinct-treatment-count aggregate
+      "ops_friedman",
+      // 1-row date-span midpoint + 1-row arm totals
+      "ops_emd_drift",
+      // nation dim only (25 rows by spec; the ops_kendall_tau shape)
+      "ops_sen_slope",
+      // nation + region dims (25/5 rows by spec)
+      "ops_hhi",
+      // 1-row bigram-type-count aggregate (ta_kn_bigram device)
+      "ta_lm_perplexity",
+      // 5-row literal-limit query set, its 5-row target-source labels,
+      // and the source-domain-bounded relevant-count grid (the
+      // ta_js_divergence source-domain precedent)
+      "ta_ndcg_eval")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>

@@ -908,4 +908,332 @@ class Round13GatesSpec extends SparkSpec {
     assert(ref.forall(r => r._3 === 1L && r._4 === 1L))
     assert(ref.forall(r => !r._2.contains("@example.com")))
   }
+
+  test("gr_rich_club: phi(k) replays a brute-force subgraph density count") {
+    val got = graft.queries.GraphMore.richClub(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // independent derivation: materialize the undirected edge set and
+    // node degrees, then for each k literally take the induced subgraph
+    // of nodes with degree > k and count its edges — no histograms, no
+    // suffix sums, the textbook definition verbatim
+    val sym = graft.queries.Graph.supportEdges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = sym.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val und = sym.filter { case (a, b) => a < b }.toSet
+    val ks = deg.values.toSeq.distinct.sorted
+    val ref = ks.flatMap { k =>
+      val club = deg.filter(_._2 > k).keySet
+      val ec = und.count { case (a, b) => club(a) && club(b) }.toLong
+      val n = club.size.toLong
+      if (n > 1)
+        Some((k, n, ec, r6(2.0 * ec / (n.toDouble * (n - 1)))))
+      else None
+    }
+    assert(got.toSeq.sortBy(_._1) === ref.sortBy(_._1))
+    // phi is a density: bounded, and the full-graph row (k < min degree
+    // never appears; smallest k is a real degree) stays in [0, 1]
+    assert(got.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+  }
+
+  // ------------------------------------------------- tranche C gates
+
+  test("ops_cliffs_delta: brute-force pair counting + the U-statistic identity") {
+    val got = graft.queries.StatTests.cliffsDelta(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4))).toSeq
+    assert(got.size === 5)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("event_type", "user_id % 2 = 0 AS isA", "value").collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getDouble(2)))
+    for ((t, na, nb, delta, mag) <- got) {
+      val as = ev.filter(e => e._1 == t && e._2).map(_._3)
+      val bs = ev.filter(e => e._1 == t && !e._2).map(_._3)
+      assert(na === as.length.toLong && nb === bs.length.toLong)
+      // the textbook definition verbatim: count every (a, b) pair
+      var gt = 0L; var lt = 0L
+      for (a <- as; b <- bs) { if (a > b) gt += 1 else if (a < b) lt += 1 }
+      val num = gt - lt
+      val den = na * nb
+      assert(delta === r6(num.toDouble / den.toDouble), s"$t delta")
+      val expMag =
+        if (math.abs(num) * 1000 < den * 147) "negligible"
+        else if (math.abs(num) * 1000 < den * 330) "small"
+        else if (math.abs(num) * 1000 < den * 474) "medium"
+        else "large"
+      assert(mag === expMag, s"$t magnitude")
+    }
+    // cross-derivation: δ = (2·U_A − n_a·n_b)/(n_a·n_b) from the
+    // Mann–Whitney gate's exact U — the two gates must agree bitwise
+    val u = graft.queries.StatOps.mannWhitney(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    for ((t, na, nb, delta, _) <- got) {
+      val (una, unb, ua) = u(t)
+      assert(una === na && unb === nb)
+      assert(delta === r6((2.0 * ua - na * nb) / (na * nb)), s"$t vs U")
+    }
+  }
+
+  test("ops_brown_forsythe: textbook deviation-form W replays the identity-form gate") {
+    val got = graft.queries.StatTests.brownForsythe(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got.size === 5)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .selectExpr("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cents = spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("o_custkey", "CAST(round(o_totalprice * 100) AS BIGINT)")
+      .collect().map(r => (cust(r.getLong(0)), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toArray).toMap
+    def median(a: Array[Long]): Double =
+      if (a.length % 2 == 1) a(a.length / 2).toDouble
+      else (a(a.length / 2 - 1) + a(a.length / 2)) / 2.0
+    // textbook direct-deviation form (the gate uses the Σx²−(Σx)²/n
+    // identity on doubled-integer deviations — independent arithmetic)
+    val z = cents.map { case (seg, xs) =>
+      val m = median(xs); seg -> xs.map(x => math.abs(x - m))
+    }
+    val zbar = z.map { case (s, v) => s -> v.sum / v.length }
+    val grand = z.values.flatten.sum / z.values.map(_.length).sum
+    val k = z.size
+    val bigN = z.values.map(_.length).sum
+    val between = z.map { case (s, v) =>
+      v.length * math.pow(zbar(s) - grand, 2) }.sum
+    val within = z.map { case (s, v) =>
+      v.map(x => math.pow(x - zbar(s), 2)).sum }.sum
+    val refW = (bigN - k).toDouble / (k - 1).toDouble * between / within
+    for ((seg, n, med, mad, w, df1, df2) <- got) {
+      assert(n === cents(seg).length.toLong)
+      assert(med === r6(median(cents(seg))), s"$seg median")
+      assert(mad === r6(z(seg).sum / z(seg).length), s"$seg mean_absdev")
+      assert(math.abs(w - refW) < 6e-7, s"$seg w_stat $w vs $refW")
+      assert(df1 === (k - 1).toLong && df2 === (bigN - k).toLong)
+    }
+  }
+
+  test("ops_friedman: textbook mean-rank chi-square replays the doubled-rank gate") {
+    val got = graft.queries.StatTests.friedmanTest(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got.size === 5)
+    val cells = spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("date_trunc('month', o_orderdate) AS b", "o_orderpriority",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS c").collect()
+      .map(r => ((r.get(0).toString, r.getString(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val k = cells.keys.map(_._2).toSet.size
+    val full = cells.groupBy(_._1._1).filter(_._2.size == k)
+    val b = full.size
+    // mean ranks the classroom way: sort the block, average tied spans
+    val rankSums = scala.collection.mutable.Map.empty[String, Double]
+    for ((_, cell) <- full) {
+      val sorted = cell.toSeq.sortBy(_._2)
+      val byVal = sorted.zipWithIndex.groupBy(_._1._2)
+      for ((_, grp) <- byVal) {
+        val mean = grp.map(_._2 + 1).sum.toDouble / grp.size
+        for (((key, _), _) <- grp)
+          rankSums(key._2) = rankSums.getOrElse(key._2, 0.0) + mean
+      }
+    }
+    val chi2 = 12.0 / (b * k * (k + 1)) *
+      rankSums.values.map(r => r * r).sum - 3.0 * b * (k + 1)
+    for ((prio, nb, rs2, meanRank, chi, df, w) <- got) {
+      assert(nb === b.toLong)
+      assert(rs2 === (2 * rankSums(prio)).round, s"$prio rank_sum2")
+      assert(meanRank === r6(rankSums(prio) / b), s"$prio mean_rank")
+      assert(math.abs(chi - chi2) < 6e-7, s"chi2 $chi vs $chi2")
+      assert(df === (k - 1).toLong)
+      assert(math.abs(w - chi2 / (b * (k - 1))) < 6e-7, s"kendall_w")
+    }
+  }
+
+  test("ops_sen_slope: brute-force pairwise-slope median replays the gate") {
+    val got = graft.queries.StatTests.senSlope(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got.size === 25)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .selectExpr("c_custkey", "CAST(c_nationkey AS BIGINT)").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nat = spark.read.parquet(s"$dir/nation.parquet")
+      .selectExpr("CAST(n_nationkey AS BIGINT)", "n_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val grid = spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("o_custkey",
+        "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS c").collect()
+      .map(r => ((nat(cust(r.getLong(0))), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .groupBy(_._1._1).view
+      .mapValues(_.map { case ((_, mi), rev) => (mi, rev) }.sortBy(_._1))
+      .toMap
+    for ((name, nMonths, nPairs, sen) <- got) {
+      val pts = grid(name)
+      assert(nMonths === pts.size.toLong)
+      val slopes = (for {
+        i <- pts.indices; j <- (i + 1) until pts.size
+      } yield (pts(j)._2 - pts(i)._2).toDouble /
+        (pts(j)._1 - pts(i)._1).toDouble).sorted
+      assert(nPairs === slopes.size.toLong)
+      val m = if (slopes.size % 2 == 1) slopes(slopes.size / 2)
+        else (slopes(slopes.size / 2 - 1) + slopes(slopes.size / 2)) / 2.0
+      assert(math.abs(sen - m) <= 1e-6 + math.abs(m) * 1e-9,
+        s"$name sen $sen vs $m")
+    }
+  }
+
+  test("ops_emd_drift: unit-bin CDF walk replays the gap-weighted gate exactly") {
+    val got = graft.queries.StatTests.emdDrift(spark, dir).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    val (na, nb, nBins, emdB, emdD) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3), r.getDouble(4))
+    val rows = spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("CAST(o_orderdate AS DATE) AS d",
+        "CAST(round(o_totalprice * 100) AS BIGINT) DIV 1000000 AS bin")
+      .collect().map(x => (x.getDate(0).toLocalDate, x.getLong(1)))
+    val d0 = rows.map(_._1).min
+    val d1 = rows.map(_._1).max
+    val cutoff = d0.plusDays(java.time.temporal.ChronoUnit.DAYS
+      .between(d0, d1) / 2)
+    val a = rows.filter(_._1.isBefore(cutoff)).map(_._2)
+    val b = rows.filterNot(_._1.isBefore(cutoff)).map(_._2)
+    assert(na === a.length.toLong && nb === b.length.toLong)
+    assert(nBins === rows.map(_._2).distinct.length.toLong)
+    // independent derivation: walk EVERY unit bin in the occupied
+    // range (the gate instead weights occupied bins by forward gaps)
+    var num = BigInt(0); var ca = 0L; var cb = 0L
+    for (bin <- rows.map(_._2).min until rows.map(_._2).max) {
+      ca += a.count(_ == bin); cb += b.count(_ == bin)
+      num += (BigInt(ca) * nb - BigInt(cb) * na).abs
+    }
+    assert(emdB === r6(num.toDouble / (na.toDouble * nb.toDouble)))
+    assert(emdD === r6(num.toDouble / (na.toDouble * nb.toDouble) * 10000.0))
+  }
+
+  test("ops_hhi: independently aggregated shares replay HHI, its normalization, and 1/HHI") {
+    val got = graft.queries.StatTests.hhiConcentration(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got.nonEmpty)
+    val supp = spark.read.parquet(s"$dir/supplier.parquet")
+      .selectExpr("s_suppkey", "CAST(s_nationkey AS BIGINT)").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val natReg = spark.read.parquet(s"$dir/nation.parquet")
+      .selectExpr("CAST(n_nationkey AS BIGINT)", "CAST(n_regionkey AS BIGINT)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val regName = spark.read.parquet(s"$dir/region.parquet")
+      .selectExpr("CAST(r_regionkey AS BIGINT)", "r_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rev = spark.read.parquet(s"$dir/lineitem.parquet")
+      .selectExpr("l_suppkey",
+        "CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+      .collect()
+      .map(r => ((regName(natReg(supp(r.getLong(0)))), r.getLong(0)),
+        BigInt(r.getLong(1))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .groupBy(_._1._1).view.mapValues(_.map(_._2)).toMap
+    for ((region, n, cents, hhi, hhiNorm, eff) <- got) {
+      val rs = rev(region)
+      assert(n === rs.size.toLong)
+      val s = rs.sum; val q = rs.map(x => x * x).sum
+      assert(cents === s.toLong)
+      assert(hhi === r6(q.toDouble / (s * s).toDouble), s"$region hhi")
+      assert(hhiNorm === r6((BigInt(n) * q - s * s).toDouble /
+        ((s * s).toDouble * (n - 1).toDouble)), s"$region hhi_norm")
+      assert(eff === r6((s * s).toDouble / q.toDouble), s"$region eff")
+      // the inequality ladder: 1/n ≤ HHI ≤ 1, eff ≤ n
+      assert(hhi >= 1.0 / n - 1e-9 && hhi <= 1.0 + 1e-9)
+      assert(eff <= n + 1e-9)
+    }
+  }
+
+  test("ta_lm_perplexity: driver-side KN scoring replays every document") {
+    val got = graft.queries.TextEval.lmPerplexity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(got.nonEmpty)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val bgs = docs.map { case (id, t) =>
+      id -> t.dropRight(1).zip(t.drop(1)).toSeq }
+    val all = bgs.flatMap(_._2)
+    val cb = all.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cw1 = all.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n1f = cb.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1p = cb.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val bTypes = cb.size.toLong
+    def pkn(bg: (String, String)): Double =
+      (cb(bg) - 0.75) / cw1(bg._1) +
+        0.75 * n1f(bg._1) / cw1(bg._1) * (n1p(bg._2).toDouble / bTypes)
+    // the gate's Σ rides DECIMAL(38,12): quantize each ln P to 12 dp
+    // (HALF_UP, the Cast semantic) and sum exactly
+    val refMap = bgs.filter(_._2.nonEmpty).map { case (id, bs) =>
+      val lnsum = bs.map(bg => BigDecimal(math.log(pkn(bg)))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      id -> (bs.size.toLong, lnsum)
+    }.toMap
+    assert(got.size === refMap.size)
+    for ((id, t, avg, ppl) <- got) {
+      val (refT, lnsum) = refMap(id)
+      assert(t === refT, s"doc $id n_bigrams")
+      assert(avg === r6(lnsum / refT), s"doc $id avg_lnp")
+      assert(ppl === r6(math.exp(-lnsum / refT)), s"doc $id perplexity")
+      assert(ppl >= 1.0 - 1e-9)
+    }
+  }
+
+  test("ta_ndcg_eval: a from-scratch IR-metrics replay agrees on every query") {
+    val got = graft.queries.TextEval.ndcgEval(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8), r.getDouble(9))).toSeq
+    assert(got.size === 5)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1)))
+    val tf = docs.flatMap { case (id, src, toks) =>
+      toks.groupBy(identity).map { case (w, g) => (w, id, src, g.length.toLong) }
+    }
+    val dfm = tf.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val queries = dfm.toSeq.sortBy { case (w, d) => (-d, w) }.take(5)
+    val srcTot = docs.flatMap(d => d._3.map(_ => d._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nRelBySrc = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    def dec12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    for ((w, dfGot, nRel, nRet, p10, mrr, dcg, idcg, ndcg, ap) <- got) {
+      assert(dfGot === dfm(w), s"$w df")
+      val target = docs.flatMap(d => d._3.filter(_ == w).map(_ => d._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .map { case (src, ct) => (src, ct.toDouble / srcTot(src)) }
+        .sortBy { case (src, rt) => (-rt, src) }.head._1
+      assert(nRel === nRelBySrc(target), s"$w n_relevant")
+      val retrieved = tf.filter(_._1 == w)
+        .sortBy { case (_, id, _, t) => (-t, id) }.take(20)
+      assert(nRet === retrieved.size.toLong)
+      val rels = retrieved.map { case (_, _, src, _) =>
+        if (src == target) 1L else 0L }
+      assert(p10 === r6(rels.take(10).sum / 10.0), s"$w p@10")
+      val firstRel = rels.indexWhere(_ == 1L)
+      assert(mrr === r6(if (firstRel < 0) 0.0 else 1.0 / (firstRel + 1)),
+        s"$w mrr")
+      val refDcg = rels.take(10).zipWithIndex.collect {
+        case (1L, i) => dec12(1.0 / math.log(i + 2.0)) }.sum.toDouble
+      assert(dcg === r6(refDcg), s"$w dcg")
+      val refIdcg = (1 to math.min(nRel, 10L).toInt)
+        .map(p => dec12(1.0 / math.log(p + 1.0))).sum.toDouble
+      assert(idcg === r6(refIdcg), s"$w idcg")
+      assert(ndcg === r6(refDcg / refIdcg), s"$w ndcg")
+      var relcum = 0L
+      val apTerms = rels.zipWithIndex.collect { case (1L, i) =>
+        relcum += 1; dec12(relcum.toDouble / (i + 1)) }
+      val refAp = apTerms.sum.toDouble / math.min(nRel, 20L)
+      assert(ap === r6(refAp), s"$w ap@20")
+      assert(ndcg >= -1e-9 && ndcg <= 1.0 + 1e-9)
+    }
+  }
 }

@@ -170,6 +170,20 @@ class RoundingAuditSpec extends SparkSpec {
       graft.queries.StatMore.kendallTau(spark, gateDir))
     auditNoNegZero("ops_sprt_ab",
       graft.queries.StatMore.sprtAb(spark, gateDir))
+    // tranche C negative-capable outputs (δ and the Sen slope go
+    // negative by definition; avg ln P is always negative; the W/χ²
+    // ratios are ≥0 mathematically but float to −ε when the group
+    // effect vanishes — all normalized in their oracles below)
+    auditNoNegZero("ops_cliffs_delta",
+      graft.queries.StatTests.cliffsDelta(spark, gateDir))
+    auditNoNegZero("ops_sen_slope",
+      graft.queries.StatTests.senSlope(spark, gateDir))
+    auditNoNegZero("ops_brown_forsythe",
+      graft.queries.StatTests.brownForsythe(spark, gateDir))
+    auditNoNegZero("ops_friedman",
+      graft.queries.StatTests.friedmanTest(spark, gateDir))
+    auditNoNegZero("ta_lm_perplexity",
+      graft.queries.TextEval.lmPerplexity(spark, gateDir))
   }
 
   test("round-13 negative-capable oracles carry the -0.0 sign normalization") {
@@ -183,7 +197,13 @@ class RoundingAuditSpec extends SparkSpec {
       StreamingGates.shapleyAttribOracle -> "phi",
       graft.queries.StatMore.kendallTauOracle -> "tau_b",
       graft.queries.StatMore.sprtAbOracle -> "delta",
-      graft.queries.StatMore.sprtAbOracle -> "ln_lambda")
+      graft.queries.StatMore.sprtAbOracle -> "ln_lambda",
+      graft.queries.StatTests.cliffsDeltaOracle -> "cliffs_delta",
+      graft.queries.StatTests.senSlopeOracle -> "sen_slope_cents",
+      graft.queries.StatTests.brownForsytheOracle -> "w_stat",
+      graft.queries.StatTests.friedmanTestOracle -> "chi2_f",
+      graft.queries.StatTests.friedmanTestOracle -> "kendall_w",
+      graft.queries.TextEval.lmPerplexityOracle -> "avg_lnp")
     for ((sql, colName) <- probes)
       assert(sql.replaceAll("\\s+", " ").contains(s"+ 0.0 AS $colName"),
         s"oracle lost the `+ 0.0 AS $colName` sign normalization — a " +
