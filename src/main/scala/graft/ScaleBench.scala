@@ -370,6 +370,12 @@ object ScaleBench {
       "ops_hhi" -> graft.queries.StatTests.hhiConcentration _,
       "ta_lm_perplexity" -> graft.queries.TextEval.lmPerplexity _,
       "ta_ndcg_eval" -> graft.queries.TextEval.ndcgEval _,
+      "ops_hill_tail" -> graft.queries.StatTests.hillTail _,
+      "ops_page_trend" -> graft.queries.StatTests.pageTrend _,
+      "ops_cohens_d" -> graft.queries.StatTests.cohensD _,
+      "ta_good_turing" -> graft.queries.TextEval.goodTuring _,
+      "ops_seasonal_mk" -> graft.queries.StatTests.seasonalMk _,
+      "gr_degree_gini" -> graft.queries.GraphMore.degreeGini _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

@@ -101,7 +101,93 @@ object GraphMore {
        |WHERE nk.n_nodes > 1
        |ORDER BY nk.k""".stripMargin
 
+  /** Degree-distribution inequality of the co-purchase graph — the
+    * one-number "how hub-dominated is this graph" summary that
+    * [[richClub]]'s curve refines: the Gini coefficient of the node
+    * degree multiset (the graph-topology cousin of `ops_gini`, Gini
+    * 1912 via the rank formula G = (2Σᵢi·dᵢ − (n+1)Σd)/(n·Σd) on a
+    * deterministic (degree, node) sort), the degree-histogram
+    * Shannon entropy H = −Σ(n_k/n)ln(n_k/n), and the max/mean
+    * degree. Ranks and both Σ are exact integers (the Gini
+    * numerator crosses to double ONCE); entropy terms are
+    * per-histogram-row doubles Σ-dec12.
+    *
+    * Scale shape: one edge aggregate to the node-degree relation,
+    * one degree-grid histogram; the rank window sorts the NODE
+    * relation (the `ops_gini` shape — a sort of the entity grid,
+    * never the edge list).
+    */
+  def degreeGini(s: SparkSession, dir: String): DataFrame = {
+    val d0 = DecimalType(38, 0)
+    val d12 = DecimalType(38, 12)
+    val deg = Graph.supportEdges(s, dir)
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val ranked = deg.withColumn("i",
+      row_number().over(Window.orderBy(col("deg"), col("node")))
+        .cast(LongType))
+    val gini = ranked.agg(count(lit(1)).as("n"),
+      sum(col("deg").cast(d0)).as("sd"),
+      sum((col("i") * col("deg")).cast(d0)).as("sid"),
+      max(col("deg")).as("max_degree"))
+    val hist = deg.groupBy(col("deg")).agg(count(lit(1)).as("nk"))
+    val ent = hist.crossJoin(broadcast(gini.select(col("n").as("nn"))))
+      .select((-(col("nk").cast(DoubleType) / col("nn").cast(DoubleType)) *
+        log(col("nk").cast(DoubleType) / col("nn").cast(DoubleType)))
+        .cast(d12).as("term"))
+      .agg(sum(col("term")).cast(DoubleType).as("h"))
+    gini.crossJoin(broadcast(ent))
+      .filter(col("n") > 1)
+      .select(col("n").as("n_nodes"), col("sd").cast(LongType).as("sum_deg"),
+        col("max_degree"),
+        round(col("sd").cast(DoubleType) / col("n").cast(DoubleType), 6)
+          .as("mean_degree"),
+        round((lit(2) * col("sid") - (col("n") + 1) * col("sd"))
+          .cast(DoubleType) /
+          (col("n").cast(d0) * col("sd")).cast(DoubleType), 6)
+          .as("gini_degree"),
+        round(col("h"), 6).as("degree_entropy"))
+  }
+
+  val degreeGiniOracle: String =
+    s"""WITH it AS (SELECT DISTINCT l_orderkey AS o,
+       |    CAST(l_partkey AS BIGINT) AS p
+       |  FROM lineitem),
+       |pr AS (
+       |  SELECT a.p AS x, b.p AS y, COUNT(*) AS w
+       |  FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= ${Graph.minSupSql}),
+       |sym AS (
+       |  SELECT x AS src, y AS dst FROM pr
+       |  UNION ALL SELECT y AS src, x AS dst FROM pr),
+       |deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+       |ranked AS (
+       |  SELECT deg, node,
+       |    CAST(row_number() OVER (ORDER BY deg, node) AS BIGINT) AS i
+       |  FROM deg),
+       |g AS (
+       |  SELECT COUNT(*) AS n,
+       |    SUM(CAST(deg AS DECIMAL(38,0))) AS sd,
+       |    SUM(CAST(i * deg AS DECIMAL(38,0))) AS sid,
+       |    CAST(MAX(deg) AS BIGINT) AS max_degree
+       |  FROM ranked),
+       |hist AS (SELECT deg, COUNT(*) AS nk FROM deg GROUP BY 1),
+       |ent AS (
+       |  SELECT CAST(SUM(CAST(
+       |      -(CAST(nk AS DOUBLE) / CAST(g.n AS DOUBLE))
+       |      * ln(CAST(nk AS DOUBLE) / CAST(g.n AS DOUBLE))
+       |    AS DECIMAL(38,12))) AS DOUBLE) AS h
+       |  FROM hist CROSS JOIN g)
+       |SELECT CAST(g.n AS BIGINT) AS n_nodes, CAST(g.sd AS BIGINT) AS sum_deg,
+       |  g.max_degree,
+       |  round(CAST(g.sd AS DOUBLE) / CAST(g.n AS DOUBLE), 6) AS mean_degree,
+       |  round(CAST(2 * g.sid - (g.n + 1) * g.sd AS DOUBLE)
+       |    / CAST(g.n * g.sd AS DOUBLE), 6) AS gini_degree,
+       |  round(ent.h, 6) AS degree_entropy
+       |FROM g CROSS JOIN ent WHERE g.n > 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("gr_rich_club", richClub, Some(richClubOracle)),
+    QueryDef("gr_degree_gini", degreeGini, Some(degreeGiniOracle)),
   )
 }

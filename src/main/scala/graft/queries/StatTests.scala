@@ -535,6 +535,344 @@ object StatTests {
       |    AS effective_firms
       |FROM g WHERE n_suppliers > 1 ORDER BY region""".stripMargin
 
+  /** Hill tail-index estimator (Hill 1975) of the order-value
+    * distribution — the "how heavy is the tail, really" number
+    * behind p99 capacity planning, beside `ops_outlier_bounds`'
+    * fences: for each tail depth k, α̂(k) = k / Σ_{i≤k}
+    * ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the k largest values — reading the
+    * small-k/large-k disagreement off the Hill plot IS the
+    * diagnostic, so the gate emits the curve at k ∈ {25,50,100,200}.
+    * One global top-201 rank filter (WindowGroupLimit — never a full
+    * sort), then every k row is algebra over that literal-bounded
+    * relation: each ln ratio is one double on exact cent integers,
+    * Σ rides DECIMAL(38,12).
+    *
+    * Scale shape: the rank filter is a per-partition top-201 merge;
+    * everything after is ≤201 rows crossed with a 4-row literal k
+    * grid.
+    */
+  def hillTail(s: SparkSession, dir: String): DataFrame = {
+    val d12 = DecimalType(38, 12)
+    val Ks = Seq(25, 50, 100, 200)
+    val top = Tables.t(s, dir, "orders")
+      .select(round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("cents").desc)))
+      .filter(col("rn") <= Ks.max + 1)
+    val kGrid = s.range(1).select(explode(lit(Ks.toArray)).as("k0"))
+      .select(col("k0").cast(LongType).as("k"))
+    val xk1 = top.join(broadcast(kGrid), col("rn") === col("k") + 1)
+      .select(col("k"), col("cents").as("xk1"))
+    top.join(broadcast(xk1), col("rn") <= col("k"))
+      .groupBy(col("k"), col("xk1"))
+      .agg(sum(log(col("cents").cast(DoubleType) /
+        col("xk1").cast(DoubleType)).cast(d12)).cast(DoubleType).as("lnsum"))
+      .filter(col("lnsum") > 0)
+      .select(col("k"),
+        round(col("xk1").cast(DoubleType) / 100.0, 6).as("threshold"),
+        round(col("k").cast(DoubleType) / col("lnsum"), 6).as("hill_alpha"),
+        round(col("lnsum") / col("k").cast(DoubleType), 6).as("tail_index"))
+      .orderBy(col("k"))
+  }
+
+  val hillTailOracle: String =
+    """WITH top AS (
+      |  SELECT cents, rn FROM (
+      |    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |      row_number() OVER (ORDER BY CAST(round(o_totalprice * 100)
+      |        AS BIGINT) DESC) AS rn
+      |    FROM orders)
+      |  WHERE rn <= 201),
+      |kg AS (SELECT unnest([25, 50, 100, 200]) AS k),
+      |xk1 AS (
+      |  SELECT kg.k, t.cents AS xk1
+      |  FROM top t JOIN kg ON t.rn = kg.k + 1),
+      |agg AS (
+      |  SELECT x.k, x.xk1,
+      |    CAST(SUM(CAST(ln(CAST(t.cents AS DOUBLE) / CAST(x.xk1 AS DOUBLE))
+      |      AS DECIMAL(38,12))) AS DOUBLE) AS lnsum
+      |  FROM top t JOIN xk1 x ON t.rn <= x.k
+      |  GROUP BY 1, 2)
+      |SELECT CAST(k AS BIGINT) AS k,
+      |  round(CAST(xk1 AS DOUBLE) / 100.0, 6) AS threshold,
+      |  round(CAST(k AS DOUBLE) / lnsum, 6) AS hill_alpha,
+      |  round(lnsum / CAST(k AS DOUBLE), 6) AS tail_index
+      |FROM agg WHERE lnsum > 0 ORDER BY k""".stripMargin
+
+  /** Page's trend test for ordered alternatives (Page 1963) — the
+    * directional sharpening of [[friedmanTest]]: not "do the
+    * priorities differ" but "does revenue rank INCREASE along the
+    * priority order 1-URGENT → 5-LOW"? Same complete-block
+    * (month × priority) rank construction; L = Σⱼ j·Rⱼ with j the
+    * hypothesized position (the priority's leading digit — a
+    * deterministic integer both engines parse identically);
+    * z = 3·(2L₂ − b·k·(k+1)²) / (k(k+1)·√(b(k−1))) with the doubled
+    * rank carry L₂ = 2L keeping everything integer until the one
+    * √/division crossing.
+    *
+    * Scale shape: identical to [[friedmanTest]] — one fact hash
+    * aggregate to the calendar-sized grid, grid windows, k-row
+    * algebra.
+    */
+  def pageTrend(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.t(s, dir, "orders")
+      .select(date_trunc("month", col("o_orderdate").cast(TimestampType))
+        .cast(DateType).as("block"),
+        col("o_orderpriority").as("trt"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      .groupBy(col("block"), col("trt"))
+      .agg(sum(col("cents").cast(DecimalType(38, 0))).as("obs"))
+    val kTot = cells.select(col("trt")).distinct()
+      .agg(count(lit(1)).as("k"))
+    val full = cells
+      .withColumn("n_trt", count(lit(1))
+        .over(Window.partitionBy(col("block"))))
+      .crossJoin(broadcast(kTot))
+      .filter(col("n_trt") === col("k"))
+    val r2 = (lit(2) * rank().over(
+      Window.partitionBy(col("block")).orderBy(col("obs")))
+      + count(lit(1)).over(Window.partitionBy(col("block"), col("obs"))) - 1)
+      .cast(LongType)
+    val ranked = full
+      .withColumn("r2", r2)
+      .withColumn("j", substring(col("trt"), 1, 1).cast(LongType))
+    val byTrt = ranked.groupBy(col("trt"), col("j"), col("k"))
+      .agg(count(lit(1)).as("b"), sum(col("r2")).as("rs2"))
+    val stat = byTrt.groupBy(col("k"), col("b"))
+      .agg(sum(col("j") * col("rs2")).as("l2"))
+      .select(col("k"), col("b"), col("l2"),
+        (lit(3.0) * (lit(2) * col("l2") -
+          col("b") * col("k") * (col("k") + 1) * (col("k") + 1))
+          .cast(DoubleType) /
+          ((col("k") * (col("k") + 1)).cast(DoubleType) *
+            sqrt((col("b") * (col("k") - 1)).cast(DoubleType)))).as("z"))
+    byTrt.join(stat, Seq("k", "b"))
+      .select(col("trt").as("priority"), col("j").as("hyp_order"),
+        col("b").as("n_blocks"),
+        round(col("rs2").cast(DoubleType) /
+          (lit(2.0) * col("b").cast(DoubleType)), 6).as("mean_rank"),
+        col("l2").as("page_l2"),
+        round(col("z"), 6).as("z_score"))
+      .orderBy(col("priority"))
+  }
+
+  val pageTrendOracle: String =
+    """WITH cells AS (
+      |  SELECT CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+      |      AS DATE) AS block,
+      |    o_orderpriority AS trt,
+      |    SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+      |      AS DECIMAL(38,0))) AS obs
+      |  FROM orders GROUP BY 1, 2),
+      |kt AS (SELECT COUNT(DISTINCT trt) AS k FROM cells),
+      |full_blocks AS (
+      |  SELECT c.*, kt.k FROM cells c CROSS JOIN kt
+      |  QUALIFY COUNT(*) OVER (PARTITION BY c.block) = kt.k),
+      |ranked AS (
+      |  SELECT *,
+      |    CAST(2 * rank() OVER (PARTITION BY block ORDER BY obs)
+      |      + COUNT(*) OVER (PARTITION BY block, obs) - 1 AS BIGINT) AS r2,
+      |    CAST(substr(trt, 1, 1) AS BIGINT) AS j
+      |  FROM full_blocks),
+      |by_trt AS (
+      |  SELECT trt, j, k, COUNT(*) AS b, CAST(SUM(r2) AS BIGINT) AS rs2
+      |  FROM ranked GROUP BY 1, 2, 3),
+      |stat AS (
+      |  SELECT k, b, CAST(SUM(j * rs2) AS BIGINT) AS l2
+      |  FROM by_trt GROUP BY 1, 2)
+      |SELECT t.trt AS priority, t.j AS hyp_order, t.b AS n_blocks,
+      |  round(CAST(t.rs2 AS DOUBLE) / (2.0 * CAST(t.b AS DOUBLE)), 6)
+      |    AS mean_rank,
+      |  s.l2 AS page_l2,
+      |  round(3.0 * CAST(2 * s.l2 - t.b * t.k * (t.k + 1) * (t.k + 1)
+      |      AS DOUBLE)
+      |    / (CAST(t.k * (t.k + 1) AS DOUBLE)
+      |      * sqrt(CAST(t.b * (t.k - 1) AS DOUBLE))), 6) + 0.0 AS z_score
+      |FROM by_trt t JOIN stat s USING (k, b)
+      |ORDER BY priority""".stripMargin
+
+  /** Cohen's d / Hedges' g standardized mean difference of event
+    * value between the experiment arms, per event type — the
+    * PARAMETRIC effect size beside [[cliffsDelta]]'s ordinal one
+    * (and the size companion to `ops_ttest_welch`, exactly as δ
+    * companions `ops_mannwhitney`): d = (x̄_A − x̄_B)/s_pooled with
+    * the Hedges 1981 small-sample correction g = d·(1 − 3/(4N−9)).
+    * Values carry as exact integer cents; n, Σx, Σx² aggregate
+    * exactly (DECIMAL(38,0)); means, the pooled variance
+    * ((n_A−1)s²_A + (n_B−1)s²_B)/(N−2) via the Σx²−(Σx)²/n identity,
+    * and the one √ crossing are a fixed double expression written
+    * identically in both engines.
+    *
+    * Scale shape: one map-combined fact aggregate to the
+    * (type × arm) grid; all algebra on 5 rows.
+    */
+  def cohensD(s: SparkSession, dir: String): DataFrame = {
+    val d0 = DecimalType(38, 0)
+    val ev = Tables.t(s, dir, "events")
+      .select(col("event_type").as("t"),
+        when(col("user_id") % 2 === 0, "A").otherwise("B").as("arm"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+    val g = ev.groupBy(col("t"))
+      .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === "A", col("cents").cast(d0))).as("sa"),
+        sum(when(col("arm") === "B", col("cents").cast(d0))).as("sb"),
+        sum(when(col("arm") === "A",
+          (col("cents") * col("cents")).cast(d0))).as("qa"),
+        sum(when(col("arm") === "B",
+          (col("cents") * col("cents")).cast(d0))).as("qb"))
+    val ma = col("sa").cast(DoubleType) / col("n_a").cast(DoubleType)
+    val mb = col("sb").cast(DoubleType) / col("n_b").cast(DoubleType)
+    val ssA = col("qa").cast(DoubleType) -
+      col("sa").cast(DoubleType) * col("sa").cast(DoubleType) /
+        col("n_a").cast(DoubleType)
+    val ssB = col("qb").cast(DoubleType) -
+      col("sb").cast(DoubleType) * col("sb").cast(DoubleType) /
+        col("n_b").cast(DoubleType)
+    val sp = sqrt((ssA + ssB) /
+      (col("n_a") + col("n_b") - 2).cast(DoubleType))
+    val dStat = (ma - mb) / sp
+    val corr = lit(1.0) - lit(3.0) /
+      (lit(4.0) * (col("n_a") + col("n_b")).cast(DoubleType) - lit(9.0))
+    g.filter(col("n_a") > 1 && col("n_b") > 1)
+      .select(col("t").as("event_type"), col("n_a"), col("n_b"),
+        round((ma - mb) / 100.0, 6).as("mean_diff"),
+        round(sp / 100.0, 6).as("pooled_sd"),
+        round(dStat, 6).as("cohens_d"),
+        round(dStat * corr, 6).as("hedges_g"))
+      .orderBy(col("event_type"))
+  }
+
+  val cohensDOracle: String = {
+    val ma = "CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)"
+    val mb = "CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)"
+    val ssA = "CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)"
+    val ssB = "CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)"
+    val sp = s"sqrt((($ssA) + ($ssB)) / CAST(n_a + n_b - 2 AS DOUBLE))"
+    s"""WITH ev AS (
+       |  SELECT event_type AS t,
+       |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+       |    CAST(round("value" * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |g AS (
+       |  SELECT t,
+       |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    SUM(CASE WHEN arm = 'A' THEN CAST(cents AS DECIMAL(38,0)) END)
+       |      AS sa,
+       |    SUM(CASE WHEN arm = 'B' THEN CAST(cents AS DECIMAL(38,0)) END)
+       |      AS sb,
+       |    SUM(CASE WHEN arm = 'A'
+       |      THEN CAST(cents * cents AS DECIMAL(38,0)) END) AS qa,
+       |    SUM(CASE WHEN arm = 'B'
+       |      THEN CAST(cents * cents AS DECIMAL(38,0)) END) AS qb
+       |  FROM ev GROUP BY 1)
+       |SELECT t AS event_type, n_a, n_b,
+       |  round((($ma) - ($mb)) / 100.0, 6) + 0.0 AS mean_diff,
+       |  round(($sp) / 100.0, 6) AS pooled_sd,
+       |  round((($ma) - ($mb)) / ($sp), 6) + 0.0 AS cohens_d,
+       |  round((($ma) - ($mb)) / ($sp)
+       |    * (1.0 - 3.0 / (4.0 * CAST(n_a + n_b AS DOUBLE) - 9.0)), 6)
+       |    + 0.0 AS hedges_g
+       |FROM g WHERE n_a > 1 AND n_b > 1 ORDER BY event_type""".stripMargin
+  }
+
+  /** Seasonal Mann–Kendall trend test (Hirsch & Slack 1984) on
+    * monthly order revenue — the deseasonalized complement to
+    * `st_trend_mk`: January compares only against other Januaries,
+    * so an annual cycle can never masquerade as (or mask) a trend.
+    * Per calendar-month season g: S_g = Σ_{y<y'} sign(x_{gy'} −
+    * x_{gy}) over exact cent totals, the tie-corrected variance in
+    * 18ths kept INTEGER (18·Var = n(n−1)(2n+5) − Σt(t−1)(2t+5));
+    * the overall Z uses the standard continuity correction
+    * (S∓1)/√Var, the one double crossing.
+    *
+    * Scale shape: one fact hash aggregate to the (season × year)
+    * grid, one year²-sized pair join per season (grid-bounded,
+    * never fact-sized), 12-row algebra.
+    */
+  def seasonalMk(s: SparkSession, dir: String): DataFrame = {
+    val d0 = DecimalType(38, 0)
+    val grid = Tables.t(s, dir, "orders")
+      .select(month(col("o_orderdate")).cast(LongType).as("g"),
+        year(col("o_orderdate")).cast(LongType).as("y"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      .groupBy(col("g"), col("y"))
+      .agg(sum(col("cents").cast(d0)).cast(LongType).as("rev"))
+    val a = grid.select(col("g").as("ga"), col("y").as("y1"),
+      col("rev").as("r1"))
+    val b = grid.select(col("g").as("gb"), col("y").as("y2"),
+      col("rev").as("r2"))
+    val sg = a.join(b, col("ga") === col("gb") && col("y1") < col("y2"))
+      .groupBy(col("ga").as("g"))
+      .agg(sum(signum((col("r2") - col("r1")).cast(DoubleType))
+        .cast(LongType)).as("s_g"))
+    val ties = grid.groupBy(col("g"), col("rev"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("nv"),
+        sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tcorr"))
+    val perG = grid.groupBy(col("g")).agg(count(lit(1)).as("n_years"))
+      .join(sg, "g").join(ties, "g")
+      .withColumn("var18",
+        col("n_years") * (col("n_years") - 1) * (col("n_years") * 2 + 5) -
+          col("tcorr"))
+    val tot = perG.agg(sum(col("s_g")).as("s_tot"),
+      sum(col("var18")).as("v18_tot"))
+      .select(col("s_tot"), col("v18_tot"),
+        round(when(col("s_tot") > 0,
+          (col("s_tot") - 1).cast(DoubleType) /
+            sqrt(col("v18_tot").cast(DoubleType) / lit(18.0)))
+          .when(col("s_tot") < 0,
+            (col("s_tot") + 1).cast(DoubleType) /
+              sqrt(col("v18_tot").cast(DoubleType) / lit(18.0)))
+          .otherwise(lit(0.0)), 6).as("z_total"))
+    perG.crossJoin(broadcast(tot))
+      .select(col("g").as("season_month"), col("n_years"), col("s_g"),
+        col("var18").as("var_x18"), col("s_tot"),
+        round(col("z_total"), 6).as("z_total"))
+      .orderBy(col("season_month"))
+  }
+
+  val seasonalMkOracle: String =
+    """WITH grid AS (
+      |  SELECT CAST(month(o_orderdate) AS BIGINT) AS g,
+      |    CAST(year(o_orderdate) AS BIGINT) AS y,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |sg AS (
+      |  SELECT a.g,
+      |    CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+      |      WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s_g
+      |  FROM grid a JOIN grid b ON a.g = b.g AND a.y < b.y
+      |  GROUP BY 1),
+      |ties AS (
+      |  SELECT g, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tcorr
+      |  FROM (SELECT g, rev, COUNT(*) AS t FROM grid GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |per_g AS (
+      |  SELECT n.g, n.n_years, sg.s_g,
+      |    n.n_years * (n.n_years - 1) * (2 * n.n_years + 5) - ties.tcorr
+      |      AS var18
+      |  FROM (SELECT g, COUNT(*) AS n_years FROM grid GROUP BY 1) n
+      |  JOIN sg USING (g) JOIN ties USING (g)),
+      |tot AS (
+      |  SELECT CAST(SUM(s_g) AS BIGINT) AS s_tot,
+      |    CAST(SUM(var18) AS BIGINT) AS v18_tot
+      |  FROM per_g)
+      |SELECT p.g AS season_month, p.n_years, p.s_g,
+      |  CAST(p.var18 AS BIGINT) AS var_x18, t.s_tot,
+      |  round(CASE WHEN t.s_tot > 0
+      |      THEN CAST(t.s_tot - 1 AS DOUBLE)
+      |        / sqrt(CAST(t.v18_tot AS DOUBLE) / 18.0)
+      |    WHEN t.s_tot < 0
+      |      THEN CAST(t.s_tot + 1 AS DOUBLE)
+      |        / sqrt(CAST(t.v18_tot AS DOUBLE) / 18.0)
+      |    ELSE 0.0 END, 6) + 0.0 AS z_total
+      |FROM per_g p CROSS JOIN tot t
+      |ORDER BY season_month""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ops_cliffs_delta", cliffsDelta, Some(cliffsDeltaOracle)),
     QueryDef("ops_brown_forsythe", brownForsythe, Some(brownForsytheOracle)),
@@ -542,5 +880,9 @@ object StatTests {
     QueryDef("ops_sen_slope", senSlope, Some(senSlopeOracle)),
     QueryDef("ops_emd_drift", emdDrift, Some(emdDriftOracle)),
     QueryDef("ops_hhi", hhiConcentration, Some(hhiConcentrationOracle)),
+    QueryDef("ops_hill_tail", hillTail, Some(hillTailOracle)),
+    QueryDef("ops_page_trend", pageTrend, Some(pageTrendOracle)),
+    QueryDef("ops_cohens_d", cohensD, Some(cohensDOracle)),
+    QueryDef("ops_seasonal_mk", seasonalMk, Some(seasonalMkOracle)),
   )
 }

@@ -267,8 +267,69 @@ object TextEval {
       |WHERE p.n_relevant > 0
       |ORDER BY query""".stripMargin
 
+  /** Good–Turing smoothing counts (Good 1953; the Gale & Sampson
+    * 1995 "simple GT" inputs) over the corpus unigram distribution —
+    * the OTHER classical smoothing beside `ta_kn_bigram`'s
+    * Kneser–Ney, and the estimator behind "how much probability mass
+    * belongs to words we have never seen": the
+    * frequency-of-frequencies table N_r, the Turing-adjusted counts
+    * r* = (r+1)·N_{r+1}/N_r (an exact integer ratio — ONE double
+    * division per row), each class's total smoothed mass, and the
+    * unseen mass P₀ = N₁/N. Rows whose successor class N_{r+1} is
+    * empty keep a NULL r* on both engines (the point where simple GT
+    * switches to the log-linear fit — out of relational scope,
+    * documented rather than approximated).
+    *
+    * Scale shape: one token explode, a vocabulary-sized count
+    * aggregate, a frequency-grid-sized (≤ max count) self-join on
+    * r+1, a 1-row token-total broadcast.
+    */
+  def goodTuring(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("r"))
+    val fof = counts.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+    val tot = counts.agg(sum(col("r")).as("n_tokens"),
+      count(lit(1)).as("v_types"))
+    val nxt = fof.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))
+    fof.join(nxt, Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"), col("n_r1"), col("n_tokens"),
+        col("v_types"),
+        round((col("r") + 1).cast(DoubleType) *
+          col("n_r1").cast(DoubleType) / col("n_r").cast(DoubleType), 6)
+          .as("r_star"),
+        round(col("n_r1").cast(DoubleType) * (col("r") + 1).cast(DoubleType) /
+          col("n_tokens").cast(DoubleType), 6).as("class_mass"),
+        round(when(col("r") === 1,
+          col("n_r").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .otherwise(lit(0.0)), 6).as("p0_if_r1"))
+      .orderBy(col("r"))
+  }
+
+  val goodTuringOracle: String =
+    """WITH counts AS (
+      |  SELECT w, COUNT(*) AS r FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY 1),
+      |fof AS (SELECT r, COUNT(*) AS n_r FROM counts GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(r) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS v_types FROM counts),
+      |nxt AS (SELECT r - 1 AS r, n_r AS n_r1 FROM fof)
+      |SELECT f.r, f.n_r, nxt.n_r1, t.n_tokens, t.v_types,
+      |  round(CAST(f.r + 1 AS DOUBLE) * CAST(nxt.n_r1 AS DOUBLE)
+      |    / CAST(f.n_r AS DOUBLE), 6) AS r_star,
+      |  round(CAST(nxt.n_r1 AS DOUBLE) * CAST(f.r + 1 AS DOUBLE)
+      |    / CAST(t.n_tokens AS DOUBLE), 6) AS class_mass,
+      |  round(CASE WHEN f.r = 1
+      |    THEN CAST(f.n_r AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+      |    ELSE 0.0 END, 6) AS p0_if_r1
+      |FROM fof f LEFT JOIN nxt USING (r) CROSS JOIN tot t
+      |ORDER BY f.r""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ta_lm_perplexity", lmPerplexity, Some(lmPerplexityOracle)),
     QueryDef("ta_ndcg_eval", ndcgEval, Some(ndcgEvalOracle)),
+    QueryDef("ta_good_turing", goodTuring, Some(goodTuringOracle)),
   )
 }

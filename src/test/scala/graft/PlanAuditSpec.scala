@@ -114,7 +114,19 @@ class PlanAuditSpec extends SparkSpec {
       "ops_emd_drift",
       // 1-row bigram-type-count aggregate onto the bigram-type
       // relation — the ta_kn_bigram device verbatim
-      "ta_lm_perplexity")
+      "ta_lm_perplexity",
+      // 4-row literal k grid against the ≤201-row top-rank relation
+      // (rn <= k non-equi) — both sides literal-bounded
+      "ops_hill_tail",
+      // 1-row distinct-treatment-count aggregate (friedman device)
+      "ops_page_trend",
+      // 1-row token-total aggregate onto the frequency grid
+      "ta_good_turing",
+      // 1-row S/variance totals onto the 12-row season grid
+      "ops_seasonal_mk",
+      // 1-row Gini totals onto the degree histogram + the 1-row
+      // entropy aggregate
+      "gr_degree_gini")
 
   // the oracle-less bench-only twins stay under the same plan audit:
   // they run in every bench even though they left the correctness map
@@ -256,7 +268,17 @@ class PlanAuditSpec extends SparkSpec {
       // 5-row literal-limit query set, its 5-row target-source labels,
       // and the source-domain-bounded relevant-count grid (the
       // ta_js_divergence source-domain precedent)
-      "ta_ndcg_eval")
+      "ta_ndcg_eval",
+      // 4-row literal k grid + its 4-row per-k threshold relation
+      "ops_hill_tail",
+      // 1-row distinct-treatment-count aggregate (friedman device)
+      "ops_page_trend",
+      // 1-row token-total aggregate
+      "ta_good_turing",
+      // 1-row S/variance totals
+      "ops_seasonal_mk",
+      // 1-row Gini-total + 1-row entropy aggregates
+      "gr_degree_gini")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>

@@ -1236,4 +1236,185 @@ class Round13GatesSpec extends SparkSpec {
       assert(ndcg >= -1e-9 && ndcg <= 1.0 + 1e-9)
     }
   }
+
+  test("ops_hill_tail: sorted order statistics replay the Hill curve") {
+    val got = graft.queries.StatTests.hillTail(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(got.nonEmpty)
+    val cents = spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT)").collect()
+      .map(_.getLong(0)).sorted(Ordering[Long].reverse)
+    def dec12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    for ((k, thr, alpha, tail) <- got) {
+      val xk1 = cents(k.toInt) // 0-indexed: the (k+1)-th largest
+      assert(thr === r6(xk1.toDouble / 100.0), s"k=$k threshold")
+      val lnsum = cents.take(k.toInt)
+        .map(x => dec12(math.log(x.toDouble / xk1.toDouble))).sum.toDouble
+      assert(alpha === r6(k.toDouble / lnsum), s"k=$k alpha")
+      assert(tail === r6(lnsum / k.toDouble), s"k=$k tail_index")
+      assert(alpha > 0)
+    }
+  }
+
+  test("ops_page_trend: textbook ordered-rank L and z replay the doubled-rank gate") {
+    val got = graft.queries.StatTests.pageTrend(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got.size === 5)
+    val cells = spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("date_trunc('month', o_orderdate) AS b", "o_orderpriority",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS c").collect()
+      .map(r => ((r.get(0).toString, r.getString(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val k = cells.keys.map(_._2).toSet.size
+    val full = cells.groupBy(_._1._1).filter(_._2.size == k)
+    val b = full.size
+    val rankSums = scala.collection.mutable.Map.empty[String, Double]
+    for ((_, cell) <- full) {
+      val sorted = cell.toSeq.sortBy(_._2)
+      val byVal = sorted.zipWithIndex.groupBy(_._1._2)
+      for ((_, grp) <- byVal) {
+        val mean = grp.map(_._2 + 1).sum.toDouble / grp.size
+        for (((key, _), _) <- grp)
+          rankSums(key._2) = rankSums.getOrElse(key._2, 0.0) + mean
+      }
+    }
+    val l = rankSums.map { case (trt, rs) => trt.take(1).toLong * rs }.sum
+    val e = b.toDouble * k * (k + 1) * (k + 1) / 4.0
+    val sd = k * (k + 1) * math.sqrt(b.toDouble * (k - 1)) / 12.0
+    val refZ = (l - e) / sd
+    for ((prio, j, nb, meanRank, l2, z) <- got) {
+      assert(j === prio.take(1).toLong)
+      assert(nb === b.toLong)
+      assert(meanRank === r6(rankSums(prio) / b), s"$prio mean_rank")
+      assert(math.abs(z - refZ) < 6e-7, s"z $z vs $refZ")
+    }
+    // the doubled carry is exact: Σⱼ j·R2ⱼ = 2L
+    assert(got.head._5 === (2 * l).round)
+  }
+
+  test("ops_cohens_d: direct-deviation moments replay the identity-form gate") {
+    val got = graft.queries.StatTests.cohensD(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got.size === 5)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("event_type", "user_id % 2 = 0 AS isA",
+        "CAST(round(value * 100) AS BIGINT)").collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+    for ((t, na, nb, md, sp, d, g) <- got) {
+      val as = ev.filter(e => e._1 == t && e._2).map(_._3.toDouble)
+      val bs = ev.filter(e => e._1 == t && !e._2).map(_._3.toDouble)
+      assert(na === as.length.toLong && nb === bs.length.toLong)
+      val ma = as.sum / as.length; val mb = bs.sum / bs.length
+      val ssa = as.map(x => (x - ma) * (x - ma)).sum
+      val ssb = bs.map(x => (x - mb) * (x - mb)).sum
+      val refSp = math.sqrt((ssa + ssb) / (na + nb - 2))
+      val refD = (ma - mb) / refSp
+      assert(math.abs(md - (ma - mb) / 100.0) < 6e-7, s"$t mean_diff")
+      assert(math.abs(sp - refSp / 100.0) < 6e-7, s"$t pooled_sd")
+      assert(math.abs(d - refD) < 6e-7, s"$t cohens_d")
+      assert(math.abs(g - refD * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0)))
+        < 6e-7, s"$t hedges_g")
+    }
+  }
+
+  test("ta_good_turing: frequency-of-frequencies and Turing counts replay exactly") {
+    val got = graft.queries.TextEval.goodTuring(spark, dir).collect()
+    assert(got.nonEmpty)
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("text").collect().flatMap(_.getString(0).split(" ", -1))
+    val counts = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val fof = counts.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val nTokens = toks.length.toLong
+    val vTypes = counts.size.toLong
+    // the mass identity Σ r·N_r = N pins the whole table
+    assert(fof.map { case (r, n) => r * n }.sum === nTokens)
+    assert(got.length === fof.size)
+    for (row <- got) {
+      val r = row.getLong(0)
+      assert(row.getLong(1) === fof(r), s"r=$r n_r")
+      assert(row.getLong(3) === nTokens && row.getLong(4) === vTypes)
+      fof.get(r + 1) match {
+        case Some(n1) =>
+          assert(row.getLong(2) === n1, s"r=$r n_r1")
+          assert(row.getDouble(5) ===
+            r6((r + 1).toDouble * n1 / fof(r)), s"r=$r r_star")
+          assert(row.getDouble(6) ===
+            r6(n1.toDouble * (r + 1) / nTokens), s"r=$r class_mass")
+        case None =>
+          assert(row.isNullAt(2) && row.isNullAt(5) && row.isNullAt(6),
+            s"r=$r null tail")
+      }
+      assert(row.getDouble(7) ===
+        r6(if (r == 1) fof(1).toDouble / nTokens else 0.0), s"r=$r p0")
+    }
+  }
+
+  test("gr_degree_gini: sorted-rank Gini and histogram entropy replay exactly") {
+    val got = graft.queries.GraphMore.degreeGini(spark, dir).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    val deg = graft.queries.Graph.supportEdges(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.length.toLong).toSeq
+      .map { case (node, d) => (d, node) }.sorted
+    val n = deg.size.toLong
+    val sd = deg.map(x => BigInt(x._1)).sum
+    val sid = deg.zipWithIndex.map { case ((d, _), i) =>
+      BigInt(i + 1) * d }.sum
+    assert(r.getLong(0) === n && r.getLong(1) === sd.toLong)
+    assert(r.getLong(2) === deg.map(_._1).max)
+    assert(r.getDouble(3) === r6(sd.toDouble / n))
+    assert(r.getDouble(4) ===
+      r6((2 * sid - (n + 1) * sd).toDouble / (BigInt(n) * sd).toDouble))
+    val hist = deg.map(_._1).groupBy(identity).view.mapValues(_.size).toMap
+    val h = hist.values.map { nk =>
+      BigDecimal(-(nk.toDouble / n) * math.log(nk.toDouble / n))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP) }.sum.toDouble
+    assert(r.getDouble(5) === r6(h))
+    // hub inequality is a Gini: 0 ≤ G < 1, entropy ≥ 0
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0)
+    assert(r.getDouble(5) >= 0.0)
+  }
+
+  test("ops_seasonal_mk: brute-force per-season sign pairs replay S, Var, and Z") {
+    val got = graft.queries.StatTests.seasonalMk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got.nonEmpty)
+    val grid = spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("CAST(month(o_orderdate) AS BIGINT)",
+        "CAST(year(o_orderdate) AS BIGINT)",
+        "CAST(round(o_totalprice * 100) AS BIGINT)").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .groupBy(_._1._1).view
+      .mapValues(_.map { case ((_, y), rev) => (y, rev) }.sortBy(_._1))
+      .toMap
+    var sTot = 0L; var v18Tot = 0L
+    val ref = grid.view.mapValues { pts =>
+      var sg = 0L
+      for (i <- pts.indices; j <- (i + 1) until pts.size)
+        sg += java.lang.Long.signum(pts(j)._2 - pts(i)._2).toLong
+      val nY = pts.size.toLong
+      val tcorr = pts.map(_._2).groupBy(identity).values
+        .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      (nY, sg, nY * (nY - 1) * (2 * nY + 5) - tcorr)
+    }.toMap
+    for ((_, (nY, sg, v18)) <- ref if nY > 1) { sTot += sg; v18Tot += v18 }
+    val refZ =
+      if (sTot > 0) (sTot - 1).toDouble / math.sqrt(v18Tot / 18.0)
+      else if (sTot < 0) (sTot + 1).toDouble / math.sqrt(v18Tot / 18.0)
+      else 0.0
+    for ((g, nY, sg, v18, st, z) <- got) {
+      val (refNy, refSg, refV18) = ref(g)
+      assert(nY === refNy && sg === refSg && v18 === refV18, s"season $g")
+      assert(st === sTot)
+      assert(math.abs(z - refZ) < 6e-7, s"z $z vs $refZ")
+    }
+  }
 }

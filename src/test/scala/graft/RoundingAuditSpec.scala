@@ -184,6 +184,12 @@ class RoundingAuditSpec extends SparkSpec {
       graft.queries.StatTests.friedmanTest(spark, gateDir))
     auditNoNegZero("ta_lm_perplexity",
       graft.queries.TextEval.lmPerplexity(spark, gateDir))
+    auditNoNegZero("ops_page_trend",
+      graft.queries.StatTests.pageTrend(spark, gateDir))
+    auditNoNegZero("ops_cohens_d",
+      graft.queries.StatTests.cohensD(spark, gateDir))
+    auditNoNegZero("ops_seasonal_mk",
+      graft.queries.StatTests.seasonalMk(spark, gateDir))
   }
 
   test("round-13 negative-capable oracles carry the -0.0 sign normalization") {
@@ -203,7 +209,12 @@ class RoundingAuditSpec extends SparkSpec {
       graft.queries.StatTests.brownForsytheOracle -> "w_stat",
       graft.queries.StatTests.friedmanTestOracle -> "chi2_f",
       graft.queries.StatTests.friedmanTestOracle -> "kendall_w",
-      graft.queries.TextEval.lmPerplexityOracle -> "avg_lnp")
+      graft.queries.TextEval.lmPerplexityOracle -> "avg_lnp",
+      graft.queries.StatTests.pageTrendOracle -> "z_score",
+      graft.queries.StatTests.cohensDOracle -> "mean_diff",
+      graft.queries.StatTests.cohensDOracle -> "cohens_d",
+      graft.queries.StatTests.cohensDOracle -> "hedges_g",
+      graft.queries.StatTests.seasonalMkOracle -> "z_total")
     for ((sql, colName) <- probes)
       assert(sql.replaceAll("\\s+", " ").contains(s"+ 0.0 AS $colName"),
         s"oracle lost the `+ 0.0 AS $colName` sign normalization — a " +
