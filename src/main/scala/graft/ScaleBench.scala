@@ -376,6 +376,13 @@ object ScaleBench {
       "ta_good_turing" -> graft.queries.TextEval.goodTuring _,
       "ops_seasonal_mk" -> graft.queries.StatTests.seasonalMk _,
       "gr_degree_gini" -> graft.queries.GraphMore.degreeGini _,
+      "ops_anova_f" -> graft.queries.StatTests.anovaF _,
+      "ops_odds_ratio" -> graft.queries.StatTests.oddsRatio _,
+      "ta_cli_ari" -> graft.queries.TextScores.cliAri _,
+      "ops_tukey_hsd" -> graft.queries.StatTests.tukeyHsd _,
+      "ops_dunn_test" -> graft.queries.StatTests.dunnTest _,
+      "ops_mcnemar" -> graft.queries.StatTests.mcnemar _,
+      "ops_cochran_q" -> graft.queries.StatTests.cochranQ _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -873,6 +873,553 @@ object StatTests {
       |FROM per_g p CROSS JOIN tot t
       |ORDER BY season_month""".stripMargin
 
+  /** One-way ANOVA F (Fisher 1925) of order value across the five
+    * market segments — the parametric mean-comparison that completes
+    * the inference ladder this file and [[StatOps]] build:
+    * `ops_ttest_welch` (2 groups), `ops_kruskal_wallis` (ranks),
+    * [[brownForsythe]] (the variance pre-check THIS test assumes),
+    * now the k-group F itself, with the effect sizes η² and the
+    * less-biased ω². Same exact-moment discipline as [[cohensD]]:
+    * n/Σx/Σx² per group in DECIMAL(38,0), SSB/SSW via the
+    * Σx²−(Σx)²/n identity with per-group double terms Σ-dec12, every
+    * output one fixed double expression.
+    *
+    * Scale shape: one map-combined fact aggregate to the 5-row
+    * (segment) moment grid; all algebra after is 5-row.
+    */
+  def anovaF(s: SparkSession, dir: String): DataFrame = {
+    val d0 = DecimalType(38, 0)
+    val d12 = DecimalType(38, 12)
+    val ord = Tables.t(s, dir, "orders")
+      .join(Tables.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+    val g = ord.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("cents").cast(d0)).as("s"),
+        sum((col("cents") * col("cents")).cast(d0)).as("q"))
+    val between = col("s").cast(DoubleType) * col("s").cast(DoubleType) /
+      col("n").cast(DoubleType)
+    val within = col("q").cast(DoubleType) - between
+    val tot = g.agg(count(lit(1)).as("k"), sum(col("n")).as("n_tot"),
+      sum(col("s")).as("s_tot"),
+      sum(between.cast(d12)).cast(DoubleType).as("b_raw"),
+      sum(within.cast(d12)).cast(DoubleType).as("ssw"))
+    val ssb = col("b_raw") -
+      col("s_tot").cast(DoubleType) * col("s_tot").cast(DoubleType) /
+        col("n_tot").cast(DoubleType)
+    val msw = col("ssw") / (col("n_tot") - col("k")).cast(DoubleType)
+    val f = ssb / (col("k") - 1).cast(DoubleType) / msw
+    val eta2 = ssb / (ssb + col("ssw"))
+    val omega2 = (ssb - (col("k") - 1).cast(DoubleType) * msw) /
+      (ssb + col("ssw") + msw)
+    g.crossJoin(broadcast(tot.filter(col("ssw") > 0)))
+      .select(col("seg").as("segment"), col("n"),
+        round(col("s").cast(DoubleType) /
+          (col("n").cast(DoubleType) * lit(100.0)), 6).as("mean_price"),
+        round(f, 6).as("f_stat"),
+        (col("k") - 1).as("df1"), (col("n_tot") - col("k")).as("df2"),
+        round(eta2, 6).as("eta2"),
+        round(omega2, 6).as("omega2"))
+      .orderBy(col("segment"))
+  }
+
+  val anovaFOracle: String = {
+    val between = "CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+    val ssb = "t.b_raw - CAST(t.s_tot AS DOUBLE) * CAST(t.s_tot AS DOUBLE) / CAST(t.n_tot AS DOUBLE)"
+    val msw = "t.ssw / CAST(t.n_tot - t.k AS DOUBLE)"
+    s"""WITH ord AS (
+       |  SELECT c.c_mktsegment AS seg,
+       |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+       |g AS (
+       |  SELECT seg, COUNT(*) AS n,
+       |    SUM(CAST(cents AS DECIMAL(38,0))) AS s,
+       |    SUM(CAST(cents * cents AS DECIMAL(38,0))) AS q
+       |  FROM ord GROUP BY 1),
+       |tot AS (
+       |  SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n_tot,
+       |    SUM(s) AS s_tot,
+       |    CAST(SUM(CAST($between AS DECIMAL(38,12))) AS DOUBLE) AS b_raw,
+       |    CAST(SUM(CAST(CAST(q AS DOUBLE) - $between AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS ssw
+       |  FROM g)
+       |SELECT g.seg AS segment, g.n,
+       |  round(CAST(g.s AS DOUBLE) / (CAST(g.n AS DOUBLE) * 100.0), 6)
+       |    AS mean_price,
+       |  round(($ssb) / CAST(t.k - 1 AS DOUBLE) / ($msw), 6) + 0.0
+       |    AS f_stat,
+       |  t.k - 1 AS df1, t.n_tot - t.k AS df2,
+       |  round(($ssb) / (($ssb) + t.ssw), 6) + 0.0 AS eta2,
+       |  round((($ssb) - CAST(t.k - 1 AS DOUBLE) * ($msw))
+       |    / (($ssb) + t.ssw + ($msw)), 6) + 0.0 AS omega2
+       |FROM g CROSS JOIN tot t
+       |WHERE t.ssw > 0
+       |ORDER BY segment""".stripMargin
+  }
+
+  /** Odds ratio / relative risk with the Wald CI (Woolf 1955 SE) —
+    * the 2×2 epidemiology readout beside `ops_ab_lift`'s z and
+    * `ops_cmh_test`'s STRATIFIED odds ratio: exposure = experiment
+    * arm, outcome = the user ever converts (the `ops_sprt_ab`
+    * qualifying-purchase definition). The four cells are exact
+    * integers; OR = ad/bc crosses once; ln OR, the Woolf SE
+    * √(1/a+1/b+1/c+1/d), and the 95% bounds exp(ln OR ± 1.96·SE)
+    * are fixed double expressions. Degenerate tables (any empty
+    * cell) are excluded relationally on both engines.
+    *
+    * Scale shape: one fact hash aggregate to users, one 1-row
+    * four-cell aggregate — nothing after the user grain.
+    */
+  def oddsRatio(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+        get_json_object(col("props"), "$.k").cast(IntegerType) >= 95, 1L)
+        .otherwise(0L)).as("conv"))
+      .select(when(col("user_id") % 2 === 0, "A").otherwise("B").as("arm"),
+        col("conv"))
+    val cells = users.agg(
+      sum(when(col("arm") === "A" && col("conv") === 1, 1L).otherwise(0L))
+        .as("a"),
+      sum(when(col("arm") === "A" && col("conv") === 0, 1L).otherwise(0L))
+        .as("b"),
+      sum(when(col("arm") === "B" && col("conv") === 1, 1L).otherwise(0L))
+        .as("c"),
+      sum(when(col("arm") === "B" && col("conv") === 0, 1L).otherwise(0L))
+        .as("d"))
+      .filter(col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0)
+    val or = (col("a") * col("d")).cast(DoubleType) /
+      (col("b") * col("c")).cast(DoubleType)
+    val se = sqrt(lit(1.0) / col("a").cast(DoubleType) +
+      lit(1.0) / col("b").cast(DoubleType) +
+      lit(1.0) / col("c").cast(DoubleType) +
+      lit(1.0) / col("d").cast(DoubleType))
+    val rr = (col("a").cast(DoubleType) /
+      (col("a") + col("b")).cast(DoubleType)) /
+      (col("c").cast(DoubleType) / (col("c") + col("d")).cast(DoubleType))
+    cells.select(col("a"), col("b"), col("c"), col("d"),
+      round(or, 6).as("odds_ratio"),
+      round(log(or), 6).as("log_or"),
+      round(se, 6).as("woolf_se"),
+      round(exp(log(or) - lit(1.96) * se), 6).as("ci95_lo"),
+      round(exp(log(or) + lit(1.96) * se), 6).as("ci95_hi"),
+      round(rr, 6).as("risk_ratio"))
+  }
+
+  val oddsRatioOracle: String = {
+    val or = "CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE)"
+    val se = "sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE) + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE))"
+    s"""WITH users AS (
+       |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+       |    MAX(CASE WHEN event_type = 'purchase'
+       |      AND TRY_CAST(json_extract_string(props, '$$.k') AS INTEGER)
+       |        >= 95
+       |      THEN 1 ELSE 0 END) AS conv
+       |  FROM events GROUP BY user_id),
+       |cells AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN arm = 'A' AND conv = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS a,
+       |    CAST(SUM(CASE WHEN arm = 'A' AND conv = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS b,
+       |    CAST(SUM(CASE WHEN arm = 'B' AND conv = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c,
+       |    CAST(SUM(CASE WHEN arm = 'B' AND conv = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS d
+       |  FROM users)
+       |SELECT a, b, c, d,
+       |  round($or, 6) AS odds_ratio,
+       |  round(ln($or), 6) + 0.0 AS log_or,
+       |  round($se, 6) AS woolf_se,
+       |  round(exp(ln($or) - 1.96 * $se), 6) AS ci95_lo,
+       |  round(exp(ln($or) + 1.96 * $se), 6) AS ci95_hi,
+       |  round((CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE))
+       |    / (CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE)), 6) AS risk_ratio
+       |FROM cells WHERE a > 0 AND b > 0 AND c > 0 AND d > 0""".stripMargin
+  }
+
+  /** Tukey–Kramer HSD post-hoc (Tukey 1949; Kramer 1956 unequal-n
+    * form) over the five market segments — the pairwise follow-up
+    * [[anovaF]]'s omnibus F licenses: for every segment pair, the
+    * studentized-range statistic q = |x̄_a − x̄_b| /
+    * √(MSW/2 · (1/n_a + 1/n_b)). Reuses [[anovaF]]'s exact-moment
+    * grid verbatim (cent moments DECIMAL(38,0), SSW via the
+    * Σx²−(Σx)²/n identity with per-group double terms Σ-dec12); every
+    * output is one fixed double expression over those exact moments.
+    *
+    * Scale shape: one map-combined fact aggregate to the 5-row
+    * segment grid; the pair join is the grid against itself (≤ k²
+    * rows for a CATEGORICAL k — never data-sized) and the 1-row MSW
+    * total broadcasts onto it. The [[anovaF]] second fact pass is the
+    * price of the self-contained oracle; a production run derives
+    * both from one cached grid.
+    */
+  def tukeyHsd(s: SparkSession, dir: String): DataFrame = {
+    val d0 = DecimalType(38, 0)
+    val d12 = DecimalType(38, 12)
+    val ord = Tables.t(s, dir, "orders")
+      .join(Tables.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+    val g = ord.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("cents").cast(d0)).as("s"),
+        sum((col("cents") * col("cents")).cast(d0)).as("q"))
+    val between = col("s").cast(DoubleType) * col("s").cast(DoubleType) /
+      col("n").cast(DoubleType)
+    val within = col("q").cast(DoubleType) - between
+    val tot = g.agg(count(lit(1)).as("k"), sum(col("n")).as("n_tot"),
+      sum(within.cast(d12)).cast(DoubleType).as("ssw"))
+      .filter(col("ssw") > 0)
+      .select((col("ssw") / (col("n_tot") - col("k")).cast(DoubleType))
+        .as("msw0"), (col("n_tot") - col("k")).as("df_w"))
+    val gi = g.select(col("seg").as("seg_a"), col("n").as("n_a"),
+      col("s").as("s_a"))
+    val gj = g.select(col("seg").as("seg_b"), col("n").as("n_b"),
+      col("s").as("s_b"))
+    val meanA = col("s_a").cast(DoubleType) /
+      (col("n_a").cast(DoubleType) * lit(100.0))
+    val meanB = col("s_b").cast(DoubleType) /
+      (col("n_b").cast(DoubleType) * lit(100.0))
+    // MSW is in cents²: the SE crosses back to dollars via /100, the
+    // same unit discipline as the means
+    val se = sqrt(col("msw0") / lit(2.0) *
+      (lit(1.0) / col("n_a").cast(DoubleType) +
+        lit(1.0) / col("n_b").cast(DoubleType))) / lit(100.0)
+    gi.join(broadcast(gj), col("seg_a") < col("seg_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+        round(meanA, 6).as("mean_a"), round(meanB, 6).as("mean_b"),
+        round(meanA - meanB, 6).as("mean_diff"),
+        round(se, 6).as("se_kramer"),
+        round(abs(meanA - meanB) / se, 6).as("q_stat"),
+        col("df_w"))
+      .orderBy(col("seg_a"), col("seg_b"))
+  }
+
+  val tukeyHsdOracle: String = {
+    val meanA = "CAST(a.s AS DOUBLE) / (CAST(a.n AS DOUBLE) * 100.0)"
+    val meanB = "CAST(b.s AS DOUBLE) / (CAST(b.n AS DOUBLE) * 100.0)"
+    val se = "sqrt(m.msw0 / 2.0 * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE))) / 100.0"
+    s"""WITH ord AS (
+       |  SELECT c.c_mktsegment AS seg,
+       |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+       |g AS (
+       |  SELECT seg, COUNT(*) AS n,
+       |    SUM(CAST(cents AS DECIMAL(38,0))) AS s,
+       |    SUM(CAST(cents * cents AS DECIMAL(38,0))) AS q
+       |  FROM ord GROUP BY 1),
+       |tot AS (
+       |  SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n_tot,
+       |    CAST(SUM(CAST(CAST(q AS DOUBLE)
+       |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+       |      AS DECIMAL(38,12))) AS DOUBLE) AS ssw
+       |  FROM g),
+       |m AS (
+       |  SELECT ssw / CAST(n_tot - k AS DOUBLE) AS msw0,
+       |    n_tot - k AS df_w
+       |  FROM tot WHERE ssw > 0)
+       |SELECT a.seg AS seg_a, b.seg AS seg_b,
+       |  a.n AS n_a, b.n AS n_b,
+       |  round($meanA, 6) AS mean_a,
+       |  round($meanB, 6) AS mean_b,
+       |  round($meanA - $meanB, 6) + 0.0 AS mean_diff,
+       |  round($se, 6) AS se_kramer,
+       |  round(abs($meanA - $meanB) / ($se), 6) AS q_stat,
+       |  CAST(m.df_w AS BIGINT) AS df_w
+       |FROM g a JOIN g b ON a.seg < b.seg CROSS JOIN m
+       |ORDER BY seg_a, seg_b""".stripMargin
+  }
+
+  /** Dunn's test (Dunn 1964) with the tie correction — the pairwise
+    * rank post-hoc that `ops_kruskal_wallis`'s omnibus H licenses,
+    * the nonparametric sibling of [[tukeyHsd]]: for every event-type
+    * pair, z = (r̄_a − r̄_b) / √((N(N+1)/12 − Σ(t³−t)/(12(N−1))) ·
+    * (1/n_a + 1/n_b)) on the GLOBAL midranks (not per-pair reranks —
+    * that is what distinguishes Dunn from pairwise Mann–Whitney).
+    * Midranks carry the KW doubled-integer device (2r̄ stays exact);
+    * the Bonferroni m = k(k−1)/2 and the logistic p approximation
+    * (the `ops_fdr_bh` device, 2/(1+e^{1.702|z|})) decide `rejected`
+    * relationally on both engines.
+    *
+    * Scale shape: one global rank window (the KW/spearman shape; a
+    * two-pass histogram at 100 TB), one hash aggregate to the k-row
+    * type grid, the grid joined against itself (k² rows, categorical
+    * k) with the 1-row N/tie totals broadcast on.
+    */
+  def dunnTest(s: SparkSession, dir: String): DataFrame = {
+    val d0 = DecimalType(38, 0)
+    val ev = Tables.t(s, dir, "events")
+      .select(col("event_type").as("grp"),
+        round(col("value") * 1000000).cast(LongType).as("vm"))
+    val ranked = ev
+      .withColumn("rmin", rank().over(Window.orderBy(col("vm"))))
+      .withColumn("tcnt", count(lit(1)).over(Window.partitionBy(col("vm"))))
+      .withColumn("r2", lit(2L) * col("rmin") + col("tcnt") - lit(1L))
+    val g = ranked.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("r2").cast(d0)).as("s2"))
+    val ties = ev.groupBy(col("vm")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum((col("t") * col("t") * col("t") - col("t")).cast(d0)),
+        lit(0).cast(d0)).as("tie3"))
+    val tot = g.agg(sum(col("n")).as("nn"), count(lit(1)).as("k"))
+    val gi = g.select(col("grp").as("grp_a"), col("n").as("n_a"),
+      col("s2").as("s2_a"))
+    val gj = g.select(col("grp").as("grp_b"), col("n").as("n_b"),
+      col("s2").as("s2_b"))
+    val mrA = col("s2_a").cast(DoubleType) /
+      (lit(2.0) * col("n_a").cast(DoubleType))
+    val mrB = col("s2_b").cast(DoubleType) /
+      (lit(2.0) * col("n_b").cast(DoubleType))
+    val varBase = (col("nn").cast(d0) * (col("nn") + 1)).cast(DoubleType) /
+      lit(12.0) -
+      col("tie3").cast(DoubleType) / (lit(12.0) * (col("nn") - 1).cast(DoubleType))
+    val z = (mrA - mrB) / sqrt(varBase *
+      (lit(1.0) / col("n_a").cast(DoubleType) +
+        lit(1.0) / col("n_b").cast(DoubleType)))
+    val m = ((col("k") * (col("k") - 1)).cast(DoubleType) / lit(2.0))
+      .cast(LongType)
+    val p = lit(2.0) / (lit(1.0) + exp(lit(1.702) * abs(z)))
+    gi.join(broadcast(gj), col("grp_a") < col("grp_b"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(ties))
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        round(mrA, 6).as("mean_rank_a"),
+        round(mrB, 6).as("mean_rank_b"),
+        round(z, 6).as("z_stat"),
+        round(p, 6).as("p_approx"),
+        m.as("m_pairs"),
+        when(p * m.cast(DoubleType) < 0.05, 1).otherwise(0).as("rejected"))
+      .orderBy(col("grp_a"), col("grp_b"))
+  }
+
+  val dunnTestOracle: String = {
+    val mrA = "CAST(a.s2 AS DOUBLE) / (2.0 * CAST(a.n AS DOUBLE))"
+    val mrB = "CAST(b.s2 AS DOUBLE) / (2.0 * CAST(b.n AS DOUBLE))"
+    val varBase = "CAST(t.nn * (t.nn + 1) AS DOUBLE) / 12.0 - CAST(t3.tie3 AS DOUBLE) / (12.0 * CAST(t.nn - 1 AS DOUBLE))"
+    val z = s"(($mrA) - ($mrB)) / sqrt(($varBase) * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE)))"
+    val p = s"2.0 / (1.0 + exp(1.702 * abs($z)))"
+    val m = "CAST(t.k * (t.k - 1) // 2 AS BIGINT)"
+    s"""WITH ev AS (
+       |  SELECT event_type AS grp,
+       |    CAST(round("value" * 1000000) AS BIGINT) AS vm
+       |  FROM events),
+       |rk AS (
+       |  SELECT grp, vm, rank() OVER (ORDER BY vm) AS rmin,
+       |    COUNT(*) OVER (PARTITION BY vm) AS tcnt
+       |  FROM ev),
+       |r2 AS (SELECT grp, 2 * rmin + tcnt - 1 AS r2 FROM rk),
+       |g AS (
+       |  SELECT grp, COUNT(*) AS n, SUM(CAST(r2 AS DECIMAL(38,0))) AS s2
+       |  FROM r2 GROUP BY grp),
+       |t3 AS (
+       |  SELECT COALESCE(SUM(CAST(t * t * t - t AS DECIMAL(38,0))),
+       |    CAST(0 AS DECIMAL(38,0))) AS tie3
+       |  FROM (SELECT vm, COUNT(*) AS t FROM ev GROUP BY vm) q),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, COUNT(*) AS k FROM g)
+       |SELECT a.grp AS grp_a, b.grp AS grp_b,
+       |  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       |  round($mrA, 6) AS mean_rank_a,
+       |  round($mrB, 6) AS mean_rank_b,
+       |  round($z, 6) + 0.0 AS z_stat,
+       |  round($p, 6) AS p_approx,
+       |  $m AS m_pairs,
+       |  CAST(CASE WHEN ($p) * CAST(t.k * (t.k - 1) // 2 AS DOUBLE) < 0.05
+       |    THEN 1 ELSE 0 END AS INT) AS rejected
+       |FROM g a JOIN g b ON a.grp < b.grp
+       |CROSS JOIN tot t CROSS JOIN t3
+       |ORDER BY grp_a, grp_b""".stripMargin
+  }
+
+  /** Exact HALF_UP round-6 of the POSITIVE integer rational num/den
+    * in pure Long arithmetic, overflow-safe past the [[graft.queries
+    * .TextScores]] `r6rat` device's num·10⁶ bound: two-level long
+    * division (integer part, then the 6-digit fraction from the
+    * remainder, so only rem·2·10⁶ ≤ 2·10⁶·den ever multiplies).
+    * Both halves divide via (a − a mod d)/d, exact in double because
+    * each quotient is an integer well under 2⁵³.
+    */
+  private def r6posRat(num: Column, den: Column): Column = {
+    def idiv(a: Column, d: Column): Column =
+      ((a - pmod(a, d)).cast(DoubleType) / d.cast(DoubleType)).cast(LongType)
+    val qint = idiv(num, den)
+    val rem = pmod(num, den)
+    val qf = idiv(rem * lit(2000000L) + den, den * lit(2L))
+    (qint * lit(1000000L) + qf).cast(DoubleType) / lit(1000000.0)
+  }
+
+  /** The same two-level exact rounding as SQL text (DuckDB `//`/`%`
+    * are the floor pair on the positives this device is scoped to).
+    */
+  private def r6posRatSql(num: String, den: String): String =
+    (s"(CAST((($num) // ($den)) * 1000000 " +
+      s"+ ((($num) % ($den)) * 2000000 + ($den)) // (($den) * 2) " +
+      "AS DOUBLE) / 1000000.0)")
+
+  /** McNemar's test (1947) of PAIRED conversion change — did the
+    * same user's qualifying-purchase behavior (the `ops_odds_ratio`
+    * conversion definition) differ between the first and second half
+    * of the observation window? The window midpoint is the
+    * [[StatOps]] experiment-clock device (1-row min/max epoch-µs
+    * aggregate, `(mn+mx) DIV 2` on both engines); only the
+    * DISCORDANT cells b (pre-only) and c (post-only) carry
+    * information. χ² = (b−c)²/(b+c) and the Edwards
+    * continuity-corrected (max(|b−c|−1,0))²/(b+c) are exact integer
+    * rationals rounded by the pure-integer HALF_UP device — a
+    * power-of-two b+c (the [[graft.queries.TextScores]] `ta_cli_ari`
+    * lesson: 1/128 = 0.0078125 sits EXACTLY on a 6-dp half boundary)
+    * cannot split the engines.
+    *
+    * Scale shape: one fact pass to the user grid (map-combined
+    * max-flags), one 1-row four-cell aggregate; nothing after the
+    * user grain.
+    */
+  def mcnemar(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("kv"))
+    val mid = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      .selectExpr("(mn + mx) DIV 2 AS mid")
+    val conv = col("event_type") === "purchase" && col("kv") >= 95
+    val users = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(max(when(conv && col("us") < col("mid"), 1L).otherwise(0L))
+        .as("pre"),
+        max(when(conv && col("us") >= col("mid"), 1L).otherwise(0L))
+          .as("post"))
+    val cells = users.agg(
+      sum(when(col("pre") === 1 && col("post") === 1, 1L).otherwise(0L))
+        .as("both_conv"),
+      sum(when(col("pre") === 1 && col("post") === 0, 1L).otherwise(0L))
+        .as("b"),
+      sum(when(col("pre") === 0 && col("post") === 1, 1L).otherwise(0L))
+        .as("c"),
+      sum(when(col("pre") === 0 && col("post") === 0, 1L).otherwise(0L))
+        .as("neither_conv"))
+      .filter(col("b") + col("c") > 0)
+    val dbc = col("b") - col("c")
+    val adj = greatest(abs(dbc) - 1, lit(0L))
+    cells.select(col("both_conv"), col("b"), col("c"), col("neither_conv"),
+      r6posRat(dbc * dbc, col("b") + col("c")).as("chi2"),
+      r6posRat(adj * adj, col("b") + col("c")).as("chi2_cc"),
+      lit(1L).as("df"))
+  }
+
+  val mcnemarOracle: String = {
+    val chi2 = r6posRatSql("(b - c) * (b - c)", "b + c")
+    val chi2cc = r6posRatSql(
+      "greatest(abs(b - c) - 1, 0) * greatest(abs(b - c) - 1, 0)", "b + c")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS us,
+       |    TRY_CAST(json_extract_string(props, '$$.k') AS INTEGER) AS kv
+       |  FROM events),
+       |mid AS (
+       |  SELECT CAST((MIN(us) + MAX(us)) // 2 AS BIGINT) AS mid FROM ev),
+       |users AS (
+       |  SELECT user_id,
+       |    MAX(CASE WHEN event_type = 'purchase' AND kv >= 95
+       |      AND us < m.mid THEN 1 ELSE 0 END) AS pre,
+       |    MAX(CASE WHEN event_type = 'purchase' AND kv >= 95
+       |      AND us >= m.mid THEN 1 ELSE 0 END) AS post
+       |  FROM ev CROSS JOIN mid m GROUP BY user_id),
+       |cells AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN pre = 1 AND post = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS both_conv,
+       |    CAST(SUM(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS b,
+       |    CAST(SUM(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c,
+       |    CAST(SUM(CASE WHEN pre = 0 AND post = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS neither_conv
+       |  FROM users)
+       |SELECT both_conv, b, c, neither_conv,
+       |  $chi2 AS chi2,
+       |  $chi2cc AS chi2_cc,
+       |  CAST(1 AS BIGINT) AS df
+       |FROM cells WHERE b + c > 0""".stripMargin
+  }
+
+  /** Cochran's Q (1950) — the k-treatment generalization of
+    * [[mcnemar]] on paired BINARY outcomes: did HIGH-VALUE engagement
+    * (any event with value ≥ 75 — raw presence is saturated: every
+    * user in this corpus has all three types, which degenerates Q's
+    * denominator to 0 at every scale) differ across the three funnel
+    * stages click / view / purchase per user?
+    * Q = (k−1)·Σ_j(k·G_j − T)² /
+    * (k·(k·T − ΣL_i²)) with G_j the per-treatment totals, L_i the
+    * per-user row sums, T = ΣL — EVERY term an exact integer (the
+    * k-scaled numerator Σ(kG−T)² = k(kΣG²−T²) avoids the fractional
+    * T/k), and the single division goes through the same pure-integer
+    * HALF_UP device as [[mcnemar]]. Q is invariant to all-0/all-1
+    * users, so the user grid needs no exclusion rule for the engines
+    * to disagree over.
+    *
+    * Scale shape: one fact pass to the user flag grid (map-combined
+    * max-flags), one 1-row aggregate of (G₁,G₂,G₃,T,ΣL²); k is a
+    * LITERAL 3 so the whole statistic is a fixed expression on that
+    * row.
+    */
+  def cochranQ(s: SparkSession, dir: String): DataFrame = {
+    val hi = col("value") >= 75
+    val flags = Tables.t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "click" && hi, 1L).otherwise(0L))
+        .as("fc"),
+        max(when(col("event_type") === "view" && hi, 1L).otherwise(0L))
+          .as("fv"),
+        max(when(col("event_type") === "purchase" && hi, 1L).otherwise(0L))
+          .as("fp"))
+      .withColumn("l", col("fc") + col("fv") + col("fp"))
+    val tot = flags.agg(
+      count(lit(1)).as("n_users"),
+      sum(col("fc")).as("g_click"), sum(col("fv")).as("g_view"),
+      sum(col("fp")).as("g_purchase"),
+      sum(col("l")).as("t"), sum(col("l") * col("l")).as("sum_l2"))
+      .filter(lit(3L) * col("t") - col("sum_l2") > 0)
+    def sq(g: Column) = {
+      val d = lit(3L) * g - col("t")
+      d * d
+    }
+    val num = lit(2L) *
+      (sq(col("g_click")) + sq(col("g_view")) + sq(col("g_purchase")))
+    val den = lit(3L) * (lit(3L) * col("t") - col("sum_l2"))
+    tot.select(col("n_users"), col("g_click"), col("g_view"),
+      col("g_purchase"), col("t"), col("sum_l2"),
+      r6posRat(num, den).as("q_stat"), lit(2L).as("df"))
+  }
+
+  val cochranQOracle: String = {
+    val num = "2 * ((3 * g_click - t) * (3 * g_click - t) + (3 * g_view - t) * (3 * g_view - t) + (3 * g_purchase - t) * (3 * g_purchase - t))"
+    val den = "3 * (3 * t - sum_l2)"
+    s"""WITH flags AS (
+       |  SELECT user_id,
+       |    MAX(CASE WHEN event_type = 'click' AND "value" >= 75
+       |      THEN 1 ELSE 0 END) AS fc,
+       |    MAX(CASE WHEN event_type = 'view' AND "value" >= 75
+       |      THEN 1 ELSE 0 END) AS fv,
+       |    MAX(CASE WHEN event_type = 'purchase' AND "value" >= 75
+       |      THEN 1 ELSE 0 END) AS fp
+       |  FROM events GROUP BY user_id),
+       |tot AS (
+       |  SELECT COUNT(*) AS n_users,
+       |    CAST(SUM(fc) AS BIGINT) AS g_click,
+       |    CAST(SUM(fv) AS BIGINT) AS g_view,
+       |    CAST(SUM(fp) AS BIGINT) AS g_purchase,
+       |    CAST(SUM(fc + fv + fp) AS BIGINT) AS t,
+       |    CAST(SUM((fc + fv + fp) * (fc + fv + fp)) AS BIGINT) AS sum_l2
+       |  FROM flags)
+       |SELECT CAST(n_users AS BIGINT) AS n_users,
+       |  g_click, g_view, g_purchase, t, sum_l2,
+       |  ${r6posRatSql(num, den)} AS q_stat,
+       |  CAST(2 AS BIGINT) AS df
+       |FROM tot WHERE 3 * t - sum_l2 > 0""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ops_cliffs_delta", cliffsDelta, Some(cliffsDeltaOracle)),
     QueryDef("ops_brown_forsythe", brownForsythe, Some(brownForsytheOracle)),
@@ -884,5 +1431,11 @@ object StatTests {
     QueryDef("ops_page_trend", pageTrend, Some(pageTrendOracle)),
     QueryDef("ops_cohens_d", cohensD, Some(cohensDOracle)),
     QueryDef("ops_seasonal_mk", seasonalMk, Some(seasonalMkOracle)),
+    QueryDef("ops_anova_f", anovaF, Some(anovaFOracle)),
+    QueryDef("ops_odds_ratio", oddsRatio, Some(oddsRatioOracle)),
+    QueryDef("ops_tukey_hsd", tukeyHsd, Some(tukeyHsdOracle)),
+    QueryDef("ops_dunn_test", dunnTest, Some(dunnTestOracle)),
+    QueryDef("ops_mcnemar", mcnemar, Some(mcnemarOracle)),
+    QueryDef("ops_cochran_q", cochranQ, Some(cochranQOracle)),
   )
 }

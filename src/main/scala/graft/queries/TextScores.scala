@@ -264,9 +264,81 @@ object TextScores {
       |    AS guiraud_r
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Coleman–Liau index + Automated Readability Index per document —
+    * the CHARACTER-based readability pair beside [[readability]]'s
+    * syllable-based Flesch scores (Coleman & Liau 1975; Senter &
+    * Smith 1967): both were designed for machine scoring precisely
+    * because character counts need no dictionary, which is why
+    * C4-class corpus filters prefer them. Characters = non-space
+    * length (this corpus is already lowercase word characters);
+    * sentence count is the same honest fixed 1 as [[readability]]
+    * (the corpus carries no sentence punctuation, stated in the
+    * output). CLI = 0.0588·L − 0.296·S_100 − 15.8 on per-100-word
+    * rates; ARI = 4.71·(chars/words) + 0.5·(words/sentences) −
+    * 21.43. Counts are exact integers; each score is one fixed
+    * affine double expression.
+    *
+    * Scale shape: a narrow whole-stage-codegen projection over the
+    * documents scan plus the gate-contract `ORDER BY doc_id` sort.
+    */
+  def cliAri(s: SparkSession, dir: String): DataFrame = {
+    val nW = size(split(col("text"), " ")).cast(LongType)
+    val nC = (length(col("text")) - (nW - 1)).cast(LongType)
+    // exact integer numerators over den = 100·w:
+    //   CLI = (588c − 1580w − 2960) / (100w)
+    //   ARI = (471c + 50w² − 2143w) / (100w)
+    // HALF_UP round-6 in PURE INTEGER arithmetic: power-of-two word
+    // counts land the pre-round double EXACTLY on a half boundary (a
+    // 64-word doc puts ARI on 32.2065625, caught by the sf0.01 gate),
+    // where double-rounding engines legitimately disagree. Sign-split
+    // so only positives are divided; the division itself goes through
+    // (a − a mod den)/den, which is exact in double because the
+    // quotient is an integer well under 2^53.
+    def r6rat(num: Column, w: Column): Column = {
+      val den = w * 100L
+      val a = abs(num) * 1000000L + w * 50L
+      val q = ((a - pmod(a, den)).cast(DoubleType) /
+        den.cast(DoubleType)).cast(LongType)
+      (when(num < 0, -q).otherwise(q).cast(DoubleType) / lit(1000000.0))
+    }
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), nW.as("w"), nC.as("c"))
+      .select(
+        col("doc_id"),
+        col("w").as("n_words"),
+        col("c").as("n_chars"),
+        lit(1L).as("n_sentences"),
+        r6rat(lit(588L) * col("c") - lit(1580L) * col("w") - lit(2960L),
+          col("w")).as("coleman_liau"),
+        r6rat(lit(471L) * col("c") + lit(50L) * col("w") * col("w") -
+          lit(2143L) * col("w"), col("w")).as("ari"))
+      .orderBy(col("doc_id"))
+  }
+
+  val cliAriOracle: String = {
+    def r6rat(num: String, den: String): String =
+      s"""(CAST(CASE WHEN ($num) < 0
+         |    THEN -((abs($num) * 1000000 + ($den) // 2) // ($den))
+         |    ELSE ((($num) * 1000000 + ($den) // 2) // ($den))
+         |  END AS DOUBLE) / 1000000.0)""".stripMargin.replace("\n", " ")
+    val w = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+    val c = s"CAST(len(text) - ($w - 1) AS BIGINT)"
+    s"""WITH t AS (SELECT doc_id, $w AS w, $c AS c FROM documents)
+       |SELECT doc_id,
+       |  w AS n_words,
+       |  c AS n_chars,
+       |  CAST(1 AS BIGINT) AS n_sentences,
+       |  ${r6rat("588 * c - 1580 * w - 2960", "100 * w")} + 0.0
+       |    AS coleman_liau,
+       |  ${r6rat("471 * c + 50 * w * w - 2143 * w", "100 * w")} + 0.0
+       |    AS ari
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ta_readability", readability, Some(readabilityOracle)),
     QueryDef("ta_rake_keywords", rakeKeywords, Some(rakeKeywordsOracle)),
     QueryDef("ta_ttr_diversity", ttrDiversity, Some(ttrDiversityOracle)),
+    QueryDef("ta_cli_ari", cliAri, Some(cliAriOracle)),
   )
 }

@@ -126,7 +126,19 @@ class PlanAuditSpec extends SparkSpec {
       "ops_seasonal_mk",
       // 1-row Gini totals onto the degree histogram + the 1-row
       // entropy aggregate
-      "gr_degree_gini")
+      "gr_degree_gini",
+      // 1-row grand-moment aggregate onto the 5-row segment grid
+      // (the ops_brown_forsythe shape)
+      "ops_anova_f",
+      // 5-row segment grid against itself (k² categorical pairs) +
+      // the 1-row MSW total
+      "ops_tukey_hsd",
+      // 5-row type grid against itself + the 1-row N/tie totals
+      // (ops_kruskal_wallis tie-total shape, paired)
+      "ops_dunn_test",
+      // 1-row epoch-µs midpoint onto the fact scan (the ops_emd_drift
+      // experiment-clock device)
+      "ops_mcnemar")
 
   // the oracle-less bench-only twins stay under the same plan audit:
   // they run in every bench even though they left the correctness map
@@ -278,7 +290,15 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row S/variance totals
       "ops_seasonal_mk",
       // 1-row Gini-total + 1-row entropy aggregates
-      "gr_degree_gini")
+      "gr_degree_gini",
+      // 1-row grand-moment aggregate (ops_brown_forsythe shape)
+      "ops_anova_f",
+      // 5-row segment grid pair side + 1-row MSW total
+      "ops_tukey_hsd",
+      // 5-row type grid pair side + 1-row N/tie totals
+      "ops_dunn_test",
+      // 1-row epoch-µs midpoint (ops_emd_drift device)
+      "ops_mcnemar")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>

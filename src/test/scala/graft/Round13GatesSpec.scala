@@ -1417,4 +1417,252 @@ class Round13GatesSpec extends SparkSpec {
       assert(math.abs(z - refZ) < 6e-7, s"z $z vs $refZ")
     }
   }
+
+  test("ops_anova_f: textbook direct-deviation F replays the identity-form gate") {
+    val got = graft.queries.StatTests.anovaF(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7))).toSeq
+    assert(got.size === 5)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .selectExpr("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val groups = spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("o_custkey", "CAST(round(o_totalprice * 100) AS BIGINT)")
+      .collect().map(r => (cust(r.getLong(0)), r.getLong(1).toDouble))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = groups.size
+    val n = groups.values.map(_.length).sum
+    val grand = groups.values.flatten.sum / n
+    val ssb = groups.values.map { v =>
+      val m = v.sum / v.length; v.length * (m - grand) * (m - grand) }.sum
+    val ssw = groups.values.map { v =>
+      val m = v.sum / v.length; v.map(x => (x - m) * (x - m)).sum }.sum
+    val refF = ssb / (k - 1) / (ssw / (n - k))
+    val refEta = ssb / (ssb + ssw)
+    val msw = ssw / (n - k)
+    val refOmega = (ssb - (k - 1) * msw) / (ssb + ssw + msw)
+    for ((seg, ng, mean, f, df1, df2, eta2, omega2) <- got) {
+      val v = groups(seg)
+      assert(ng === v.length.toLong)
+      assert(math.abs(mean - v.sum / v.length / 100.0) < 6e-7, s"$seg mean")
+      assert(math.abs(f - refF) < 6e-7, s"f $f vs $refF")
+      assert(df1 === (k - 1).toLong && df2 === (n - k).toLong)
+      assert(math.abs(eta2 - refEta) < 6e-7)
+      assert(math.abs(omega2 - refOmega) < 6e-7)
+    }
+    // consistency with the Brown-Forsythe gate's frame: same groups
+    val bf = graft.queries.StatTests.brownForsythe(spark, dir).collect()
+    assert(bf.map(_.getLong(1)).sorted.toSeq ===
+      got.map(_._2).sorted.toSeq)
+  }
+
+  test("ops_odds_ratio: a brute-force 2x2 replay agrees on every readout") {
+    val got = graft.queries.StatTests.oddsRatio(spark, dir).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    val conv = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id", "event_type",
+        "TRY_CAST(get_json_object(props, '$.k') AS INT) AS kv").collect()
+      .map(x => (x.getLong(0), x.getString(1),
+        if (x.isNullAt(2)) -1 else x.getInt(2)))
+      .groupBy(_._1).view.mapValues(evs =>
+        evs.exists(e => e._2 == "purchase" && e._3 >= 95)).toMap
+    val a = conv.count { case (u, c) => u % 2 == 0 && c }.toLong
+    val b = conv.count { case (u, c) => u % 2 == 0 && !c }.toLong
+    val c = conv.count { case (u, cv) => u % 2 != 0 && cv }.toLong
+    val d = conv.count { case (u, cv) => u % 2 != 0 && !cv }.toLong
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((a, b, c, d)))
+    val or = a.toDouble * d / (b.toDouble * c)
+    val se = math.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    assert(r.getDouble(4) === r6(or))
+    assert(r.getDouble(5) === r6(math.log(or)))
+    assert(r.getDouble(6) === r6(se))
+    assert(math.abs(r.getDouble(7) - math.exp(math.log(or) - 1.96 * se))
+      < 6e-7)
+    assert(math.abs(r.getDouble(8) - math.exp(math.log(or) + 1.96 * se))
+      < 6e-7)
+    assert(r.getDouble(9) ===
+      r6((a.toDouble / (a + b)) / (c.toDouble / (c + d))))
+    // the CI straddles the point estimate
+    assert(r.getDouble(7) <= r.getDouble(4) && r.getDouble(4) <= r.getDouble(8))
+  }
+
+  test("ta_cli_ari: per-document character counts replay both indices") {
+    val got = graft.queries.TextScores.cliAri(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got.nonEmpty)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // exact HALF_UP of the defining rationals — the gate's integer
+    // rounding must agree with BigDecimal exact division everywhere,
+    // including the power-of-two half-boundary docs (e.g. w = 64)
+    def r6ratRef(num: Long, w: Long): Double =
+      (BigDecimal(num) / BigDecimal(100 * w))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for ((id, nw, nc, ns, cli, ari) <- got) {
+      val toks = docs(id).split(" ", -1)
+      val chars = toks.map(_.length).sum.toLong
+      assert(nw === toks.length.toLong && nc === chars && ns === 1L)
+      val w = toks.length.toLong
+      assert(cli === r6ratRef(588 * chars - 1580 * w - 2960, w),
+        s"doc $id cli")
+      assert(ari === r6ratRef(471 * chars + 50 * w * w - 2143 * w, w),
+        s"doc $id ari")
+      // the textbook double form agrees to within a rounding cell
+      assert(math.abs(ari - (4.71 * (chars.toDouble / w) + 0.5 * w -
+        21.43)) < 1e-6 + 1e-9, s"doc $id ari vs double form")
+    }
+  }
+
+  test("ops_tukey_hsd: textbook pairwise replay from raw group values") {
+    val got = graft.queries.StatTests.tukeyHsd(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8), r.getLong(9))).toSeq
+    assert(got.size === 10) // C(5,2) segment pairs
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .selectExpr("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val groups = spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("o_custkey", "CAST(round(o_totalprice * 100) AS BIGINT)")
+      .collect().map(r => (cust(r.getLong(0)), r.getLong(1).toDouble))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = groups.size
+    val n = groups.values.map(_.length).sum
+    val ssw = groups.values.map { v =>
+      val m = v.sum / v.length; v.map(x => (x - m) * (x - m)).sum }.sum
+    val msw = ssw / (n - k)
+    for ((sa, sb, na, nb, ma, mb, diff, se, q, dfw) <- got) {
+      assert(sa < sb)
+      val va = groups(sa); val vb = groups(sb)
+      assert(na === va.length.toLong && nb === vb.length.toLong)
+      val meanA = va.sum / va.length / 100.0
+      val meanB = vb.sum / vb.length / 100.0
+      assert(math.abs(ma - meanA) < 6e-7, s"$sa mean")
+      assert(math.abs(mb - meanB) < 6e-7, s"$sb mean")
+      assert(math.abs(diff - (meanA - meanB)) < 6e-7, s"$sa/$sb diff")
+      val seRef = math.sqrt(msw / 2 *
+        (1.0 / va.length + 1.0 / vb.length)) / 100.0
+      assert(math.abs(se - seRef) < 6e-7, s"$sa/$sb se")
+      assert(math.abs(q - math.abs(meanA - meanB) / seRef) < 6e-6,
+        s"$sa/$sb q")
+      assert(dfw === (n - k).toLong)
+    }
+    // the ANOVA gate's frame is the licensing omnibus: same df
+    val af = graft.queries.StatTests.anovaF(spark, dir).collect()
+    assert(af.map(_.getLong(5)).toSet === Set((n - k).toLong))
+  }
+
+  test("ops_dunn_test: global-midrank pairwise replay with tie correction") {
+    val got = graft.queries.StatTests.dunnTest(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        r.getLong(8), r.getInt(9))).toSeq
+    assert(got.size === 10)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("event_type", "CAST(round(value * 1000000) AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val n = ev.size
+    val byVal = ev.map(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val rankStart = scala.collection.mutable.Map[Long, Long]()
+    var acc = 1L
+    for (v <- byVal.keys.toSeq.sorted) { rankStart(v) = acc; acc += byVal(v) }
+    def midrank(v: Long): Double = rankStart(v) + (byVal(v) - 1) / 2.0
+    val groups = ev.groupBy(_._1).view
+      .mapValues(_.map(x => midrank(x._2))).toMap
+    val tie3 = byVal.values.map(t => t.toDouble * t * t - t).sum
+    val varBase = n.toDouble * (n + 1) / 12.0 - tie3 / (12.0 * (n - 1))
+    val kk = groups.size
+    for ((ga, gb, na, nb, mra, mrb, z, p, m, rej) <- got) {
+      assert(ga < gb)
+      val va = groups(ga); val vb = groups(gb)
+      assert(na === va.size.toLong && nb === vb.size.toLong)
+      val ra = va.sum / va.size; val rb = vb.sum / vb.size
+      assert(math.abs(mra - ra) < 6e-7, s"$ga mean rank")
+      assert(math.abs(mrb - rb) < 6e-7, s"$gb mean rank")
+      val zRef = (ra - rb) /
+        math.sqrt(varBase * (1.0 / va.size + 1.0 / vb.size))
+      assert(math.abs(z - zRef) < 6e-6, s"$ga/$gb z")
+      val pRef = 2.0 / (1.0 + math.exp(1.702 * math.abs(zRef)))
+      assert(math.abs(p - pRef) < 6e-6, s"$ga/$gb p")
+      assert(m === (kk * (kk - 1) / 2).toLong)
+      assert(rej === (if (pRef * m < 0.05) 1 else 0), s"$ga/$gb rejected")
+    }
+    // consistency: Dunn's global midranks ARE ops_kruskal_wallis's
+    val kw = StatOps.kruskalWallis(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    for ((ga, gb, _, _, mra, mrb, _, _, _, _) <- got) {
+      assert(math.abs(kw(ga) - mra) < 1e-9)
+      assert(math.abs(kw(gb) - mrb) < 1e-9)
+    }
+  }
+
+  test("ops_mcnemar: brute paired before/after replay, exact integer rounding") {
+    val got = graft.queries.StatTests.mcnemar(spark, dir).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id", "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+        "TRY_CAST(get_json_object(props, '$.k') AS INT) AS kv").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+        if (x.isNullAt(3)) -1 else x.getInt(3)))
+    val mid = (ev.map(_._3).min + ev.map(_._3).max) / 2
+    val users = ev.groupBy(_._1).view.mapValues { es =>
+      (es.exists(e => e._2 == "purchase" && e._4 >= 95 && e._3 < mid),
+        es.exists(e => e._2 == "purchase" && e._4 >= 95 && e._3 >= mid))
+    }.toMap
+    val b = users.values.count { case (p, q) => p && !q }.toLong
+    val c = users.values.count { case (p, q) => !p && q }.toLong
+    assert(r.getLong(0) === users.values.count(v => v._1 && v._2).toLong)
+    assert(r.getLong(1) === b && r.getLong(2) === c)
+    assert(r.getLong(3) === users.values.count(v => !v._1 && !v._2).toLong)
+    def r6rat(num: BigInt, den: BigInt): Double =
+      (BigDecimal(num) / BigDecimal(den))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the gate's two-level integer division must equal exact HALF_UP
+    assert(r.getDouble(4) ===
+      r6rat(BigInt(b - c) * BigInt(b - c), BigInt(b + c)))
+    val adj = math.max(math.abs(b - c) - 1, 0L)
+    assert(r.getDouble(5) === r6rat(BigInt(adj) * BigInt(adj), BigInt(b + c)))
+    assert(r.getLong(6) === 1L)
+  }
+
+  test("ops_cochran_q: brute flag replay and the L(k-L) denominator identity") {
+    val got = graft.queries.StatTests.cochranQ(spark, dir).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id", "event_type", "value").collect()
+      .map(x => (x.getLong(0), x.getString(1),
+        if (x.isNullAt(2)) -1.0 else x.getDouble(2)))
+    val users = ev.groupBy(_._1).view.mapValues { es =>
+      def f(t: String) = es.exists(e => e._2 == t && e._3 >= 75)
+      (f("click"), f("view"), f("purchase"))
+    }.toMap.values.toSeq
+    val g1 = users.count(_._1).toLong
+    val g2 = users.count(_._2).toLong
+    val g3 = users.count(_._3).toLong
+    val ls = users.map(u => Seq(u._1, u._2, u._3).count(identity).toLong)
+    val t = ls.sum; val sl2 = ls.map(l => l * l).sum
+    assert(r.getLong(0) === users.size.toLong)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((g1, g2, g3)))
+    assert(r.getLong(4) === t && r.getLong(5) === sl2)
+    // denominator identity: 3T − ΣL² = Σ L(3−L) ≥ 0, > 0 iff some
+    // user's flags VARY across treatments
+    assert(3 * t - sl2 === ls.map(l => l * (3 - l)).sum)
+    assert(3 * t - sl2 > 0, "flags saturated — Q degenerate, pick a " +
+      "different high-value threshold")
+    val num = BigInt(2) * Seq(g1, g2, g3)
+      .map(g => BigInt(3 * g - t) * BigInt(3 * g - t)).sum
+    val den = BigInt(3) * BigInt(3 * t - sl2)
+    def r6rat(nn: BigInt, d: BigInt): Double =
+      (BigDecimal(nn) / BigDecimal(d))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(6) === r6rat(num, den))
+    assert(r.getLong(7) === 2L)
+  }
 }

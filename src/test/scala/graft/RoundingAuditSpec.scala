@@ -190,6 +190,20 @@ class RoundingAuditSpec extends SparkSpec {
       graft.queries.StatTests.cohensD(spark, gateDir))
     auditNoNegZero("ops_seasonal_mk",
       graft.queries.StatTests.seasonalMk(spark, gateDir))
+    auditNoNegZero("ops_anova_f",
+      graft.queries.StatTests.anovaF(spark, gateDir))
+    auditNoNegZero("ops_odds_ratio",
+      graft.queries.StatTests.oddsRatio(spark, gateDir))
+    auditNoNegZero("ta_cli_ari",
+      graft.queries.TextScores.cliAri(spark, gateDir))
+    auditNoNegZero("ops_tukey_hsd",
+      graft.queries.StatTests.tukeyHsd(spark, gateDir))
+    auditNoNegZero("ops_dunn_test",
+      graft.queries.StatTests.dunnTest(spark, gateDir))
+    auditNoNegZero("ops_mcnemar",
+      graft.queries.StatTests.mcnemar(spark, gateDir))
+    auditNoNegZero("ops_cochran_q",
+      graft.queries.StatTests.cochranQ(spark, gateDir))
   }
 
   test("round-13 negative-capable oracles carry the -0.0 sign normalization") {
@@ -214,7 +228,15 @@ class RoundingAuditSpec extends SparkSpec {
       graft.queries.StatTests.cohensDOracle -> "mean_diff",
       graft.queries.StatTests.cohensDOracle -> "cohens_d",
       graft.queries.StatTests.cohensDOracle -> "hedges_g",
-      graft.queries.StatTests.seasonalMkOracle -> "z_total")
+      graft.queries.StatTests.seasonalMkOracle -> "z_total",
+      graft.queries.StatTests.anovaFOracle -> "f_stat",
+      graft.queries.StatTests.anovaFOracle -> "eta2",
+      graft.queries.StatTests.anovaFOracle -> "omega2",
+      graft.queries.StatTests.oddsRatioOracle -> "log_or",
+      graft.queries.TextScores.cliAriOracle -> "coleman_liau",
+      graft.queries.TextScores.cliAriOracle -> "ari",
+      graft.queries.StatTests.tukeyHsdOracle -> "mean_diff",
+      graft.queries.StatTests.dunnTestOracle -> "z_stat")
     for ((sql, colName) <- probes)
       assert(sql.replaceAll("\\s+", " ").contains(s"+ 0.0 AS $colName"),
         s"oracle lost the `+ 0.0 AS $colName` sign normalization — a " +
