@@ -383,6 +383,9 @@ object ScaleBench {
       "ops_dunn_test" -> graft.queries.StatTests.dunnTest _,
       "ops_mcnemar" -> graft.queries.StatTests.mcnemar _,
       "ops_cochran_q" -> graft.queries.StatTests.cochranQ _,
+      "ops_mood_median" -> graft.queries.StatTests.moodMedian _,
+      "ops_bartlett" -> graft.queries.StatTests.bartlett _,
+      "ops_jonckheere" -> graft.queries.StatTests.jonckheere _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

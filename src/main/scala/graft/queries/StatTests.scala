@@ -1420,6 +1420,343 @@ object StatTests {
        |FROM tot WHERE 3 * t - sum_l2 > 0""".stripMargin
   }
 
+  /** Mood's median test (Mood 1950; Brown & Mood 1951) — the k-group
+    * location test that assumes NOTHING about spread or shape (the
+    * coarsest, most robust rung under [[anovaF]] and
+    * `ops_kruskal_wallis`): classify every order as above / not-above
+    * the GRAND median of order value and test the resulting 2×k
+    * contingency table. The grand median rides [[Pctl]] on integer
+    * cents (an exact half-integer, so the doubled comparison
+    * 2·cents > 2·med is pure integer); each χ² cell term uses the
+    * cross-multiplied exact form (N·O − R·C)²/(N·R·C) with the
+    * numerator squared in DECIMAL(38,0) (the `ops_emd_drift`
+    * cross-multiply device — N·O can pass 2⁶³), one double crossing
+    * per cell, Σ over the k-row grid through DECIMAL(38,12).
+    *
+    * Scale shape: one exact-percentile sort (the [[brownForsythe]]
+    * median shape), one map-combined fact aggregate to the k-row
+    * segment grid with the 1-row median broadcast on; all χ² algebra
+    * is grid-sized.
+    */
+  def moodMedian(s: SparkSession, dir: String): DataFrame = {
+    val d0 = DecimalType(38, 0)
+    val d12 = DecimalType(38, 12)
+    val ord = Tables.t(s, dir, "orders")
+      .join(Tables.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+    val med = ord.agg(Pctl.p("cents", 0.5).as("med"))
+      .select((col("med") * 2).cast(LongType).as("m2"))
+    val g = ord.crossJoin(broadcast(med))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cents") * 2 > col("m2"), 1L).otherwise(0L)).as("hi"))
+      .withColumn("lo", col("n") - col("hi"))
+    val tot = g.agg(sum(col("n")).as("nn"), sum(col("hi")).as("hi_tot"),
+      count(lit(1)).as("k"))
+      .filter(col("hi_tot") > 0 && col("hi_tot") < col("nn"))
+      .withColumn("lo_tot", col("nn") - col("hi_tot"))
+    def term(o: Column, colTot: Column) = {
+      val num = col("nn").cast(d0) * o - col("n").cast(d0) * colTot
+      (num * num).cast(DoubleType) /
+        (col("nn").cast(d0) * col("n") * colTot).cast(DoubleType)
+    }
+    val j = g.crossJoin(broadcast(tot))
+      .withColumn("part",
+        term(col("hi"), col("hi_tot")) + term(col("lo"), col("lo_tot")))
+      .withColumn("chi2",
+        sum(col("part").cast(d12)).over(Window.partitionBy())
+          .cast(DoubleType))
+    j.select(col("seg").as("segment"), col("n"),
+      col("hi").as("n_above"), col("lo").as("n_not_above"),
+      round(col("part"), 6).as("chi2_part"),
+      round(col("chi2"), 6).as("chi2"),
+      (col("k") - 1).as("df"))
+      .orderBy(col("segment"))
+  }
+
+  val moodMedianOracle: String = {
+    def term(o: String, t: String) =
+      s"""(CAST((CAST(nn AS DECIMAL(38,0)) * $o
+         |  - CAST(n AS DECIMAL(38,0)) * $t)
+         |  * (CAST(nn AS DECIMAL(38,0)) * $o
+         |  - CAST(n AS DECIMAL(38,0)) * $t) AS DOUBLE)
+         |  / CAST(CAST(nn AS DECIMAL(38,0)) * n * $t AS DOUBLE))"""
+        .stripMargin.replace("\n", " ")
+    s"""WITH ord AS (
+       |  SELECT c.c_mktsegment AS seg,
+       |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+       |med AS (
+       |  SELECT CAST(${Pctl.sql("cents", 0.5)} * 2 AS BIGINT) AS m2
+       |  FROM ord),
+       |g AS (
+       |  SELECT seg, COUNT(*) AS n,
+       |    CAST(SUM(CASE WHEN cents * 2 > m.m2 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS hi
+       |  FROM ord CROSS JOIN med m GROUP BY seg),
+       |tot AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+       |    CAST(SUM(hi) AS BIGINT) AS hi_tot, COUNT(*) AS k
+       |  FROM g),
+       |j AS (
+       |  SELECT g.seg, g.n, g.hi, g.n - g.hi AS lo,
+       |    t.nn, t.hi_tot, t.nn - t.hi_tot AS lo_tot, t.k
+       |  FROM g CROSS JOIN tot t
+       |  WHERE t.hi_tot > 0 AND t.hi_tot < t.nn),
+       |p AS (
+       |  SELECT *, ${term("hi", "hi_tot")} + ${term("lo", "lo_tot")} AS part
+       |  FROM j),
+       |p2 AS (
+       |  SELECT *,
+       |    CAST(SUM(CAST(part AS DECIMAL(38,12))) OVER () AS DOUBLE) AS chi2
+       |  FROM p)
+       |SELECT seg AS segment, n, hi AS n_above, lo AS n_not_above,
+       |  round(part, 6) AS chi2_part,
+       |  round(chi2, 6) AS chi2,
+       |  CAST(k - 1 AS BIGINT) AS df
+       |FROM p2 ORDER BY segment""".stripMargin
+  }
+
+  /** Bartlett's test (1937) of variance homogeneity across the five
+    * market segments — the PARAMETRIC rung beside [[brownForsythe]]
+    * (which is the robust Levene-median variant; classical practice
+    * runs Bartlett when normality is credible because it is the more
+    * powerful of the two): T = [(N−k)·ln(S²ₚ) − Σ(nᵢ−1)·ln(S²ᵢ)]/C
+    * with C = 1 + (Σ1/(nᵢ−1) − 1/(N−k))/(3(k−1)). Group moments are
+    * the [[anovaF]] exact cent grid; each variance crosses to double
+    * once via the Σx²−(Σx)²/n identity; the two group-indexed sums
+    * (Σ(nᵢ−1)lnS²ᵢ, Σ1/(nᵢ−1)) ride DECIMAL(38,12) so no row order
+    * enters a float sum. Spread is reported as the SD in dollars
+    * (√S²ᵢ/100) — NOT the raw cents² variance, whose ~2·10¹⁴
+    * magnitude has double-ulp ≈ 0.03, far coarser than 6 decimals:
+    * the engines' DECIMAL(38,0)→DOUBLE casts can land one ulp apart
+    * above 2⁵³ and a 17-significant-digit round is flaky by
+    * construction (caught live by the sf0.01 gate). The cents²
+    * scale cancels inside T because Σ(nᵢ−1) = N−k exactly weights
+    * the ln shift.
+    *
+    * Scale shape: one map-combined fact aggregate to the 5-row
+    * segment grid; ln and the T/C algebra are grid-sized.
+    */
+  def bartlett(s: SparkSession, dir: String): DataFrame = {
+    val d0 = DecimalType(38, 0)
+    val d12 = DecimalType(38, 12)
+    val ord = Tables.t(s, dir, "orders")
+      .join(Tables.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+    val g = ord.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("cents").cast(d0)).as("s"),
+        sum((col("cents") * col("cents")).cast(d0)).as("q"))
+      .filter(col("n") > 1)
+    // per-group variance in cents² — one double crossing each
+    val vi = (col("q").cast(DoubleType) -
+      col("s").cast(DoubleType) * col("s").cast(DoubleType) /
+        col("n").cast(DoubleType)) / (col("n") - 1).cast(DoubleType)
+    val tot = g.agg(count(lit(1)).as("k"), sum(col("n")).as("n_tot"),
+      sum(((col("q").cast(DoubleType) -
+        col("s").cast(DoubleType) * col("s").cast(DoubleType) /
+          col("n").cast(DoubleType))).cast(d12)).cast(DoubleType).as("ssw"),
+      sum(((col("n") - 1).cast(DoubleType) * log(vi)).cast(d12))
+        .cast(DoubleType).as("sum_nlnv"),
+      sum((lit(1.0) / (col("n") - 1).cast(DoubleType)).cast(d12))
+        .cast(DoubleType).as("sum_inv"))
+    val dfw = (col("n_tot") - col("k")).cast(DoubleType)
+    val tStat = (dfw * log(col("ssw") / dfw) - col("sum_nlnv")) /
+      (lit(1.0) + (col("sum_inv") - lit(1.0) / dfw) /
+        (lit(3.0) * (col("k") - 1).cast(DoubleType)))
+    val cFac = lit(1.0) + (col("sum_inv") - lit(1.0) / dfw) /
+      (lit(3.0) * (col("k") - 1).cast(DoubleType))
+    g.crossJoin(broadcast(tot.filter(col("n_tot") > col("k"))))
+      .select(col("seg").as("segment"), col("n"),
+        round(sqrt(vi) / lit(100.0), 6).as("sd_dollars"),
+        round(tStat, 6).as("t_stat"),
+        round(cFac, 6).as("c_factor"),
+        (col("k") - 1).as("df"))
+      .orderBy(col("segment"))
+  }
+
+  val bartlettOracle: String = {
+    val vi = "(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)"
+    val dfw = "CAST(t.n_tot - t.k AS DOUBLE)"
+    val cFac = s"1.0 + (t.sum_inv - 1.0 / $dfw) / (3.0 * CAST(t.k - 1 AS DOUBLE))"
+    val tStat = s"($dfw * ln(t.ssw / $dfw) - t.sum_nlnv) / ($cFac)"
+    s"""WITH ord AS (
+       |  SELECT c.c_mktsegment AS seg,
+       |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+       |g AS (
+       |  SELECT seg, COUNT(*) AS n,
+       |    SUM(CAST(cents AS DECIMAL(38,0))) AS s,
+       |    SUM(CAST(cents * cents AS DECIMAL(38,0))) AS q
+       |  FROM ord GROUP BY 1 HAVING COUNT(*) > 1),
+       |tot AS (
+       |  SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n_tot,
+       |    CAST(SUM(CAST(CAST(q AS DOUBLE)
+       |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+       |      AS DECIMAL(38,12))) AS DOUBLE) AS ssw,
+       |    CAST(SUM(CAST(CAST(n - 1 AS DOUBLE) * ln($vi)
+       |      AS DECIMAL(38,12))) AS DOUBLE) AS sum_nlnv,
+       |    CAST(SUM(CAST(1.0 / CAST(n - 1 AS DOUBLE)
+       |      AS DECIMAL(38,12))) AS DOUBLE) AS sum_inv
+       |  FROM g)
+       |SELECT g.seg AS segment, g.n,
+       |  round(sqrt($vi) / 100.0, 6) AS sd_dollars,
+       |  round($tStat, 6) + 0.0 AS t_stat,
+       |  round($cFac, 6) AS c_factor,
+       |  CAST(t.k - 1 AS BIGINT) AS df
+       |FROM g CROSS JOIN tot t
+       |WHERE t.n_tot > t.k
+       |ORDER BY segment""".stripMargin
+  }
+
+  private val JtGroups = 1 to 5
+
+  /** Jonckheere–Terpstra trend test (Jonckheere 1954; Terpstra 1952)
+    * — does order value trend MONOTONICALLY across the five ORDERED
+    * priority classes (1-URGENT < … < 5-LOW)? The ordered-alternative
+    * k-group test that completes the trend family: `st_trend_mk`
+    * (one sequence), [[pageTrend]] (blocked ranks), [[seasonalMk]]
+    * (seasonal) — this is the unblocked k-sample rung. JT =
+    * Σ_{i<j} U_ij with ties counted half; the whole statistic is
+    * assembled from CUMULATIVE group counts on the distinct-value
+    * grid, so no pair join ever forms: 2·JT = Σ_v Σ_{i<j}
+    * c_j(v)·(2·cumlt_i(v) + c_i(v)) — exact integers throughout
+    * (DECIMAL(38,0) carries the Σ). Null mean uses 2E = (N²−Σnᵢ²)/2
+    * (even by construction, exact); the tie-corrected null variance
+    * is the three-term Kendall/Lehmann formula whose components
+    * (Σn(n−1)(2n+5) over groups, Σt(t−1)(2t+5) over tie classes,
+    * and the two product corrections) are all exact DECIMAL(38,0)
+    * integers crossing to double once each. z = (2JT − 2E)/(2·√Var).
+    *
+    * Scale shape: one hash aggregate to the distinct-value grid, one
+    * global cumulative window over it (the `ops_kruskal_wallis` sort
+    * regime — a two-pass histogram at 100 TB), one map-combined
+    * aggregate to a single row; N²/Σn² ride longs (exact to 2⁵³ —
+    * past ~10⁹ rows route them through the same DECIMAL(38,0) the
+    * variance terms already use).
+    */
+  def jonckheere(s: SparkSession, dir: String): DataFrame = {
+    val d0 = DecimalType(38, 0)
+    val ks = JtGroups
+    val ord = Tables.t(s, dir, "orders")
+      .select(substring(col("o_orderpriority"), 1, 1).cast(IntegerType)
+        .as("g"),
+        round(col("o_totalprice") * 100).cast(LongType).as("v"))
+    val ccols = ks.map(i =>
+      sum(when(col("g") === i, 1L).otherwise(0L)).as(s"c$i"))
+    val grid = ord.groupBy(col("v")).agg(ccols.head, ccols.tail: _*)
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCum = ks.foldLeft(grid)((df, i) =>
+      df.withColumn(s"u$i", coalesce(sum(col(s"c$i")).over(w), lit(0L))))
+    val contrib = (for { i <- ks; j <- ks if i < j } yield
+      col(s"c$j") * (lit(2L) * col(s"u$i") + col(s"c$i"))).reduce(_ + _)
+    val tv = ks.map(i => col(s"c$i")).reduce(_ + _)
+    val aggCols = Seq(
+      sum(contrib.cast(d0)).as("jt2"),
+      sum((tv.cast(d0) * (tv - 1) * (lit(2L) * tv + 5)).cast(d0))
+        .as("a_ties"),
+      sum((tv.cast(d0) * (tv - 1) * (tv - 2)).cast(d0)).as("b_ties"),
+      sum((tv.cast(d0) * (tv - 1)).cast(d0)).as("c_ties")) ++
+      ks.map(i => sum(col(s"c$i")).as(s"n$i"))
+    val one = withCum.agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("n_tot", ks.map(i => col(s"n$i")).reduce(_ + _))
+    def grpSum(f: Column => Column): Column =
+      ks.map(i => f(col(s"n$i"))).reduce(_ + _)
+    val aGrp = grpSum(n => n.cast(d0) * (n - 1) * (lit(2L) * n + 5))
+    val bGrp = grpSum(n => n.cast(d0) * (n - 1) * (n - 2))
+    val cGrp = grpSum(n => n.cast(d0) * (n - 1))
+    val sumN2 = grpSum(n => n * n)
+    val e2 = ((col("n_tot") * col("n_tot") - sumN2).cast(DoubleType) /
+      lit(2.0)).cast(LongType)
+    val aTot = col("n_tot").cast(d0) * (col("n_tot") - 1) *
+      (lit(2L) * col("n_tot") + 5)
+    val varJt = (aTot - aGrp - col("a_ties")).cast(DoubleType) / lit(72.0) +
+      bGrp.cast(DoubleType) * col("b_ties").cast(DoubleType) /
+        (lit(36.0) * (col("n_tot").cast(d0) * (col("n_tot") - 1) *
+          (col("n_tot") - 2)).cast(DoubleType)) +
+      cGrp.cast(DoubleType) * col("c_ties").cast(DoubleType) /
+        (lit(8.0) * (col("n_tot").cast(d0) * (col("n_tot") - 1))
+          .cast(DoubleType))
+    one
+      .withColumn("e2", e2)
+      .withColumn("var_jt", varJt)
+      .filter(col("var_jt") > 0)
+      .select(lit(ks.size.toLong).as("k"), col("n_tot"),
+        col("jt2").cast(LongType).as("jt_x2"),
+        col("e2").as("e_x2"),
+        round(sqrt(col("var_jt")), 6).as("sd_jt"),
+        round((col("jt2") - col("e2").cast(d0)).cast(DoubleType) /
+          (lit(2.0) * sqrt(col("var_jt"))), 6).as("z_stat"))
+  }
+
+  val jonckheereOracle: String = {
+    val ks = JtGroups
+    val cs = ks.map(i =>
+      s"CAST(SUM(CASE WHEN g = $i THEN 1 ELSE 0 END) AS BIGINT) AS c$i")
+      .mkString(", ")
+    val us = ks.map(i =>
+      s"COALESCE(SUM(c$i) OVER w, 0) AS u$i").mkString(", ")
+    val contrib = (for { i <- ks; j <- ks if i < j } yield
+      s"c$j * (2 * u$i + c$i)").mkString(" + ")
+    val tvS = ks.map(i => s"c$i").mkString(" + ")
+    val nsAgg = ks.map(i => s"CAST(SUM(c$i) AS BIGINT) AS n$i")
+      .mkString(", ")
+    val nTot = ks.map(i => s"n$i").mkString(" + ")
+    def gSum(f: String => String) =
+      ks.map(i => f(s"n$i")).mkString(" + ")
+    val aGrp = gSum(n => s"CAST($n AS DECIMAL(38,0)) * ($n - 1) * (2 * $n + 5)")
+    val bGrp = gSum(n => s"CAST($n AS DECIMAL(38,0)) * ($n - 1) * ($n - 2)")
+    val cGrp = gSum(n => s"CAST($n AS DECIMAL(38,0)) * ($n - 1)")
+    val sumN2 = gSum(n => s"$n * $n")
+    val varJt =
+      s"""(CAST(CAST(n_tot AS DECIMAL(38,0)) * (n_tot - 1) * (2 * n_tot + 5)
+         |    - ($aGrp) - a_ties AS DOUBLE) / 72.0
+         |  + CAST($bGrp AS DOUBLE) * CAST(b_ties AS DOUBLE)
+         |    / (36.0 * CAST(CAST(n_tot AS DECIMAL(38,0)) * (n_tot - 1)
+         |      * (n_tot - 2) AS DOUBLE))
+         |  + CAST($cGrp AS DOUBLE) * CAST(c_ties AS DOUBLE)
+         |    / (8.0 * CAST(CAST(n_tot AS DECIMAL(38,0)) * (n_tot - 1)
+         |      AS DOUBLE)))""".stripMargin.replace("\n", " ")
+    s"""WITH ord AS (
+       |  SELECT CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS g,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+       |  FROM orders),
+       |grid AS (SELECT v, $cs FROM ord GROUP BY v),
+       |cum AS (SELECT *, $us FROM grid
+       |  WINDOW w AS (ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |agg AS (
+       |  SELECT
+       |    SUM(CAST($contrib AS DECIMAL(38,0))) AS jt2,
+       |    SUM(CAST(CAST($tvS AS DECIMAL(38,0)) * (($tvS) - 1)
+       |      * (2 * ($tvS) + 5) AS DECIMAL(38,0))) AS a_ties,
+       |    SUM(CAST(CAST($tvS AS DECIMAL(38,0)) * (($tvS) - 1)
+       |      * (($tvS) - 2) AS DECIMAL(38,0))) AS b_ties,
+       |    SUM(CAST(CAST($tvS AS DECIMAL(38,0)) * (($tvS) - 1)
+       |      AS DECIMAL(38,0))) AS c_ties,
+       |    $nsAgg
+       |  FROM cum),
+       |f AS (
+       |  SELECT *, CAST($nTot AS BIGINT) AS n_tot,
+       |    CAST((($nTot) * ($nTot) - ($sumN2)) // 2 AS BIGINT) AS e2
+       |  FROM agg),
+       |f2 AS (SELECT *, $varJt AS var_jt FROM f)
+       |SELECT CAST(${ks.size} AS BIGINT) AS k, n_tot,
+       |  CAST(jt2 AS BIGINT) AS jt_x2,
+       |  e2 AS e_x2,
+       |  round(sqrt(var_jt), 6) AS sd_jt,
+       |  round(CAST(jt2 - CAST(e2 AS DECIMAL(38,0)) AS DOUBLE)
+       |    / (2.0 * sqrt(var_jt)), 6) + 0.0 AS z_stat
+       |FROM f2 WHERE var_jt > 0""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ops_cliffs_delta", cliffsDelta, Some(cliffsDeltaOracle)),
     QueryDef("ops_brown_forsythe", brownForsythe, Some(brownForsytheOracle)),
@@ -1437,5 +1774,8 @@ object StatTests {
     QueryDef("ops_dunn_test", dunnTest, Some(dunnTestOracle)),
     QueryDef("ops_mcnemar", mcnemar, Some(mcnemarOracle)),
     QueryDef("ops_cochran_q", cochranQ, Some(cochranQOracle)),
+    QueryDef("ops_mood_median", moodMedian, Some(moodMedianOracle)),
+    QueryDef("ops_bartlett", bartlett, Some(bartlettOracle)),
+    QueryDef("ops_jonckheere", jonckheere, Some(jonckheereOracle)),
   )
 }

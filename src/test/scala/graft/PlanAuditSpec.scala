@@ -138,7 +138,13 @@ class PlanAuditSpec extends SparkSpec {
       "ops_dunn_test",
       // 1-row epoch-µs midpoint onto the fact scan (the ops_emd_drift
       // experiment-clock device)
-      "ops_mcnemar")
+      "ops_mcnemar",
+      // 1-row grand-median broadcast onto the fact + the 1-row
+      // 2×k-table totals onto the segment grid
+      "ops_mood_median",
+      // 1-row pooled-variance/ln totals onto the 5-row segment grid
+      // (the ops_anova_f shape)
+      "ops_bartlett")
 
   // the oracle-less bench-only twins stay under the same plan audit:
   // they run in every bench even though they left the correctness map
@@ -298,7 +304,11 @@ class PlanAuditSpec extends SparkSpec {
       // 5-row type grid pair side + 1-row N/tie totals
       "ops_dunn_test",
       // 1-row epoch-µs midpoint (ops_emd_drift device)
-      "ops_mcnemar")
+      "ops_mcnemar",
+      // 1-row grand-median + 1-row table totals
+      "ops_mood_median",
+      // 1-row pooled-variance/ln totals (ops_anova_f shape)
+      "ops_bartlett")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>

@@ -1665,4 +1665,119 @@ class Round13GatesSpec extends SparkSpec {
     assert(r.getDouble(6) === r6rat(num, den))
     assert(r.getLong(7) === 2L)
   }
+
+  test("ops_mood_median: brute 2xk table replay against the grand median") {
+    val got = graft.queries.StatTests.moodMedian(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))).toSeq
+    assert(got.size === 5)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .selectExpr("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("o_custkey", "CAST(round(o_totalprice * 100) AS BIGINT)")
+      .collect().map(r => (cust(r.getLong(0)), r.getLong(1)))
+    val sorted = rows.map(_._2).sorted
+    val nAll = sorted.length
+    // 2·(exact interpolated median) — the Pctl percentile(.,0.5) device
+    val m2 = sorted((nAll - 1) / 2) + sorted(nAll / 2)
+    val bySeg = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val his = bySeg.view.mapValues(v => v.count(x => 2 * x > m2).toLong).toMap
+    val ns = bySeg.view.mapValues(_.length.toLong).toMap
+    val nn = ns.values.sum
+    val hiTot = his.values.sum
+    val loTot = nn - hiTot
+    def part(seg: String): Double = {
+      def term(o: Long, t: Long): Double = {
+        val num = (BigInt(nn) * o - BigInt(ns(seg)) * t).toDouble
+        num * num / (BigInt(nn) * ns(seg) * t).toDouble
+      }
+      term(his(seg), hiTot) + term(ns(seg) - his(seg), loTot)
+    }
+    val chi2 = bySeg.keys.map(part).sum
+    for ((seg, n, hi, lo, p, c2, df) <- got) {
+      assert(n === ns(seg) && hi === his(seg) && lo === n - hi)
+      assert(math.abs(p - part(seg)) < 6e-6, s"$seg part")
+      assert(math.abs(c2 - chi2) < 6e-6, s"chi2 $c2 vs $chi2")
+      assert(df === (bySeg.size - 1).toLong)
+    }
+  }
+
+  test("ops_bartlett: textbook pooled-ln replay of T and the group SDs") {
+    val got = graft.queries.StatTests.bartlett(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).toSeq
+    assert(got.size === 5)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .selectExpr("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val groups = spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("o_custkey", "CAST(round(o_totalprice * 100) AS BIGINT)")
+      .collect().map(r => (cust(r.getLong(0)), r.getLong(1).toDouble))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = groups.size
+    val n = groups.values.map(_.length).sum
+    def variance(v: Seq[Double]): Double = {
+      val m = v.sum / v.length
+      v.map(x => (x - m) * (x - m)).sum / (v.length - 1)
+    }
+    val ssw = groups.values.map(v => (v.length - 1) * variance(v)).sum
+    val sp2 = ssw / (n - k)
+    val sumNlnv = groups.values
+      .map(v => (v.length - 1) * math.log(variance(v))).sum
+    val sumInv = groups.values.map(v => 1.0 / (v.length - 1)).sum
+    val cFac = 1.0 + (sumInv - 1.0 / (n - k)) / (3.0 * (k - 1))
+    val tRef = ((n - k) * math.log(sp2) - sumNlnv) / cFac
+    for ((seg, ng, sd, t, c, df) <- got) {
+      val v = groups(seg)
+      assert(ng === v.length.toLong)
+      assert(math.abs(sd - math.sqrt(variance(v)) / 100.0) < 6e-6,
+        s"$seg sd")
+      assert(math.abs(t - tRef) < 6e-6, s"t $t vs $tRef")
+      assert(math.abs(c - cFac) < 6e-7)
+      assert(df === (k - 1).toLong)
+    }
+    // Brown-Forsythe (the robust sibling) sees the same group frame
+    val bf = graft.queries.StatTests.brownForsythe(spark, dir).collect()
+    assert(bf.map(_.getLong(1)).sorted.toSeq === got.map(_._2).sorted.toSeq)
+  }
+
+  test("ops_jonckheere: brute O(n^2) pairwise replay of 2JT, 2E, and z") {
+    val got = graft.queries.StatTests.jonckheere(spark, dir).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    val rows = spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("CAST(substr(o_orderpriority, 1, 1) AS INT) AS g",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS v").collect()
+      .map(x => (x.getInt(0), x.getLong(1)))
+    val n = rows.length
+    // doubled JT by definition: over every cross-group ordered pair,
+    // 2 for x<y, 1 for a tie
+    var jt2 = 0L
+    for (a <- rows; b <- rows if a._1 < b._1) {
+      if (a._2 < b._2) jt2 += 2L
+      else if (a._2 == b._2) jt2 += 1L
+    }
+    assert(r.getLong(2) === jt2, s"jt_x2 ${r.getLong(2)} vs $jt2")
+    val ns = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap.values
+    val e2 = (n.toLong * n - ns.map(x => x * x).sum) / 2
+    assert(r.getLong(3) === e2)
+    assert(r.getLong(1) === n.toLong)
+    val ties = rows.groupBy(_._2).view.mapValues(_.size.toLong)
+      .values.toSeq
+    def s1(xs: Iterable[Long], f: Long => Double) = xs.map(f).sum
+    val aT = n.toDouble * (n - 1) * (2.0 * n + 5) -
+      s1(ns, x => x.toDouble * (x - 1) * (2.0 * x + 5)) -
+      s1(ties, x => x.toDouble * (x - 1) * (2.0 * x + 5))
+    val bT = s1(ns, x => x.toDouble * (x - 1) * (x - 2)) *
+      s1(ties, x => x.toDouble * (x - 1) * (x - 2)) /
+      (36.0 * n.toDouble * (n - 1) * (n - 2))
+    val cT = s1(ns, x => x.toDouble * (x - 1)) *
+      s1(ties, x => x.toDouble * (x - 1)) /
+      (8.0 * n.toDouble * (n - 1))
+    val varJt = aT / 72.0 + bT + cT
+    assert(math.abs(r.getDouble(4) - math.sqrt(varJt)) < 6e-6, "sd_jt")
+    val zRef = (jt2 - e2).toDouble / (2.0 * math.sqrt(varJt))
+    assert(math.abs(r.getDouble(5) - zRef) < 6e-6, s"z ${r.getDouble(5)} vs $zRef")
+  }
 }

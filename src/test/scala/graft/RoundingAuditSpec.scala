@@ -204,6 +204,12 @@ class RoundingAuditSpec extends SparkSpec {
       graft.queries.StatTests.mcnemar(spark, gateDir))
     auditNoNegZero("ops_cochran_q",
       graft.queries.StatTests.cochranQ(spark, gateDir))
+    auditNoNegZero("ops_mood_median",
+      graft.queries.StatTests.moodMedian(spark, gateDir))
+    auditNoNegZero("ops_bartlett",
+      graft.queries.StatTests.bartlett(spark, gateDir))
+    auditNoNegZero("ops_jonckheere",
+      graft.queries.StatTests.jonckheere(spark, gateDir))
   }
 
   test("round-13 negative-capable oracles carry the -0.0 sign normalization") {
@@ -236,7 +242,9 @@ class RoundingAuditSpec extends SparkSpec {
       graft.queries.TextScores.cliAriOracle -> "coleman_liau",
       graft.queries.TextScores.cliAriOracle -> "ari",
       graft.queries.StatTests.tukeyHsdOracle -> "mean_diff",
-      graft.queries.StatTests.dunnTestOracle -> "z_stat")
+      graft.queries.StatTests.dunnTestOracle -> "z_stat",
+      graft.queries.StatTests.bartlettOracle -> "t_stat",
+      graft.queries.StatTests.jonckheereOracle -> "z_stat")
     for ((sql, colName) <- probes)
       assert(sql.replaceAll("\\s+", " ").contains(s"+ 0.0 AS $colName"),
         s"oracle lost the `+ 0.0 AS $colName` sign normalization — a " +
