@@ -386,6 +386,7 @@ object ScaleBench {
       "ops_mood_median" -> graft.queries.StatTests.moodMedian _,
       "ops_bartlett" -> graft.queries.StatTests.bartlett _,
       "ops_jonckheere" -> graft.queries.StatTests.jonckheere _,
+      "ta_textrank" -> graft.queries.TextScores.textrank _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

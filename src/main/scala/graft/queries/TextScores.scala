@@ -335,10 +335,126 @@ object TextScores {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  private val TrScale = 1000000000000L // rank-mass fixed point (gr_pagerank device)
+  private val TrIters = 5
+  private val TrTopK = 25
+
+  /** TextRank keywords (Mihalcea & Tarau 2004) — corpus-level
+    * keyword extraction as PageRank over the word co-occurrence
+    * graph, the GRAPH-based sibling of [[rakeKeywords]]'s
+    * degree/frequency scores and the second classic unsupervised
+    * keyword family: nodes are non-stopword tokens (the RAKE
+    * stoplist, for family coherence), undirected edges weighted by
+    * co-occurrence count within a window of 2 ORIGINAL token
+    * positions (a stopword between two content words does not break
+    * their window). The walk is the `gr_pagerank` integer fixed-point
+    * device verbatim — rank mass at scale 10¹², d = 0.85 via
+    * `(85·m) div 100`, [[TrIters]] synchronous iterations — so every
+    * rank is an exact BIGINT and the whole gate is bit-exact across
+    * engines, no rounding recipe needed. Weighted contributions
+    * divide each neighbor's rank by the node's total edge STRENGTH
+    * (Σw), the weighted-TextRank form of out-degree.
+    *
+    * Scale shape: pair generation is EXPRESSION-ONLY (two
+    * window-slice transforms + one explode inside whole-stage
+    * codegen — never a self-join); the edge relation is ≤ 2× token
+    * count before dedup, vocabulary²-bounded and corpus-sparse
+    * after. Each iteration shuffles the vocabulary-sized rank
+    * relation onto the persisted edge partitioning with map-side
+    * combine — five small shuffles, the gr_pagerank regime. n is a
+    * bounded driver scalar (vocabulary count, the pageRank
+    * precedent).
+    */
+  def textrank(s: SparkSession, dir: String): DataFrame = {
+    val stops = Seq("the", "a", "of", "and", "in", "to")
+    val arr = split(lower(col("text")), " ")
+    def pairsAt(k: Int) = transform(
+      slice(arr, lit(1), greatest(size(arr) - k, lit(0))),
+      (t, i) => struct(t.as("a"), element_at(arr, i + k + 1).as("b")))
+    val pairs = Tables.t(s, dir, "documents")
+      .select(explode(concat(pairsAt(1), pairsAt(2))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(!col("a").isin(stops: _*) && !col("b").isin(stops: _*) &&
+        col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("x"),
+        greatest(col("a"), col("b")).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("wt"))
+    val sym = pairs.select(col("x").as("src"), col("y").as("dst"), col("wt"))
+      .unionByName(
+        pairs.select(col("y").as("src"), col("x").as("dst"), col("wt")))
+    val strength = sym.groupBy(col("src"))
+      .agg(count(lit(1)).as("degree"), sum(col("wt")).as("strength"))
+    val edgesW = graft.plans.Checkpoint.truncate(
+      sym.join(strength.select(col("src"), col("strength")), "src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = strength.count() // bounded driver scalar: vocabulary size
+    val base = (TrScale * 3L / 20L) / n
+    var ranks = strength.select(col("src").as("node"),
+      lit(TrScale / n).as("rank"))
+    for (_ <- 1 to TrIters) {
+      ranks = edgesW.join(ranks, edgesW("src") === ranks("node"))
+        .select(col("dst"), expr("(rank * wt) div strength").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
+        .select(col("dst").as("node"),
+          (lit(base) + expr("(85 * m) div 100")).as("rank"))
+    }
+    val out = ranks.join(strength, ranks("node") === strength("src"))
+      .select(col("node").as("word"), col("degree"), col("strength"),
+        col("rank"))
+      .orderBy(col("rank").desc, col("word"))
+      .limit(TrTopK)
+    val res = graft.plans.Checkpoint.truncate(out)
+    edgesW.unpersist()
+    res
+  }
+
+  val textrankOracle: String = {
+    val stops = Seq("the", "a", "of", "and", "in", "to")
+      .map(w => s"'$w'").mkString(", ")
+    val iter = (i: Int, prev: String) =>
+      s"""r$i AS (SELECT e.dst AS node,
+         |    base.b + (85 * CAST(SUM(r.rank * e.wt // e.strength)
+         |      AS BIGINT)) // 100 AS rank
+         |  FROM e JOIN $prev r ON e.src = r.node
+         |  CROSS JOIN base GROUP BY e.dst, base.b)"""
+    s"""WITH t AS (
+       |  SELECT string_split(lower(text), ' ') AS t FROM documents),
+       |raw AS (
+       |  SELECT unnest(list_concat(
+       |    list_transform(range(1, greatest(len(t), 1)),
+       |      i -> {'a': t[i], 'b': t[i + 1]}),
+       |    list_transform(range(1, greatest(len(t) - 1, 1)),
+       |      i -> {'a': t[i], 'b': t[i + 2]})), recursive := true)
+       |  FROM t),
+       |pr AS (
+       |  SELECT least(a, b) AS x, greatest(a, b) AS y, COUNT(*) AS wt
+       |  FROM raw
+       |  WHERE a NOT IN ($stops) AND b NOT IN ($stops) AND a <> b
+       |  GROUP BY 1, 2),
+       |e0 AS (SELECT x AS src, y AS dst, wt FROM pr
+       |  UNION ALL SELECT y AS src, x AS dst, wt FROM pr),
+       |d AS (SELECT src, COUNT(*) AS degree,
+       |    CAST(SUM(wt) AS BIGINT) AS strength
+       |  FROM e0 GROUP BY 1),
+       |e AS (SELECT e0.src, e0.dst, CAST(e0.wt AS BIGINT) AS wt,
+       |    d.strength
+       |  FROM e0 JOIN d ON e0.src = d.src),
+       |n AS (SELECT COUNT(*) AS n FROM d),
+       |base AS (SELECT ($TrScale * 3 // 20) // n AS b,
+       |  $TrScale // n AS r FROM n),
+       |r0 AS (SELECT d.src AS node, base.r AS rank FROM d CROSS JOIN base),
+       |${(1 to TrIters).map(i => iter(i, s"r${i - 1}")).mkString(",\n")}
+       |SELECT r.node AS word, CAST(d.degree AS BIGINT) AS degree,
+       |  d.strength, r.rank
+       |FROM r$TrIters r JOIN d ON r.node = d.src
+       |ORDER BY r.rank DESC, word LIMIT $TrTopK""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ta_readability", readability, Some(readabilityOracle)),
     QueryDef("ta_rake_keywords", rakeKeywords, Some(rakeKeywordsOracle)),
     QueryDef("ta_ttr_diversity", ttrDiversity, Some(ttrDiversityOracle)),
     QueryDef("ta_cli_ari", cliAri, Some(cliAriOracle)),
+    QueryDef("ta_textrank", textrank, Some(textrankOracle)),
   )
 }

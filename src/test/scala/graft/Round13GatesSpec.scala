@@ -1780,4 +1780,47 @@ class Round13GatesSpec extends SparkSpec {
     val zRef = (jt2 - e2).toDouble / (2.0 * math.sqrt(varJt))
     assert(math.abs(r.getDouble(5) - zRef) < 6e-6, s"z ${r.getDouble(5)} vs $zRef")
   }
+
+  test("ta_textrank: exact integer PageRank replay of the word co-occurrence graph") {
+    val got = graft.queries.TextScores.textrank(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got.size === 25)
+    val stops = Set("the", "a", "of", "and", "in", "to")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("lower(text)").collect().map(_.getString(0))
+    val pairCnt = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    for (text <- docs) {
+      val t = text.split(" ", -1)
+      for (i <- t.indices; k <- 1 to 2 if i + k < t.length) {
+        val (a, b) = (t(i), t(i + k))
+        if (!stops(a) && !stops(b) && a != b) {
+          val key = if (a < b) (a, b) else (b, a)
+          pairCnt(key) += 1L
+        }
+      }
+    }
+    val adj = scala.collection.mutable.Map[String, List[(String, Long)]]()
+      .withDefaultValue(Nil)
+    for (((x, y), w) <- pairCnt) {
+      adj(x) = (y, w) :: adj(x); adj(y) = (x, w) :: adj(y)
+    }
+    val strength = adj.view.mapValues(_.map(_._2).sum).toMap
+    val degree = adj.view.mapValues(_.size.toLong).toMap
+    val n = adj.size
+    val scale = 1000000000000L
+    val base = (scale * 3L / 20L) / n
+    var rank = adj.keys.map(_ -> scale / n).toMap
+    for (_ <- 1 to 5) {
+      val m = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      for ((src, nbrs) <- adj; (dst, w) <- nbrs)
+        m(dst) += rank(src) * w / strength(src)
+      rank = adj.keys.map(k => k -> (base + 85L * m(k) / 100L)).toMap
+    }
+    val top = rank.toSeq.sortBy { case (w, r) => (-r, w) }.take(25)
+    assert(got.map(x => (x._1, x._4)) === top)
+    for ((w, d, st, _) <- got)
+      assert(d === degree(w) && st === strength(w), s"$w degree/strength")
+  }
 }
