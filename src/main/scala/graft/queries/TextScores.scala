@@ -371,21 +371,28 @@ object TextScores {
     def pairsAt(k: Int) = transform(
       slice(arr, lit(1), greatest(size(arr) - k, lit(0))),
       (t, i) => struct(t.as("a"), element_at(arr, i + k + 1).as("b")))
-    val pairs = Tables.t(s, dir, "documents")
-      .select(explode(concat(pairsAt(1), pairsAt(2))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .filter(!col("a").isin(stops: _*) && !col("b").isin(stops: _*) &&
-        col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("x"),
-        greatest(col("a"), col("b")).as("y"))
-      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("wt"))
+    // persisted + checkpoint-truncated: the corpus explode is the
+    // expensive pass — every downstream consumer (symmetrization,
+    // strength, the 5 iterations, the final stats join) re-reads the
+    // compact edge artifact instead of re-scanning documents (the
+    // tradeEdges discipline)
+    val pairs = graft.plans.Checkpoint.truncate(
+      Tables.t(s, dir, "documents")
+        .select(explode(concat(pairsAt(1), pairsAt(2))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(!col("a").isin(stops: _*) && !col("b").isin(stops: _*) &&
+          col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("x"),
+          greatest(col("a"), col("b")).as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("wt")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sym = pairs.select(col("x").as("src"), col("y").as("dst"), col("wt"))
       .unionByName(
         pairs.select(col("y").as("src"), col("x").as("dst"), col("wt")))
     val strength = sym.groupBy(col("src"))
       .agg(count(lit(1)).as("degree"), sum(col("wt")).as("strength"))
-    val edgesW = graft.plans.Checkpoint.truncate(
-      sym.join(strength.select(col("src"), col("strength")), "src"))
+    val edgesW = sym
+      .join(strength.select(col("src"), col("strength")), "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = strength.count() // bounded driver scalar: vocabulary size
     val base = (TrScale * 3L / 20L) / n
@@ -405,6 +412,7 @@ object TextScores {
       .limit(TrTopK)
     val res = graft.plans.Checkpoint.truncate(out)
     edgesW.unpersist()
+    pairs.unpersist()
     res
   }
 
