@@ -387,6 +387,9 @@ object ScaleBench {
       "ops_bartlett" -> graft.queries.StatTests.bartlett _,
       "ops_jonckheere" -> graft.queries.StatTests.jonckheere _,
       "ta_textrank" -> graft.queries.TextScores.textrank _,
+      "ops_fdr_by" -> graft.queries.StatTests.fdrBy _,
+      "ops_k_anonymity" -> graft.queries.DataOps.kAnonymity _,
+      "st_page_hinkley" -> graft.queries.StreamingGates.pageHinkley _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

@@ -831,8 +831,70 @@ object DataOps {
       |    * (CAST(ptqt AS DOUBLE) / CAST(p0qt AS DOUBLE))), 6) AS fisher
       |FROM idx ORDER BY month""".stripMargin
 
+  /** k-anonymity / l-diversity privacy audit (Sweeney 2002; Machanavajjhala
+    * et al. 2007) — the re-identification risk report a training-data
+    * release runs before shipping: group records by quasi-identifiers
+    * (nation × $100 account-balance band — the attributes an attacker
+    * can link externally), measure each equivalence class's size k and
+    * its l-diversity (distinct market segments — the sensitive
+    * attribute) and report the k histogram with records-at-risk
+    * percentages. A class of k = 1 is a unique, directly
+    * re-identifiable record; small-l classes leak the sensitive value
+    * even at large k. The balance band is floor(acctbal/100) — one
+    * deterministic double floor, identical on both engines.
+    *
+    * Scale shape: two hash aggregates (records → QI classes → k
+    * buckets) + the 1-row record total onto the ≤10-row bucket grid —
+    * the privacy audit of a 100 TB release is literally two shuffles.
+    */
+  def kAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.t(s, dir, "customer")
+      .select(col("c_nationkey").cast(LongType).as("nk"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / 100).cast(LongType).as("band"))
+    val cls = c.groupBy(col("nk"), col("band"))
+      .agg(count(lit(1)).as("k"), countDistinct(col("seg")).as("l"))
+    val buckets = cls.groupBy(least(col("k"), lit(10L)).as("k_bucket"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_records"),
+        min(col("l")).as("min_l"), sum(col("l")).as("sum_l"))
+    val tot = buckets.agg(sum(col("n_records")).as("n_tot"))
+    buckets.crossJoin(broadcast(tot))
+      .select(col("k_bucket"), col("n_classes"), col("n_records"),
+        round(col("n_records").cast(DoubleType) /
+          col("n_tot").cast(DoubleType), 6).as("pct_records"),
+        col("min_l"),
+        round(col("sum_l").cast(DoubleType) /
+          col("n_classes").cast(DoubleType), 6).as("avg_l"))
+      .orderBy(col("k_bucket"))
+  }
+
+  val kAnonymityOracle: String =
+    """WITH c AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nk, c_mktsegment AS seg,
+      |    CAST(floor(c_acctbal / 100) AS BIGINT) AS band
+      |  FROM customer),
+      |cls AS (
+      |  SELECT nk, band, COUNT(*) AS k, COUNT(DISTINCT seg) AS l
+      |  FROM c GROUP BY 1, 2),
+      |b AS (
+      |  SELECT least(k, 10) AS k_bucket, COUNT(*) AS n_classes,
+      |    CAST(SUM(k) AS BIGINT) AS n_records,
+      |    CAST(MIN(l) AS BIGINT) AS min_l, CAST(SUM(l) AS BIGINT) AS sum_l
+      |  FROM cls GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_records) AS BIGINT) AS n_tot FROM b)
+      |SELECT CAST(b.k_bucket AS BIGINT) AS k_bucket,
+      |  CAST(b.n_classes AS BIGINT) AS n_classes, b.n_records,
+      |  round(CAST(b.n_records AS DOUBLE) / CAST(t.n_tot AS DOUBLE), 6)
+      |    AS pct_records,
+      |  b.min_l,
+      |  round(CAST(b.sum_l AS DOUBLE) / CAST(b.n_classes AS DOUBLE), 6)
+      |    AS avg_l
+      |FROM b CROSS JOIN tot t
+      |ORDER BY k_bucket""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ops_price_index", priceIndex, Some(priceIndexOracle)),
+    QueryDef("ops_k_anonymity", kAnonymity, Some(kAnonymityOracle)),
     QueryDef("ops_abc_xyz", abcXyz, Some(abcXyzOracle)),
     QueryDef("ops_benford", benford, Some(benfordOracle)),
     QueryDef("ops_psi_drift", psiDrift, Some(psiDriftOracle)),

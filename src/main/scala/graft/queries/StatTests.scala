@@ -1757,6 +1757,72 @@ object StatTests {
        |FROM f2 WHERE var_jt > 0""".stripMargin
   }
 
+  /** Benjamini–Yekutieli FDR control (2001) — the DEPENDENCE-ROBUST
+    * step-up procedure beside `ops_fdr_bh`: identical staircase, but
+    * every critical value divides by the harmonic number
+    * H_m = Σ1/i, the price of guaranteeing FDR ≤ α under ARBITRARY
+    * p-value dependence (BH needs independence/PRDS). Same inputs as
+    * the BH gate (Welch t per event type, the logistic p device) so
+    * the two procedures are directly comparable row-for-row; H_m
+    * rides a DECIMAL(38,12) window sum of 1/rank so no float-order
+    * enters it.
+    *
+    * Scale shape: identical to ops_fdr_bh — the k-row type grid with
+    * whole-grid windows; m is the categorical type count.
+    */
+  def fdrBy(s: SparkSession, dir: String): DataFrame = {
+    val d12 = DecimalType(38, 12)
+    val wall = Window.partitionBy()
+    StatOps.welchTTest(s, dir)
+      .select(col("event_type"), col("t_stat"))
+      .withColumn("p_value",
+        round(lit(2.0) / (lit(1.0) + exp(lit(1.702) * abs(col("t_stat")))), 6))
+      .withColumn("m", count(lit(1)).over(wall))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("p_value"), col("event_type"))))
+      .withColumn("hm",
+        sum((lit(1.0) / col("rk").cast(DoubleType)).cast(d12)).over(wall)
+          .cast(DoubleType))
+      .withColumn("crit",
+        round(col("rk").cast(DoubleType) * lit(0.1) /
+          (col("m").cast(DoubleType) * col("hm")), 6))
+      .withColumn("k_max",
+        max(when(col("p_value") <= col("crit"), col("rk")).otherwise(lit(0)))
+          .over(wall))
+      .select(col("event_type"), col("t_stat"), col("p_value"),
+        col("rk").cast(LongType).as("rk"),
+        round(col("hm"), 6).as("harmonic_m"), col("crit"),
+        when(col("rk") <= col("k_max"), 1).otherwise(0).as("rejected"))
+      .orderBy(col("rk"))
+  }
+
+  val fdrByOracle: String =
+    s"""WITH w AS (${StatOps.welchOracle}),
+       |p AS (
+       |  SELECT event_type, t_stat,
+       |    round(2.0 / (1.0 + exp(1.702 * abs(t_stat))), 6) AS p_value
+       |  FROM w),
+       |r AS (
+       |  SELECT *, COUNT(*) OVER () AS m,
+       |    row_number() OVER (ORDER BY p_value, event_type) AS rk
+       |  FROM p),
+       |h AS (
+       |  SELECT *, CAST(SUM(CAST(1.0 / CAST(rk AS DOUBLE)
+       |    AS DECIMAL(38,12))) OVER () AS DOUBLE) AS hm
+       |  FROM r),
+       |c AS (
+       |  SELECT *, round(CAST(rk AS DOUBLE) * 0.1
+       |    / (CAST(m AS DOUBLE) * hm), 6) AS crit
+       |  FROM h),
+       |k AS (
+       |  SELECT *, MAX(CASE WHEN p_value <= crit THEN rk ELSE 0 END)
+       |    OVER () AS k_max
+       |  FROM c)
+       |SELECT event_type, t_stat, p_value, CAST(rk AS BIGINT) AS rk,
+       |  round(hm, 6) AS harmonic_m, crit,
+       |  CAST(CASE WHEN rk <= k_max THEN 1 ELSE 0 END AS INT) AS rejected
+       |FROM k ORDER BY rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ops_cliffs_delta", cliffsDelta, Some(cliffsDeltaOracle)),
     QueryDef("ops_brown_forsythe", brownForsythe, Some(brownForsytheOracle)),
@@ -1777,5 +1843,6 @@ object StatTests {
     QueryDef("ops_mood_median", moodMedian, Some(moodMedianOracle)),
     QueryDef("ops_bartlett", bartlett, Some(bartlettOracle)),
     QueryDef("ops_jonckheere", jonckheere, Some(jonckheereOracle)),
+    QueryDef("ops_fdr_by", fdrBy, Some(fdrByOracle)),
   )
 }

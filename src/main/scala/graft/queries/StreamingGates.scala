@@ -835,6 +835,96 @@ object StreamingGates {
       |  round(CAST(abs(cusum) AS DOUBLE) / (n * 1e6), 6) AS drift_mag
       |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  /** Page–Hinkley drift detector (Page 1954; Hinkley 1971) over the
+    * hourly bar series per event type — the ONLINE mean-shift alarm
+    * beside [[cusumShift]]'s offline locator: cusum centers on the
+    * FULL-series mean (you must already have all the data); PH
+    * centers each deviation on the RUNNING mean, which is what a
+    * streaming monitor can actually compute at hour t. m_t =
+    * Σ_{i≤t}(x_i − x̄_{1..i}); the alarm statistic PH_t = m_t −
+    * min_{s≤t} m_s; this gate reports each type's peak PH and when
+    * it occurred. Numeric discipline: x̄ is the only fractional term
+    * — each per-row deviation is ONE fixed double expression cast to
+    * DECIMAL(38,12), and the running Σ/min/argmax all happen in
+    * exact decimal, so no float ordering ever enters a comparison
+    * (the peak row is chosen by DECIMAL sort, not double).
+    *
+    * Scale shape: the hourly bar aggregate (one fact pass,
+    * map-combined) then calendar-grid-sized windows per type — the
+    * [[cusumShift]] regime exactly.
+    */
+  def pageHinkley(s: SparkSession, dir: String): DataFrame = {
+    val d12 = DecimalType(38, 12)
+    val bars = hourlyBars(s, dir)
+      .withColumn("b6", round(col("bar") * 1e6).cast(LongType))
+    val tot = bars.groupBy(col("event_type").as("t_type"))
+      .agg(sum(col("b6")).as("s6"), count(lit(1)).as("n"))
+      .filter(col("s6") > 0)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour"))
+    val wCum = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val t1 = bars.join(tot, col("t_type") === col("event_type"))
+      .drop("t_type")
+      .withColumn("i", row_number().over(wOrd))
+      .withColumn("sc", sum(col("b6")).over(wCum))
+    val dev = (col("b6").cast(DoubleType) -
+      col("sc").cast(DoubleType) / col("i").cast(DoubleType)).cast(d12)
+    val t2 = t1.withColumn("m", sum(dev).over(wCum))
+      .withColumn("runmin", min(col("m")).over(wCum))
+      .withColumn("ph", col("m") - col("runmin"))
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("ph").desc, col("hour"))
+    t2.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n").as("n_hours"),
+        col("hour").as("ph_peak_hour"),
+        round(col("ph").cast(DoubleType) / lit(1e6), 6).as("ph_bar"),
+        round(col("ph").cast(DoubleType) * col("n").cast(DoubleType) /
+          col("s6").cast(DoubleType), 6).as("ph_rel"))
+      .orderBy(col("event_type"))
+  }
+
+  val pageHinkleyOracle: String =
+    """WITH bars AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+      |    CAST(round(round(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+      |      / COUNT(*), 6) * 1e6) AS BIGINT) AS b6
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(SUM(b6) AS BIGINT) AS s6,
+      |    COUNT(*) AS n
+      |  FROM bars GROUP BY 1 HAVING SUM(b6) > 0),
+      |t1 AS (
+      |  SELECT b.event_type, b.hour, b.b6, t.s6, t.n,
+      |    ROW_NUMBER() OVER w AS i,
+      |    CAST(SUM(b.b6) OVER (PARTITION BY b.event_type ORDER BY b.hour
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sc
+      |  FROM bars b JOIN tot t USING (event_type)
+      |  WINDOW w AS (PARTITION BY b.event_type ORDER BY b.hour)),
+      |t2 AS (
+      |  SELECT *,
+      |    SUM(CAST(CAST(b6 AS DOUBLE) - CAST(sc AS DOUBLE) / CAST(i AS DOUBLE)
+      |      AS DECIMAL(38,12))) OVER cum AS m
+      |  FROM t1
+      |  WINDOW cum AS (PARTITION BY event_type ORDER BY hour
+      |    ROWS UNBOUNDED PRECEDING)),
+      |t3 AS (
+      |  SELECT *, m - MIN(m) OVER cum AS ph
+      |  FROM t2
+      |  WINDOW cum AS (PARTITION BY event_type ORDER BY hour
+      |    ROWS UNBOUNDED PRECEDING)),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY ph DESC, hour) AS rn
+      |  FROM t3)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+      |  hour AS ph_peak_hour,
+      |  round(CAST(ph AS DOUBLE) / 1e6, 6) AS ph_bar,
+      |  round(CAST(ph AS DOUBLE) * CAST(n AS DOUBLE) / CAST(s6 AS DOUBLE), 6)
+      |    AS ph_rel
+      |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   private val AutocorrLags = Seq(1, 24)
 
   /** Lag-k AUTOCORRELATION of the hourly bar series per event type
@@ -1898,6 +1988,7 @@ object StreamingGates {
     QueryDef("st_hourly_quantiles", hourlyQuantiles, Some(hourlyQuantilesOracle)),
     QueryDef("st_lag_autocorr", lagAutocorr, Some(lagAutocorrOracle)),
     QueryDef("st_cusum_shift", cusumShift, Some(cusumShiftOracle)),
+    QueryDef("st_page_hinkley", pageHinkley, Some(pageHinkleyOracle)),
     QueryDef("st_seasonal_naive", seasonalNaive, Some(seasonalNaiveOracle)),
     QueryDef("st_forecast_eval", forecastEval, Some(forecastEvalOracle)),
     QueryDef("st_ewma", ewmaSmooth, Some(ewmaSmoothOracle)),

@@ -144,7 +144,9 @@ class PlanAuditSpec extends SparkSpec {
       "ops_mood_median",
       // 1-row pooled-variance/ln totals onto the 5-row segment grid
       // (the ops_anova_f shape)
-      "ops_bartlett")
+      "ops_bartlett",
+      // 1-row record total onto the <=10-row k-bucket grid
+      "ops_k_anonymity")
 
   // the oracle-less bench-only twins stay under the same plan audit:
   // they run in every bench even though they left the correctness map
@@ -308,7 +310,9 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row grand-median + 1-row table totals
       "ops_mood_median",
       // 1-row pooled-variance/ln totals (ops_anova_f shape)
-      "ops_bartlett")
+      "ops_bartlett",
+      // 1-row record total onto the k-bucket grid
+      "ops_k_anonymity")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>

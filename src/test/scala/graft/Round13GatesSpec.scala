@@ -1823,4 +1823,94 @@ class Round13GatesSpec extends SparkSpec {
     for ((w, d, st, _) <- got)
       assert(d === degree(w) && st === strength(w), s"$w degree/strength")
   }
+
+  test("ops_fdr_by: staircase replay and BY-conservative-vs-BH containment") {
+    val got = graft.queries.StatTests.fdrBy(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getInt(6))).toSeq
+    assert(got.nonEmpty)
+    val m = got.size
+    val hm = (1 to m).map(i => 1.0 / i).sum
+    // ranks are 1..m in p order; crit = rk*alpha/(m*Hm)
+    for ((_, p, rk, hmGot, crit, _) <- got) {
+      assert(math.abs(hmGot - hm) < 6e-7)
+      assert(math.abs(crit - r6(rk * 0.1 / (m * hm))) < 1e-9, s"rk $rk crit")
+      assert(p >= 0 && p <= 1)
+    }
+    val kMax = got.filter(x => x._2 <= x._5).map(_._3).maxOption.getOrElse(0L)
+    for ((_, _, rk, _, _, rej) <- got)
+      assert(rej === (if (rk <= kMax) 1 else 0))
+    // BY controls under dependence by being MORE conservative than BH:
+    // its rejection set is a subset, type by type
+    val bh = StatOps.fdrBh(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getInt(5)).toMap
+    for ((t, _, _, _, _, rej) <- got if rej == 1)
+      assert(bh(t) === 1, s"BY rejected $t but BH did not")
+  }
+
+  test("ops_k_anonymity: brute QI-class recount of k buckets and l-diversity") {
+    val got = graft.queries.DataOps.kAnonymity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got.nonEmpty)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .selectExpr("CAST(c_nationkey AS BIGINT)", "c_mktsegment",
+        "CAST(floor(c_acctbal / 100) AS BIGINT)").collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getString(1)))
+    val classes = cust.groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.map(_._2).distinct.length.toLong))
+      .values.toSeq
+    val nTot = classes.map(_._1).sum
+    val byBucket = classes.groupBy { case (k, _) => math.min(k, 10L) }
+    assert(got.map(_._1).toSet === byBucket.keySet)
+    for ((kb, nCls, nRec, pct, minL, avgL) <- got) {
+      val cls = byBucket(kb)
+      assert(nCls === cls.size.toLong)
+      assert(nRec === cls.map(_._1).sum)
+      assert(pct === r6(cls.map(_._1).sum.toDouble / nTot))
+      assert(minL === cls.map(_._2).min)
+      assert(avgL === r6(cls.map(_._2).sum.toDouble / cls.size))
+    }
+    // every record is in exactly one bucket
+    assert(got.map(_._3).sum === nTot)
+  }
+
+  test("st_page_hinkley: running-mean replay with exact decimal accumulation") {
+    val got = graft.queries.StreamingGates.pageHinkley(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got.nonEmpty)
+    val bars = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("event_type",
+        "date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour",
+        "CAST(value AS DECIMAL(38,12)) AS v")
+      .groupBy("event_type", "hour")
+      .agg(org.apache.spark.sql.functions.expr(
+        "CAST(round(round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) * 1e6) AS BIGINT) AS b6"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    for ((t, nHours, peakHour, phBar, phRel) <- got) {
+      val series = bars.filter(_._1 == t).sortBy(_._2.getTime)
+      assert(nHours === series.length.toLong)
+      val s6 = series.map(_._3).sum
+      var sc = 0L
+      var m = BigDecimal(0)
+      var runmin = BigDecimal(0)
+      var best: (BigDecimal, java.sql.Timestamp) = null
+      for (((_, h, b6), idx) <- series.zipWithIndex) {
+        sc += b6
+        val dev = BigDecimal(b6.toDouble - sc.toDouble / (idx + 1))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        m += dev
+        if (idx == 0 || m < runmin) runmin = m
+        val ph = m - runmin
+        if (best == null || ph > best._1) best = (ph, h)
+      }
+      assert(peakHour === best._2, s"$t peak hour")
+      assert(math.abs(phBar - r6((best._1 / BigDecimal(1e6)).toDouble)) < 1e-9,
+        s"$t ph_bar")
+      assert(math.abs(phRel -
+        r6((best._1.toDouble * series.length / s6))) < 6e-7, s"$t ph_rel")
+    }
+  }
 }

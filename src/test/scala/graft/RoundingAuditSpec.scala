@@ -210,6 +210,12 @@ class RoundingAuditSpec extends SparkSpec {
       graft.queries.StatTests.bartlett(spark, gateDir))
     auditNoNegZero("ops_jonckheere",
       graft.queries.StatTests.jonckheere(spark, gateDir))
+    auditNoNegZero("ops_fdr_by",
+      graft.queries.StatTests.fdrBy(spark, gateDir))
+    auditNoNegZero("ops_k_anonymity",
+      graft.queries.DataOps.kAnonymity(spark, gateDir))
+    auditNoNegZero("st_page_hinkley",
+      graft.queries.StreamingGates.pageHinkley(spark, gateDir))
   }
 
   test("round-13 negative-capable oracles carry the -0.0 sign normalization") {
