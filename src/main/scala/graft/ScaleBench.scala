@@ -390,6 +390,9 @@ object ScaleBench {
       "ops_fdr_by" -> graft.queries.StatTests.fdrBy _,
       "ops_k_anonymity" -> graft.queries.DataOps.kAnonymity _,
       "st_page_hinkley" -> graft.queries.StreamingGates.pageHinkley _,
+      "ops_gumbel_moments" -> graft.queries.StatTests.gumbelMoments _,
+      "ops_best_split" -> graft.queries.StatTests.bestSplit _,
+      "ops_raking" -> graft.queries.DataOps.raking _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -892,8 +893,104 @@ object DataOps {
       |FROM b CROSS JOIN tot t
       |ORDER BY k_bucket""".stripMargin
 
+  private val RakeIters = 3
+
+  /** Iterative proportional fitting / raking (Deming & Stephan 1940)
+    * — reweight the (segment × nation) order-count table so its
+    * margins match the CUSTOMER BASE's distribution: the survey-
+    * weighting / dataset-rebalancing primitive (domain mixing for
+    * training data is exactly this operation). Targets are the
+    * customer margins scaled to the order total, so both margin
+    * vectors sum to the same mass; [[RakeIters]] fixed full
+    * iterations (row step then column step), each a ratio update
+    * against the current margin. Float discipline: the per-cell
+    * ratio update is a fixed double expression, and every margin Σ
+    * rides DECIMAL(38,12) so no partition row-order enters a float
+    * sum (the dec12 device); both engines replay the identical
+    * 6-step expression tree.
+    *
+    * Scale shape: one fact aggregate to the (seg × nation)
+    * categorical grid (≤125 rows at ANY fact scale), dim-bounded
+    * margin joins, then 2·[[RakeIters]] grid-sized windows.
+    */
+  def raking(s: SparkSession, dir: String): DataFrame = {
+    val d12 = DecimalType(38, 12)
+    val cells = Tables.t(s, dir, "orders")
+      .join(Tables.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_nationkey").cast(LongType).as("nat")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("nat"))
+      .agg(count(lit(1)).as("n"))
+    val cust = Tables.t(s, dir, "customer")
+      .select(col("c_mktsegment").as("seg"),
+        col("c_nationkey").cast(LongType).as("nat"))
+    val custSeg = cust.groupBy(col("seg")).agg(count(lit(1)).as("cs"))
+    val custNat = cust.groupBy(col("nat")).agg(count(lit(1)).as("cn"))
+    val totals = cust.agg(count(lit(1)).as("n_cust"))
+    val nOrd = cells.agg(sum(col("n")).as("n_ord"))
+    def msum(c: Column, w: org.apache.spark.sql.expressions.WindowSpec) =
+      sum(c.cast(d12)).over(w).cast(DoubleType)
+    val wSeg = Window.partitionBy(col("seg"))
+    val wNat = Window.partitionBy(col("nat"))
+    val base = cells
+      .join(broadcast(custSeg), "seg")
+      .join(broadcast(custNat), "nat")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(nOrd))
+      .withColumn("r", col("cs").cast(DoubleType) *
+        col("n_ord").cast(DoubleType) / col("n_cust").cast(DoubleType))
+      .withColumn("c", col("cn").cast(DoubleType) *
+        col("n_ord").cast(DoubleType) / col("n_cust").cast(DoubleType))
+      .withColumn("w", col("n").cast(DoubleType))
+    val raked = (1 to RakeIters).foldLeft(base) { (df, _) =>
+      df.withColumn("w", col("w") * col("r") / msum(col("w"), wSeg))
+        .withColumn("w", col("w") * col("c") / msum(col("w"), wNat))
+    }
+    raked.select(col("seg"), col("nat"), col("n"),
+      round(col("w"), 6).as("weight"),
+      round(col("w") / col("n").cast(DoubleType), 6).as("factor"))
+      .orderBy(col("seg"), col("nat"))
+  }
+
+  val rakingOracle: String = {
+    def msum(part: String) =
+      s"CAST(SUM(CAST(w AS DECIMAL(38,12))) OVER (PARTITION BY $part) AS DOUBLE)"
+    val steps = (1 to RakeIters).flatMap(i => Seq(
+      s"s${i}a AS (SELECT seg, nat, n, r, c, w * r / ${msum("seg")} AS w FROM ${if (i == 1) "w0" else s"s${i - 1}b"})",
+      s"s${i}b AS (SELECT seg, nat, n, r, c, w * c / ${msum("nat")} AS w FROM s${i}a)"))
+      .mkString(",\n")
+    s"""WITH cells AS (
+       |  SELECT c.c_mktsegment AS seg, CAST(c.c_nationkey AS BIGINT) AS nat,
+       |    COUNT(*) AS n
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |  GROUP BY 1, 2),
+       |cs AS (SELECT c_mktsegment AS seg, COUNT(*) AS cs FROM customer
+       |  GROUP BY 1),
+       |cn AS (SELECT CAST(c_nationkey AS BIGINT) AS nat, COUNT(*) AS cn
+       |  FROM customer GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS n_cust FROM customer),
+       |no AS (SELECT CAST(SUM(n) AS BIGINT) AS n_ord FROM cells),
+       |w0 AS (
+       |  SELECT cells.seg, cells.nat, cells.n,
+       |    CAST(cs.cs AS DOUBLE) * CAST(no.n_ord AS DOUBLE)
+       |      / CAST(tot.n_cust AS DOUBLE) AS r,
+       |    CAST(cn.cn AS DOUBLE) * CAST(no.n_ord AS DOUBLE)
+       |      / CAST(tot.n_cust AS DOUBLE) AS c,
+       |    CAST(cells.n AS DOUBLE) AS w
+       |  FROM cells JOIN cs ON cells.seg = cs.seg
+       |  JOIN cn ON cells.nat = cn.nat
+       |  CROSS JOIN tot CROSS JOIN no),
+       |$steps
+       |SELECT seg, nat, CAST(n AS BIGINT) AS n,
+       |  round(w, 6) AS weight,
+       |  round(w / CAST(n AS DOUBLE), 6) AS factor
+       |FROM s${RakeIters}b ORDER BY seg, nat""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ops_price_index", priceIndex, Some(priceIndexOracle)),
+    QueryDef("ops_raking", raking, Some(rakingOracle)),
     QueryDef("ops_k_anonymity", kAnonymity, Some(kAnonymityOracle)),
     QueryDef("ops_abc_xyz", abcXyz, Some(abcXyzOracle)),
     QueryDef("ops_benford", benford, Some(benfordOracle)),

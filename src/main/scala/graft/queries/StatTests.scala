@@ -1823,6 +1823,166 @@ object StatTests {
        |  CAST(CASE WHEN rk <= k_max THEN 1 ELSE 0 END AS INT) AS rejected
        |FROM k ORDER BY rk""".stripMargin
 
+  private val EulerGamma = "0.5772156649015329"
+
+  /** Gumbel extreme-value fit by the method of moments (Gumbel 1958)
+    * over MONTHLY BLOCK MAXIMA of order value — the capacity-planning
+    * question ("what's the 100-block order?") that completes the tail
+    * family beside [[hillTail]]'s index: β̂ = s·√6/π, μ̂ = x̄ − γβ̂
+    * (γ = Euler–Mascheroni, a shared literal), return level
+    * x_p = μ̂ − β̂·ln(−ln p) at p = 0.9 / 0.99. Block maxima are exact
+    * integer cents (MAX of integers); their moments aggregate in
+    * DECIMAL(38,0); mean/SD/β/μ/levels are each one fixed double
+    * expression over those exact sums, reported in dollars.
+    *
+    * Scale shape: one map-combined fact aggregate to the ~80-row
+    * month grid, one 1-row moment aggregate — the monthly-max shape
+    * is embarrassingly map-side at any fact scale.
+    */
+  def gumbelMoments(s: SparkSession, dir: String): DataFrame = {
+    val d0 = DecimalType(38, 0)
+    val blocks = Tables.t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mo"))
+      .agg(max(round(col("o_totalprice") * 100).cast(LongType)).as("mx"))
+    val tot = blocks.agg(count(lit(1)).as("n"),
+      sum(col("mx").cast(d0)).as("sx"),
+      sum((col("mx") * col("mx")).cast(d0)).as("sxx"))
+      .filter(col("n") > 1)
+    val mean = col("sx").cast(DoubleType) / col("n").cast(DoubleType)
+    val sd = sqrt((col("sxx").cast(DoubleType) - mean * mean *
+      col("n").cast(DoubleType)) / (col("n") - 1).cast(DoubleType))
+    val beta = sd * sqrt(lit(6.0)) / lit(math.Pi)
+    val mu = mean - lit(EulerGamma.toDouble) * beta
+    def rl(p: Double) = (mu - beta * log(-log(lit(p)))) / lit(100.0)
+    tot.select(col("n").as("n_blocks"),
+      round(mean / lit(100.0), 6).as("mean_max"),
+      round(sd / lit(100.0), 6).as("sd_max"),
+      round(beta / lit(100.0), 6).as("gumbel_beta"),
+      round(mu / lit(100.0), 6).as("gumbel_mu"),
+      round(rl(0.9), 6).as("rl_p90"),
+      round(rl(0.99), 6).as("rl_p99"))
+  }
+
+  val gumbelMomentsOracle: String = {
+    val mean = "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"
+    val sd = s"sqrt((CAST(sxx AS DOUBLE) - ($mean) * ($mean) * CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))"
+    val beta = s"($sd) * sqrt(6.0) / pi()"
+    val mu = s"($mean) - $EulerGamma * ($beta)"
+    def rl(p: String) = s"(($mu) - ($beta) * ln(-ln($p))) / 100.0"
+    s"""WITH blocks AS (
+       |  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mo,
+       |    MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS mx
+       |  FROM orders GROUP BY 1),
+       |tot AS (
+       |  SELECT COUNT(*) AS n,
+       |    SUM(CAST(mx AS DECIMAL(38,0))) AS sx,
+       |    SUM(CAST(mx * mx AS DECIMAL(38,0))) AS sxx
+       |  FROM blocks HAVING COUNT(*) > 1)
+       |SELECT CAST(n AS BIGINT) AS n_blocks,
+       |  round(($mean) / 100.0, 6) AS mean_max,
+       |  round(($sd) / 100.0, 6) AS sd_max,
+       |  round(($beta) / 100.0, 6) AS gumbel_beta,
+       |  round(($mu) / 100.0, 6) AS gumbel_mu,
+       |  round(${rl("0.9")}, 6) AS rl_p90,
+       |  round(${rl("0.99")}, 6) AS rl_p99
+       |FROM tot""".stripMargin
+  }
+
+  private val SplitBinCents = 1000000L // $10k candidate thresholds
+
+  /** Best decision-stump split (the CART root node, Breiman et al.
+    * 1984): which order-value threshold best separates urgent orders
+    * (priority 1-2) from the rest by weighted Gini impurity? For a
+    * binary class the weighted child impurity at threshold t reduces
+    * to (n_L²−pos_L²−neg_L²)/(N·n_L) + (n_R²−pos_R²−neg_R²)/(N·n_R)
+    * — every count exact from ONE pass of cumulative windows over
+    * the $10k bin grid (the `ops_emd_drift` CDF shape); the
+    * candidate impurities are identical fixed double expressions on
+    * both engines, so the argmin (impurity asc, bin asc) picks the
+    * same row. Splitting can only reduce weighted Gini, but the
+    * float gain can land at −ε on a useless split, so `gini_gain`
+    * sign-normalizes (the gr_modularity −0.0 lesson).
+    *
+    * Scale shape: one fact pass to the bin grid, bin-grid windows,
+    * one argmin — the 100 TB stump costs one shuffle.
+    */
+  def bestSplit(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.t(s, dir, "orders")
+      .select(expr(s"CAST(round(o_totalprice * 100) AS BIGINT) DIV $SplitBinCents")
+        .as("bin"),
+        when(substring(col("o_orderpriority"), 1, 1).cast(IntegerType) <= 2, 1L)
+          .otherwise(0L).as("pos"))
+    val bins = ord.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val cum = bins
+      .withColumn("nl", sum(col("n")).over(wCum))
+      .withColumn("pl", sum(col("p")).over(wCum))
+      .withColumn("nn", sum(col("n")).over(wAll))
+      .withColumn("pp", sum(col("p")).over(wAll))
+      .filter(col("nl") < col("nn")) // a split must leave a right side
+    def gini(nSide: Column, posSide: Column) = {
+      val neg = nSide - posSide
+      (nSide * nSide - posSide * posSide - neg * neg).cast(DoubleType) /
+        (col("nn") * nSide).cast(DoubleType)
+    }
+    val gSplit = gini(col("nl"), col("pl")) +
+      gini(col("nn") - col("nl"), col("pp") - col("pl"))
+    val negAll = col("nn") - col("pp")
+    val gRoot = (col("nn") * col("nn") - col("pp") * col("pp") -
+      negAll * negAll).cast(DoubleType) / (col("nn") * col("nn")).cast(DoubleType)
+    val wPick = Window.orderBy(col("g_split").asc, col("bin").asc)
+    cum.withColumn("g_split", gSplit)
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("bin").as("split_bin"),
+        ((col("bin") + 1) * lit(SplitBinCents / 100L)).as("threshold_dollars"),
+        col("nl").as("n_left"), (col("nn") - col("nl")).as("n_right"),
+        col("pl").as("pos_left"), (col("pp") - col("pl")).as("pos_right"),
+        round(gRoot, 6).as("gini_root"),
+        round(col("g_split"), 6).as("gini_split"),
+        round(gRoot - col("g_split"), 6).as("gini_gain"))
+  }
+
+  val bestSplitOracle: String = {
+    def gini(n: String, p: String) =
+      s"CAST(($n) * ($n) - ($p) * ($p) - (($n) - ($p)) * (($n) - ($p)) AS DOUBLE) / CAST(nn * ($n) AS DOUBLE)"
+    val gSplit = s"${gini("nl", "pl")} + ${gini("nn - nl", "pp - pl")}"
+    val gRoot = "CAST(nn * nn - pp * pp - (nn - pp) * (nn - pp) AS DOUBLE) / CAST(nn * nn AS DOUBLE)"
+    s"""WITH ord AS (
+       |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // $SplitBinCents
+       |      AS bin,
+       |    CASE WHEN CAST(substr(o_orderpriority, 1, 1) AS INTEGER) <= 2
+       |      THEN 1 ELSE 0 END AS pos
+       |  FROM orders),
+       |bins AS (SELECT bin, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS p
+       |  FROM ord GROUP BY 1),
+       |cum AS (
+       |  SELECT bin,
+       |    CAST(SUM(n) OVER w AS BIGINT) AS nl,
+       |    CAST(SUM(p) OVER w AS BIGINT) AS pl,
+       |    CAST(SUM(n) OVER () AS BIGINT) AS nn,
+       |    CAST(SUM(p) OVER () AS BIGINT) AS pp
+       |  FROM bins
+       |  WINDOW w AS (ORDER BY bin
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |c2 AS (SELECT * FROM cum WHERE nl < nn),
+       |g AS (SELECT *, $gSplit AS g_split FROM c2),
+       |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY g_split ASC, bin ASC)
+       |    AS rn
+       |  FROM g)
+       |SELECT bin AS split_bin,
+       |  (bin + 1) * ${SplitBinCents / 100L} AS threshold_dollars,
+       |  nl AS n_left, nn - nl AS n_right,
+       |  pl AS pos_left, pp - pl AS pos_right,
+       |  round($gRoot, 6) AS gini_root,
+       |  round(g_split, 6) AS gini_split,
+       |  round(($gRoot) - g_split, 6) + 0.0 AS gini_gain
+       |FROM r WHERE rn = 1""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ops_cliffs_delta", cliffsDelta, Some(cliffsDeltaOracle)),
     QueryDef("ops_brown_forsythe", brownForsythe, Some(brownForsytheOracle)),
@@ -1844,5 +2004,7 @@ object StatTests {
     QueryDef("ops_bartlett", bartlett, Some(bartlettOracle)),
     QueryDef("ops_jonckheere", jonckheere, Some(jonckheereOracle)),
     QueryDef("ops_fdr_by", fdrBy, Some(fdrByOracle)),
+    QueryDef("ops_gumbel_moments", gumbelMoments, Some(gumbelMomentsOracle)),
+    QueryDef("ops_best_split", bestSplit, Some(bestSplitOracle)),
   )
 }

@@ -146,7 +146,10 @@ class PlanAuditSpec extends SparkSpec {
       // (the ops_anova_f shape)
       "ops_bartlett",
       // 1-row record total onto the <=10-row k-bucket grid
-      "ops_k_anonymity")
+      "ops_k_anonymity",
+      // 1-row customer/order totals onto the <=125-row cell grid +
+      // 5-row/25-row margin dims (the ops_hhi dim shape)
+      "ops_raking")
 
   // the oracle-less bench-only twins stay under the same plan audit:
   // they run in every bench even though they left the correctness map
@@ -312,7 +315,9 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row pooled-variance/ln totals (ops_anova_f shape)
       "ops_bartlett",
       // 1-row record total onto the k-bucket grid
-      "ops_k_anonymity")
+      "ops_k_anonymity",
+      // 1-row totals + 5/25-row margin dims (ops_hhi shape)
+      "ops_raking")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>

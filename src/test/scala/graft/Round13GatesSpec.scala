@@ -1913,4 +1913,114 @@ class Round13GatesSpec extends SparkSpec {
         r6((best._1.toDouble * series.length / s6))) < 6e-7, s"$t ph_rel")
     }
   }
+
+  test("ops_gumbel_moments: brute block-maxima moment replay") {
+    val got = graft.queries.StatTests.gumbelMoments(spark, dir).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    val maxima = spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("date_trunc('month', CAST(o_orderdate AS DATE)) AS mo",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS c").collect()
+      .map(x => (x.get(0).toString, x.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).values.toSeq
+    val n = maxima.length
+    assert(r.getLong(0) === n.toLong && n > 1)
+    val sx = maxima.sum
+    val sxx = maxima.map(m => m * m).sum
+    val mean = sx.toDouble / n
+    val sd = math.sqrt((sxx.toDouble - mean * mean * n) / (n - 1))
+    val beta = sd * math.sqrt(6.0) / math.Pi
+    val mu = mean - 0.5772156649015329 * beta
+    def rl(p: Double) = (mu - beta * math.log(-math.log(p))) / 100.0
+    assert(math.abs(r.getDouble(1) - mean / 100.0) < 1e-6)
+    assert(math.abs(r.getDouble(2) - sd / 100.0) < 1e-6)
+    assert(math.abs(r.getDouble(3) - beta / 100.0) < 1e-6)
+    assert(math.abs(r.getDouble(4) - mu / 100.0) < 1e-6)
+    assert(math.abs(r.getDouble(5) - rl(0.9)) < 1e-6)
+    assert(math.abs(r.getDouble(6) - rl(0.99)) < 1e-6)
+    // Gumbel orderings that must hold by construction
+    assert(r.getDouble(6) > r.getDouble(5), "rl99 > rl90")
+    assert(r.getDouble(3) > 0 && r.getDouble(2) > 0)
+  }
+
+  test("ops_best_split: exhaustive threshold sweep replays the stump") {
+    val got = graft.queries.StatTests.bestSplit(spark, dir).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    val rows = spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 1000000 AS bin",
+        "CASE WHEN CAST(substr(o_orderpriority, 1, 1) AS INT) <= 2 THEN 1 ELSE 0 END AS pos")
+      .collect().map(x => (x.getLong(0), x.getInt(1).toLong))
+    val nn = rows.length.toLong
+    val pp = rows.map(_._2).sum
+    val byBin = rows.groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.map(_._2).sum)).toMap
+    def gini(n: Long, p: Long): Double = {
+      val q = n - p
+      (n.toDouble * n - p.toDouble * p - q.toDouble * q) / (nn.toDouble * n)
+    }
+    var best: (Double, Long, Long, Long) = null // (g, bin, nl, pl)
+    var nl = 0L; var pl = 0L
+    for (b <- byBin.keys.toSeq.sorted) {
+      nl += byBin(b)._1; pl += byBin(b)._2
+      if (nl < nn) {
+        val g = gini(nl, pl) + gini(nn - nl, pp - pl)
+        if (best == null || g < best._1) best = (g, b, nl, pl)
+      }
+    }
+    assert(r.getLong(0) === best._2, "split_bin")
+    assert(r.getLong(1) === (best._2 + 1) * 10000L)
+    assert(r.getLong(2) === best._3 && r.getLong(3) === nn - best._3)
+    assert(r.getLong(4) === best._4 && r.getLong(5) === pp - best._4)
+    val gRoot = (nn.toDouble * nn - pp.toDouble * pp -
+      (nn - pp).toDouble * (nn - pp)) / (nn.toDouble * nn)
+    assert(math.abs(r.getDouble(6) - gRoot) < 6e-7)
+    assert(math.abs(r.getDouble(7) - best._1) < 6e-7)
+    assert(math.abs(r.getDouble(8) - (gRoot - best._1)) < 6e-7)
+    // splitting never increases weighted Gini
+    assert(r.getDouble(8) >= 0.0)
+  }
+
+  test("ops_raking: IPF replay converges column margins to the customer targets") {
+    val got = graft.queries.DataOps.raking(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.nonEmpty)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .selectExpr("c_custkey", "c_mktsegment",
+        "CAST(c_nationkey AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val custMap = cust.map(c => c._1 -> (c._2, c._3)).toMap
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("o_custkey").collect().map(r => custMap(r.getLong(0)))
+    val cells = orders.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val nOrd = orders.length.toLong
+    val nCust = cust.length.toLong
+    val segT = cust.groupBy(_._2).view
+      .mapValues(_.length.toDouble * nOrd / nCust).toMap
+    val natT = cust.groupBy(_._3).view
+      .mapValues(_.length.toDouble * nOrd / nCust).toMap
+    var w = cells.map { case (k, n) => k -> n.toDouble }
+    def marginSum(vals: Iterable[Double]): Double =
+      vals.map(v => BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    for (_ <- 1 to 3) {
+      val rs = w.groupBy(_._1._1).view.mapValues(m => marginSum(m.values)).toMap
+      w = w.map { case (k, v) => k -> v * segT(k._1) / rs(k._1) }
+      val csm = w.groupBy(_._1._2).view.mapValues(m => marginSum(m.values)).toMap
+      w = w.map { case (k, v) => k -> v * natT(k._2) / csm(k._2) }
+    }
+    assert(got.keySet === cells.keySet)
+    for ((k, (n, wGot, fGot)) <- got) {
+      assert(n === cells(k))
+      assert(math.abs(wGot - w(k)) < 6e-6, s"$k weight")
+      assert(math.abs(fGot - w(k) / cells(k)) < 6e-6, s"$k factor")
+    }
+    // the final step was the column step: nation margins match targets
+    for ((nat, t) <- natT) {
+      val achieved = w.collect { case ((_, n2), v) if n2 == nat => v }.sum
+      assert(math.abs(achieved - t) < 1e-6 * math.max(t, 1.0), s"nation $nat margin")
+    }
+  }
 }

@@ -216,6 +216,12 @@ class RoundingAuditSpec extends SparkSpec {
       graft.queries.DataOps.kAnonymity(spark, gateDir))
     auditNoNegZero("st_page_hinkley",
       graft.queries.StreamingGates.pageHinkley(spark, gateDir))
+    auditNoNegZero("ops_gumbel_moments",
+      graft.queries.StatTests.gumbelMoments(spark, gateDir))
+    auditNoNegZero("ops_best_split",
+      graft.queries.StatTests.bestSplit(spark, gateDir))
+    auditNoNegZero("ops_raking",
+      graft.queries.DataOps.raking(spark, gateDir))
   }
 
   test("round-13 negative-capable oracles carry the -0.0 sign normalization") {
@@ -250,7 +256,8 @@ class RoundingAuditSpec extends SparkSpec {
       graft.queries.StatTests.tukeyHsdOracle -> "mean_diff",
       graft.queries.StatTests.dunnTestOracle -> "z_stat",
       graft.queries.StatTests.bartlettOracle -> "t_stat",
-      graft.queries.StatTests.jonckheereOracle -> "z_stat")
+      graft.queries.StatTests.jonckheereOracle -> "z_stat",
+      graft.queries.StatTests.bestSplitOracle -> "gini_gain")
     for ((sql, colName) <- probes)
       assert(sql.replaceAll("\\s+", " ").contains(s"+ 0.0 AS $colName"),
         s"oracle lost the `+ 0.0 AS $colName` sign normalization — a " +
