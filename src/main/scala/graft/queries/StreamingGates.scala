@@ -854,6 +854,24 @@ object StreamingGates {
     * [[cusumShift]] regime exactly.
     */
   def pageHinkley(s: SparkSession, dir: String): DataFrame = {
+    val t2 = pageHinkleyFrame(s, dir)
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("ph").desc, col("hour"))
+    t2.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n").as("n_hours"),
+        col("hour").as("ph_peak_hour"),
+        round(col("ph").cast(DoubleType) / lit(1e6), 6).as("ph_bar"),
+        round(col("ph").cast(DoubleType) * col("n").cast(DoubleType) /
+          col("s6").cast(DoubleType), 6).as("ph_rel"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The per-hour PH frame the gate picks its peak from — shared with
+    * [[pageHinkleyHours]], the streaming twin's parity target.
+    */
+  private[graft] def pageHinkleyFrame(s: SparkSession, dir: String): DataFrame = {
     val d12 = DecimalType(38, 12)
     val bars = hourlyBars(s, dir)
       .withColumn("b6", round(col("bar") * 1e6).cast(LongType))
@@ -870,21 +888,19 @@ object StreamingGates {
       .withColumn("sc", sum(col("b6")).over(wCum))
     val dev = (col("b6").cast(DoubleType) -
       col("sc").cast(DoubleType) / col("i").cast(DoubleType)).cast(d12)
-    val t2 = t1.withColumn("m", sum(dev).over(wCum))
+    t1.withColumn("m", sum(dev).over(wCum))
       .withColumn("runmin", min(col("m")).over(wCum))
       .withColumn("ph", col("m") - col("runmin"))
-    val wPick = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type"))
-      .orderBy(col("ph").desc, col("hour"))
-    t2.withColumn("rn", row_number().over(wPick))
-      .filter(col("rn") === 1)
-      .select(col("event_type"), col("n").as("n_hours"),
-        col("hour").as("ph_peak_hour"),
-        round(col("ph").cast(DoubleType) / lit(1e6), 6).as("ph_bar"),
-        round(col("ph").cast(DoubleType) * col("n").cast(DoubleType) /
-          col("s6").cast(DoubleType), 6).as("ph_rel"))
-      .orderBy(col("event_type"))
   }
+
+  /** Per-closed-hour PH emissions — what the streaming twin
+    * ([[graft.streaming.EventsStream.pageHinkley]]) must reproduce
+    * bit-for-bit on an AvailableNow replay (EventsStreamSpec parity).
+    */
+  private[graft] def pageHinkleyHours(s: SparkSession, dir: String): DataFrame =
+    pageHinkleyFrame(s, dir)
+      .select(col("event_type"), col("hour"), col("bar"),
+        round(col("ph").cast(DoubleType) / lit(1e6), 6).as("ph_bar"))
 
   val pageHinkleyOracle: String =
     """WITH bars AS (

@@ -60,6 +60,16 @@ final case class AttribBuf(viewIds: List[Long], viewUs: List[Long],
 final case class RollBuf(openHourMs: Long, openSum: String, openN: Long,
     barHourMs: List[Long], barVals: List[Double])
 
+/** Per-type Page–Hinkley detector state for
+  * [[EventsStream.pageHinkley]]: the OPEN hour's exact decimal
+  * accumulator plus the running detector registers — closed-hour
+  * count `i`, Σb6 `sc`, and the exact decimal `m`/`runmin` carried as
+  * strings. O(1) state per type forever — the whole point of PH over
+  * the offline cusum.
+  */
+final case class PhBuf(openHourMs: Long, openSum: String, openN: Long,
+    i: Long, sc: Long, m: String, runmin: String)
+
 /** Buffered step timestamps (epoch ms) + last-activity time for
   * [[EventsStream.funnel]] — top-level for the state encoder, like
   * [[SessionState]].
@@ -565,6 +575,95 @@ object EventsStream {
             row.foreach(out += _)
             buf = RollBuf(h, dec12(e.value).toString, 1L,
               nb.barHourMs, nb.barVals)
+          } else if (h == buf.openHourMs) {
+            buf = buf.copy(
+              openSum = (BigDecimal(buf.openSum) + dec12(e.value)).toString,
+              openN = buf.openN + 1)
+          } // straggler into a closed hour: dropped by policy
+        }
+        if (buf != null) {
+          state.update(buf)
+          state.setTimeoutTimestamp(math.max(
+            buf.openHourMs + HourMs + graceMinutes * 60000L,
+            state.getCurrentWatermarkMs + 1))
+        }
+        out.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  final case class PhRow(event_type: String, hour: Timestamp, bar: Double,
+      ph_bar: Double)
+
+  /** Streaming twin of the batch `st_page_hinkley` gate's per-hour
+    * frame ([[graft.queries.StreamingGates.pageHinkleyHours]]): per
+    * type, the PH statistic after each hour CLOSES (a later-hour
+    * event arrives, or the event-time timeout fires). This is the
+    * detector the batch gate models — state is the open hour's exact
+    * decimal accumulator plus FOUR running registers ([[PhBuf]]),
+    * O(1) per type forever. The arithmetic replays the batch columns
+    * exactly: bar = round-6 exact-decimal mean, b6 = round(bar·10⁶),
+    * dev = dec12(b6 − sc/i) in one double crossing, and m / runmin /
+    * ph all in exact BigDecimal — so an `AvailableNow` replay emits
+    * rows bit-equal to the batch frame for every closed hour
+    * (EventsStreamSpec parity). Stragglers into closed hours are
+    * dropped; a type evicted by timeout RESETS its detector (the
+    * standard online-monitor restart; the parity fixture closes every
+    * hour by arrival or one final timeout).
+    */
+  def pageHinkley(events: Dataset[Event],
+      graceMinutes: Int = 60): Dataset[PhRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val HourMs = 3600000L
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dec12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, scala.math.BigDecimal.RoundingMode.HALF_UP)
+
+    def closeHour(typ: String, b: PhBuf): (PhBuf, Option[PhRow]) = {
+      if (b.openN == 0) (b, None)
+      else {
+        val bar = round6(BigDecimal(b.openSum).toDouble / b.openN)
+        val b6 = math.round(bar * 1000000)
+        val i = b.i + 1
+        val sc = b.sc + b6
+        val dev = dec12(b6.toDouble - sc.toDouble / i)
+        val m = (if (b.i == 0) BigDecimal(0) else BigDecimal(b.m)) + dev
+        val runmin = if (b.i == 0) m else BigDecimal(b.runmin).min(m)
+        val ph = m - runmin
+        val nb = PhBuf(b.openHourMs, "0", 0L, i, sc,
+          m.toString, runmin.toString)
+        val row = PhRow(typ, new Timestamp(b.openHourMs), bar,
+          round6((ph / BigDecimal(1000000)).toDouble))
+        (nb, Some(row))
+      }
+    }
+
+    def fn(typ: String, rows: Iterator[Event],
+        state: GroupState[PhBuf]): Iterator[PhRow] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(closeHour(typ, _)).flatMap(_._2)
+        state.remove()
+        out.iterator
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var buf = state.getOption.orNull
+        val out = Seq.newBuilder[PhRow]
+        sorted.foreach { e =>
+          val h = Math.floorDiv(e.ts.getTime, HourMs) * HourMs
+          if (buf == null)
+            buf = PhBuf(h, dec12(e.value).toString, 1L, 0L, 0L, "0", "0")
+          else if (h > buf.openHourMs) {
+            val (nb, row) = closeHour(typ, buf)
+            row.foreach(out += _)
+            buf = nb.copy(openHourMs = h, openSum = dec12(e.value).toString,
+              openN = 1L)
           } else if (h == buf.openHourMs) {
             buf = buf.copy(
               openSum = (BigDecimal(buf.openSum) + dec12(e.value)).toString,

@@ -248,6 +248,54 @@ class EventsStreamSpec extends SparkSpec {
     assert(got === batch, s"streaming $got vs batch $batch")
   }
 
+  test("streaming Page-Hinkley: closed hours are bit-equal to the batch frame") {
+    val in = tmpDir("ph-in"); val out = tmpDir("ph-out"); val ck = tmpDir("ph-ck")
+    // two types over five hours with a level shift at h=3 so PH
+    // actually rises; sentinel closes everything still open by arrival
+    // or timeout
+    val lines = (0 until 5).flatMap { h =>
+      val lift = if (h >= 3) 5.0 else 0.0
+      Seq(
+        ev(1, h * 10 + 1, "view", 1.0 + h * 0.1 + lift + 0.123456,
+          s"2025-07-01T1$h:05:00Z"),
+        ev(1, h * 10 + 2, "view", 2.5 - h * 0.3 + lift,
+          s"2025-07-01T1$h:25:00Z"),
+        ev(2, h * 10 + 3, "purchase", 10.0 + h + lift * 2 + 0.77,
+          s"2025-07-01T1$h:40:00Z"),
+      )
+    } :+ ev(99, 999, "view", 0.0, "2025-07-03T12:00:00Z")
+    Files.writeString(Paths.get(in, "events.jsonl"), lines.mkString("\n"))
+    import spark.implicits._
+    EventsStream.runToParquet(
+      EventsStream.pageHinkley(EventsStream.parse(spark.readStream.text(in))).toDF(),
+      out, ck).awaitTermination(120000)
+    val got = spark.read.parquet(out)
+      .select(col("event_type"), col("hour"), col("bar"), col("ph_bar"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getDouble(2), r.getDouble(3))).toSet
+    assert(got.nonEmpty)
+    // batch per-hour frame over the same rows; the sentinel's own
+    // (never-closed) hour is the only batch row the stream cannot emit
+    val tmp = tmpDir("ph-tbl")
+    EventsStream.parse(spark.read.text(in).select(col("value"))).toDF()
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val sentinelHour = java.time.Instant.parse("2025-07-03T12:00:00Z").toEpochMilli
+    val batch = graft.queries.StreamingGates.pageHinkleyHours(spark, tmp)
+      .select(col("event_type"), col("hour"), col("bar"), col("ph_bar"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getDouble(2), r.getDouble(3)))
+      .filter(_._2 < sentinelHour).toSet
+    assert(got === batch, s"streaming $got vs batch $batch")
+    // 10 rows: 2 types x 5 hours; PH is 0 at the first hour and
+    // strictly positive after the h=3 level shift
+    assert(got.size === 10)
+    for (t <- Seq("view", "purchase")) {
+      val series = got.filter(_._1 == t).toSeq.sortBy(_._2)
+      assert(series.head._4 === 0.0, s"$t first-hour PH")
+      assert(series.last._4 > 0.0, s"$t post-shift PH")
+    }
+  }
+
   test("streaming rolling p95: closed hours are bit-equal to the batch gate") {
     val in = tmpDir("rp-in"); val out = tmpDir("rp-out"); val ck = tmpDir("rp-ck")
     // two types over four hours with multiple events per hour, values
