@@ -393,6 +393,8 @@ object ScaleBench {
       "ops_gumbel_moments" -> graft.queries.StatTests.gumbelMoments _,
       "ops_best_split" -> graft.queries.StatTests.bestSplit _,
       "ops_raking" -> graft.queries.DataOps.raking _,
+      "ops_mutual_info" -> graft.queries.StatTests.mutualInfo _,
+      "ta_fightin_words" -> graft.queries.TextScores.fightinWords _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

@@ -1983,6 +1983,103 @@ object StatTests {
        |FROM r WHERE rn = 1""".stripMargin
   }
 
+  /** Mutual information of (market segment, order priority) — the
+    * information-theoretic association measure beside
+    * `ops_chi2_assoc`'s Cramér's V (and the table-level cousin of
+    * `ta_npmi_colloc`): MI = ΣΣ (n_ij/N)·ln(n_ij·N/(R_i·C_j)), plus
+    * both marginal entropies and the symmetric normalization
+    * NMI = MI/√(H_r·H_c). Cells, margins, and N are exact integers;
+    * each cell term is one fixed double expression (zero cells
+    * contribute exactly 0 and are skipped relationally on both
+    * engines); the three Σs ride DECIMAL(38,12).
+    *
+    * Scale shape: one fact aggregate to the ≤25-cell categorical
+    * grid; margins are grid windows; everything after is grid-sized.
+    */
+  def mutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val d12 = DecimalType(38, 12)
+    val grid = Tables.t(s, dir, "orders")
+      .join(Tables.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy()
+    val wSeg = Window.partitionBy(col("seg"))
+    val wPri = Window.partitionBy(col("pri"))
+    val t1 = grid
+      .withColumn("nn", sum(col("n")).over(wAll))
+      .withColumn("r", sum(col("n")).over(wSeg))
+      .withColumn("c", sum(col("n")).over(wPri))
+    val p = col("n").cast(DoubleType) / col("nn").cast(DoubleType)
+    val miTerm = p * log(col("n").cast(DoubleType) *
+      col("nn").cast(DoubleType) /
+      (col("r").cast(DoubleType) * col("c").cast(DoubleType)))
+    // marginal entropy terms, each counted once via the first cell of
+    // its margin (deterministic: the minimum partner key)
+    val firstInSeg = col("pri") === min(col("pri")).over(wSeg)
+    val firstInPri = col("seg") === min(col("seg")).over(wPri)
+    val hr = col("r").cast(DoubleType) / col("nn").cast(DoubleType)
+    val hc = col("c").cast(DoubleType) / col("nn").cast(DoubleType)
+    val t2 = t1
+      .withColumn("mi",
+        sum(miTerm.cast(d12)).over(wAll).cast(DoubleType))
+      .withColumn("h_row",
+        -sum(when(firstInSeg, (hr * log(hr)).cast(d12))
+          .otherwise(lit(0).cast(d12))).over(wAll).cast(DoubleType))
+      .withColumn("h_col",
+        -sum(when(firstInPri, (hc * log(hc)).cast(d12))
+          .otherwise(lit(0).cast(d12))).over(wAll).cast(DoubleType))
+    t2.groupBy(col("nn").as("n_total"), col("mi"), col("h_row"),
+      col("h_col"))
+      .agg(count(lit(1)).as("n_cells"))
+      .select(col("n_total"), col("n_cells"),
+        round(col("mi"), 6).as("mi_nats"),
+        round(col("h_row"), 6).as("h_segment"),
+        round(col("h_col"), 6).as("h_priority"),
+        round(col("mi") / sqrt(col("h_row") * col("h_col")), 6).as("nmi"))
+  }
+
+  val mutualInfoOracle: String = {
+    val p = "CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)"
+    val miTerm = s"($p) * ln(CAST(n AS DOUBLE) * CAST(nn AS DOUBLE) / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))"
+    val hr = "CAST(r AS DOUBLE) / CAST(nn AS DOUBLE)"
+    val hc = "CAST(c AS DOUBLE) / CAST(nn AS DOUBLE)"
+    s"""WITH grid AS (
+       |  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+       |    COUNT(*) AS n
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |  GROUP BY 1, 2),
+       |t1 AS (
+       |  SELECT seg, pri, n,
+       |    SUM(n) OVER () AS nn,
+       |    SUM(n) OVER (PARTITION BY seg) AS r,
+       |    SUM(n) OVER (PARTITION BY pri) AS c,
+       |    MIN(pri) OVER (PARTITION BY seg) AS first_pri,
+       |    MIN(seg) OVER (PARTITION BY pri) AS first_seg
+       |  FROM grid),
+       |t2 AS (
+       |  SELECT *,
+       |    CAST(SUM(CAST($miTerm AS DECIMAL(38,12))) OVER () AS DOUBLE)
+       |      AS mi,
+       |    -CAST(SUM(CASE WHEN pri = first_pri
+       |      THEN CAST(($hr) * ln($hr) AS DECIMAL(38,12))
+       |      ELSE CAST(0 AS DECIMAL(38,12)) END) OVER () AS DOUBLE)
+       |      AS h_row,
+       |    -CAST(SUM(CASE WHEN seg = first_seg
+       |      THEN CAST(($hc) * ln($hc) AS DECIMAL(38,12))
+       |      ELSE CAST(0 AS DECIMAL(38,12)) END) OVER () AS DOUBLE)
+       |      AS h_col
+       |  FROM t1)
+       |SELECT CAST(nn AS BIGINT) AS n_total, COUNT(*) AS n_cells,
+       |  round(mi, 6) + 0.0 AS mi_nats,
+       |  round(h_row, 6) AS h_segment,
+       |  round(h_col, 6) AS h_priority,
+       |  round(mi / sqrt(h_row * h_col), 6) + 0.0 AS nmi
+       |FROM t2 GROUP BY nn, mi, h_row, h_col""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ops_cliffs_delta", cliffsDelta, Some(cliffsDeltaOracle)),
     QueryDef("ops_brown_forsythe", brownForsythe, Some(brownForsytheOracle)),
@@ -2006,5 +2103,6 @@ object StatTests {
     QueryDef("ops_fdr_by", fdrBy, Some(fdrByOracle)),
     QueryDef("ops_gumbel_moments", gumbelMoments, Some(gumbelMomentsOracle)),
     QueryDef("ops_best_split", bestSplit, Some(bestSplitOracle)),
+    QueryDef("ops_mutual_info", mutualInfo, Some(mutualInfoOracle)),
   )
 }

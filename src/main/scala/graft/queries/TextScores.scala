@@ -458,11 +458,100 @@ object TextScores {
        |ORDER BY r.rank DESC, word LIMIT $TrTopK""".stripMargin
   }
 
+  private val FwPriorMass = 1000.0 // informative-Dirichlet total α₀
+  private val FwTopK = 20
+
+  /** "Fightin' Words" distinctive terms (Monroe, Colaresi & Quinn
+    * 2008) — WHICH words distinguish the English corpus from the
+    * rest, the corpus-comparison operator a data-mixing pipeline
+    * runs to see what a domain actually contributes (beside
+    * [[rakeKeywords]]/[[textrank]], which rank within ONE corpus).
+    * Log-odds ratio with the informative Dirichlet prior drawn from
+    * the combined corpus (α_w = α₀·c_w/C, α₀ = [[FwPriorMass]]):
+    * δ_w = ln[(y+α)/(n+α₀−y−α)] − ln[(y'+α)/(n'+α₀−y'−α)], with
+    * σ² ≈ 1/(y+α) + 1/(y'+α) and z = δ/σ — the prior is what stops
+    * rare words from dominating, the paper's point. Counts are exact
+    * integers; δ/σ/z are fixed double expressions; the two top-K
+    * sides are picked by (z, word) orderings that both engines
+    * evaluate on identical doubles.
+    *
+    * Scale shape: one token explode to the vocabulary grid with a
+    * 1-row total broadcast, two TakeOrdered top-Ks — the ta_tfidf
+    * regime.
+    */
+  def fightinWords(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.t(s, dir, "documents")
+      .select((col("lang") === "en").as("is_a"),
+        explode(split(lower(col("text")), " ")).as("w"))
+    val vocab = toks.groupBy(col("w"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ya"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("yb"))
+    val tot = vocab.agg(sum(col("ya")).as("na"), sum(col("yb")).as("nb"),
+      sum(col("ya") + col("yb")).as("cc"))
+    val alpha = lit(FwPriorMass) * (col("ya") + col("yb")).cast(DoubleType) /
+      col("cc").cast(DoubleType)
+    def lodds(y: Column, n: Column) = log(
+      (y.cast(DoubleType) + alpha) /
+        (n.cast(DoubleType) + lit(FwPriorMass) - y.cast(DoubleType) - alpha))
+    val delta = lodds(col("ya"), col("na")) - lodds(col("yb"), col("nb"))
+    val z = delta / sqrt(lit(1.0) / (col("ya").cast(DoubleType) + alpha) +
+      lit(1.0) / (col("yb").cast(DoubleType) + alpha))
+    val scored = vocab.crossJoin(broadcast(tot))
+      .select(col("w").as("word"), col("ya").as("cnt_en"),
+        col("yb").as("cnt_rest"),
+        round(delta, 6).as("log_odds"), round(z, 6).as("z_score"))
+    val sideA = scored
+      .orderBy(col("z_score").desc, col("word")).limit(FwTopK)
+      .withColumn("side", lit("en"))
+    val sideB = scored
+      .orderBy(col("z_score").asc, col("word")).limit(FwTopK)
+      .withColumn("side", lit("rest"))
+    // `side` completes the sort key: a word can sit in BOTH top-Ks
+    // when z ties cluster (caught live at sf0.001), and its two rows
+    // differ only in `side`
+    sideA.unionByName(sideB)
+      .orderBy(col("z_score").desc, col("word"), col("side"))
+  }
+
+  val fightinWordsOracle: String = {
+    val alpha = s"$FwPriorMass * CAST(ya + yb AS DOUBLE) / CAST(cc AS DOUBLE)"
+    def lodds(y: String, n: String) =
+      s"ln((CAST($y AS DOUBLE) + $alpha) / (CAST($n AS DOUBLE) + $FwPriorMass - CAST($y AS DOUBLE) - ($alpha)))"
+    val delta = s"${lodds("ya", "na")} - ${lodds("yb", "nb")}"
+    val z = s"($delta) / sqrt(1.0 / (CAST(ya AS DOUBLE) + $alpha) + 1.0 / (CAST(yb AS DOUBLE) + $alpha))"
+    s"""WITH toks AS (
+       |  SELECT lang = 'en' AS is_a,
+       |    unnest(string_split(lower(text), ' ')) AS w
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT w,
+       |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ya,
+       |    CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS yb
+       |  FROM toks GROUP BY w),
+       |tot AS (
+       |  SELECT CAST(SUM(ya) AS BIGINT) AS na,
+       |    CAST(SUM(yb) AS BIGINT) AS nb,
+       |    CAST(SUM(ya + yb) AS BIGINT) AS cc
+       |  FROM vocab),
+       |scored AS (
+       |  SELECT w AS word, ya AS cnt_en, yb AS cnt_rest,
+       |    round($delta, 6) + 0.0 AS log_odds,
+       |    round($z, 6) + 0.0 AS z_score
+       |  FROM vocab CROSS JOIN tot),
+       |a AS (SELECT *, 'en' AS side FROM scored
+       |  ORDER BY z_score DESC, word LIMIT $FwTopK),
+       |b AS (SELECT *, 'rest' AS side FROM scored
+       |  ORDER BY z_score ASC, word LIMIT $FwTopK)
+       |SELECT * FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+       |ORDER BY z_score DESC, word, side""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ta_readability", readability, Some(readabilityOracle)),
     QueryDef("ta_rake_keywords", rakeKeywords, Some(rakeKeywordsOracle)),
     QueryDef("ta_ttr_diversity", ttrDiversity, Some(ttrDiversityOracle)),
     QueryDef("ta_cli_ari", cliAri, Some(cliAriOracle)),
     QueryDef("ta_textrank", textrank, Some(textrankOracle)),
+    QueryDef("ta_fightin_words", fightinWords, Some(fightinWordsOracle)),
   )
 }

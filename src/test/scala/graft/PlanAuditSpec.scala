@@ -149,7 +149,10 @@ class PlanAuditSpec extends SparkSpec {
       "ops_k_anonymity",
       // 1-row customer/order totals onto the <=125-row cell grid +
       // 5-row/25-row margin dims (the ops_hhi dim shape)
-      "ops_raking")
+      "ops_raking",
+      // 1-row corpus-total aggregate onto the vocabulary grid (the
+      // ta_good_turing token-total device)
+      "ta_fightin_words")
 
   // the oracle-less bench-only twins stay under the same plan audit:
   // they run in every bench even though they left the correctness map
@@ -317,7 +320,9 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row record total onto the k-bucket grid
       "ops_k_anonymity",
       // 1-row totals + 5/25-row margin dims (ops_hhi shape)
-      "ops_raking")
+      "ops_raking",
+      // 1-row corpus-total aggregate (ta_good_turing device)
+      "ta_fightin_words")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>

@@ -2023,4 +2023,72 @@ class Round13GatesSpec extends SparkSpec {
       assert(math.abs(achieved - t) < 1e-6 * math.max(t, 1.0), s"nation $nat margin")
     }
   }
+
+  test("ops_mutual_info: brute contingency replay and the MI bounds") {
+    val got = graft.queries.StatTests.mutualInfo(spark, dir).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .selectExpr("c_custkey", "c_mktsegment").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    val pairs = spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("o_custkey", "o_orderpriority").collect()
+      .map(x => (cust(x.getLong(0)), x.getString(1)))
+    val n = pairs.length.toDouble
+    val cells = pairs.groupBy(identity).view.mapValues(_.length).toMap
+    val rows = pairs.groupBy(_._1).view.mapValues(_.length).toMap
+    val cols = pairs.groupBy(_._2).view.mapValues(_.length).toMap
+    val mi = cells.map { case ((sg, pr), c) =>
+      c / n * math.log(c * n / (rows(sg).toDouble * cols(pr)))
+    }.sum
+    def ent(m: Map[String, Int]) =
+      -m.values.map(v => v / n * math.log(v / n)).sum
+    assert(r.getLong(0) === pairs.length.toLong)
+    assert(r.getLong(1) === cells.size.toLong)
+    assert(math.abs(r.getDouble(2) - mi) < 6e-6, s"mi ${r.getDouble(2)} vs $mi")
+    assert(math.abs(r.getDouble(3) - ent(rows)) < 6e-6)
+    assert(math.abs(r.getDouble(4) - ent(cols)) < 6e-6)
+    assert(math.abs(r.getDouble(5) -
+      mi / math.sqrt(ent(rows) * ent(cols))) < 6e-6)
+    // information-theoretic bounds
+    assert(r.getDouble(2) >= -1e-9)
+    assert(r.getDouble(2) <= math.min(r.getDouble(3), r.getDouble(4)) + 1e-9)
+  }
+
+  test("ta_fightin_words: brute log-odds replay picks the same distinctive terms") {
+    val got = graft.queries.TextScores.fightinWords(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getString(5))).toSeq
+    assert(got.size === 40)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("lang = 'en'", "lower(text)").collect()
+      .map(r => (r.getBoolean(0), r.getString(1)))
+    val counts = scala.collection.mutable.Map[String, (Long, Long)]()
+      .withDefaultValue((0L, 0L))
+    for ((isA, text) <- docs; w <- text.split(" ", -1)) {
+      val (a, b) = counts(w)
+      counts(w) = if (isA) (a + 1, b) else (a, b + 1)
+    }
+    val na = counts.values.map(_._1).sum.toDouble
+    val nb = counts.values.map(_._2).sum.toDouble
+    val cc = na + nb
+    val a0 = 1000.0
+    def zOf(ya: Long, yb: Long): (Double, Double) = {
+      val alpha = a0 * (ya + yb) / cc
+      val d = math.log((ya + alpha) / (na + a0 - ya - alpha)) -
+        math.log((yb + alpha) / (nb + a0 - yb - alpha))
+      val z = d / math.sqrt(1.0 / (ya + alpha) + 1.0 / (yb + alpha))
+      (r6(d), r6(z))
+    }
+    val scored = counts.toSeq.map { case (w, (ya, yb)) =>
+      val (d, z) = zOf(ya, yb); (w, ya, yb, d, z)
+    }
+    val top = scored.sortBy(x => (-x._5, x._1)).take(20)
+      .map(x => (x._1, x._2, x._3, x._4, x._5, "en"))
+    val bot = scored.sortBy(x => (x._5, x._1)).take(20)
+      .map(x => (x._1, x._2, x._3, x._4, x._5, "rest"))
+    val expect = (top ++ bot)
+      .sortBy(x => (-x._5, x._1, x._6))
+    assert(got === expect)
+  }
 }

@@ -222,6 +222,10 @@ class RoundingAuditSpec extends SparkSpec {
       graft.queries.StatTests.bestSplit(spark, gateDir))
     auditNoNegZero("ops_raking",
       graft.queries.DataOps.raking(spark, gateDir))
+    auditNoNegZero("ops_mutual_info",
+      graft.queries.StatTests.mutualInfo(spark, gateDir))
+    auditNoNegZero("ta_fightin_words",
+      graft.queries.TextScores.fightinWords(spark, gateDir))
   }
 
   test("round-13 negative-capable oracles carry the -0.0 sign normalization") {
@@ -257,7 +261,11 @@ class RoundingAuditSpec extends SparkSpec {
       graft.queries.StatTests.dunnTestOracle -> "z_stat",
       graft.queries.StatTests.bartlettOracle -> "t_stat",
       graft.queries.StatTests.jonckheereOracle -> "z_stat",
-      graft.queries.StatTests.bestSplitOracle -> "gini_gain")
+      graft.queries.StatTests.bestSplitOracle -> "gini_gain",
+      graft.queries.StatTests.mutualInfoOracle -> "mi_nats",
+      graft.queries.StatTests.mutualInfoOracle -> "nmi",
+      graft.queries.TextScores.fightinWordsOracle -> "log_odds",
+      graft.queries.TextScores.fightinWordsOracle -> "z_score")
     for ((sql, colName) <- probes)
       assert(sql.replaceAll("\\s+", " ").contains(s"+ 0.0 AS $colName"),
         s"oracle lost the `+ 0.0 AS $colName` sign normalization — a " +
