@@ -32,9 +32,17 @@ object Relational {
       .agg(
         sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
         sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        // round the scale-4/6 money sums to cents IN DECIMAL before
+        // the double cast: a scale-6 sum's unscaled int passes 2^53 at
+        // ~10× this corpus, where DuckDB's int128→double step goes
+        // inexact while Spark's BigDecimal conversion stays correctly
+        // rounded (the ops_bartlett divergence class) — at scale 2 the
+        // conversion is exact to ~10000×. Decimal round() (NOT a
+        // decimal down-CAST, which DuckDB truncates) rounds half away
+        // from zero identically on both engines.
+        round(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))), 2)
           .cast(DoubleType).as("sum_disc_price"),
-        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))) * (one + dec(col("l_tax"))))
+        round(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))) * (one + dec(col("l_tax")))), 2)
           .cast(DoubleType).as("sum_charge"),
         (sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
         (sum(dec(col("l_discount"))).cast(DoubleType) / count(lit(1))).as("avg_disc"),
@@ -47,8 +55,8 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
       | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(18,2))) * (1.00 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      | CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+      | CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(18,2))) * (1.00 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
       | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
       | CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
       | COUNT(*) AS count_order

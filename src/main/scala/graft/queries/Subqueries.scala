@@ -77,7 +77,13 @@ object Subqueries {
       .where(col("val") * lit(25) > total.scalar())
       .join(broadcast(Tables.t(s, dir, "nation")),
         col("s_nationkey") === col("n_nationkey"))
-      .select(col("n_name"), col("val").cast(DoubleType).as("value"))
+      // cents round IN DECIMAL before the double cast: the scale-4
+      // sum's unscaled int would pass 2^53 at ~100× this corpus (the
+      // ops_bartlett conversion-divergence class); decimal round()
+      // matches across engines where a decimal down-CAST does not
+      // (DuckDB truncates those)
+      .select(col("n_name"),
+        round(col("val"), 2).cast(DoubleType).as("value"))
       .orderBy(col("value").desc, col("n_name"))
   }
 
@@ -88,7 +94,7 @@ object Subqueries {
       |        * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS val
       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |  GROUP BY s_nationkey)
-      |SELECT n_name, CAST(val AS DOUBLE) AS value
+      |SELECT n_name, CAST(round(val, 2) AS DOUBLE) AS value
       |FROM sv JOIN nation ON s_nationkey = n_nationkey
       |WHERE val * 25 > (SELECT SUM(val) FROM sv)
       |ORDER BY value DESC, n_name""".stripMargin
