@@ -12,6 +12,27 @@ final case class QueryDef(
     oracle: Option[String],
 )
 
+/** The driver-comparator output contract: gated query results are
+  * hashed by a pandas `sort_values → factorize` pipeline, which dies
+  * with "unhashable type: numpy.ndarray" on ANY array/map/struct cell
+  * (CORRECTNESS_r01; re-learned in r13 when `sk_hll_distinct` shipped a
+  * raw `registers` array). Nested values must be canonicalized to a
+  * '|'-joined string (`array_join`) BEFORE the final select. Verify
+  * enforces this fail-loud so a local tools/check.py pass (which CAN
+  * hash lists) can never again hide a driver failure.
+  */
+object OutputContract {
+  import org.apache.spark.sql.types._
+
+  /** Top-level columns the driver's pandas comparator cannot hash. */
+  def unhashableColumns(schema: StructType): Seq[String] =
+    schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+        f.dataType.isInstanceOf[MapType] ||
+        f.dataType.isInstanceOf[StructType] => s"${f.name}: ${f.dataType.simpleString}"
+    }.toSeq
+}
+
 /** Testdata table access ([[TESTDATA.md]]): one parquet file per table. */
 object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",

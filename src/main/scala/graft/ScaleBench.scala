@@ -308,6 +308,7 @@ object ScaleBench {
       "cu_span_corrupt" -> graft.queries.TrainingPrep.spanCorrupt _,
       "cu_target_encode" -> graft.queries.TrainingPrep.targetEncode _,
       "cu_bpe_merges" -> graft.queries.TrainingPrep.bpeMerges _,
+      "cu_bpe_apply" -> graft.queries.TrainingPrep.bpeApply _,
       // round-12 additions
       "st_runs_test" -> graft.queries.StreamingGates.runsTest _,
       "gr_harmonic" -> graft.queries.Graph.harmonic _,

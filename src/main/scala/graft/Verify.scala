@@ -16,9 +16,19 @@ object Verify {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Fail-loud driver-comparator contract (VERDICT r13 #1b): the
+        // pandas compare cannot hash array/map/struct cells, so a
+        // nested top-level column is an automatic red gate — catch it
+        // HERE, before the driver does, instead of shipping it.
+        val nested = OutputContract.unhashableColumns(df.schema)
+        if (nested.nonEmpty)
+          throw new IllegalStateException(
+            s"gated output has pandas-unhashable columns (${nested.mkString(", ")}) " +
+              "— array_join(...,'|') them per the r01 convention")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${failed(name)}")
       }

@@ -265,12 +265,14 @@ object DataOps {
     * the profiler's output, not a per-query global sort). Recency is
     * exact integer days ((anchor − last) // 86400s in epoch micros —
     * no calendar-day engine divergence), the monetary sum is
-    * DECIMAL-exact, and the anchor is the corpus max timestamp (the
-    * same bounded driver scalar device as tfidf's N).
+    * DECIMAL-exact, and the anchor is the corpus max timestamp,
+    * folded into the plan as a broadcast 1-row aggregate.
     */
   def rfmSegments(s: SparkSession, dir: String): DataFrame = {
     val events = Tables.t(s, dir, "events")
-    val anchorMicros = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    // corpus-max anchor folded in as a broadcast 1-row relation
+    // (VERDICT r13 #5) — one lazy plan, no extra driver job
+    val anchor = events.agg(max(unix_micros(col("ts"))).as("anchor_us"))
     def score(c: org.apache.spark.sql.Column, hi: Long, mid: Long) =
       when(c >= hi, 3).when(c >= mid, 2).otherwise(1)
     val rScore = score(lit(30L) - col("recency_days"), 23L, 16L) // ≤7d → 3, ≤14d → 2
@@ -281,10 +283,11 @@ object DataOps {
       .agg(max(unix_micros(col("ts"))).as("last_us"),
         count(lit(1)).as("frequency"),
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("monetary"))
+      .crossJoin(broadcast(anchor))
       // integer `div`, not `/`: double division rounded then truncated
       // can cross an integer boundary the oracle's floor `//` doesn't
       .withColumn("recency_days",
-        expr(s"($anchorMicros - last_us) div 86400000000"))
+        expr("(anchor_us - last_us) div 86400000000"))
       .select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
         concat(lit("R"), rScore, lit("F"), fScore, lit("M"), mScore).as("segment"))
       .orderBy(col("user_id"))

@@ -183,12 +183,13 @@ object Graph {
     val supplier = Tables.t(s, dir, "supplier")
     // seed nation = the smallest nation key PRESENT among suppliers:
     // nation 0 has no suppliers at the smallest scale factors, a fixed
-    // literal would make the seed set empty there (bounded driver
-    // scalar; the oracle uses the equivalent scalar subquery)
-    val seedNation = supplier.agg(min(col("s_nationkey"))).head()
-      .get(0).asInstanceOf[Number].longValue
+    // literal would make the seed set empty there. Folded in as a
+    // broadcast 1-row aggregate (VERDICT r13 #5) — no driver job; the
+    // oracle uses the equivalent scalar subquery.
+    val seedNation = supplier.agg(min(col("s_nationkey")).as("seed_nation"))
     supplier
-      .filter(col("s_nationkey") === seedNation)
+      .crossJoin(broadcast(seedNation))
+      .filter(col("s_nationkey") === col("seed_nation"))
       .select((col("s_suppkey").cast(LongType) * 2 + 1).as("node"),
         lit(0L).as("hop"))
   }

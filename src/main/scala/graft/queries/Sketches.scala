@@ -517,8 +517,13 @@ object Sketches {
         transform(array_sort(collect_list(struct(col("bucket"), col("mr")))),
           t => t.getField("mr")).as("registers"))
       .crossJoin(broadcast(exact))
+      // '|'-joined canonical string, NOT the raw array: the driver's
+      // pandas comparator cannot hash ndarray cells (CORRECTNESS_r01
+      // convention; r13's one red gate was exactly this column).
       .select(lit(HllM.toLong).as("m"), col("n_exact"), col("v_zero"),
-        col("s_scaled"), col("registers"), est.as("estimate"),
+        col("s_scaled"),
+        array_join(col("registers"), "|").as("registers"),
+        est.as("estimate"),
         round((est - col("n_exact").cast(DoubleType)) /
           col("n_exact").cast(DoubleType), 6).as("rel_error"))
   }
@@ -547,7 +552,7 @@ object Sketches {
        |  FROM reg64),
        |ex AS (SELECT COUNT(DISTINCT o_custkey) AS n_exact FROM orders)
        |SELECT CAST($HllM AS BIGINT) AS m, n_exact, v_zero, s_scaled,
-       |  registers,
+       |  array_to_string(registers, '|') AS registers,
        |  CASE WHEN CAST($HllNum AS DOUBLE) / CAST(s_scaled AS DOUBLE)
        |      <= ${2.5 * HllM} AND v_zero > 0
        |    THEN round(CAST($HllM AS DOUBLE)

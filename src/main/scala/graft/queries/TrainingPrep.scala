@@ -305,6 +305,141 @@ object TrainingPrep {
        |SELECT CAST(rank AS BIGINT) AS rank, pair, n
        |FROM ranked WHERE rank <= $BpeTopK ORDER BY rank""".stripMargin
 
+  private val BpeApplyRules = 8
+  private val BpeApplyTopWords = 50
+
+  /** BPE merge APPLICATION (the encode step that completes
+    * [[bpeMerges]]'s train step — Sennrich, Haddow & Birch 2016 §3):
+    * the top-[[BpeApplyRules]] trained merge rules are applied to the
+    * word vocabulary in rank order, one rule per unrolled round (the
+    * labelProp fixed-rounds device), yielding each word's final token
+    * sequence. Within a round a rule is applied greedily
+    * left-to-right with no overlap: a position merges iff its
+    * (tok, next) pair matches AND the previous position did not merge
+    * — resolved WITHOUT per-row recursion by run-length parity over
+    * maximal match runs (a matched position merges iff its offset in
+    * the run is even), one running-max window per round, identical in
+    * both engines.
+    *
+    * Scale shape: everything after the corpus scan runs on the
+    * DISTINCT-WORD vocabulary (Heaps-bounded: ~10⁸ rows at 100 TB,
+    * ~10 chars each), windows partition by word (bounded tiny
+    * partitions), and the 8-rule table is ONE broadcast 1-row
+    * relation pivoted to columns — the corpus text itself is scanned
+    * once for the vocabulary and once for rule training, never at
+    * character granularity. Final top-k rank is over (freq, word)
+    * with integer keys — nothing floats.
+    */
+  def bpeApply(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val pairs = words
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(expr("substring(w, i, 2)").as("pair"), col("freq"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+    val ranked = pairs.withColumn("rank", row_number().over(
+      Window.partitionBy().orderBy(col("n").desc, col("pair"))))
+      .filter(col("rank") <= BpeApplyRules)
+    // rule table pivoted to ONE row (pair_1..pair_8) so a single
+    // broadcast carries every round's rule through the plan
+    val ruleCols = (1 to BpeApplyRules).map(r =>
+      max(when(col("rank") === r, col("pair"))).as(s"pair_$r"))
+    val rules = ranked.agg(ruleCols.head, ruleCols.tail: _*)
+    val wWin = Window.partitionBy(col("w")).orderBy(col("pos"))
+    val runWin = wWin.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val init = words
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")))).as("pos"))
+      .select(col("w"), col("freq"), col("pos"),
+        expr("substring(w, pos, 1)").as("tok"))
+      .crossJoin(broadcast(rules))
+    val finalToks = (1 to BpeApplyRules).foldLeft(init) { (t, r) =>
+      t.withColumn("nxt", lead(col("tok"), 1).over(wWin))
+        // null-safe: a missing rule (tiny vocab) or last position must
+        // read as NOT matched in BOTH engines, never null
+        .withColumn("mtch", coalesce(col("nxt").isNotNull &&
+          concat(col("tok"), col("nxt")) === col(s"pair_$r"), lit(false)))
+        .withColumn("last_nm",
+          max(when(!col("mtch"), col("pos"))).over(runWin))
+        .withColumn("applied", col("mtch") &&
+          (col("pos") - coalesce(col("last_nm"), lit(0))) % 2 === 1)
+        .withColumn("drop_me",
+          coalesce(lag(col("applied"), 1).over(wWin), lit(false)))
+        .filter(!col("drop_me"))
+        .withColumn("tok", when(col("applied"),
+          concat(col("tok"), col("nxt"))).otherwise(col("tok")))
+        .withColumn("pos", row_number().over(wWin))
+        .drop("nxt", "mtch", "last_nm", "applied", "drop_me")
+    }
+    finalToks
+      .groupBy(col("w"), col("freq"))
+      .agg(count(lit(1)).cast(LongType).as("n_tokens"),
+        // '|'-joined canonical string per the r01 output contract
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          t => t.getField("tok")), "|").as("tokens"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy().orderBy(col("freq").desc, col("w"))))
+      .filter(col("rank") <= BpeApplyTopWords)
+      .select(col("rank").cast(LongType).as("rank"), col("w").as("word"),
+        col("freq"), col("n_tokens"), col("tokens"))
+      .orderBy(col("rank"))
+  }
+
+  val bpeApplyOracle: String = {
+    val ruleCols = (1 to BpeApplyRules)
+      .map(r => s"max(CASE WHEN rank = $r THEN pair END) AS pair_$r")
+      .mkString(", ")
+    val rounds = (1 to BpeApplyRules).map { r =>
+      s"""a$r AS (SELECT *, lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt
+         |  FROM t${r - 1}),
+         |b$r AS (SELECT *, COALESCE(nxt IS NOT NULL
+         |    AND tok || nxt = pair_$r, false) AS mtch FROM a$r),
+         |c$r AS (SELECT *, max(CASE WHEN NOT mtch THEN pos END) OVER
+         |    (PARTITION BY w ORDER BY pos ROWS UNBOUNDED PRECEDING)
+         |    AS last_nm FROM b$r),
+         |d$r AS (SELECT *, (mtch AND (pos - COALESCE(last_nm, 0)) % 2 = 1)
+         |    AS applied FROM c$r),
+         |e$r AS (SELECT *, COALESCE(lag(applied) OVER
+         |    (PARTITION BY w ORDER BY pos), false) AS drop_me FROM d$r),
+         |t$r AS (SELECT w, freq, ${(1 to BpeApplyRules).map(i => s"pair_$i").mkString(", ")},
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS INT) AS pos,
+         |    CASE WHEN applied THEN tok || nxt ELSE tok END AS tok
+         |  FROM e$r WHERE NOT drop_me)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH words AS (
+       |  SELECT w, COUNT(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) >= 2 GROUP BY 1),
+       |prs AS (
+       |  SELECT substr(w, i, 2) AS pair, CAST(SUM(freq) AS BIGINT) AS n
+       |  FROM (SELECT w, freq, unnest(range(1, len(w))) AS i FROM words)
+       |  GROUP BY 1),
+       |rkd AS (
+       |  SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank
+       |  FROM prs),
+       |rules AS (SELECT $ruleCols FROM rkd WHERE rank <= $BpeApplyRules),
+       |t0 AS (
+       |  SELECT w, freq, CAST(i AS INT) AS pos, substr(w, i, 1) AS tok,
+       |    ${(1 to BpeApplyRules).map(i => s"pair_$i").mkString(", ")}
+       |  FROM (SELECT w, freq, unnest(range(1, len(w) + 1)) AS i FROM words)
+       |  CROSS JOIN rules),
+       |$rounds,
+       |agg AS (
+       |  SELECT w, freq, COUNT(*) AS n_tokens,
+       |    string_agg(tok, '|' ORDER BY pos) AS tokens
+       |  FROM t$BpeApplyRules GROUP BY 1, 2),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY freq DESC, w) AS rank
+       |  FROM agg)
+       |SELECT CAST(rank AS BIGINT) AS rank, w AS word, freq,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens, tokens
+       |FROM rk WHERE rank <= $BpeApplyTopWords ORDER BY rank""".stripMargin
+  }
+
   private val EncodeFolds = 5
 
   /** Leakage-free target encoding (the Kaggle/CatBoost device, see
@@ -518,6 +653,7 @@ object TrainingPrep {
     QueryDef("cu_filter_funnel", filterFunnel, Some(filterFunnelOracle)),
     QueryDef("cu_span_corrupt", spanCorrupt, Some(spanCorruptOracle)),
     QueryDef("cu_bpe_merges", bpeMerges, Some(bpeMergesOracle)),
+    QueryDef("cu_bpe_apply", bpeApply, Some(bpeApplyOracle)),
     QueryDef("cu_target_encode", targetEncode, Some(targetEncodeOracle)),
     QueryDef("cu_cdc_chunk", cdcChunk, Some(cdcOracle)),
     QueryDef("cu_chunk_sliding", chunkSliding, Some(chunkOracle)),

@@ -152,7 +152,14 @@ class PlanAuditSpec extends SparkSpec {
       "ops_raking",
       // 1-row corpus-total aggregate onto the vocabulary grid (the
       // ta_good_turing token-total device)
-      "ta_fightin_words")
+      "ta_fightin_words",
+      // VERDICT r13 #5 foldings: former driver scalars, now broadcast
+      // 1-row aggregates — basket count, RFM anchor, DSIR totals
+      "bk_assoc_rules", "ops_rfm_segments", "cu_dsir_weights",
+      // kHop seed-nation min, same folding
+      "gr_khop",
+      // 1-row pivoted 8-rule merge table broadcast onto the vocab
+      "cu_bpe_apply")
 
   // the oracle-less bench-only twins stay under the same plan audit:
   // they run in every bench even though they left the correctness map
@@ -322,7 +329,13 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row totals + 5/25-row margin dims (ops_hhi shape)
       "ops_raking",
       // 1-row corpus-total aggregate (ta_good_turing device)
-      "ta_fightin_words")
+      "ta_fightin_words",
+      // VERDICT r13 #5 foldings: 1-row basket-count / anchor / totals
+      "bk_assoc_rules", "ops_rfm_segments", "cu_dsir_weights",
+      // kHop seed-nation min, same folding
+      "gr_khop",
+      // 1-row pivoted 8-rule merge table broadcast onto the vocab
+      "cu_bpe_apply")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>

@@ -31,10 +31,15 @@ def canon(v):
         # normalization here masked exactly that failure for two rounds.
         # A mirror must never be more lenient than the gate it mirrors.
         return repr(v)
-    if isinstance(v, (list, tuple)):
-        return tuple(canon(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, canon(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple, dict)):
+        # The DRIVER's pandas comparator cannot hash list/dict cells and
+        # errors the gate (sk_hll_distinct, CORRECTNESS_r13). The old
+        # tuple-canonicalization here was MORE lenient than the gate it
+        # mirrors — it passed 265/265 locally while the driver showed
+        # 264/265. A mirror must fail exactly where the driver fails.
+        raise TypeError(
+            f"nested cell {type(v).__name__} — driver pandas compare would "
+            "die on this; array_join(...,'|') the column (r01 convention)")
     if hasattr(v, "isoformat"):
         s = v.isoformat()
         return s[:-6] if s.endswith("+00:00") else s
