@@ -116,6 +116,73 @@ object ScaleBench {
     done.createNewFile()
   }
 
+  /** Disjoint-copy graph corpus at an arbitrary copy count (VERDICT
+    * r13 #4, the ≥30× graph rows): every key participating in a graph
+    * relation is offset per replica — lineitem (order, part, supplier),
+    * orders (order, customer), documents (id + the standard token
+    * perturbation) — so the corpus holds `copies` disjoint copies of
+    * the base graph: nodes ×N, edges ×N, triangles ×N, density
+    * CONSTANT. A graph operator with a scale-correct plan shows ~N×
+    * wall here; anything super-linear in |V| or |E| blows up visibly.
+    */
+  def synthesizeGraphDisjoint(spark: SparkSession, baseDir: String,
+      outDir: String, copies: Int): Unit = {
+    val done = new java.io.File(outDir, "_DONE")
+    val needed = Seq("lineitem", "orders", "documents")
+    if (done.exists() &&
+      needed.forall(t => new java.io.File(outDir, s"$t.parquet").exists())) return
+    if (done.exists()) done.delete()
+    val ks = explode(sequence(lit(0), lit(copies - 1))).as("k")
+    Tables.t(spark, baseDir, "lineitem").withColumn("k", ks)
+      .withColumn("l_orderkey", col("l_orderkey") + col("k") * IdOffset)
+      .withColumn("l_partkey", col("l_partkey") + col("k") * IdOffset)
+      .withColumn("l_suppkey", col("l_suppkey") + col("k") * IdOffset)
+      .drop("k")
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    Tables.t(spark, baseDir, "orders").withColumn("k", ks)
+      .withColumn("o_orderkey", col("o_orderkey") + col("k") * IdOffset)
+      .withColumn("o_custkey", col("o_custkey") + col("k") * IdOffset)
+      .drop("k")
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    val docs = Tables.t(spark, baseDir, "documents").withColumn("k", ks)
+    val perturbed = concat_ws(" ", transform(split(col("text"), " "),
+      (t, i) => when(((i * 31 + col("k") * 7) % 11) === 0,
+        concat(t, lit("_"), col("k"))).otherwise(t)))
+    docs
+      .withColumn("doc_id", col("doc_id") + col("k") * IdOffset)
+      .withColumn("text", when(col("k") === 0, col("text")).otherwise(perturbed))
+      .drop("k")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    done.createNewFile()
+  }
+
+  /** Densify-regime corpus at an arbitrary copy count: order volume
+    * grows ×N onto the FIXED part catalog (order keys offset, part/
+    * customer/supplier keys as-is) — the regime [[graft.queries.Graph
+    * .supportEdges]]'s volume-relative support threshold is built for:
+    * per-pair counts grow ~N× while the DISTINCT pair set is capped by
+    * the catalog, so the thresholded edge artifact stays ~base-sized
+    * as volume grows.
+    */
+  def synthesizeDensify(spark: SparkSession, baseDir: String,
+      outDir: String, copies: Int): Unit = {
+    val done = new java.io.File(outDir, "_DONE")
+    val needed = Seq("lineitem", "orders")
+    if (done.exists() &&
+      needed.forall(t => new java.io.File(outDir, s"$t.parquet").exists())) return
+    if (done.exists()) done.delete()
+    val ks = explode(sequence(lit(0), lit(copies - 1))).as("k")
+    Tables.t(spark, baseDir, "lineitem").withColumn("k", ks)
+      .withColumn("l_orderkey", col("l_orderkey") + col("k") * IdOffset)
+      .drop("k")
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    Tables.t(spark, baseDir, "orders").withColumn("k", ks)
+      .withColumn("o_orderkey", col("o_orderkey") + col("k") * IdOffset)
+      .drop("k")
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    done.createNewFile()
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val x10Dir = args.headOption.getOrElse("/tmp/graft_scale_x10")
@@ -151,6 +218,58 @@ object ScaleBench {
       println(f"| delta append (frozen centroids) | $nDelta | $tDelta%.2f |")
       println(f"| full rebuild (train + re-code) | $nFull | $tFull%.2f |")
       println(f"""{"metric":"scale_ivfdelta","delta_rows":$nDelta,"full_rows":$nFull,"delta_s":$tDelta%.3f,"full_s":$tFull%.3f}""")
+      spark.stop()
+      return
+    }
+
+    // SPARK_GRAFT_SCALE_GRAPHX=<copies>: the graph family's ≥30×
+    // growth rows (VERDICT r13 #4). Disjoint-copy corpus for
+    // gr_pagerank / gr_triangles / dd_clusters (density constant —
+    // scale-correct plans show ~N× wall), densify corpus for gr_kcore
+    // (volume-relative support holds the edge artifact ~base-sized),
+    // plus a salted gr_pagerank row on the disjoint corpus proving the
+    // graft.graph.salts switch engages end-to-end at scale.
+    sys.env.get("SPARK_GRAFT_SCALE_GRAPHX").foreach { spec =>
+      val copies = spec.toInt
+      val dDir = s"/tmp/graft_scale_graphx_$copies"
+      val zDir = s"/tmp/graft_scale_densify_$copies"
+      synthesizeGraphDisjoint(spark, baseDir, dDir, copies)
+      synthesizeDensify(spark, baseDir, zDir, copies)
+      def run(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val disjoint: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+        "gr_pagerank" -> graft.queries.Graph.pageRank _,
+        "gr_triangles" -> graft.queries.Graph.coTriangles _,
+        "dd_clusters" -> graft.queries.LlmDedup.dedupClusters _)
+      disjoint.foreach { case (_, fn) => run(fn, baseDir) } // warmup
+      run(graft.queries.Graph.kCore _, baseDir)
+      println(s"| query | regime | t(1x) s | t(${copies}x) s | ratio |")
+      println("|---|---|---|---|---|")
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+      disjoint.foreach { case (name, fn) =>
+        val t1 = run(fn, baseDir); val tn = run(fn, dDir)
+        println(f"| $name | disjoint | $t1%.2f | $tn%.2f | ${tn / t1}%.1fx |")
+        rows += ((name, t1, tn))
+      }
+      locally {
+        val t1 = run(graft.queries.Graph.kCore _, baseDir)
+        val tn = run(graft.queries.Graph.kCore _, zDir)
+        println(f"| gr_kcore | densify | $t1%.2f | $tn%.2f | ${tn / t1}%.1fx |")
+        rows += (("gr_kcore", t1, tn))
+      }
+      locally { // salts engagement: same corpus, switch on, result parity-checked by SkewGraphSpec
+        spark.conf.set(graft.queries.Graph.SaltsConf, "4")
+        val tn = run(graft.queries.Graph.pageRank _, dDir)
+        spark.conf.set(graft.queries.Graph.SaltsConf, "0")
+        println(f"| gr_pagerank (salts=4) | disjoint | — | $tn%.2f | — |")
+        rows += (("gr_pagerank_salts4", -1.0, tn))
+      }
+      val js = rows.map { case (n, a, b) => f""""$n":[$a%.3f,$b%.3f]""" }.mkString(",")
+      println(s"""{"metric":"scale_graphx","copies":$copies,$js}""")
       spark.stop()
       return
     }

@@ -430,8 +430,9 @@ object DataOps {
       .select(col("event_type"), col("b"), coalesce(col("c"), lit(0L)).as("c"))
     val allB = counts.groupBy(col("b")).agg(sum(col("c")).as("c_all"))
     val nS = counts.groupBy(col("event_type")).agg(sum(col("c")).as("n_s"))
-    // bounded driver scalar: total event count
-    val nAll = Tables.t(s, dir, "events").count()
+    // total event count folded in as a broadcast 1-row aggregate
+    // (VERDICT r13 #5) — one lazy plan, no extra driver job
+    val nAll = counts.agg(sum(col("c")).as("n_all"))
     val wc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("b"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -441,8 +442,9 @@ object DataOps {
       .withColumn("cum_s", sum(col("c")).over(wc))
       .join(allB.withColumn("cum_all", sum(col("c_all")).over(wa)).select(col("b"), col("cum_all")), "b")
       .join(nS, "event_type")
+      .crossJoin(broadcast(nAll))
       .withColumn("d_scaled",
-        abs(col("cum_s") * (lit(nAll) - col("n_s")) -
+        abs(col("cum_s") * (col("n_all") - col("n_s")) -
           (col("cum_all") - col("cum_s")) * col("n_s")))
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("d_scaled").desc, col("b"))
@@ -450,7 +452,7 @@ object DataOps {
       .filter(col("rn") === 1)
       .select(col("event_type"), col("n_s"),
         round(col("d_scaled").cast(DoubleType) /
-          (col("n_s") * (lit(nAll) - col("n_s"))).cast(DoubleType), 6).as("ks_stat"),
+          (col("n_s") * (col("n_all") - col("n_s"))).cast(DoubleType), 6).as("ks_stat"),
         round(col("b").cast(DoubleType) / 100, 6).as("at_value"))
       .orderBy(col("event_type"))
   }

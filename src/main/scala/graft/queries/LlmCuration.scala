@@ -42,16 +42,18 @@ object LlmCuration {
     */
   def tfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(s, dir, "documents")
-    // bounded driver scalar: parquet row-count metadata, no data scan
-    val nDocs = docs.count().toDouble
+    // corpus size folded in as a broadcast 1-row aggregate
+    // (VERDICT r13 #5) — one lazy plan, no extra driver job
+    val nDocs = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val dfRel = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val score = col("tf") * log(lit(nDocs) / col("df"))
+    val score = col("tf") * log(col("n_docs") / col("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(round(score, 9).desc, col("token"))
     tf.join(dfRel, "token")
+      .crossJoin(broadcast(nDocs))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("doc_id"), col("rank"), col("token"), round(score, 6).as("tfidf"))
@@ -187,12 +189,15 @@ object LlmCuration {
     val tok = Tables.t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
     val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val total = tok.count().toDouble // bounded driver scalar
+    // corpus token total folded in as a broadcast 1-row aggregate
+    // (VERDICT r13 #5) — one lazy plan, no extra driver job
+    val total = freq.agg(sum(col("cnt")).cast(DoubleType).as("n_total"))
     tok.join(freq, "token")
+      .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_tokens"),
-        (sum(log(col("cnt") / total).cast(DecimalType(38, 12))).cast(DoubleType) /
+        (sum(log(col("cnt") / col("n_total")).cast(DecimalType(38, 12))).cast(DoubleType) /
           count(lit(1))).as("ll"),
       )
       .select(col("doc_id"), col("n_tokens"), round(col("ll"), 6).as("avg_ll"))

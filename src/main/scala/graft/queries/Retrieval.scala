@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Full-text retrieval over the documents corpus: BM25 — the ranking
   * function every search-backed data pipeline (RAG corpus selection,
@@ -32,18 +33,18 @@ object Retrieval {
     * the corpus; the scored relation is |postings of the 5 query
     * terms| after a broadcast semi-join on term — never corpus-sized;
     * top-k per query is a 5-partition WindowGroupLimit. The two corpus
-    * scalars (N, total token count) are parquet-metadata-cheap
-    * aggregates, the same bounded-driver-scalar device as tfidf.
+    * scalars (N, average doc length) ride a broadcast 1-row aggregate
+    * folded into the plan — the whole query is one lazy dataflow.
     */
   def bm25TopK(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(s, dir, "documents")
     val withDl = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
-    // bounded driver scalars: corpus size and average doc length
-    val Array(nDocs, sumDl) = withDl
-      .agg(count(lit(1)), sum(col("dl"))).head().toSeq.toArray
-      .map(_.asInstanceOf[Long])
-    val avgdl = sumDl.toDouble / nDocs
+    // corpus size + average doc length folded in as a broadcast 1-row
+    // aggregate (VERDICT r13 #5) — mirrors the oracle's `stats` CTE
+    val tot = withDl.agg(
+      count(lit(1)).cast(DoubleType).as("n_docs"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
     val tf = withDl
       .select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -52,14 +53,15 @@ object Retrieval {
       .orderBy(col("df").desc, col("term")).limit(NQueries)
     val dl = withDl.select(col("doc_id"), col("dl"))
     val idf = log(
-      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-    val norm = lit(1.0) - lit(B) + lit(B) * col("dl") / lit(avgdl)
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val norm = lit(1.0) - lit(B) + lit(B) * col("dl") / col("avgdl")
     val score = idf * (col("tf") * lit(K1 + 1.0)) / (col("tf") + lit(K1) * norm)
     val w = Window.partitionBy(col("qterm"))
       .orderBy(round(score, 9).desc, col("doc_id"))
     tf.join(broadcast(queries.withColumnRenamed("term", "qterm")),
         col("term") === col("qterm"))
       .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("qterm"), col("rank"), col("doc_id"), round(score, 6).as("bm25"))

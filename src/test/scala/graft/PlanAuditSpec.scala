@@ -159,7 +159,12 @@ class PlanAuditSpec extends SparkSpec {
       // kHop seed-nation min, same folding
       "gr_khop",
       // 1-row pivoted 8-rule merge table broadcast onto the vocab
-      "cu_bpe_apply")
+      "cu_bpe_apply",
+      // r14 scalar foldings: 1-row corpus stats (bm25 N/avgdl, tfidf N,
+      // unigram token total, KS n_all, salsa start mass, k-core /
+      // jaccard support threshold)
+      "ta_bm25_topk", "ta_tfidf", "ta_unigram_ll", "ops_ks_drift",
+      "gr_salsa", "gr_kcore", "gr_sim_neighbors")
 
   // the oracle-less bench-only twins stay under the same plan audit:
   // they run in every bench even though they left the correctness map
@@ -335,7 +340,10 @@ class PlanAuditSpec extends SparkSpec {
       // kHop seed-nation min, same folding
       "gr_khop",
       // 1-row pivoted 8-rule merge table broadcast onto the vocab
-      "cu_bpe_apply")
+      "cu_bpe_apply",
+      // r14 scalar foldings (see bnljAllowed)
+      "ta_tfidf", "ta_unigram_ll", "ops_ks_drift",
+      "gr_salsa", "gr_kcore", "gr_sim_neighbors")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>
