@@ -40,10 +40,17 @@ object Sessions {
 
   def local(appName: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle width defaults to the core count (right for the sf0.1
+    // bench volume) but is overridable: partition count must scale
+    // with DATA so per-partition working sets stay memory-resident —
+    // on a cluster this is the knob you raise with corpus size (AQE
+    // then coalesces what's genuinely small). The ≥30× ScaleBench
+    // growth runs use this to keep the measurement regime-honest.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = applyCommon(SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus))
+      .config("spark.sql.shuffle.partitions", shuffle))
       .getOrCreate()
     finish(spark, "WARN")
   }
