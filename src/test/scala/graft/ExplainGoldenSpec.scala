@@ -91,7 +91,14 @@ class ExplainGoldenSpec extends SparkSpec {
     assert(count(plan, "InMemoryTableScan") >= 4,
       "sweeps must consume the cached trade relation")
     assert(!plan.contains("Window"), "SALSA is pure join+aggregate, no window pass")
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // the ONLY BroadcastNestedLoopJoin allowed since r14 is the 1-row
+    // hub-count aggregate (uniform start mass) folded in as a
+    // broadcast cross join; it prints twice because the final output
+    // UNIONs the auth and hub sweeps and both branches derive from
+    // the same seeded-hub subtree
+    assert(count(plan, "BroadcastNestedLoopJoin") <= 2,
+      "only the 1-row start-mass broadcast may nested-loop")
+    assert(!plan.contains("CartesianProduct"))
     spark.catalog.clearCache()
   }
 

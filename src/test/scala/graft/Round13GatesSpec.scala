@@ -212,7 +212,10 @@ class Round13GatesSpec extends SparkSpec {
       val rank = if (w == 0) 55L else 55L - (64 - java.lang.Long.numberOfLeadingZeros(w))
       if (rank > regs(bucket)) regs(bucket) = rank
     }
-    assert(got.getSeq[Long](4).toSeq === regs.toSeq, "register mismatch")
+    // registers ship as the '|'-joined canonical string (OutputContract,
+    // r14: the driver's pandas compare cannot hash array cells)
+    assert(got.getString(4).split('|').map(_.toLong).toSeq === regs.toSeq,
+      "register mismatch")
     val sScaled = regs.map(r => 1L << (55 - r)).sum
     assert(got.getLong(3) === sScaled)
     val vZero = regs.count(_ == 0L)
