@@ -231,10 +231,16 @@ object ScaleBench {
     // graft.graph.salts switch engages end-to-end at scale.
     sys.env.get("SPARK_GRAFT_SCALE_GRAPHX").foreach { spec =>
       val copies = spec.toInt
+      // SPARK_GRAFT_SCALE_GRAPHX_ONLY: comma-separated subset of the
+      // graphx query names — re-measure one row (e.g. pagerank at
+      // 100×) without paying for the whole set
+      val gOnly = sys.env.get("SPARK_GRAFT_SCALE_GRAPHX_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      def keep(n: String): Boolean = gOnly.forall(_.contains(n))
       val dDir = s"/tmp/graft_scale_graphx_$copies"
       val zDir = s"/tmp/graft_scale_densify_$copies"
       synthesizeGraphDisjoint(spark, baseDir, dDir, copies)
-      synthesizeDensify(spark, baseDir, zDir, copies)
+      if (keep("gr_kcore")) synthesizeDensify(spark, baseDir, zDir, copies)
       def run(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
         val t0 = System.nanoTime()
         fn(spark, dir).write.mode("overwrite").format("noop").save()
@@ -245,8 +251,9 @@ object ScaleBench {
         "gr_pagerank" -> graft.queries.Graph.pageRank _,
         "gr_triangles" -> graft.queries.Graph.coTriangles _,
         "dd_clusters" -> graft.queries.LlmDedup.dedupClusters _)
+        .filter(q => keep(q._1))
       disjoint.foreach { case (_, fn) => run(fn, baseDir) } // warmup
-      run(graft.queries.Graph.kCore _, baseDir)
+      if (keep("gr_kcore")) run(graft.queries.Graph.kCore _, baseDir)
       println(s"| query | regime | t(1x) s | t(${copies}x) s | ratio |")
       println("|---|---|---|---|---|")
       val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
@@ -255,13 +262,13 @@ object ScaleBench {
         println(f"| $name | disjoint | $t1%.2f | $tn%.2f | ${tn / t1}%.1fx |")
         rows += ((name, t1, tn))
       }
-      locally {
+      if (keep("gr_kcore")) {
         val t1 = run(graft.queries.Graph.kCore _, baseDir)
         val tn = run(graft.queries.Graph.kCore _, zDir)
         println(f"| gr_kcore | densify | $t1%.2f | $tn%.2f | ${tn / t1}%.1fx |")
         rows += (("gr_kcore", t1, tn))
       }
-      locally { // salts engagement: same corpus, switch on, result parity-checked by SkewGraphSpec
+      if (keep("gr_pagerank_salts4")) { // salts engagement: same corpus, switch on, result parity-checked by SkewGraphSpec
         spark.conf.set(graft.queries.Graph.SaltsConf, "4")
         val tn = run(graft.queries.Graph.pageRank _, dDir)
         spark.conf.set(graft.queries.Graph.SaltsConf, "0")
