@@ -435,6 +435,7 @@ object ScaleBench {
       "cu_target_encode" -> graft.queries.TrainingPrep.targetEncode _,
       "cu_bpe_merges" -> graft.queries.TrainingPrep.bpeMerges _,
       "cu_bpe_apply" -> graft.queries.TrainingPrep.bpeApply _,
+      "cu_bpe_fertility" -> graft.queries.TrainingPrep.bpeFertility _,
       // round-12 additions
       "st_runs_test" -> graft.queries.StreamingGates.runsTest _,
       "gr_harmonic" -> graft.queries.Graph.harmonic _,

@@ -330,7 +330,11 @@ object TrainingPrep {
     * character granularity. Final top-k rank is over (freq, word)
     * with integer keys — nothing floats.
     */
-  def bpeApply(s: SparkSession, dir: String): DataFrame = {
+  /** Shared chain behind [[bpeApply]] and [[bpeFertility]]: per-word
+    * (w, freq, n_tokens, tokens) after the full 8-round merge
+    * application over the vocabulary relation.
+    */
+  private def bpeTokenized(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val words = Tables.t(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
@@ -382,6 +386,11 @@ object TrainingPrep {
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           t => t.getField("tok")), "|").as("tokens"))
+  }
+
+  def bpeApply(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bpeTokenized(s, dir)
       .withColumn("rank", row_number().over(
         Window.partitionBy().orderBy(col("freq").desc, col("w"))))
       .filter(col("rank") <= BpeApplyTopWords)
@@ -390,7 +399,40 @@ object TrainingPrep {
       .orderBy(col("rank"))
   }
 
-  val bpeApplyOracle: String = {
+  /** Tokenizer FERTILITY diagnostic over the trained BPE (the standard
+    * tokenizer-eval number in LLM data work — how many subword tokens
+    * an average word costs, and how many characters a token carries):
+    * corpus-frequency-weighted tokens/word and chars/token, stratified
+    * by word-length bucket so the place fertility degrades (long-tail
+    * long words) is visible. All accumulations are exact BIGINTs over
+    * the vocabulary relation; the two ratios are single rounded
+    * divisions — and the whole chain reuses [[bpeTokenized]], so the
+    * merge semantics cannot drift between the apply and eval gates.
+    */
+  def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val bucket = when(length(col("w")) <= 4, "len_2_4")
+      .when(length(col("w")) <= 8, "len_5_8")
+      .otherwise("len_9p")
+    bpeTokenized(s, dir)
+      .select(bucket.as("bucket"), col("w"), col("freq"), col("n_tokens"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("freq")).as("n_words"),
+        sum(col("freq") * length(col("w")).cast(LongType)).as("n_chars"),
+        sum(col("freq") * col("n_tokens")).as("n_subtokens"))
+      .select(col("bucket"), col("n_types"), col("n_words"), col("n_chars"),
+        col("n_subtokens"),
+        round(col("n_subtokens").cast(DoubleType) /
+          col("n_words").cast(DoubleType), 6).as("fertility"),
+        round(col("n_chars").cast(DoubleType) /
+          col("n_subtokens").cast(DoubleType), 6).as("chars_per_token"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Shared oracle WITH-chain ending at the `agg` CTE
+    * (w, freq, n_tokens, tokens) — the SQL twin of [[bpeTokenized]].
+    */
+  private val bpeChainSql: String = {
     val ruleCols = (1 to BpeApplyRules)
       .map(r => s"max(CASE WHEN rank = $r THEN pair END) AS pair_$r")
       .mkString(", ")
@@ -432,13 +474,31 @@ object TrainingPrep {
        |agg AS (
        |  SELECT w, freq, COUNT(*) AS n_tokens,
        |    string_agg(tok, '|' ORDER BY pos) AS tokens
-       |  FROM t$BpeApplyRules GROUP BY 1, 2),
+       |  FROM t$BpeApplyRules GROUP BY 1, 2)""".stripMargin
+  }
+
+  val bpeApplyOracle: String =
+    s"""$bpeChainSql,
        |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY freq DESC, w) AS rank
        |  FROM agg)
        |SELECT CAST(rank AS BIGINT) AS rank, w AS word, freq,
        |  CAST(n_tokens AS BIGINT) AS n_tokens, tokens
        |FROM rk WHERE rank <= $BpeApplyTopWords ORDER BY rank""".stripMargin
-  }
+
+  val bpeFertilityOracle: String =
+    s"""$bpeChainSql
+       |SELECT
+       |  CASE WHEN len(w) <= 4 THEN 'len_2_4'
+       |    WHEN len(w) <= 8 THEN 'len_5_8' ELSE 'len_9p' END AS bucket,
+       |  COUNT(*) AS n_types,
+       |  CAST(SUM(freq) AS BIGINT) AS n_words,
+       |  CAST(SUM(freq * len(w)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(freq * n_tokens) AS BIGINT) AS n_subtokens,
+       |  round(CAST(SUM(freq * n_tokens) AS DOUBLE)
+       |    / CAST(SUM(freq) AS DOUBLE), 6) AS fertility,
+       |  round(CAST(SUM(freq * len(w)) AS DOUBLE)
+       |    / CAST(SUM(freq * n_tokens) AS DOUBLE), 6) AS chars_per_token
+       |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val EncodeFolds = 5
 
@@ -654,6 +714,7 @@ object TrainingPrep {
     QueryDef("cu_span_corrupt", spanCorrupt, Some(spanCorruptOracle)),
     QueryDef("cu_bpe_merges", bpeMerges, Some(bpeMergesOracle)),
     QueryDef("cu_bpe_apply", bpeApply, Some(bpeApplyOracle)),
+    QueryDef("cu_bpe_fertility", bpeFertility, Some(bpeFertilityOracle)),
     QueryDef("cu_target_encode", targetEncode, Some(targetEncodeOracle)),
     QueryDef("cu_cdc_chunk", cdcChunk, Some(cdcOracle)),
     QueryDef("cu_chunk_sliding", chunkSliding, Some(chunkOracle)),

@@ -159,7 +159,7 @@ class PlanAuditSpec extends SparkSpec {
       // kHop seed-nation min, same folding
       "gr_khop",
       // 1-row pivoted 8-rule merge table broadcast onto the vocab
-      "cu_bpe_apply",
+      "cu_bpe_apply", "cu_bpe_fertility",
       // r14 scalar foldings: 1-row corpus stats (bm25 N/avgdl, tfidf N,
       // unigram token total, KS n_all, salsa start mass, k-core /
       // jaccard support threshold)
@@ -340,7 +340,7 @@ class PlanAuditSpec extends SparkSpec {
       // kHop seed-nation min, same folding
       "gr_khop",
       // 1-row pivoted 8-rule merge table broadcast onto the vocab
-      "cu_bpe_apply",
+      "cu_bpe_apply", "cu_bpe_fertility",
       // r14 scalar foldings (see bnljAllowed)
       "ta_tfidf", "ta_unigram_ll", "ops_ks_drift",
       "gr_salsa", "gr_kcore", "gr_sim_neighbors")

@@ -69,4 +69,50 @@ class Round14GatesSpec extends SparkSpec {
     assert(got.exists(r => r.getLong(3) < r.getString(1).length.toLong),
       "no merge fired on any top word — rule application is vacuous")
   }
+
+  test("cu_bpe_fertility: bucket moments replay the imperative encoder") {
+    val got = TrainingPrep.bpeFertility(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got.nonEmpty)
+    // same imperative trainer+encoder as the apply replay
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("text").collect().iterator
+      .flatMap(_.getString(0).split(" ", -1))
+      .filter(_.length >= 2)
+      .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairCounts = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- words; i <- 0 until w.length - 1) {
+      val p = w.substring(i, i + 2)
+      pairCounts(p) = pairCounts.getOrElse(p, 0L) + f
+    }
+    val rules = pairCounts.toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(8).map(_._1)
+    def applyRule(toks: Vector[String], pair: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) + toks(i + 1) == pair) {
+          out += toks(i) + toks(i + 1); i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.result()
+    }
+    def nTok(w: String): Long =
+      rules.foldLeft(w.map(_.toString).toVector)(applyRule).length.toLong
+    def bucket(w: String): String =
+      if (w.length <= 4) "len_2_4" else if (w.length <= 8) "len_5_8" else "len_9p"
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = words.toSeq.groupBy { case (w, _) => bucket(w) }.toSeq
+      .sortBy(_._1).map { case (b, ws) =>
+        val nTypes = ws.size.toLong
+        val nWords = ws.map(_._2).sum
+        val nChars = ws.map { case (w, f) => f * w.length }.sum
+        val nSub = ws.map { case (w, f) => f * nTok(w) }.sum
+        (b, nTypes, nWords, nChars, nSub,
+          r6(nSub.toDouble / nWords), r6(nChars.toDouble / nSub))
+      }
+    assert(got === expected)
+  }
 }
