@@ -36,37 +36,47 @@ object StatOps {
     * AND tie-order-independent.
     *
     * Determinism: spend is exact cents (round(price·100) → BIGINT,
-    * the [[DataOps.benford]] device), row_number is integer, both
-    * sums aggregate as DECIMAL(38,0); one double division at the end.
+    * the [[DataOps.benford]] device), ranks are integer, both sums
+    * aggregate as DECIMAL(38,0); one double division at the end.
     *
-    * Scale shape: one fact hash aggregate (custkey cents), one
-    * broadcast dim join for the segment, one customer-sized window
-    * per segment (never fact-sized), final 5-row aggregate. At 100 TB
-    * the window sorts |customers|/|segments| rows per partition — the
-    * dimension's cardinality, not the fact's.
+    * Scale shape (VERDICT r14 #2 — the [[DistRank]] migration): the
+    * old per-segment row_number window sorted |customers|/|segments|
+    * rows in ONE task each. Σ i·x over a tie block is tie-order
+    * invariant (scaladoc above), so it collapses to the exact block
+    * algebra 2·Σ i·x = x·(2·eq·lt + eq² + eq) on the (segment, cents)
+    * value histogram — one fact hash aggregate, [[DistRank.prefixLt]]
+    * (bucketed two-level prefix sums, no global sort), one 5-row
+    * aggregate. Bit-identical to the window form (DistRankSpec).
     */
   def gini(s: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(38, 0)
     val spend = Tables.t(s, dir, "orders")
       .select(col("o_custkey"),
         round(col("o_totalprice") * 100).cast(LongType).as("c"))
       .groupBy(col("o_custkey"))
-      .agg(sum(col("c").cast(DecimalType(38, 0))).cast(LongType).as("cents"))
+      .agg(sum(col("c").cast(d)).cast(LongType).as("cents"))
     // no broadcast hint on customer: catalog-sized, AQE picks the
     // strategy (a forced hint OOMs the driver at 100 TB — PlanAuditSpec)
     val seg = spend
       .join(Tables.t(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("c_mktsegment"))
-          .orderBy(col("cents"), col("o_custkey"))))
-    seg.groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_customers"),
-        sum(col("cents").cast(DecimalType(38, 0))).as("s"),
-        sum((col("rn") * col("cents")).cast(DecimalType(38, 0))).as("s1"))
+    val blocks = DistRank.prefixLt(
+      seg.groupBy(col("c_mktsegment"), col("cents"))
+        .agg(count(lit(1)).as("eq")),
+      Seq("c_mktsegment"), "cents", Seq("eq"))
+    // 2·Σ rn·cents over the block at rank interval [lt+1, lt+eq]:
+    // cents·(2·eq·lt + eq·(eq+1)) — decimal-first products so the
+    // algebra stays exact past 2^63 at full scale
+    blocks.groupBy(col("c_mktsegment"))
+      .agg(sum(col("eq")).as("n_customers"),
+        sum(col("cents").cast(d) * col("eq")).as("s"),
+        sum(col("cents").cast(d) *
+          (col("eq").cast(d) * col("eq_lt") * 2 +
+            col("eq").cast(d) * (col("eq") + 1))).as("s1x2"))
       .select(col("c_mktsegment"), col("n_customers"),
         col("s").cast(LongType).as("total_cents"),
-        round((lit(2) * col("s1") - (col("n_customers") + 1) * col("s"))
+        round((col("s1x2") - (col("n_customers") + 1) * col("s"))
           .cast(DoubleType)
           / (col("n_customers") * col("s")).cast(DoubleType), 6).as("gini"))
       .orderBy(col("c_mktsegment"))
@@ -242,29 +252,32 @@ object StatOps {
     * DECIMAL(38,0) and the Pearson-on-ranks formula crosses to double
     * once: ρ = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)).
     *
-    * Scale shape: one fact aggregate (lines per order), a broadcast-
-    * free order-sized join, two order-sized rank windows per group,
-    * one 5-row moment aggregate. At 100 TB the windows sort
-    * |orders|/|priorities| rows — order-book-sized, map-combined
-    * moments after that.
+    * Scale shape (VERDICT r14 #2 — [[DistRank]] migration): the old
+    * form ran two |orders|/|priorities|-sized rank windows. The
+    * doubled midrank 2·rank_min + ties − 1 = 2·cnt_lt + cnt_eq + 1
+    * is a pure function of the (pri, value) histogram, so each rank
+    * becomes [[DistRank.midrank2]] (hash aggregate + bucketed prefix
+    * sums) joined back to the order relation on its own value key —
+    * two scalable equi-joins instead of two single-task sorts; one
+    * 5-row moment aggregate after. Bit-identical (DistRankSpec).
     */
   def spearman(s: SparkSession, dir: String): DataFrame = {
     val lines = Tables.t(s, dir, "lineitem")
       .groupBy(col("l_orderkey")).agg(count(lit(1)).as("y"))
+    // persisted: feeds both midrank histograms AND the final moment
+    // join — one orders⋈lines pass instead of three
     val xy = Tables.t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority").as("pri"),
         round(col("o_totalprice") * 100).cast(LongType).as("x"))
       .join(lines, col("o_orderkey") === col("l_orderkey"))
-    val rx2 = (lit(2) * rank().over(
-      Window.partitionBy(col("pri")).orderBy(col("x")))
-      + count(lit(1)).over(Window.partitionBy(col("pri"), col("x"))) - 1)
-      .cast(LongType)
-    val ry2 = (lit(2) * rank().over(
-      Window.partitionBy(col("pri")).orderBy(col("y")))
-      + count(lit(1)).over(Window.partitionBy(col("pri"), col("y"))) - 1)
-      .cast(LongType)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rx = DistRank.midrank2(xy.select(col("pri"), col("x")),
+      Seq("pri"), "x").select(col("pri"), col("x"), col("r2").as("rx"))
+    val ry = DistRank.midrank2(xy.select(col("pri"), col("y")),
+      Seq("pri"), "y").select(col("pri"), col("y"), col("r2").as("ry"))
     val d = DecimalType(38, 0)
-    xy.select(col("pri"), rx2.as("rx"), ry2.as("ry"))
+    xy.join(rx, Seq("pri", "x")).join(ry, Seq("pri", "y"))
+      .select(col("pri"), col("rx"), col("ry"))
       .groupBy(col("pri"))
       .agg(count(lit(1)).as("n"),
         sum(col("rx").cast(d)).as("sx"), sum(col("ry").cast(d)).as("sy"),
@@ -399,35 +412,35 @@ object StatOps {
     * (Lehmann 1975), with the tie spectrum Σ(t³−t) summed exactly
     * from integer tie counts.
     *
-    * Scale shape: one fact-sized rank window per type (the spearman
-    * shape), one map-combined aggregate for the rank sums, one
-    * aggregate over the DISTINCT-value relation for the tie spectrum;
-    * the final formula runs on 5 rows.
+    * Scale shape (VERDICT r14 #2 — [[DistRank]] migration): ONE
+    * map-combined hash aggregate to the (type, value) histogram
+    * carrying the per-value A-arm split, [[DistRank.midrank2]] for the
+    * doubled midranks (bucketed prefix sums — no fact-sized window),
+    * then rank sums AND the tie spectrum fall out of the same
+    * histogram in one 5-row aggregate. Bit-identical (DistRankSpec).
     */
   def mannWhitney(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.t(s, dir, "events")
       .select(col("event_type").as("t"),
         when(col("user_id") % 2 === 0, "A").otherwise("B").as("arm"),
         col("value"))
-    val r2 = (lit(2) * rank().over(
-      Window.partitionBy(col("t")).orderBy(col("value")))
-      + count(lit(1)).over(Window.partitionBy(col("t"), col("value"))) - 1)
-      .cast(LongType)
     val d = DecimalType(38, 0)
-    val agg = ev.withColumn("r2", r2)
+    val hist = DistRank.midrank2(ev, Seq("t"), "value",
+      Seq("na_v" -> sum(when(col("arm") === "A", 1L).otherwise(0L))))
+    val agg = hist
       .groupBy(col("t"))
-      .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
-        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
-        sum(when(col("arm") === "A", col("r2").cast(d))).as("s2a"))
-    val ties = ev.groupBy(col("t"), col("value")).agg(count(lit(1)).as("tt"))
-      .groupBy(col("t"))
-      .agg(sum((col("tt") * col("tt") * col("tt") - col("tt")).cast(d)).as("tie3"))
+      .agg(sum(col("na_v")).as("n_a"),
+        sum(col("eq") - col("na_v")).as("n_b"),
+        // when-guard keeps the no-A-rows degenerate case NULL, exactly
+        // like the old CASE-summed form (and the oracle's)
+        sum(when(col("na_v") > 0, col("r2").cast(d) * col("na_v"))).as("s2a"),
+        sum(col("eq").cast(d) * col("eq") * col("eq") - col("eq")).as("tie3"))
     val num2 = col("s2a") - col("n_a") * (col("n_a") + 1) - col("n_a") * col("n_b")
     val bigN = col("n_a") + col("n_b")
     val varU = (col("n_a") * col("n_b")).cast(DoubleType) / 12.0 *
       ((bigN + 1).cast(DoubleType) -
         col("tie3").cast(DoubleType) / (bigN * (bigN - 1)).cast(DoubleType))
-    agg.join(ties, "t")
+    agg
       .select(col("t").as("event_type"), col("n_a"), col("n_b"),
         ((col("s2a") - col("n_a") * (col("n_a") + 1)).cast(DoubleType) / 2.0)
           .as("u_a"),
@@ -746,26 +759,49 @@ object StatOps {
     * revenue" curve, and the per-decile decomposition of where the
     * Gini number comes from.
     *
-    * Scale shape: same as gini — fact aggregate to customer spend,
-    * dim join, customer-sized rank window, then everything runs on
-    * the 5×10 decile grid (window sums over ≤50 rows).
+    * Scale shape (VERDICT r14 #2 — [[DistRank]] migration): same
+    * front as gini — fact aggregate to customer spend, dim join, then
+    * the per-segment NTILE collapses onto the (segment, cents) value
+    * histogram: a tie block occupies the EXACT rank interval
+    * [lt+1, lt+eq] (cents is the sort key, custkey only permutes
+    * equal-cents customers, and both the per-decile count and cent
+    * sum are invariant under that permutation), so an interval-
+    * overlap join against [[DistRank.tileBounds]]'s 50-row decile
+    * boundary relation yields every decile aggregate with no
+    * customer-sized sort. Window sums stay on the ≤50-row grid.
+    * Bit-identical (DistRankSpec pins tileBounds against ntile).
     */
   def lorenzDeciles(s: SparkSession, dir: String): DataFrame = {
+    val d0 = DecimalType(38, 0)
     val spend = Tables.t(s, dir, "orders")
       .select(col("o_custkey"),
         round(col("o_totalprice") * 100).cast(LongType).as("c"))
       .groupBy(col("o_custkey"))
-      .agg(sum(col("c").cast(DecimalType(38, 0))).cast(LongType).as("cents"))
+      .agg(sum(col("c").cast(d0)).cast(LongType).as("cents"))
     val seg = spend
       .join(Tables.t(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
-      .withColumn("decile", ntile(10).over(
-        Window.partitionBy(col("c_mktsegment"))
-          .orderBy(col("cents"), col("o_custkey"))))
-    val grid = seg.groupBy(col("c_mktsegment"), col("decile"))
-      .agg(count(lit(1)).as("n_customers"),
-        sum(col("cents").cast(DecimalType(38, 0))).as("sm"))
+    val blocks = DistRank.prefixLt(
+      seg.groupBy(col("c_mktsegment"), col("cents"))
+        .agg(count(lit(1)).as("eq")),
+      Seq("c_mktsegment"), "cents", Seq("eq"))
+    val sizes = blocks.groupBy(col("c_mktsegment")).agg(sum(col("eq")).as("n"))
+    val tiles = DistRank.tileBounds(sizes, "n", 10)
+      .select(col("c_mktsegment").as("seg_t"), col("tile").as("decile"),
+        col("tile_lo"), col("tile_hi"))
+    // equi-join on segment + interval-overlap residual; the tile side
+    // is 5 segments × 10 deciles = 50 broadcast rows
+    val overlap = blocks.join(broadcast(tiles),
+      col("c_mktsegment") === col("seg_t") &&
+        col("eq_lt") + 1 <= col("tile_hi") &&
+        col("eq_lt") + col("eq") >= col("tile_lo"))
+      .withColumn("k",
+        least(col("tile_hi"), col("eq_lt") + col("eq")) -
+          greatest(col("tile_lo"), col("eq_lt") + 1) + 1)
+    val grid = overlap.groupBy(col("c_mktsegment"), col("decile"))
+      .agg(sum(col("k")).as("n_customers"),
+        sum(col("cents").cast(d0) * col("k")).as("sm"))
     val wSeg = Window.partitionBy(col("c_mktsegment"))
     grid
       .withColumn("total", sum(col("sm")).over(wSeg))
@@ -1144,9 +1180,14 @@ object StatOps {
     * single divisions; the lift is ONE division of the exact integer
     * cross-ratio cum_resp·total_users / (cum_users·total_resp).
     *
-    * Scale shape: one fact pass to the user grid (the [[cuped]]
-    * period device), one user-sized NTILE window, windowed sums on
-    * the 10-row decile grid.
+    * Scale shape (VERDICT r14 #2 — [[DistRank]] migration): one fact
+    * pass to the user grid (the [[cuped]] period device), then the
+    * global NTILE decomposes as [[DistRank.rowNumber]] (bucketed
+    * two-level rank — the (pre_vm, user_id) key is unique, so ranks
+    * are exact with no tie algebra) + the SQL-standard closed form
+    * [[DistRank.ntileOf]] against the broadcast 1-row user count;
+    * windowed sums on the 10-row decile grid. Bit-identical
+    * (DistRankSpec pins both primitives against the window forms).
     */
   def gainsCurve(s: SparkSession, dir: String): DataFrame = {
     val users = withPeriod(Tables.t(s, dir, "events"))
@@ -1156,8 +1197,14 @@ object StatOps {
           round(col("value") * 1000000).cast(LongType))), lit(0L)).as("pre_vm"),
         sum(when(col("period") === "post" &&
           col("event_type") === "purchase", 1L).otherwise(0L)).as("resp"))
-    val ranked = users.withColumn("decile", ntile(10).over(
-      Window.orderBy(col("pre_vm").desc, col("user_id"))))
+    val rn = DistRank
+      .rowNumber(users, Nil, "pre_vm", desc = true, Seq("user_id"), "rn")
+    // n = max(rn) reads the rank relation the device already persisted
+    // (one cheap cached pass), instead of re-running the fact aggregate
+    val nTot = rn.agg(max(col("rn")).as("n"))
+    val ranked = rn
+      .crossJoin(broadcast(nTot))
+      .withColumn("decile", DistRank.ntileOf(col("rn"), col("n"), 10))
     val grid = ranked.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_users"), sum(col("resp")).as("responses"))
     val w = Window.partitionBy()
@@ -1670,25 +1717,33 @@ object StatOps {
     * DECIMAL(38,12) (the [[chi2Assoc]] device), so the statistic is
     * order-of-aggregation-independent.
     *
-    * Scale shape: one global rank window (a range-partitioned sort of
-    * the value column — the same shape as [[spearman]]; at 100 TB the
-    * rank would come from a two-pass histogram, same algebra), one
-    * hash aggregate to the k-row group grid, one vm-grouped tie
-    * aggregate whose 1-row total joins the grid (bounded broadcast).
+    * Scale shape (VERDICT r14 #2 — [[DistRank]] migration, the
+    * two-pass histogram the old scaladoc promised): one map-combined
+    * hash aggregate to the (group, value) histogram, a second tiny
+    * aggregate to the distinct-value grid, [[DistRank.prefixLt]] for
+    * the global cumulative counts (bucketed — no single-task sort),
+    * one equi-join of the two histograms on the value key, then the
+    * k-row group grid. The tie spectrum reads the same value grid.
+    * Bit-identical to the window form (DistRankSpec).
     */
   def kruskalWallis(s: SparkSession, dir: String): DataFrame = {
     val d = DecimalType(38, 0)
     val ev = Tables.t(s, dir, "events")
       .select(col("event_type").as("grp"),
         round(col("value") * 1000000).cast(LongType).as("vm"))
-    val ranked = ev
-      .withColumn("rmin", rank().over(Window.orderBy(col("vm"))))
-      .withColumn("tcnt", count(lit(1)).over(Window.partitionBy(col("vm"))))
-      .withColumn("r2", lit(2L) * col("rmin") + col("tcnt") - lit(1L))
-    val grp = ranked.groupBy(col("grp"))
-      .agg(count(lit(1)).as("n"), sum(col("r2").cast(d)).as("s2"))
-    val ties = ev.groupBy(col("vm")).agg(count(lit(1)).as("t"))
-      .agg(coalesce(sum((col("t") * col("t") * col("t") - col("t")).cast(d)),
+    // one fact pass; every later relation is histogram-sized
+    val histGV = ev.groupBy(col("grp"), col("vm"))
+      .agg(count(lit(1)).as("cg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val histV = DistRank.prefixLt(
+      histGV.groupBy(col("vm")).agg(sum(col("cg")).as("eq")),
+      Nil, "vm", Seq("eq"))
+      .withColumn("r2", lit(2L) * col("eq_lt") + col("eq") + lit(1L))
+    val grp = histGV.join(histV.select(col("vm"), col("r2")), "vm")
+      .groupBy(col("grp"))
+      .agg(sum(col("cg")).as("n"), sum(col("r2").cast(d) * col("cg")).as("s2"))
+    val ties = histV
+      .agg(coalesce(sum(col("eq").cast(d) * col("eq") * col("eq") - col("eq")),
         lit(0).cast(d)).as("tie3"))
     val wall = Window.partitionBy()
     val h = lit(3.0) * col("ssd") /
@@ -1875,9 +1930,11 @@ object StatOps {
     * AUC = (Σ2r₊ − n₁(n₁+1)) / (2n₁n₀) is an exact integer ratio
     * crossed to DOUBLE in one division; Gini = 2·AUC − 1 likewise.
     *
-    * Scale shape: one map-combined fact aggregate to users, one
-    * global rank window over the user grid (at 100 TB: two-pass
-    * histogram ranking, same algebra), one 1-row aggregate.
+    * Scale shape (VERDICT r14 #2 — the two-pass histogram ranking the
+    * old scaladoc promised, via [[DistRank.midrank2]]): one
+    * map-combined fact aggregate to users, one hash aggregate to the
+    * (score → count, positives) histogram with bucketed prefix sums —
+    * no global sort — then one 1-row aggregate.
     */
   def aucRoc(s: SparkSession, dir: String): DataFrame = {
     val d = DecimalType(38, 0)
@@ -1887,14 +1944,11 @@ object StatOps {
         max(when(col("event_type") === "purchase" &&
             get_json_object(col("props"), "$.k").cast(IntegerType) >= 95, 1L)
           .otherwise(0L)).as("label"))
-    val ranked = users
-      .withColumn("rmin", rank().over(Window.orderBy(col("score"))))
-      .withColumn("tcnt", count(lit(1)).over(Window.partitionBy(col("score"))))
-      .withColumn("r2", lit(2L) * col("rmin") + col("tcnt") - lit(1L))
-    val agg = ranked.agg(count(lit(1)).as("n_users"),
-      sum(col("label")).as("n_pos"),
-      sum(when(col("label") === 1L, col("r2")).otherwise(lit(0L)).cast(d))
-        .as("s2_pos"))
+    val hist = DistRank.midrank2(users, Nil, "score",
+      Seq("pos" -> sum(col("label"))))
+    val agg = hist.agg(sum(col("eq")).as("n_users"),
+      sum(col("pos")).as("n_pos"),
+      sum(col("r2").cast(d) * col("pos")).as("s2_pos"))
     agg.select(col("n_users"), col("n_pos"),
         (col("n_users") - col("n_pos")).as("n_neg"),
         (col("s2_pos").cast(d) - col("n_pos").cast(d) * (col("n_pos") + 1))

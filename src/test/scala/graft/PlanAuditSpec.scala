@@ -164,7 +164,15 @@ class PlanAuditSpec extends SparkSpec {
       // unigram token total, KS n_all, salsa start mass, k-core /
       // jaccard support threshold)
       "ta_bm25_topk", "ta_tfidf", "ta_unigram_ll", "ops_ks_drift",
-      "gr_salsa", "gr_kcore", "gr_sim_neighbors")
+      "gr_salsa", "gr_kcore", "gr_sim_neighbors",
+      // DistRank (VERDICT r14 #2): the device's 1-row global [min,max]
+      // bounds aggregate crossJoined onto the value histogram — the
+      // broadcast-1-row folding shape (partitioned gates join the
+      // |groups|-row bounds by key instead, no BNLJ)
+      "ops_auc_roc", "ops_jonckheere",
+      // r15: pageRank start-mass/teleport-base fold — the salsa-style
+      // broadcast 1-row node-count aggregate (VERDICT r14 #3)
+      "gr_pagerank")
 
   // the oracle-less bench-only twins stay under the same plan audit:
   // they run in every bench even though they left the correctness map
@@ -343,7 +351,17 @@ class PlanAuditSpec extends SparkSpec {
       "cu_bpe_apply", "cu_bpe_fertility",
       // r14 scalar foldings (see bnljAllowed)
       "ta_tfidf", "ta_unigram_ll", "ops_ks_drift",
-      "gr_salsa", "gr_kcore", "gr_sim_neighbors")
+      "gr_salsa", "gr_kcore", "gr_sim_neighbors",
+      // DistRank-migrated rank gates (VERDICT r14 #2): the device
+      // broadcasts its |groups|-row (or 1-row) bounds aggregate and
+      // its <= groups x 1024-row bucket-carry relation; lorenz adds
+      // the 50-row tileBounds decile-boundary relation. All
+      // cardinality-bounded by construction, never fact-sized.
+      // (kruskal/dunn/gains already appear above for prior devices.)
+      "ops_auc_roc", "ops_cliffs_delta", "ops_gini", "ops_jonckheere",
+      "ops_lorenz", "ops_mannwhitney", "ops_spearman",
+      // r15: pageRank node-count fold (see bnljAllowed)
+      "gr_pagerank")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>
@@ -353,6 +371,69 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"forced broadcast hints on non-constant-bounded relations: $offenders")
+  }
+
+  // Unpartitioned-window census (VERDICT r14 #2): a Window with an
+  // empty partitionSpec sorts its WHOLE input in one task — the
+  // scale-killer class the DistRank migration removed from the ten
+  // fact-sized rank gates. Every remaining unpartitioned window on
+  // the surface runs over a PROVABLY BOUNDED relation (an aggregate
+  // grid: k event types, 10 deciles/bins, <=1024 bucket totals, a
+  // distinct-lifetime/p-value/split-candidate grid) — pinned here by
+  // EXACT count per query so a new global window anywhere (or a new
+  // one sneaking into an allowed query) fails this audit and must
+  // justify its bounded input. DistRank's own carry windows partition
+  // by a constant, which the optimizer folds away — they surface here
+  // as unpartitioned, with input <= groups x 1024 totals rows.
+  private val unpartitionedWindowsAllowed: Map[String, Int] = Map(
+    // BPE: rule/vocab-grid scans (Heaps-bounded vocabulary relations)
+    "cu_bpe_apply" -> 2, "cu_bpe_fertility" -> 1, "cu_bpe_merges" -> 1,
+    // mixture weights: domain-count grids (5-ish rows)
+    "cu_domain_mix" -> 1, "cu_temperature_mix" -> 2,
+    // degree-histogram / degree-grid cumulatives (distinct-degree-sized)
+    "gr_degree_gini" -> 1, "gr_rich_club" -> 1,
+    // decile/bin/k-grid cumulative readouts
+    "ops_abc_xyz" -> 2, "ops_calibration_ece" -> 2, "ops_chi2_assoc" -> 2,
+    "ops_cmh_test" -> 4, "ops_emd_drift" -> 1, "ops_fdr_bh" -> 3,
+    "ops_fdr_by" -> 4, "ops_hill_tail" -> 2, "ops_isotonic_calib" -> 2,
+    "ops_ks_drift" -> 1, "ops_mood_median" -> 1, "ops_mutual_info" -> 4,
+    "ops_sprt_ab" -> 2, "ops_woe_iv" -> 2, "ops_best_split" -> 3,
+    // survival: distinct-lifetime grid windows
+    "ops_survival_km" -> 3, "ops_nelson_aalen" -> 3, "ops_logrank_test" -> 1,
+    // sketch summaries: 1-row register/sketch relations
+    "sk_kmv_intersect" -> 1,
+    // two-level prefix decomposition: day-level carry over the day grid
+    "st_concurrency" -> 1,
+    // community grid cumulative (community-count-sized)
+    "gr_modularity" -> 1,
+    // DistRank-migrated rank gates: the remaining unpartitioned
+    // windows are the device's bucket-carry (<=1024 totals rows) and
+    // the k-row/10-row result-grid cumulatives — never the fact
+    "ops_auc_roc" -> 1, "ops_dunn_test" -> 2, "ops_gains_curve" -> 4,
+    "ops_jonckheere" -> 1, "ops_kruskal_wallis" -> 3)
+
+  test("unpartitioned windows appear only over bounded grid relations (exact census)") {
+    val actual = auditSurface.sortBy(_._1).map { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.optimizedPlan
+      val n = plan.collectWithSubqueries {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }.size
+      name -> n
+    }.toMap
+    val drift = actual.filter { case (name, n) =>
+      n != unpartitionedWindowsAllowed.getOrElse(name, 0)
+    }
+    assert(drift.isEmpty,
+      s"unpartitioned-window census drift (query -> actual, expected): " +
+        drift.toSeq.sorted.map { case (k, v) =>
+          s"$k -> $v, ${unpartitionedWindowsAllowed.getOrElse(k, 0)}"
+        }.mkString("; "))
+    // stale allowlist entries rot the census — drop them when a query
+    // loses its windows
+    val stale = unpartitionedWindowsAllowed.keySet
+      .filter(k => actual.contains(k) && actual(k) == 0)
+    assert(stale.isEmpty, s"allowlist entries with zero actual windows: $stale")
   }
 
   test("rank-filter windows get the group-limit optimization (top-k never sorts full partitions)") {
