@@ -109,14 +109,22 @@ object Graph {
   private[graft] def pageRankPlan(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     val edges = tradeEdges(s, dir)
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // bounded driver scalar: node count (symmetric edges → every node
-    // appears as a src, so outdeg IS the node relation)
-    val n = outdeg.count()
-    val base = (Scale * 3L / 20L) / n // (1 - d) * Scale / n, d = 0.85
+    // node count folded in as a broadcast 1-row aggregate (VERDICT r14
+    // #3 — the salsa device, Graph.scala salsaPlan): symmetric edges →
+    // every node appears as a src, so outdeg IS the node relation. It
+    // seeds BOTH the uniform start mass and the per-iteration teleport
+    // base (1 − d)·Scale/n; the base rides the rank relation as a
+    // constant column (min() re-carries it through each aggregate), so
+    // the iteration never needs a literal and no .count() runs on the
+    // driver.
+    val nN = outdeg.agg(count(lit(1)).as("n_n"))
     val edgesD = edges.join(outdeg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val salts = s.conf.get(SaltsConf, "0").toInt
-    var ranks = outdeg.select(col("src").as("node"), lit(Scale / n).as("rank"))
+    var ranks = outdeg.crossJoin(broadcast(nN))
+      .select(col("src").as("node"),
+        expr(s"$Scale div n_n").as("rank"),
+        expr(s"($Scale * 3 div 20) div n_n").as("base"))
     for (_ <- 1 to Iters) {
       val contrib =
         if (salts > 1)
@@ -124,10 +132,11 @@ object Graph {
             ranks.withColumnRenamed("node", "src"), "src", col("dst"), salts)
         else edgesD.join(ranks, edgesD("src") === ranks("node"))
       ranks = contrib
-        .select(col("dst"), expr("rank div outdeg").as("contrib"))
-        .groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
+        .select(col("dst"), expr("rank div outdeg").as("contrib"), col("base"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("m"), min(col("base")).as("base"))
         .select(col("dst").as("node"),
-          (lit(base) + expr("(85 * m) div 100")).as("rank"))
+          (col("base") + expr("(85 * m) div 100")).as("rank"), col("base"))
     }
     val out = ranks
       .select(

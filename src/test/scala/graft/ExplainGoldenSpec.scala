@@ -42,7 +42,14 @@ class ExplainGoldenSpec extends SparkSpec {
       s"edge build must be checkpoint-truncated:\n${plan.take(1000)}")
     assert(count(plan, "InMemoryTableScan") >= 5,
       "each of the 5 iterations must consume the CACHED edgesD relation")
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // exactly ONE BroadcastNestedLoopJoin: the 1-row node-count
+    // aggregate folded into the seed relation (uniform start mass +
+    // teleport base, VERDICT r14 #3 — the salsa device). It appears
+    // once because the seed is built once, outside the iteration; the
+    // base constant then rides the rank relation as a column.
+    assert(count(plan, "BroadcastNestedLoopJoin") == 1,
+      "only the 1-row node-count seed broadcast may nested-loop")
+    assert(!plan.contains("CartesianProduct"))
     spark.catalog.clearCache()
   }
 
@@ -93,11 +100,13 @@ class ExplainGoldenSpec extends SparkSpec {
     assert(!plan.contains("Window"), "SALSA is pure join+aggregate, no window pass")
     // the ONLY BroadcastNestedLoopJoin allowed since r14 is the 1-row
     // hub-count aggregate (uniform start mass) folded in as a
-    // broadcast cross join; it prints twice because the final output
-    // UNIONs the auth and hub sweeps and both branches derive from
-    // the same seeded-hub subtree
-    assert(count(plan, "BroadcastNestedLoopJoin") <= 2,
-      "only the 1-row start-mass broadcast may nested-loop")
+    // broadcast cross join; it prints EXACTLY twice because the final
+    // output UNIONs the auth and hub sweeps and both branches derive
+    // from the same seeded-hub subtree. Pinned exact (ADVICE r14 #1):
+    // a relaxed <= bound would let a future genuinely-unbounded BNLJ
+    // pass whenever one of the seed copies optimized away.
+    assert(count(plan, "BroadcastNestedLoopJoin") == 2,
+      "exactly the two seeded-hub copies of the 1-row start-mass broadcast may nested-loop")
     assert(!plan.contains("CartesianProduct"))
     spark.catalog.clearCache()
   }
