@@ -244,8 +244,11 @@ object ScaleBench {
       def run(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
         val t0 = System.nanoTime()
         fn(spark, dir).write.mode("overwrite").format("noop").save()
+        // timestamp BEFORE cache teardown (ADVICE r14 #3): clearCache
+        // cost must not land in the growth ratios
+        val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        dt
       }
       val disjoint: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
         "gr_pagerank" -> graft.queries.Graph.pageRank _,
@@ -269,13 +272,23 @@ object ScaleBench {
         rows += (("gr_kcore", t1, tn))
       }
       if (keep("gr_pagerank_salts4")) { // salts engagement: same corpus, switch on, result parity-checked by SkewGraphSpec
+        // try/finally (ADVICE r14 #2): a throw inside the salted run
+        // must not leave the session-wide salt switch on for every
+        // later measurement in this JVM
         spark.conf.set(graft.queries.Graph.SaltsConf, "4")
-        val tn = run(graft.queries.Graph.pageRank _, dDir)
-        spark.conf.set(graft.queries.Graph.SaltsConf, "0")
+        val tn =
+          try run(graft.queries.Graph.pageRank _, dDir)
+          finally spark.conf.set(graft.queries.Graph.SaltsConf, "0")
         println(f"| gr_pagerank (salts=4) | disjoint | — | $tn%.2f | — |")
-        rows += (("gr_pagerank_salts4", -1.0, tn))
+        rows += (("gr_pagerank_salts4", Double.NaN, tn))
       }
-      val js = rows.map { case (n, a, b) => f""""$n":[$a%.3f,$b%.3f]""" }.mkString(",")
+      // the salts row has no 1x leg; emit null (ADVICE r14 #5) so a
+      // ratio computed over the JSON can't silently divide by the old
+      // -1.0 sentinel
+      val js = rows.map { case (n, a, b) =>
+        val as = if (a.isNaN) "null" else f"$a%.3f"
+        f""""$n":[$as,$b%.3f]"""
+      }.mkString(",")
       println(s"""{"metric":"scale_graphx","copies":$copies,$js}""")
       spark.stop()
       return
