@@ -504,6 +504,7 @@ object ScaleBench {
       // round-13 tranche C (classical tests / drift / concentration /
       // LM scoring / IR eval)
       "ops_cliffs_delta" -> graft.queries.StatTests.cliffsDelta _,
+      "ops_wilcoxon_signed" -> graft.queries.StatTests.wilcoxonSigned _,
       "ops_brown_forsythe" -> graft.queries.StatTests.brownForsythe _,
       "ops_friedman" -> graft.queries.StatTests.friedmanTest _,
       "ops_sen_slope" -> graft.queries.StatTests.senSlope _,

@@ -2094,8 +2094,105 @@ object StatTests {
        |FROM t2 GROUP BY nn, mi, h_row, h_col""".stripMargin
   }
 
+  /** Wilcoxon signed-rank test (Wilcoxon 1945) of per-user value
+    * change across the experiment-clock midpoint — the PAIRED
+    * nonparametric test that completes the rank family:
+    * [[StatOps.mannWhitney]] compares two independent arms,
+    * [[cliffsDelta]] sizes that effect, `ops_friedman` handles blocked
+    * k-sample ranks; this is the two-period paired rung (the "did the
+    * same users' spend shift after the midpoint" readout). Per user:
+    * d = post − pre in exact micro-units; zero diffs are discarded
+    * (the standard treatment); |d| gets GLOBAL midranks via the
+    * doubled-integer carry (2·rank_min + ties − 1, the
+    * [[StatOps.spearman]] device, computed by [[graft.queries
+    * .DistRank.midrank2]] with no fact-sized sort); 2·W⁺ = Σ r2 over
+    * positive diffs stays an exact integer, and the tie-corrected
+    * normal approximation z = (2W⁺ − n(n+1)/2) / (2·σ) with
+    * σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48 (Lehmann 1975) crosses to
+    * double once, written identically in both engines.
+    *
+    * Scale shape: one fact hash aggregate to users (the experiment-
+    * clock midpoint rides the broadcast 1-row bounds aggregate), one
+    * hash aggregate to the |d| histogram with bucketed prefix sums,
+    * one 1-row aggregate. Nothing after the user grid is user-sized.
+    */
+  def wilcoxonSigned(s: SparkSession, dir: String): DataFrame = {
+    val d0 = DecimalType(38, 0)
+    val ev = Tables.t(s, dir, "events")
+    val bounds = ev.agg(expr(
+      "(min(unix_micros(ts)) + max(unix_micros(ts))) DIV 2").as("mid"))
+    val u = ev.crossJoin(broadcast(bounds))
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(unix_micros(col("ts")) < col("mid"),
+          round(col("value") * 1000000).cast(LongType))), lit(0L)).as("pre_vm"),
+        coalesce(sum(when(unix_micros(col("ts")) >= col("mid"),
+          round(col("value") * 1000000).cast(LongType))), lit(0L)).as("post_vm"))
+    val diffs = u.select((col("post_vm") - col("pre_vm")).as("d"))
+      .filter(col("d") =!= 0)
+      .withColumn("ad", abs(col("d")))
+    val hist = DistRank.midrank2(diffs, Nil, "ad",
+      Seq("pos" -> sum(when(col("d") > 0, 1L).otherwise(0L))))
+    val agg = hist.agg(
+      sum(col("eq")).as("n"),
+      sum(col("pos")).as("n_pos"),
+      // when-guard: no positive diffs at all keeps w2p NULL (z NULL),
+      // never a fake 0 statistic
+      sum(when(col("pos") > 0, col("r2").cast(d0) * col("pos"))).as("w2p"),
+      sum(col("eq").cast(d0) * col("eq") * col("eq") - col("eq")).as("tie3"))
+    val varW = col("n").cast(DoubleType) * (col("n") + 1).cast(DoubleType) *
+      (col("n") * 2 + 1).cast(DoubleType) / 24.0 -
+      col("tie3").cast(DoubleType) / 48.0
+    agg.select(
+      col("n").as("n_pairs"), col("n_pos"),
+      (col("n") - col("n_pos")).as("n_neg"),
+      (col("w2p").cast(DoubleType) / 2.0).as("w_plus"),
+      round((col("w2p") - expr("n * (n + 1) div 2").cast(d0)).cast(DoubleType)
+        / (lit(2.0) * sqrt(varW)), 6).as("z_score"))
+  }
+
+  val wilcoxonSignedOracle: String =
+    """WITH mid AS (
+      |  SELECT CAST((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS BIGINT)
+      |    AS mid
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id,
+      |    CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) < mid.mid
+      |      THEN CAST(round("value" * 1000000) AS BIGINT) END), 0) AS BIGINT)
+      |      AS pre_vm,
+      |    CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) >= mid.mid
+      |      THEN CAST(round("value" * 1000000) AS BIGINT) END), 0) AS BIGINT)
+      |      AS post_vm
+      |  FROM events CROSS JOIN mid GROUP BY 1),
+      |d AS (
+      |  SELECT post_vm - pre_vm AS d, abs(post_vm - pre_vm) AS ad
+      |  FROM u WHERE post_vm <> pre_vm),
+      |r AS (
+      |  SELECT d,
+      |    CAST(2 * rank() OVER (ORDER BY ad)
+      |      + COUNT(*) OVER (PARTITION BY ad) - 1 AS BIGINT) AS r2
+      |  FROM d),
+      |t3 AS (
+      |  SELECT COALESCE(SUM(CAST(t * t * t - t AS DECIMAL(38,0))),
+      |    CAST(0 AS DECIMAL(38,0))) AS tie3
+      |  FROM (SELECT ad, COUNT(*) AS t FROM d GROUP BY 1) q),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |    SUM(CASE WHEN d > 0 THEN CAST(r2 AS DECIMAL(38,0)) END) AS w2p
+      |  FROM r)
+      |SELECT n AS n_pairs, n_pos, n - n_pos AS n_neg,
+      |  CAST(w2p AS DOUBLE) / 2.0 AS w_plus,
+      |  round(CAST(w2p - CAST(n * (n + 1) // 2 AS DECIMAL(38,0)) AS DOUBLE)
+      |    / (2.0 * sqrt(CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+      |      * CAST(n * 2 + 1 AS DOUBLE) / 24.0
+      |      - CAST(t3.tie3 AS DOUBLE) / 48.0)), 6) + 0.0 AS z_score
+      |FROM agg CROSS JOIN t3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ops_cliffs_delta", cliffsDelta, Some(cliffsDeltaOracle)),
+    QueryDef("ops_wilcoxon_signed", wilcoxonSigned, Some(wilcoxonSignedOracle)),
     QueryDef("ops_brown_forsythe", brownForsythe, Some(brownForsytheOracle)),
     QueryDef("ops_friedman", friedmanTest, Some(friedmanTestOracle)),
     QueryDef("ops_sen_slope", senSlope, Some(senSlopeOracle)),

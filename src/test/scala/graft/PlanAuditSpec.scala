@@ -172,7 +172,10 @@ class PlanAuditSpec extends SparkSpec {
       "ops_auc_roc", "ops_jonckheere",
       // r15: pageRank start-mass/teleport-base fold — the salsa-style
       // broadcast 1-row node-count aggregate (VERDICT r14 #3)
-      "gr_pagerank")
+      "gr_pagerank",
+      // r15: 1-row experiment-clock midpoint + the DistRank 1-row
+      // bounds aggregate
+      "ops_wilcoxon_signed")
 
   // the oracle-less bench-only twins stay under the same plan audit:
   // they run in every bench even though they left the correctness map
@@ -361,7 +364,9 @@ class PlanAuditSpec extends SparkSpec {
       "ops_auc_roc", "ops_cliffs_delta", "ops_gini", "ops_jonckheere",
       "ops_lorenz", "ops_mannwhitney", "ops_spearman",
       // r15: pageRank node-count fold (see bnljAllowed)
-      "gr_pagerank")
+      "gr_pagerank",
+      // r15: midpoint + DistRank bounds broadcasts (see bnljAllowed)
+      "ops_wilcoxon_signed")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>
@@ -410,7 +415,9 @@ class PlanAuditSpec extends SparkSpec {
     // windows are the device's bucket-carry (<=1024 totals rows) and
     // the k-row/10-row result-grid cumulatives — never the fact
     "ops_auc_roc" -> 1, "ops_dunn_test" -> 2, "ops_gains_curve" -> 4,
-    "ops_jonckheere" -> 1, "ops_kruskal_wallis" -> 3)
+    "ops_jonckheere" -> 1, "ops_kruskal_wallis" -> 3,
+    // r15 Wilcoxon signed-rank: the DistRank bucket carry
+    "ops_wilcoxon_signed" -> 1)
 
   test("unpartitioned windows appear only over bounded grid relations (exact census)") {
     val actual = auditSurface.sortBy(_._1).map { case (name, fn) =>

@@ -1,0 +1,60 @@
+package graft
+
+import graft.queries.StatTests
+
+/** Driver-side reference check for the round-15 gate, on the house
+  * pattern: the oracle-gated query also proves its algebra against an
+  * independently-coded imperative reference at sf0.001, so a mistake
+  * both engines would replay identically still fails.
+  */
+class Round15GatesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ops_wilcoxon_signed replays an imperative signed-rank computation") {
+    val got = StatTests.wilcoxonSigned(spark, dir).collect()
+    assert(got.length === 1)
+    val row = got.head
+
+    // imperative reference: collect events, split at the micros
+    // midpoint, per-user pre/post micro-unit sums, drop zero diffs,
+    // midrank |d|, W+ and the tie-corrected z
+    val ev = Tables.t(spark, dir, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS us",
+        "CAST(round(value * 1000000) AS LONG) AS vm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mid = {
+      val us = ev.map(_._2)
+      // floorDiv matches Spark's DIV / DuckDB's // on the positive sum
+      Math.floorDiv(us.min + us.max, 2L)
+    }
+    val byUser = ev.groupBy(_._1).map { case (_, rows) =>
+      val pre = rows.filter(_._2 < mid).map(_._3).sum
+      val post = rows.filter(_._2 >= mid).map(_._3).sum
+      post - pre
+    }.filter(_ != 0L).toSeq
+    val n = byUser.size.toLong
+    val nPos = byUser.count(_ > 0).toLong
+    // doubled midranks over |d|
+    val sortedAd = byUser.map(math.abs).sorted
+    val rankMin = sortedAd.zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) => v -> (xs.map(_._2).min + 1L) }
+    val ties = sortedAd.groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    def r2(ad: Long): Long = 2L * rankMin(ad) + ties(ad) - 1L
+    val w2p = byUser.filter(_ > 0).map(d => BigInt(r2(math.abs(d)))).sum
+    val tie3 = ties.values.map(t => BigInt(t) * t * t - t).sum
+    val varW = n.toDouble * (n + 1).toDouble * (2 * n + 1).toDouble / 24.0 -
+      tie3.toDouble / 48.0
+    val z = (w2p - BigInt(n) * (n + 1) / 2).toDouble / (2.0 * math.sqrt(varW))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    assert(row.getAs[Long]("n_pairs") === n)
+    assert(row.getAs[Long]("n_pos") === nPos)
+    assert(row.getAs[Long]("n_neg") === n - nPos)
+    assert(row.getAs[Double]("w_plus") === w2p.toDouble / 2.0)
+    assert(row.getAs[Double]("z_score") === r6(z))
+    // sanity: the test actually exercised ties and both signs
+    assert(nPos > 0 && nPos < n, "degenerate sign split")
+  }
+}
