@@ -31,6 +31,16 @@ object Sessions {
   /** Post-build session setup shared with the test session. */
   def finish(spark: SparkSession, logLevel: String): SparkSession = {
     spark.sparkContext.setLogLevel(logLevel)
+    // WindowExec's "No Partition Defined" warning fires once per
+    // execution of any unpartitioned window. Every such window on this
+    // surface is PROVABLY bounded (PlanAuditSpec pins an exact
+    // per-query census; the fact-sized offenders were migrated to
+    // graft.queries.DistRank in r15), so at bench volume the warning
+    // is pure spam — it was 100% of BENCH_r14's dead 2000-char tail.
+    // Silence exactly this logger, nothing else.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // custom expressions (vec_dot, simhash32, bigram_shingles) +
     // optimizer rules; on a real cluster use
     // spark.sql.extensions=graft.functions.GraftExtensions

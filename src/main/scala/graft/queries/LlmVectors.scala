@@ -199,8 +199,13 @@ object LlmVectors {
     */
   private[graft] def nearDupCentroids(s: SparkSession, dir: String): DataFrame = {
     val base = emb(s, dir)
-    val k = math.max(16L, math.floor(math.sqrt(base.count().toDouble)).toLong)
-    val seeds = base.filter(col("vec_id") < k)
+    // k = max(16, floor(sqrt(n))) folded in as a broadcast 1-row
+    // aggregate (the pageRank/salsa device, VERDICT r14 #3) — the seed
+    // filter reads k as a column instead of a driver .count() literal
+    val kRel = base.agg(greatest(lit(16L),
+      floor(sqrt(count(lit(1)).cast("double"))).cast("long")).as("k"))
+    val seeds = base.crossJoin(broadcast(kRel))
+      .filter(col("vec_id") < col("k"))
       .select(col("vec_id").as("cell"), col("emb").as("cemb"), col("nrm").as("cnrm"))
     lloydCentroids(base.filter(col("vec_id") % TrainMod === 0), seeds)
   }

@@ -175,7 +175,11 @@ class PlanAuditSpec extends SparkSpec {
       "gr_pagerank",
       // r15: 1-row experiment-clock midpoint + the DistRank 1-row
       // bounds aggregate
-      "ops_wilcoxon_signed")
+      "ops_wilcoxon_signed",
+      // r15 scalar foldings: textrank vocabulary count, plus the IVF
+      // seed-count fold k = max(16, floor(sqrt(n))) riding the already-
+      // allowed dd_embed_neardup / dd_semdedup_keep centroid plans
+      "ta_textrank")
 
   // the oracle-less bench-only twins stay under the same plan audit:
   // they run in every bench even though they left the correctness map
@@ -366,7 +370,9 @@ class PlanAuditSpec extends SparkSpec {
       // r15: pageRank node-count fold (see bnljAllowed)
       "gr_pagerank",
       // r15: midpoint + DistRank bounds broadcasts (see bnljAllowed)
-      "ops_wilcoxon_signed")
+      "ops_wilcoxon_signed",
+      // r15 scalar foldings (see bnljAllowed)
+      "ta_textrank")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>
