@@ -537,6 +537,11 @@ object ScaleBench {
       "ops_raking" -> graft.queries.DataOps.raking _,
       "ops_mutual_info" -> graft.queries.StatTests.mutualInfo _,
       "ta_fightin_words" -> graft.queries.TextScores.fightinWords _,
+      // round-15 EDF tranche
+      "ops_cvm_test" -> graft.queries.EdfOps.cvmTest _,
+      "ops_anderson_darling" -> graft.queries.EdfOps.andersonDarling _,
+      "cu_quantile_norm" -> graft.queries.EdfOps.quantileNorm _,
+      "ops_cvm_permutation" -> graft.queries.EdfOps.cvmPermutation _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

@@ -21,7 +21,8 @@ object SparkEntry {
     * property-pinned by their specs.
     */
   def benchOnlyDefs: Seq[QueryDef] =
-    graft.queries.Sketches.benchOnlyDefs ++ graft.queries.StatOps.benchOnlyDefs
+    graft.queries.Sketches.benchOnlyDefs ++ graft.queries.StatOps.benchOnlyDefs ++
+      graft.queries.EdfOps.benchOnlyDefs
 
   private lazy val queries_ : Map[String, QueryDef] = {
     val defs =
@@ -49,7 +50,8 @@ object SparkEntry {
         graft.queries.StatMore.defs ++
         graft.queries.GraphMore.defs ++
         graft.queries.StatTests.defs ++
-        graft.queries.TextEval.defs
+        graft.queries.TextEval.defs ++
+        graft.queries.EdfOps.defs
     // a name collision would silently shrink the correctness gate
     // (toMap keeps the last duplicate) — fail loudly instead; the
     // bench-only names share the namespace (Bench times both sets)

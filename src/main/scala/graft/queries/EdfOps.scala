@@ -1,0 +1,491 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-15 tranche: the EDF (empirical-distribution-function)
+  * two-sample family completing the drift/GOF suite —
+  * Cramér–von Mises and Anderson–Darling beside the exact
+  * Kolmogorov–Smirnov ([[DataOps.ksDrift]]'s `ops_ks_drift`): KS takes
+  * the MAX of the ECDF gap, CvM the count-weighted SUM of its square
+  * (sensitive to body shifts KS misses), AD the same sum reweighted by
+  * 1/(H(1−H)) (sensitive to tail divergence both miss) — the standard
+  * escalation ladder in distribution-shift monitoring. Plus quantile
+  * normalization (CDF matching) across document sources — the classic
+  * cross-domain score-calibration step in curation pipelines (map each
+  * source's quality-proxy distribution onto the pooled corpus, so a
+  * threshold means the same thing in every domain).
+  *
+  * Float policy ([[LlmCuration.dsirWeights]]): counts, cumulative
+  * counts and the cross-scaled ECDF gap D = N·M − n·B stay exact
+  * integers (DECIMAL(38,0) ≙ DuckDB HUGEINT where the square leaves
+  * Long range); each statistic's term does ONE double division of two
+  * exactly-representable operands, written identically in the Spark
+  * plan and the oracle; cross-row Σ rides DECIMAL(38,12); round-6
+  * output.
+  *
+  * Scale shape (the [[DataOps.ksDrift]] device, cumulative legs on
+  * [[DistRank.prefixLt]]): one fact hash-aggregate to (type × bucket)
+  * counts; the grid is types × distinct 2-dp value buckets (bounded by
+  * the value domain, not the fact); the per-type and pooled cumulative
+  * counts ride the bucketed two-level prefix sum, so no task ever
+  * sorts more than one bucket even if the value domain grows; the
+  * statistic is one aggregate over the grid.
+  */
+object EdfOps {
+
+  /** Exact floor-division of nonnegative Longs ([[DistRank]]'s idiv
+    * device: the subtraction makes the division exact, and exact-integer
+    * double division is correctly rounded; exact for a < 2^53).
+    */
+  private def idiv(a: Column, d: Column): Column =
+    ((a - pmod(a, d)).cast(DoubleType) / d.cast(DoubleType)).cast(LongType)
+
+  /** ceil(a/d) for positive Longs, via idiv(a + d − 1, d) — matches
+    * DuckDB's `(a + d - 1) // d` on positive operands bit-for-bit.
+    */
+  private def iceil(a: Column, d: Column): Column = idiv(a + d - 1, d)
+
+  /** The shared EDF grid: one row per (event_type × pooled 2-dp value
+    * bucket) carrying `l` (pooled count at the bucket), `cum_s`
+    * (inclusive per-type cumulative count), `cum_all` (inclusive pooled
+    * cumulative), `n_s` (type total) and `n_all` (pooled total). Both
+    * cumulative legs ride [[DistRank.prefixLt]] (exclusive prefix + own
+    * count), so the device is bucketed end-to-end.
+    */
+  private def edfGrid(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast(LongType).as("b"))
+    val counts = e.groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("c"))
+    val types = counts.select(col("event_type")).distinct()
+    val buckets = counts.select(col("b")).distinct()
+    // grid completion: the 5-row type domain × distinct buckets — the
+    // ops_ks_drift bounded-BNLJ shape (domain × value grid, never fact²)
+    val grid = types.crossJoin(buckets)
+      .join(counts, Seq("event_type", "b"), "left")
+      .select(col("event_type"), col("b"), coalesce(col("c"), lit(0L)).as("c"))
+    val cumS = DistRank.prefixLt(grid, Seq("event_type"), "b", Seq("c"))
+      .withColumn("cum_s", col("c_lt") + col("c"))
+      .select(col("event_type"), col("b"), col("cum_s"))
+    val allB = counts.groupBy(col("b")).agg(sum(col("c")).as("c_all"))
+    val cumAll = DistRank.prefixLt(allB, Nil, "b", Seq("c_all"))
+      .withColumn("cum_all", col("c_all_lt") + col("c_all"))
+      .select(col("b"), col("c_all").as("l"), col("cum_all"))
+    val nS = counts.groupBy(col("event_type")).agg(sum(col("c")).as("n_s"))
+    // pooled total folded in as a broadcast 1-row aggregate
+    // (VERDICT r13 #5) — one lazy plan, no extra driver job
+    val nAll = counts.agg(sum(col("c")).as("n_all"))
+    cumS.join(cumAll, "b")
+      .join(broadcast(nS), "event_type")
+      .crossJoin(broadcast(nAll))
+  }
+
+  /** The cross-scaled ECDF gap at a grid row: D = N·M − n·B where
+    * M = cum_s, B = cum_all — so F_s(b) − F_rest(b) = D / (n·m) with
+    * m = N − n. D² leaves Long range at replicated-bench scale
+    * (n·m ~ 10¹¹ ⇒ D² ~ 10²²), so D is built in DECIMAL(38,0)
+    * (≙ HUGEINT in the oracle) before squaring.
+    */
+  private def gapD: Column =
+    col("cum_s").cast(DecimalType(38, 0)) * col("n_all") -
+      col("cum_all").cast(DecimalType(38, 0)) * col("n_s")
+
+  /** Per-type two-sample CRAMÉR–VON MISES statistic (type vs rest of
+    * the corpus), tie-aware ECDF form (Anderson 1962; Conover 1999
+    * §6.5): T = n·m/N² · Σ_z w(z)·(F(z) − G(z))² over pooled
+    * observations = Σ_b l_b·D_b² / (n·m·N²) — every factor an exact
+    * integer until the single closing division. Where KS reports only
+    * the worst bucket, CvM integrates the whole gap profile, the
+    * standard "body drift" companion.
+    */
+  def cvmTest(s: SparkSession, dir: String): DataFrame = {
+    val num = sum((col("l").cast(DecimalType(38, 0)) * gapD * gapD).as("t"))
+    edfGrid(s, dir)
+      .groupBy(col("event_type"), col("n_s"), col("n_all"))
+      .agg(num.as("num"))
+      .select(col("event_type"), col("n_s"),
+        round(col("num").cast(DoubleType) /
+          ((col("n_s") * (col("n_all") - col("n_s"))).cast(DoubleType) *
+            (col("n_all") * col("n_all")).cast(DoubleType)), 6).as("cvm_stat"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Shared oracle CTE prefix ending at `terms` — the grid, both
+    * cumulative legs, and the HUGEINT cross-scaled gap `d`.
+    */
+  private val edfOracleTerms: String =
+    """WITH e AS (SELECT event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS b FROM events),
+      |counts AS (SELECT event_type, b, COUNT(*) AS c FROM e GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT t.event_type, bk.b, COALESCE(c.c, 0) AS c
+      |  FROM (SELECT DISTINCT event_type FROM counts) t
+      |  CROSS JOIN (SELECT DISTINCT b FROM counts) bk
+      |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.b = bk.b),
+      |allb AS (SELECT b, SUM(c) AS c_all FROM counts GROUP BY 1),
+      |allc AS (SELECT b, c_all,
+      |    SUM(c_all) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum_all
+      |  FROM allb),
+      |ns AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_s FROM counts GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM e),
+      |cums AS (
+      |  SELECT g.event_type, g.b, a.c_all AS l, a.cum_all,
+      |    SUM(g.c) OVER (PARTITION BY g.event_type ORDER BY g.b
+      |      ROWS UNBOUNDED PRECEDING) AS cum_s
+      |  FROM grid g JOIN allc a ON g.b = a.b),
+      |terms AS (
+      |  SELECT c.event_type, ns.n_s, n.n_all, c.l, c.cum_all,
+      |    CAST(c.cum_s AS HUGEINT) * n.n_all
+      |      - CAST(ns.n_s AS HUGEINT) * c.cum_all AS d
+      |  FROM cums c JOIN ns ON c.event_type = ns.event_type CROSS JOIN n)""".stripMargin
+
+  val cvmTestOracle: String = edfOracleTerms +
+    """
+      |SELECT event_type, n_s,
+      |  round(CAST(SUM(CAST(l AS HUGEINT) * d * d) AS DOUBLE)
+      |    / (CAST(n_s * (n_all - n_s) AS DOUBLE)
+      |      * CAST(n_all * n_all AS DOUBLE)), 6) AS cvm_stat
+      |FROM terms GROUP BY event_type, n_s, n_all ORDER BY event_type""".stripMargin
+
+  /** Per-type two-sample ANDERSON–DARLING statistic, tie-aware
+    * rank form (Pettitt 1976; Scholz & Stephens 1987 A²kN at k = 2,
+    * which collapses to A² = Σ_{b: B<N} l_b·D_b² / (B_b·(N−B_b))
+    * / (n·m) — the sample-2 term is algebraically −D, so both
+    * samples' contributions fold into one sum). The 1/(H(1−H))
+    * weight is what makes AD the tail-sensitive member of the
+    * ladder. The B = N grid row is excluded: D there is identically
+    * 0 and the weight is 0/0.
+    */
+  def andersonDarling(s: SparkSession, dir: String): DataFrame = {
+    val numD = (col("l").cast(DecimalType(38, 0)) * gapD * gapD).cast(DoubleType)
+    val denD = (col("cum_all").cast(DecimalType(38, 0)) *
+      (col("n_all") - col("cum_all"))).cast(DoubleType)
+    edfGrid(s, dir)
+      .filter(col("cum_all") < col("n_all"))
+      .withColumn("term", numD / denD)
+      .groupBy(col("event_type"), col("n_s"), col("n_all"))
+      .agg(sum(col("term").cast(DecimalType(38, 12))).as("tsum"))
+      .select(col("event_type"), col("n_s"),
+        round(col("tsum").cast(DoubleType) /
+          (col("n_s") * (col("n_all") - col("n_s"))).cast(DoubleType), 6)
+          .as("ad_stat"))
+      .orderBy(col("event_type"))
+  }
+
+  val andersonDarlingOracle: String = edfOracleTerms +
+    """
+      |SELECT event_type, n_s,
+      |  round(CAST(SUM(CAST(
+      |      CAST(CAST(l AS HUGEINT) * d * d AS DOUBLE)
+      |      / CAST(CAST(cum_all AS HUGEINT) * (n_all - cum_all) AS DOUBLE)
+      |    AS DECIMAL(38,12))) AS DOUBLE)
+      |    / CAST(n_s * (n_all - n_s) AS DOUBLE), 6) AS ad_stat
+      |FROM terms WHERE cum_all < n_all
+      |GROUP BY event_type, n_s, n_all ORDER BY event_type""".stripMargin
+
+  /** QUANTILE NORMALIZATION across document sources (CDF matching /
+    * equipercentile equating, Bolstad 2003 generalized to unequal
+    * group sizes): each (source, n_chars) value maps to the pooled
+    * corpus value at its within-source mid-quantile — the pooled
+    * order statistic of rank k = ⌈mid2·N / (2n)⌉, where
+    * mid2 = 2·cnt_lt + cnt_eq + 1 is the doubled midrank
+    * ([[DistRank.midrank2]]'s carry). After the map, every source's
+    * score distribution is the pooled one, so a single curation
+    * threshold means the same thing in every domain.
+    *
+    * Scale shape: within-source midranks and the pooled rank
+    * intervals both ride [[DistRank.prefixLt]] over value histograms
+    * (distinct-value-sized); the inverse-CDF lookup is an
+    * interval-point BUCKET equi-join — pooled rank space [1, N] is
+    * cut into 1024 fixed-width buckets, each pooled value's rank
+    * interval [cnt_lt+1, cnt_lt+cnt] is exploded to the ≤(span/W + 1)
+    * buckets it covers (Σ ≤ distinct + 1024 rows), and query rank k
+    * equi-joins its bucket then filters containment — never a
+    * histogram × histogram non-equi scan. Exact Long arithmetic
+    * (mid2·N ≤ 2n·N ≪ 2^53 at any single-box scale; the same device
+    * rides DECIMAL(38,0) on a 10¹²-row corpus).
+    */
+  def quantileNorm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+      .select(col("source"), col("n_chars").as("v"))
+    val srcHist = docs.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+    val ranked = DistRank.prefixLt(srcHist, Seq("source"), "v", Seq("c"))
+      .withColumn("mid2", lit(2L) * col("c_lt") + col("c") + lit(1L))
+    val nSrc = srcHist.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val glob = docs.groupBy(col("v")).agg(count(lit(1)).as("g"))
+    val gCum = DistRank.prefixLt(glob, Nil, "v", Seq("g"))
+      .select(col("v").as("mapped"), (col("g_lt") + 1L).as("lo"),
+        (col("g_lt") + col("g")).as("hi"))
+    val nAll = docs.agg(count(lit(1)).as("n_all"))
+    val q = ranked.join(broadcast(nSrc), "source")
+      .crossJoin(broadcast(nAll))
+      .withColumn("k", iceil(col("mid2") * col("n_all"), lit(2L) * col("n")))
+      .withColumn("quantile", round(col("mid2").cast(DoubleType) /
+        (lit(2L) * col("n")).cast(DoubleType), 6))
+      .withColumn("w", iceil(col("n_all"), lit(1024L)))
+      .withColumn("kb", idiv(col("k") - 1L, col("w")))
+      .select(col("source"), col("v"), col("quantile"), col("k"), col("kb"))
+    val gInt = gCum.crossJoin(broadcast(nAll))
+      .withColumn("w", iceil(col("n_all"), lit(1024L)))
+      .withColumn("kb", explode(sequence(idiv(col("lo") - 1L, col("w")),
+        idiv(col("hi") - 1L, col("w")))))
+      .select(col("kb"), col("lo"), col("hi"), col("mapped"))
+    q.join(gInt, "kb")
+      .filter(col("k").between(col("lo"), col("hi")))
+      .select(col("source"), col("v").as("n_chars"), col("quantile"),
+        col("mapped"))
+      .orderBy(col("source"), col("n_chars"))
+  }
+
+  val quantileNormOracle: String =
+    """WITH d AS (SELECT source, n_chars AS v FROM documents),
+      |sh AS (SELECT source, v, COUNT(*) AS c FROM d GROUP BY 1, 2),
+      |r AS (SELECT source, v, c,
+      |    COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_lt
+      |  FROM sh),
+      |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM sh GROUP BY 1),
+      |g AS (SELECT v, COUNT(*) AS gc FROM d GROUP BY 1),
+      |gi AS (SELECT v,
+      |    COALESCE(SUM(gc) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS lo,
+      |    COALESCE(SUM(gc) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + gc AS hi
+      |  FROM g),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM d),
+      |q AS (SELECT r.source, r.v,
+      |    (2 * r.c_lt + r.c + 1) AS mid2,
+      |    ((2 * r.c_lt + r.c + 1) * n.n_all + 2 * ns.n - 1) // (2 * ns.n) AS k,
+      |    round(CAST(2 * r.c_lt + r.c + 1 AS DOUBLE)
+      |      / CAST(2 * ns.n AS DOUBLE), 6) AS quantile
+      |  FROM r JOIN ns ON r.source = ns.source CROSS JOIN n)
+      |SELECT q.source, CAST(q.v AS BIGINT) AS n_chars, q.quantile,
+      |  CAST(gi.v AS BIGINT) AS mapped
+      |FROM q JOIN gi ON q.k BETWEEN gi.lo AND gi.hi
+      |ORDER BY q.source, q.v""".stripMargin
+
+  /** Number of random relabelings for the permutation p-value: 19
+    * gives the classic 1/20 granularity (a stat that beats every
+    * relabel reads p = 0.05).
+    */
+  private val PermR = 19
+
+  /** md5-derived 32-bit uniform both engines reproduce exactly
+    * ([[Sketches.h60]] at 8 hex digits — 2^32 keeps u·N inside Long
+    * up to N ~ 2^30).
+    */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  private def h32Sql(e: String): String =
+    s"""list_reduce(list_transform(string_split(substr(md5($e),1,8),''),
+       |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b)""".stripMargin
+
+  /** PERMUTATION p-value for the per-type CvM statistic (random
+    * relabeling null, Dwass 1957 / Good 2000): the EDF statistics'
+    * null distributions are tie- and size-dependent, so the honest
+    * p-value is Monte-Carlo — re-draw the sample membership R = 19
+    * times under H₀ (label exchangeability), recompute T, and report
+    * p = (1 + #{T_r ≥ T_obs}) / (R + 1). Draws are md5-derived
+    * Bernoulli(n_s/N) relabels (the [[StatOps.bootstrapPoisson]]
+    * hash-deterministic recipe): membership is u·N < n_s·2^32 — an
+    * exact integer comparison, identical in both engines, so the
+    * pseudo-sample and therefore every T_r replays bit-for-bit.
+    *
+    * Scale shape: ONE md5 per (event, r) (the type dimension enters
+    * as a broadcast 5-row threshold relation, expression-only);
+    * everything map-combines to the (type × r × bucket) grid before
+    * any shuffle; the R-fold cumulative rides the same
+    * [[DistRank.prefixLt]] bucketed device partitioned by (type, r).
+    * Shuffle volume is R·|grid|, never R·|fact|.
+    */
+  def cvmPermutation(s: SparkSession, dir: String): DataFrame =
+    cvmPermutationWith(s, dir, (c: Column) => h32(c))
+
+  /** [[cvmPermutation]] with the production hash (xxhash64 masked to
+    * 32 bits) — the oracle-less bench twin, same plan shape.
+    */
+  def cvmPermutationXx(s: SparkSession, dir: String): DataFrame =
+    cvmPermutationWith(s, dir,
+      (c: Column) => pmod(xxhash64(c), lit(4294967296L)))
+
+  private def cvmPermutationWith(s: SparkSession, dir: String,
+                                 u32: Column => Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val e = Tables.t(s, dir, "events")
+      .select(col("event_id"),
+        round(col("value") * 100).cast(LongType).as("b"))
+    // pooled leg (shared with the observed statistic): counts, the
+    // bucketed cumulative, per-type totals, pooled total
+    val counts = Tables.t(s, dir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast(LongType).as("b"))
+      .groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("c"))
+    val allB = counts.groupBy(col("b")).agg(sum(col("c")).as("c_all"))
+    val pooled = DistRank.prefixLt(allB, Nil, "b", Seq("c_all"))
+      .withColumn("cum_all", col("c_all_lt") + col("c_all"))
+      .select(col("b"), col("c_all").as("l"), col("cum_all"))
+    val nS = counts.groupBy(col("event_type")).agg(sum(col("c")).as("n_s"))
+    val nAll = counts.agg(sum(col("c")).as("n_all"))
+
+    // observed statistic: the cvmTest arithmetic verbatim
+    val gridObs = nS.select(col("event_type")).crossJoin(allB.select(col("b")))
+      .join(counts, Seq("event_type", "b"), "left")
+      .select(col("event_type"), col("b"), coalesce(col("c"), lit(0L)).as("c"))
+    val obs = DistRank.prefixLt(gridObs, Seq("event_type"), "b", Seq("c"))
+      .withColumn("cum_s", col("c_lt") + col("c"))
+      .join(pooled, "b")
+      .join(broadcast(nS), "event_type")
+      .crossJoin(broadcast(nAll))
+      .groupBy(col("event_type"), col("n_s"), col("n_all"))
+      .agg(sum(col("l").cast(dec) * gapD * gapD).as("num"))
+      .select(col("event_type"), col("n_s"), col("n_all"),
+        (col("num").cast(DoubleType) /
+          ((col("n_s") * (col("n_all") - col("n_s"))).cast(DoubleType) *
+            (col("n_all") * col("n_all")).cast(DoubleType))).as("t_obs"))
+
+    // R relabeled worlds: one md5 per (event, r); membership of the
+    // pseudo-type sample is the exact integer test u·N < n_s·2^32
+    val reps = s.range(1, PermR + 1).toDF("r")
+    val fan = e.crossJoin(broadcast(reps))
+      .select(col("b"), col("r"),
+        u32(concat(col("event_id").cast("string"), lit(":cvmperm:"),
+          col("r").cast("string"))).as("u"))
+    val thresholds = nS.crossJoin(broadcast(nAll))
+    val cntSr = fan.crossJoin(broadcast(thresholds))
+      .filter(col("u") * col("n_all") < col("n_s") * lit(4294967296L))
+      .groupBy(col("event_type"), col("r"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    // grid completion: the (5 types × R)-row world dimension is the
+    // broadcast side; the bucket relation stays the stream side
+    val typeReps = nS.select(col("event_type")).crossJoin(broadcast(reps))
+    val trGrid = allB.select(col("b")).crossJoin(broadcast(typeReps))
+      .join(cntSr, Seq("event_type", "r", "b"), "left")
+      .select(col("event_type"), col("r"), col("b"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val nTilde = trGrid.groupBy(col("event_type"), col("r"))
+      .agg(sum(col("c")).as("n_t"))
+    val permStats = DistRank.prefixLt(trGrid, Seq("event_type", "r"), "b", Seq("c"))
+      .withColumn("cum_s", col("c_lt") + col("c"))
+      .join(pooled, "b")
+      .join(broadcast(nTilde), Seq("event_type", "r"))
+      .crossJoin(broadcast(nAll))
+      .withColumn("d", col("cum_s").cast(dec) * col("n_all") -
+        col("cum_all").cast(dec) * col("n_t"))
+      .groupBy(col("event_type"), col("r"), col("n_t"), col("n_all"))
+      .agg(sum(col("l").cast(dec) * col("d") * col("d")).as("num"))
+      .select(col("event_type"), col("r"),
+        when(col("n_t") > 0L && col("n_t") < col("n_all"),
+          col("num").cast(DoubleType) /
+            ((col("n_t") * (col("n_all") - col("n_t"))).cast(DoubleType) *
+              (col("n_all") * col("n_all")).cast(DoubleType)))
+          .otherwise(lit(0.0)).as("t_r"))
+
+    permStats.join(broadcast(obs), "event_type")
+      .groupBy(col("event_type"), col("n_s"), col("t_obs"))
+      .agg(sum(when(col("t_r") >= col("t_obs"), 1L).otherwise(0L)).as("ge"))
+      .select(col("event_type"), col("n_s"),
+        round(col("t_obs"), 6).as("cvm_stat"),
+        round((col("ge") + 1L).cast(DoubleType) /
+          lit((PermR + 1).toDouble), 6).as("p_perm"))
+      .orderBy(col("event_type"))
+  }
+
+  val cvmPermutationOracle: String = {
+    val h = h32Sql(
+      "CAST(event_id AS VARCHAR) || ':cvmperm:' || CAST(r AS VARCHAR)")
+    s"""WITH e AS (SELECT event_id, event_type,
+       |    CAST(round(value * 100) AS BIGINT) AS b FROM events),
+       |counts AS (SELECT event_type, b, COUNT(*) AS c FROM e GROUP BY 1, 2),
+       |allb AS (SELECT b, SUM(c) AS c_all FROM counts GROUP BY 1),
+       |pooled AS (SELECT b, c_all AS l,
+       |    SUM(c_all) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum_all
+       |  FROM allb),
+       |ns AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_s FROM counts GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM e),
+       |gobs AS (
+       |  SELECT t.event_type, bk.b, COALESCE(c.c, 0) AS c
+       |  FROM (SELECT DISTINCT event_type FROM counts) t
+       |  CROSS JOIN (SELECT DISTINCT b FROM counts) bk
+       |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.b = bk.b),
+       |obs AS (
+       |  SELECT g.event_type, ns.n_s, n.n_all,
+       |    CAST(SUM(CAST(p.l AS HUGEINT)
+       |        * (CAST(cs.cum_s AS HUGEINT) * n.n_all - CAST(ns.n_s AS HUGEINT) * p.cum_all)
+       |        * (CAST(cs.cum_s AS HUGEINT) * n.n_all - CAST(ns.n_s AS HUGEINT) * p.cum_all))
+       |      AS DOUBLE)
+       |      / (CAST(ns.n_s * (n.n_all - ns.n_s) AS DOUBLE)
+       |        * CAST(n.n_all * n.n_all AS DOUBLE)) AS t_obs
+       |  FROM (SELECT DISTINCT event_type FROM counts) g
+       |  JOIN (
+       |    SELECT event_type, b,
+       |      SUM(c) OVER (PARTITION BY event_type ORDER BY b
+       |        ROWS UNBOUNDED PRECEDING) AS cum_s
+       |    FROM gobs) cs ON cs.event_type = g.event_type
+       |  JOIN pooled p ON p.b = cs.b
+       |  JOIN ns ON ns.event_type = g.event_type CROSS JOIN n
+       |  GROUP BY g.event_type, ns.n_s, n.n_all),
+       |reps AS (SELECT unnest(range(1, ${PermR + 1})) AS r),
+       |fan AS (
+       |  SELECT e.b, reps.r, $h AS u
+       |  FROM e CROSS JOIN reps),
+       |cntsr AS (
+       |  SELECT ns.event_type, f.r, f.b, COUNT(*) AS c
+       |  FROM fan f CROSS JOIN n JOIN ns
+       |    ON f.u * n.n_all < ns.n_s * 4294967296
+       |  GROUP BY 1, 2, 3),
+       |trgrid AS (
+       |  SELECT t.event_type, reps.r, bk.b, COALESCE(c.c, 0) AS c
+       |  FROM (SELECT DISTINCT event_type FROM counts) t
+       |  CROSS JOIN reps
+       |  CROSS JOIN (SELECT DISTINCT b FROM counts) bk
+       |  LEFT JOIN cntsr c ON c.event_type = t.event_type AND c.r = reps.r
+       |    AND c.b = bk.b),
+       |ntilde AS (
+       |  SELECT event_type, r, CAST(SUM(c) AS BIGINT) AS n_t
+       |  FROM trgrid GROUP BY 1, 2),
+       |perm AS (
+       |  SELECT g.event_type, g.r,
+       |    CASE WHEN nt.n_t > 0 AND nt.n_t < n.n_all THEN
+       |      CAST(SUM(CAST(p.l AS HUGEINT)
+       |          * (CAST(g.cum_s AS HUGEINT) * n.n_all - CAST(nt.n_t AS HUGEINT) * p.cum_all)
+       |          * (CAST(g.cum_s AS HUGEINT) * n.n_all - CAST(nt.n_t AS HUGEINT) * p.cum_all))
+       |        AS DOUBLE)
+       |        / (CAST(nt.n_t * (n.n_all - nt.n_t) AS DOUBLE)
+       |          * CAST(n.n_all * n.n_all AS DOUBLE))
+       |    ELSE 0.0 END AS t_r
+       |  FROM (
+       |    SELECT event_type, r, b,
+       |      SUM(c) OVER (PARTITION BY event_type, r ORDER BY b
+       |        ROWS UNBOUNDED PRECEDING) AS cum_s
+       |    FROM trgrid) g
+       |  JOIN pooled p ON p.b = g.b
+       |  JOIN ntilde nt ON nt.event_type = g.event_type AND nt.r = g.r
+       |  CROSS JOIN n
+       |  GROUP BY g.event_type, g.r, nt.n_t, n.n_all),
+       |tail AS (
+       |  SELECT p.event_type, o.n_s, o.t_obs,
+       |    SUM(CASE WHEN p.t_r >= o.t_obs THEN 1 ELSE 0 END) AS ge
+       |  FROM perm p JOIN obs o ON o.event_type = p.event_type
+       |  GROUP BY 1, 2, 3)
+       |SELECT event_type, n_s, round(t_obs, 6) AS cvm_stat,
+       |  round(CAST(ge + 1 AS DOUBLE) / ${PermR + 1}.0, 6) AS p_perm
+       |FROM tail ORDER BY event_type""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("ops_cvm_test", cvmTest, Some(cvmTestOracle)),
+    QueryDef("ops_anderson_darling", andersonDarling, Some(andersonDarlingOracle)),
+    QueryDef("cu_quantile_norm", quantileNorm, Some(quantileNormOracle)),
+    QueryDef("ops_cvm_permutation", cvmPermutation, Some(cvmPermutationOracle)),
+  )
+
+  /** Oracle-less production-hash twin (xxhash64 relabels — not
+    * DuckDB-reproducible by design), timed by Bench and property-
+    * pinned by EdfOpsSpec.
+    */
+  val benchOnlyDefs: Seq[QueryDef] = Seq(
+    QueryDef("ops_cvmperm_xxhash", cvmPermutationXx, None),
+  )
+}

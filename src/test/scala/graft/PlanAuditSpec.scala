@@ -179,7 +179,18 @@ class PlanAuditSpec extends SparkSpec {
       // r15 scalar foldings: textrank vocabulary count, plus the IVF
       // seed-count fold k = max(16, floor(sqrt(n))) riding the already-
       // allowed dd_embed_neardup / dd_semdedup_keep centroid plans
-      "ta_textrank")
+      "ta_textrank",
+      // r15 EDF family: the ops_ks_drift grid shape (5-row type domain
+      // × distinct 2-dp buckets) + the DistRank 1-row global bounds +
+      // the 1-row pooled-total aggregate
+      "ops_cvm_test", "ops_anderson_darling",
+      // permutation p-value: the same grid shapes ×R plus the 19-row
+      // literal relabel grid and the 5-row threshold relation fanned
+      // onto the fact scan (the ops_bootstrap_poisson recipe)
+      "ops_cvm_permutation", "ops_cvmperm_xxhash",
+      // quantile normalization: DistRank 1-row global bounds + the
+      // 1-row corpus-total aggregate onto two histogram-sized relations
+      "cu_quantile_norm")
 
   // the oracle-less bench-only twins stay under the same plan audit:
   // they run in every bench even though they left the correctness map
@@ -372,7 +383,15 @@ class PlanAuditSpec extends SparkSpec {
       // r15: midpoint + DistRank bounds broadcasts (see bnljAllowed)
       "ops_wilcoxon_signed",
       // r15 scalar foldings (see bnljAllowed)
-      "ta_textrank")
+      "ta_textrank",
+      // r15 EDF family + quantile normalization: the DistRank 1-row
+      // bounds / bucket-carry broadcasts, the |types|- resp.
+      // |sources|-row totals, and the 1-row pooled-total aggregate
+      "ops_cvm_test", "ops_anderson_darling", "cu_quantile_norm",
+      // permutation p-value: those plus the 19-row relabel grid, the
+      // 5-row threshold relation, the 95-row world dimension and the
+      // 5-row observed-statistic relation
+      "ops_cvm_permutation", "ops_cvmperm_xxhash")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>
@@ -423,7 +442,15 @@ class PlanAuditSpec extends SparkSpec {
     "ops_auc_roc" -> 1, "ops_dunn_test" -> 2, "ops_gains_curve" -> 4,
     "ops_jonckheere" -> 1, "ops_kruskal_wallis" -> 3,
     // r15 Wilcoxon signed-rank: the DistRank bucket carry
-    "ops_wilcoxon_signed" -> 1)
+    "ops_wilcoxon_signed" -> 1,
+    // r15 EDF family: the pooled-cumulative leg's DistRank bucket
+    // carry (<=1024 totals rows; the per-type leg partitions by type)
+    "ops_cvm_test" -> 1, "ops_anderson_darling" -> 1,
+    // quantile normalization: the pooled-histogram leg's bucket carry
+    "cu_quantile_norm" -> 1,
+    // permutation p-value: the pooled leg's bucket carry appears in
+    // both the observed-statistic and the relabeled subplans
+    "ops_cvm_permutation" -> 2, "ops_cvmperm_xxhash" -> 2)
 
   test("unpartitioned windows appear only over bounded grid relations (exact census)") {
     val actual = auditSurface.sortBy(_._1).map { case (name, fn) =>
