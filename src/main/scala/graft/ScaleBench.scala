@@ -542,6 +542,7 @@ object ScaleBench {
       "ops_anderson_darling" -> graft.queries.EdfOps.andersonDarling _,
       "cu_quantile_norm" -> graft.queries.EdfOps.quantileNorm _,
       "ops_cvm_permutation" -> graft.queries.EdfOps.cvmPermutation _,
+      "ops_ad_ksample" -> graft.queries.EdfOps.adKSample _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

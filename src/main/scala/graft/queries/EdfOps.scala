@@ -266,6 +266,49 @@ object EdfOps {
       |FROM q JOIN gi ON q.k BETWEEN gi.lo AND gi.hi
       |ORDER BY q.source, q.v""".stripMargin
 
+  /** k-SAMPLE Anderson–Darling statistic (Scholz & Stephens 1987,
+    * A²kN — scipy's `anderson_ksamp` shape): do the k event-type value
+    * distributions share one parent?
+    * A²kN = (1/N)·Σ_i (1/n_i)·Σ_{j: B_j<N} l_j·(N·M_ij − n_i·B_j)² /
+    * (B_j·(N−B_j)). The inner sum per type is exactly the two-sample
+    * gate's DECIMAL(38,12) term sum; the outer Σ_i over the k per-type
+    * sums rides DECIMAL(38,12) again so no partition order enters a
+    * float sum. One row out: k, N, the statistic.
+    */
+  def adKSample(s: SparkSession, dir: String): DataFrame = {
+    val numD = (col("l").cast(DecimalType(38, 0)) * gapD * gapD).cast(DoubleType)
+    val denD = (col("cum_all").cast(DecimalType(38, 0)) *
+      (col("n_all") - col("cum_all"))).cast(DoubleType)
+    edfGrid(s, dir)
+      .filter(col("cum_all") < col("n_all"))
+      .withColumn("term", numD / denD)
+      .groupBy(col("event_type"), col("n_s"), col("n_all"))
+      .agg(sum(col("term").cast(DecimalType(38, 12))).as("tsum"))
+      .groupBy(col("n_all"))
+      .agg(count(lit(1)).as("k"),
+        sum((col("tsum").cast(DoubleType) / col("n_s").cast(DoubleType))
+          .cast(DecimalType(38, 12))).as("osum"))
+      .select(col("k"), col("n_all"),
+        round(col("osum").cast(DoubleType) / col("n_all").cast(DoubleType), 6)
+          .as("a2kn"))
+  }
+
+  val adKSampleOracle: String = edfOracleTerms +
+    """,
+      |per_type AS (
+      |  SELECT event_type, n_s, n_all,
+      |    SUM(CAST(
+      |      CAST(CAST(l AS HUGEINT) * d * d AS DOUBLE)
+      |      / CAST(CAST(cum_all AS HUGEINT) * (n_all - cum_all) AS DOUBLE)
+      |    AS DECIMAL(38,12))) AS tsum
+      |  FROM terms WHERE cum_all < n_all
+      |  GROUP BY event_type, n_s, n_all)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS k, n_all,
+      |  round(CAST(SUM(CAST(CAST(tsum AS DOUBLE) / CAST(n_s AS DOUBLE)
+      |      AS DECIMAL(38,12))) AS DOUBLE)
+      |    / CAST(n_all AS DOUBLE), 6) AS a2kn
+      |FROM per_type GROUP BY n_all""".stripMargin
+
   /** Number of random relabelings for the permutation p-value: 19
     * gives the classic 1/20 granularity (a stat that beats every
     * relabel reads p = 0.05).
@@ -479,6 +522,7 @@ object EdfOps {
     QueryDef("ops_anderson_darling", andersonDarling, Some(andersonDarlingOracle)),
     QueryDef("cu_quantile_norm", quantileNorm, Some(quantileNormOracle)),
     QueryDef("ops_cvm_permutation", cvmPermutation, Some(cvmPermutationOracle)),
+    QueryDef("ops_ad_ksample", adKSample, Some(adKSampleOracle)),
   )
 
   /** Oracle-less production-hash twin (xxhash64 relabels — not

@@ -81,6 +81,32 @@ class EdfOpsSpec extends SparkSpec {
     }
   }
 
+  test("ops_ad_ksample replays the Scholz-Stephens k-sample collapse") {
+    val (buckets, perType, cumAll, nS, nAll) = refGrid
+    val ev = Tables.t(spark, dir, "events")
+      .selectExpr("event_type", "CAST(round(value * 100) AS LONG) AS b")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val cntAll = ev.groupBy(_._2).map { case (b, xs) => b -> xs.length.toLong }
+    val got = graft.queries.EdfOps.adKSample(spark, dir).collect()
+    assert(got.length === 1)
+    val row = got.head
+    assert(row.getLong(0) === perType.size.toLong) // k
+    assert(row.getLong(1) === nAll)                // n_all
+    val osum = perType.keySet.toSeq.map { t =>
+      val n = nS(t)
+      val tsum = buckets.indices.filter(i => cumAll(i) < nAll).map { i =>
+        val d = BigInt(perType(t)(i)) * nAll - BigInt(n) * cumAll(i)
+        val num = (BigInt(cntAll(buckets(i))) * d * d).toDouble
+        val den = (BigInt(cumAll(i)) * (nAll - cumAll(i))).toDouble
+        BigDecimal(num / den).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      BigDecimal(tsum.toDouble / n.toDouble)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    assert(row.getDouble(2) === r6(osum.toDouble / nAll.toDouble), "a2kn")
+    assert(row.getDouble(2) >= 0.0)
+  }
+
   private def md5u32(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))

@@ -188,6 +188,8 @@ class PlanAuditSpec extends SparkSpec {
       // literal relabel grid and the 5-row threshold relation fanned
       // onto the fact scan (the ops_bootstrap_poisson recipe)
       "ops_cvm_permutation", "ops_cvmperm_xxhash",
+      // k-sample AD: the same edfGrid shape, one more 5-row rollup
+      "ops_ad_ksample",
       // quantile normalization: DistRank 1-row global bounds + the
       // 1-row corpus-total aggregate onto two histogram-sized relations
       "cu_quantile_norm")
@@ -391,7 +393,9 @@ class PlanAuditSpec extends SparkSpec {
       // permutation p-value: those plus the 19-row relabel grid, the
       // 5-row threshold relation, the 95-row world dimension and the
       // 5-row observed-statistic relation
-      "ops_cvm_permutation", "ops_cvmperm_xxhash")
+      "ops_cvm_permutation", "ops_cvmperm_xxhash",
+      // k-sample AD: the edfGrid broadcasts (see bnljAllowed)
+      "ops_ad_ksample")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>
@@ -450,7 +454,9 @@ class PlanAuditSpec extends SparkSpec {
     "cu_quantile_norm" -> 1,
     // permutation p-value: the pooled leg's bucket carry appears in
     // both the observed-statistic and the relabeled subplans
-    "ops_cvm_permutation" -> 2, "ops_cvmperm_xxhash" -> 2)
+    "ops_cvm_permutation" -> 2, "ops_cvmperm_xxhash" -> 2,
+    // k-sample AD: the edfGrid pooled-leg bucket carry
+    "ops_ad_ksample" -> 1)
 
   test("unpartitioned windows appear only over bounded grid relations (exact census)") {
     val actual = auditSurface.sortBy(_._1).map { case (name, fn) =>
