@@ -543,6 +543,7 @@ object ScaleBench {
       "cu_quantile_norm" -> graft.queries.EdfOps.quantileNorm _,
       "ops_cvm_permutation" -> graft.queries.EdfOps.cvmPermutation _,
       "ops_ad_ksample" -> graft.queries.EdfOps.adKSample _,
+      "ops_energy_distance" -> graft.queries.EdfOps.energyDistance _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

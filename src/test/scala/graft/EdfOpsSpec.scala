@@ -107,6 +107,38 @@ class EdfOpsSpec extends SparkSpec {
     assert(row.getDouble(2) >= 0.0)
   }
 
+  test("ops_energy_distance replays a brute-force all-pairs computation") {
+    // an INDEPENDENT algebra: the gate integrates cumulative counts
+    // over value segments; this replay sums |difference| over every
+    // pair explicitly — agreement pins the segment-integral identity
+    val ev = Tables.t(spark, dir, "events")
+      .selectExpr("event_type", "CAST(round(value * 100) AS LONG) AS b")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val nAll = ev.length.toLong
+    val got = graft.queries.EdfOps.energyDistance(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq === ev.map(_._1).distinct.sorted.toSeq)
+    got.foreach { case (t, n, eDist, tStat) =>
+      val xs = ev.filter(_._1 == t).map(_._2)
+      val ys = ev.filter(_._1 != t).map(_._2)
+      assert(n === xs.length.toLong)
+      val m = ys.length.toLong
+      // |x−y| ≤ the cent range and there are ≤10⁶ pairs at sf0.001:
+      // a Long accumulator is exact with orders of magnitude to spare
+      def pairSum(a: Array[Long], b: Array[Long]): Long =
+        a.foldLeft(0L)((acc, x) =>
+          acc + b.foldLeft(0L)((acc2, y) => acc2 + math.abs(x - y)))
+      val aXY = pairSum(xs, ys).toDouble / (n * m).toDouble
+      val bXX = pairSum(xs, xs).toDouble / (n * n).toDouble
+      val cYY = pairSum(ys, ys).toDouble / (m * m).toDouble
+      val e = 2.0 * aXY - bXX - cYY
+      assert(eDist === r6(e / 100.0), s"e_dist for $t")
+      assert(tStat === r6((n * m).toDouble / nAll.toDouble * e / 100.0),
+        s"t_stat for $t")
+      assert(eDist >= 0.0)
+    }
+  }
+
   private def md5u32(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))

@@ -190,6 +190,8 @@ class PlanAuditSpec extends SparkSpec {
       "ops_cvm_permutation", "ops_cvmperm_xxhash",
       // k-sample AD: the same edfGrid shape, one more 5-row rollup
       "ops_ad_ksample",
+      // energy distance: the same edfGrid shape + a grid lead window
+      "ops_energy_distance",
       // quantile normalization: DistRank 1-row global bounds + the
       // 1-row corpus-total aggregate onto two histogram-sized relations
       "cu_quantile_norm")
@@ -395,7 +397,9 @@ class PlanAuditSpec extends SparkSpec {
       // 5-row observed-statistic relation
       "ops_cvm_permutation", "ops_cvmperm_xxhash",
       // k-sample AD: the edfGrid broadcasts (see bnljAllowed)
-      "ops_ad_ksample")
+      "ops_ad_ksample",
+      // energy distance: the edfGrid broadcasts (see bnljAllowed)
+      "ops_energy_distance")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>
@@ -456,7 +460,10 @@ class PlanAuditSpec extends SparkSpec {
     // both the observed-statistic and the relabeled subplans
     "ops_cvm_permutation" -> 2, "ops_cvmperm_xxhash" -> 2,
     // k-sample AD: the edfGrid pooled-leg bucket carry
-    "ops_ad_ksample" -> 1)
+    "ops_ad_ksample" -> 1,
+    // energy distance: the edfGrid pooled-leg bucket carry (the
+    // next-gap lead window is partitioned by type)
+    "ops_energy_distance" -> 1)
 
   test("unpartitioned windows appear only over bounded grid relations (exact census)") {
     val actual = auditSurface.sortBy(_._1).map { case (name, fn) =>
