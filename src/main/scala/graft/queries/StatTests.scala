@@ -2190,7 +2190,137 @@ object StatTests {
       |      - CAST(t3.tie3 AS DOUBLE) / 48.0)), 6) + 0.0 AS z_score
       |FROM agg CROSS JOIN t3""".stripMargin
 
+  /** PROPENSITY-SCORE MATCHING ATT (Rosenbaum & Rubin 1983;
+    * 1-NN-with-replacement at the propensity-cell level) — the
+    * matching estimator beside [[StatOps.ipwAte]]'s weighting
+    * estimator, same treatment/outcome construction (error-prone
+    * users as treated, purchase value as outcome, click activity as
+    * the confounder): users land in 10 fine activity cells, each
+    * cell's propensity is the exact rational n_treated/n, every
+    * treated cell matches the control-bearing cell with the nearest
+    * propensity (|Δp| ≤ 0.1 caliper, cell-id tiebreak — a cell with
+    * its own controls matches itself, which is exact matching), and
+    * ATT = Σ n_t·(ȳ_t − ȳ_matched-control) / Σ n_t.
+    *
+    * Float policy: outcomes aggregate as exact micro-unit
+    * DECIMAL(38,0); each propensity is ONE double division of exact
+    * integers; |Δp| compares those identical doubles in both
+    * engines; the ATT numerator rides DECIMAL(38,12).
+    *
+    * Scale shape: one user hash-aggregate, one ≤10-row cell grid;
+    * the matching all-pairs is grid² ≤ 100 rows (domain-bounded,
+    * never fact-sized) — at 100 TB only the first aggregate grows.
+    */
+  def psmAtt(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val d12 = DecimalType(38, 12)
+    val users = Tables.t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          round(col("value") * 1000000).cast(LongType))), lit(0L)).as("y"))
+      .select(least(lit(9L), floor(col("n_click") / 2).cast(LongType)).as("cell"),
+        (col("n_err") >= 14).cast(LongType).as("treated"), col("y"))
+    val cells = users.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("treated")).as("n_t"),
+        sum(lit(1L) - col("treated")).as("n_c"),
+        sum(when(col("treated") === 1, col("y")).otherwise(0L).cast(dec)).as("sy_t"),
+        sum(when(col("treated") === 0, col("y")).otherwise(0L).cast(dec)).as("sy_c"))
+      .withColumn("p", col("n_t").cast(DoubleType) / col("n").cast(DoubleType))
+    val tc = cells.filter(col("n_t") > 0)
+      .select(col("cell"), col("n_t"), col("p"), col("sy_t"))
+    val cc = cells.filter(col("n_c") > 0)
+      .select(col("cell").as("m_cell"), col("n_c"), col("p").as("m_p"),
+        col("sy_c"))
+    val matched = tc.crossJoin(broadcast(cc))
+      .filter(abs(col("p") - col("m_p")) <= 0.1)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("cell"))
+        .orderBy(abs(col("p") - col("m_p")), col("m_cell"))))
+      .filter(col("rn") === 1)
+      .withColumn("mean_t",
+        col("sy_t").cast(DoubleType) / col("n_t").cast(DoubleType) / 1000000.0)
+      .withColumn("mean_c",
+        col("sy_c").cast(DoubleType) / col("n_c").cast(DoubleType) / 1000000.0)
+    val perCell = matched.select(col("cell"), col("n_t"),
+      round(col("p"), 6).as("propensity"), col("m_cell").as("matched_cell"),
+      round(col("m_p"), 6).as("matched_p"),
+      round(col("mean_t"), 6).as("mean_t"), round(col("mean_c"), 6).as("mean_c"),
+      round(col("mean_t") - col("mean_c"), 6).as("effect"))
+    // ATT over the ROUNDED per-cell effects, decimal×decimal — the
+    // [[StatOps.ipwAte]] summary-row device verbatim
+    val att = matched
+      .agg(sum(col("n_t")).as("n_t"),
+        sum(col("n_t").cast(d12) *
+          round(col("mean_t") - col("mean_c"), 6).cast(d12)).as("wsum"))
+      .select(lit(-1L).as("cell"), col("n_t"),
+        lit(null).cast(DoubleType).as("propensity"),
+        lit(null).cast(LongType).as("matched_cell"),
+        lit(null).cast(DoubleType).as("matched_p"),
+        lit(null).cast(DoubleType).as("mean_t"),
+        lit(null).cast(DoubleType).as("mean_c"),
+        round(col("wsum").cast(DoubleType) / col("n_t").cast(DoubleType), 6)
+          .as("effect"))
+    perCell.unionByName(att).orderBy(col("cell"))
+  }
+
+  val psmAttOracle: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+      |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err,
+      |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 1000000) AS BIGINT) END), 0) AS y
+      |  FROM events GROUP BY 1),
+      |t AS (
+      |  SELECT LEAST(9, n_click // 2) AS cell,
+      |    CAST(n_err >= 14 AS BIGINT) AS treated, y FROM u),
+      |cells AS (
+      |  SELECT cell, COUNT(*) AS n, SUM(treated) AS n_t,
+      |    SUM(1 - treated) AS n_c,
+      |    SUM(CAST(CASE WHEN treated = 1 THEN y ELSE 0 END
+      |      AS DECIMAL(38,0))) AS sy_t,
+      |    SUM(CAST(CASE WHEN treated = 0 THEN y ELSE 0 END
+      |      AS DECIMAL(38,0))) AS sy_c,
+      |    CAST(SUM(treated) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS p
+      |  FROM t GROUP BY 1),
+      |matched AS (
+      |  SELECT * FROM (
+      |    SELECT tc.cell, tc.n_t, tc.p, tc.sy_t,
+      |      cc.cell AS m_cell, cc.n_c, cc.p AS m_p, cc.sy_c,
+      |      row_number() OVER (PARTITION BY tc.cell
+      |        ORDER BY abs(tc.p - cc.p), cc.cell) AS rn
+      |    FROM (SELECT * FROM cells WHERE n_t > 0) tc
+      |    JOIN (SELECT * FROM cells WHERE n_c > 0) cc
+      |      ON abs(tc.p - cc.p) <= 0.1)
+      |  WHERE rn = 1),
+      |m2 AS (
+      |  SELECT cell, n_t, p, m_cell, m_p,
+      |    CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) / 1000000.0 AS mean_t,
+      |    CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE) / 1000000.0 AS mean_c
+      |  FROM matched),
+      |percell AS (
+      |  SELECT cell, CAST(n_t AS BIGINT) AS n_t, round(p, 6) AS propensity,
+      |    CAST(m_cell AS BIGINT) AS matched_cell, round(m_p, 6) AS matched_p,
+      |    round(mean_t, 6) AS mean_t, round(mean_c, 6) AS mean_c,
+      |    round(mean_t - mean_c, 6) AS effect
+      |  FROM m2),
+      |summary AS (
+      |  SELECT CAST(-1 AS BIGINT) AS cell, CAST(SUM(n_t) AS BIGINT) AS n_t,
+      |    CAST(NULL AS DOUBLE) AS propensity,
+      |    CAST(NULL AS BIGINT) AS matched_cell,
+      |    CAST(NULL AS DOUBLE) AS matched_p,
+      |    CAST(NULL AS DOUBLE) AS mean_t, CAST(NULL AS DOUBLE) AS mean_c,
+      |    round(CAST(SUM(CAST(n_t AS DECIMAL(38,12))
+      |        * CAST(round(mean_t - mean_c, 6) AS DECIMAL(38,12))) AS DOUBLE)
+      |      / CAST(SUM(n_t) AS DOUBLE), 6) AS effect
+      |  FROM m2)
+      |SELECT * FROM percell UNION ALL SELECT * FROM summary
+      |ORDER BY cell""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ops_psm_att", psmAtt, Some(psmAttOracle)),
     QueryDef("ops_cliffs_delta", cliffsDelta, Some(cliffsDeltaOracle)),
     QueryDef("ops_wilcoxon_signed", wilcoxonSigned, Some(wilcoxonSignedOracle)),
     QueryDef("ops_brown_forsythe", brownForsythe, Some(brownForsytheOracle)),

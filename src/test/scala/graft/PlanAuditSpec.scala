@@ -192,6 +192,9 @@ class PlanAuditSpec extends SparkSpec {
       "ops_ad_ksample",
       // energy distance: the same edfGrid shape + a grid lead window
       "ops_energy_distance",
+      // PSM: the ≤10-row treated-cell × ≤10-row control-cell caliper
+      // match — grid², domain-bounded (the ops_tukey_hsd pair shape)
+      "ops_psm_att",
       // quantile normalization: DistRank 1-row global bounds + the
       // 1-row corpus-total aggregate onto two histogram-sized relations
       "cu_quantile_norm")
@@ -399,7 +402,9 @@ class PlanAuditSpec extends SparkSpec {
       // k-sample AD: the edfGrid broadcasts (see bnljAllowed)
       "ops_ad_ksample",
       // energy distance: the edfGrid broadcasts (see bnljAllowed)
-      "ops_energy_distance")
+      "ops_energy_distance",
+      // PSM: the ≤10-row control-cell donor relation
+      "ops_psm_att")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>

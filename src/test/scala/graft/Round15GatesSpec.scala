@@ -57,4 +57,57 @@ class Round15GatesSpec extends SparkSpec {
     // sanity: the test actually exercised ties and both signs
     assert(nPos > 0 && nPos < n, "degenerate sign split")
   }
+
+  test("ops_psm_att replays an imperative cell-level matching pass") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // imperative reference: per-user aggregates, 10 activity cells,
+    // exact propensities, nearest-propensity caliper match, ATT
+    val byUser = Tables.t(spark, dir, "events")
+      .selectExpr("user_id", "event_type", "CAST(round(value * 1000000) AS LONG) AS vm")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).map { case (_, rows) =>
+        val clicks = rows.count(_._2 == "click").toLong
+        val errs = rows.count(_._2 == "error").toLong
+        val y = rows.filter(_._2 == "purchase").map(_._3).sum
+        (math.min(9L, clicks / 2), if (errs >= 14) 1L else 0L, y)
+      }.toSeq
+    val cells = byUser.groupBy(_._1).map { case (cell, rows) =>
+      val n = rows.size.toLong
+      val nT = rows.count(_._2 == 1L).toLong
+      val syT = rows.filter(_._2 == 1L).map(_._3).sum
+      val syC = rows.filter(_._2 == 0L).map(_._3).sum
+      (cell, n, nT, n - nT, syT, syC, nT.toDouble / n.toDouble)
+    }.toSeq
+    val donors = cells.filter(_._4 > 0)
+    val expected = cells.filter(_._3 > 0).flatMap {
+      case (cell, _, nT, _, syT, _, p) =>
+        val cands = donors.filter(d => math.abs(p - d._7) <= 0.1)
+        if (cands.isEmpty) None
+        else {
+          val m = cands.minBy(d => (math.abs(p - d._7), d._1))
+          val meanT = syT.toDouble / nT.toDouble / 1000000.0
+          val meanC = m._6.toDouble / m._4.toDouble / 1000000.0
+          Some((cell, nT, m._1, r6(meanT - meanC)))
+        }
+    }.sortBy(_._1)
+
+    val got = graft.queries.StatTests.psmAtt(spark, dir).collect()
+    val perCell = got.filter(_.getLong(0) >= 0)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(7)))
+    assert(perCell.toSeq === expected)
+
+    val attRow = got.filter(_.getLong(0) == -1L)
+    assert(attRow.length === 1)
+    val wsum = expected.map { case (_, nT, _, eff) =>
+      BigDecimal(nT) * BigDecimal(eff)
+    }.sum
+    val nTot = expected.map(_._2).sum
+    assert(attRow.head.getLong(1) === nTot)
+    // mirror the engine's cast order: decimal Σ → double, THEN divide
+    assert(attRow.head.getDouble(7) === r6(wsum.toDouble / nTot.toDouble))
+    // sanity: matching is non-degenerate (several treated cells, at
+    // least one non-self match is possible in principle)
+    assert(expected.size >= 3)
+  }
 }
