@@ -545,6 +545,7 @@ object ScaleBench {
       "ops_ad_ksample" -> graft.queries.EdfOps.adKSample _,
       "ops_energy_distance" -> graft.queries.EdfOps.energyDistance _,
       "ops_psm_att" -> graft.queries.StatTests.psmAtt _,
+      "ops_rdd_sharp" -> graft.queries.StatTests.rddSharp _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

@@ -534,7 +534,7 @@ object StatTests {
       |  round(CAST(n_suppliers * q - s * s AS DOUBLE)
       |    / (CAST(s * s AS DOUBLE) * CAST(n_suppliers - 1 AS DOUBLE)), 6)
       |    AS hhi_norm,
-      |  round(CAST(s * s AS DOUBLE) / CAST(q AS DOUBLE), 6)
+      |  round(CAST(s * s AS DOUBLE) / CAST(q AS DOUBLE), 6) + 0.0
       |    AS effective_firms
       |FROM g WHERE n_suppliers > 1 ORDER BY region""".stripMargin
 
@@ -2319,7 +2319,124 @@ object StatTests {
       |SELECT * FROM percell UNION ALL SELECT * FROM summary
       |ORDER BY cell""".stripMargin
 
+  /** SHARP REGRESSION DISCONTINUITY (Thistlethwaite & Campbell 1960;
+    * Imbens & Lemieux 2008 local-linear recipe) — the third leg of
+    * the causal stool beside [[StatOps.ipwAte]] (weighting) and
+    * [[psmAtt]] (matching): when treatment flips deterministically at
+    * a threshold of a running variable, the effect is the jump in the
+    * conditional mean at the cutoff. Running variable = per-user
+    * click count (sf-invariant 3..22, median 13), cutoff c = 13,
+    * bandwidth h = 6; within the window each side gets a closed-form
+    * local-linear fit of outcome on (x − c), and the effect is the
+    * difference of the two intercepts at the cutoff.
+    *
+    * Float policy: the OLS normal equations stay EXACT —
+    * α = (Sxx·Sy − Sx·Sxy) / (n·Sxx − Sx²) and
+    * β = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²) with micro-unit outcome sums
+    * in DECIMAL(38,0) (x-moments are tiny integers) — ONE double
+    * division per coefficient, written identically in the oracle; the
+    * effect is a single double subtraction of those quotients.
+    *
+    * Scale shape: one user hash-aggregate then a 1-row two-sided
+    * conditional aggregate; nothing after the first aggregate is even
+    * user-sized.
+    */
+  def rddSharp(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val c = 13L
+    val h = 6L
+    val u = Tables.t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          round(col("value") * 1000000).cast(LongType))), lit(0L)).as("y"))
+      .filter(abs(col("x") - c) <= h)
+      .select((col("x") >= c).cast(LongType).as("r"),
+        (col("x") - c).as("d"), col("y"))
+    def side(v: Long, e: Column): Column = sum(when(col("r") === v, e).otherwise(lit(0L).cast(dec)))
+    val agg = u.groupBy().agg(
+      sum(when(col("r") === 0, 1L).otherwise(0L)).as("n_l"),
+      sum(when(col("r") === 1, 1L).otherwise(0L)).as("n_r"),
+      sum(when(col("r") === 0, col("d")).otherwise(0L)).as("sx_l"),
+      sum(when(col("r") === 1, col("d")).otherwise(0L)).as("sx_r"),
+      sum(when(col("r") === 0, col("d") * col("d")).otherwise(0L)).as("sxx_l"),
+      sum(when(col("r") === 1, col("d") * col("d")).otherwise(0L)).as("sxx_r"),
+      side(0L, col("y").cast(dec)).as("sy_l"),
+      side(1L, col("y").cast(dec)).as("sy_r"),
+      side(0L, (col("d") * col("y")).cast(dec)).as("sxy_l"),
+      side(1L, (col("d") * col("y")).cast(dec)).as("sxy_r"))
+    def alpha(sfx: String): Column =
+      (col(s"sxx_$sfx").cast(dec) * col(s"sy_$sfx") -
+        col(s"sx_$sfx").cast(dec) * col(s"sxy_$sfx")).cast(DoubleType) /
+        (col(s"n_$sfx") * col(s"sxx_$sfx") -
+          col(s"sx_$sfx") * col(s"sx_$sfx")).cast(DoubleType) / 1000000.0
+    def beta(sfx: String): Column =
+      (col(s"n_$sfx").cast(dec) * col(s"sxy_$sfx") -
+        col(s"sx_$sfx").cast(dec) * col(s"sy_$sfx")).cast(DoubleType) /
+        (col(s"n_$sfx") * col(s"sxx_$sfx") -
+          col(s"sx_$sfx") * col(s"sx_$sfx")).cast(DoubleType) / 1000000.0
+    // every column is negative-capable → the two-sided −0.0
+    // normalization (the gr_modularity device), matched in the oracle
+    agg.select(col("n_l"), col("n_r"),
+      (round(alpha("l"), 6) + lit(0.0)).as("alpha_left"),
+      (round(alpha("r"), 6) + lit(0.0)).as("alpha_right"),
+      (round(beta("l"), 6) + lit(0.0)).as("slope_left"),
+      (round(beta("r"), 6) + lit(0.0)).as("slope_right"),
+      (round(alpha("r") - alpha("l"), 6) + lit(0.0)).as("effect"))
+  }
+
+  val rddSharpOracle: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+      |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 1000000) AS BIGINT) END), 0) AS y
+      |  FROM events GROUP BY 1),
+      |w AS (
+      |  SELECT CAST(x >= 13 AS BIGINT) AS r, x - 13 AS d, y
+      |  FROM u WHERE abs(x - 13) <= 6),
+      |a AS (
+      |  SELECT
+      |    SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS n_l,
+      |    SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS n_r,
+      |    SUM(CASE WHEN r = 0 THEN d ELSE 0 END) AS sx_l,
+      |    SUM(CASE WHEN r = 1 THEN d ELSE 0 END) AS sx_r,
+      |    SUM(CASE WHEN r = 0 THEN d * d ELSE 0 END) AS sxx_l,
+      |    SUM(CASE WHEN r = 1 THEN d * d ELSE 0 END) AS sxx_r,
+      |    SUM(CAST(CASE WHEN r = 0 THEN y ELSE 0 END AS DECIMAL(38,0))) AS sy_l,
+      |    SUM(CAST(CASE WHEN r = 1 THEN y ELSE 0 END AS DECIMAL(38,0))) AS sy_r,
+      |    SUM(CAST(CASE WHEN r = 0 THEN d * y ELSE 0 END AS DECIMAL(38,0))) AS sxy_l,
+      |    SUM(CAST(CASE WHEN r = 1 THEN d * y ELSE 0 END AS DECIMAL(38,0))) AS sxy_r
+      |  FROM w)
+      |SELECT CAST(n_l AS BIGINT) AS n_l, CAST(n_r AS BIGINT) AS n_r,
+      |  round(CAST(CAST(sxx_l AS DECIMAL(38,0)) * sy_l
+      |      - CAST(sx_l AS DECIMAL(38,0)) * sxy_l AS DOUBLE)
+      |    / CAST(n_l * sxx_l - sx_l * sx_l AS DOUBLE) / 1000000.0, 6) + 0.0
+      |    AS alpha_left,
+      |  round(CAST(CAST(sxx_r AS DECIMAL(38,0)) * sy_r
+      |      - CAST(sx_r AS DECIMAL(38,0)) * sxy_r AS DOUBLE)
+      |    / CAST(n_r * sxx_r - sx_r * sx_r AS DOUBLE) / 1000000.0, 6) + 0.0
+      |    AS alpha_right,
+      |  round(CAST(CAST(n_l AS DECIMAL(38,0)) * sxy_l
+      |      - CAST(sx_l AS DECIMAL(38,0)) * sy_l AS DOUBLE)
+      |    / CAST(n_l * sxx_l - sx_l * sx_l AS DOUBLE) / 1000000.0, 6) + 0.0
+      |    AS slope_left,
+      |  round(CAST(CAST(n_r AS DECIMAL(38,0)) * sxy_r
+      |      - CAST(sx_r AS DECIMAL(38,0)) * sy_r AS DOUBLE)
+      |    / CAST(n_r * sxx_r - sx_r * sx_r AS DOUBLE) / 1000000.0, 6) + 0.0
+      |    AS slope_right,
+      |  round(CAST(CAST(sxx_r AS DECIMAL(38,0)) * sy_r
+      |      - CAST(sx_r AS DECIMAL(38,0)) * sxy_r AS DOUBLE)
+      |    / CAST(n_r * sxx_r - sx_r * sx_r AS DOUBLE) / 1000000.0
+      |    - CAST(CAST(sxx_l AS DECIMAL(38,0)) * sy_l
+      |      - CAST(sx_l AS DECIMAL(38,0)) * sxy_l AS DOUBLE)
+      |    / CAST(n_l * sxx_l - sx_l * sx_l AS DOUBLE) / 1000000.0, 6) + 0.0
+      |    AS effect
+      |FROM a""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ops_rdd_sharp", rddSharp, Some(rddSharpOracle)),
     QueryDef("ops_psm_att", psmAtt, Some(psmAttOracle)),
     QueryDef("ops_cliffs_delta", cliffsDelta, Some(cliffsDeltaOracle)),
     QueryDef("ops_wilcoxon_signed", wilcoxonSigned, Some(wilcoxonSignedOracle)),

@@ -110,4 +110,48 @@ class Round15GatesSpec extends SparkSpec {
     // least one non-self match is possible in principle)
     assert(expected.size >= 3)
   }
+
+  test("ops_rdd_sharp replays an imperative local-linear OLS pass") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byUser = Tables.t(spark, dir, "events")
+      .selectExpr("user_id", "event_type", "CAST(round(value * 1000000) AS LONG) AS vm")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      // .toSeq BEFORE .map: mapping a Map to (x, y) pairs would
+      // DEDUPLICATE users sharing the same x
+      .groupBy(_._1).toSeq.map { case (_, rows) =>
+        val x = rows.count(_._2 == "click").toLong
+        val y = rows.filter(_._2 == "purchase").map(_._3).sum
+        (x, y)
+      }.filter { case (x, _) => math.abs(x - 13) <= 6 }
+    def fit(side: Seq[(Long, Long)]): (Long, Double, Double) = {
+      val n = side.size.toLong
+      val ds = side.map { case (x, _) => x - 13L }
+      val sx = ds.sum
+      val sxx = ds.map(d => d * d).sum
+      val sy = side.map(r => BigInt(r._2)).sum
+      val sxy = side.map { case (x, y) => BigInt(x - 13L) * y }.sum
+      val den = (n * sxx - sx * sx).toDouble
+      val a = (BigInt(sxx) * sy - BigInt(sx) * sxy).toDouble / den / 1000000.0
+      val b = (BigInt(n) * sxy - BigInt(sx) * sy).toDouble / den / 1000000.0
+      (n, a, b)
+    }
+    val (nL, aL, bL) = fit(byUser.filter(_._1 < 13))
+    val (nR, aR, bR) = fit(byUser.filter(_._1 >= 13))
+    // non-degenerate design on both sides: OLS needs >= 2 distinct d
+    assert(nL >= 2 && nR >= 2)
+    assert(byUser.filter(_._1 < 13).map(_._1).distinct.size >= 2)
+    assert(byUser.filter(_._1 >= 13).map(_._1).distinct.size >= 2)
+
+    val got = graft.queries.StatTests.rddSharp(spark, dir).collect()
+    assert(got.length === 1)
+    val row = got.head
+    assert(row.getAs[Long]("n_l") === nL)
+    assert(row.getAs[Long]("n_r") === nR)
+    assert(row.getAs[Double]("alpha_left") === r6(aL))
+    assert(row.getAs[Double]("alpha_right") === r6(aR))
+    assert(row.getAs[Double]("slope_left") === r6(bL))
+    assert(row.getAs[Double]("slope_right") === r6(bR))
+    assert(row.getAs[Double]("effect") === r6(aR - aL))
+  }
 }
