@@ -546,6 +546,7 @@ object ScaleBench {
       "ops_energy_distance" -> graft.queries.EdfOps.energyDistance _,
       "ops_psm_att" -> graft.queries.StatTests.psmAtt _,
       "ops_rdd_sharp" -> graft.queries.StatTests.rddSharp _,
+      "ops_tost_equiv" -> graft.queries.StatTests.tostEquiv _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

@@ -2435,7 +2435,96 @@ object StatTests {
       |    AS effect
       |FROM a""".stripMargin
 
+  /** TOST EQUIVALENCE test (Schuirmann 1987 two one-sided tests —
+    * the equivalence/non-inferiority companion to the superiority
+    * test `ops_ttest_welch`, same A/B arms and Welch moments): can we
+    * affirmatively claim the arms' mean event values differ by LESS
+    * than the margin δ = 0.05 value units? Both one-sided statistics
+    * t_lo = (Δ + δ)/SE and t_hi = (Δ − δ)/SE are reported, with the
+    * large-n z-approximation decision (reject both one-sided nulls at
+    * α = 0.05 ⇔ t_lo ≥ 1.645 ∧ t_hi ≤ −1.645 — arm sizes here are in
+    * the thousands, where t ≈ z; the exact-dof variant would only
+    * move the literal).
+    *
+    * Float policy: exact micro-unit DECIMAL(38,0) moments
+    * (`welchTTest`'s device); variances/means/SE are single double
+    * expressions written identically in the oracle; the decision
+    * compares those identical doubles to literals.
+    */
+  def tostEquiv(s: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(38, 0)
+    val deltaMicro = 50000.0
+    val grid = Tables.t(s, dir, "events")
+      .select(col("event_type").as("t"),
+        when(col("user_id") % 2 === 0, "A").otherwise("B").as("arm"),
+        round(col("value") * 1000000).cast(LongType).as("vm"))
+      .groupBy(col("t"), col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("vm").cast(d)).as("sx"),
+        sum((col("vm").cast(d) * col("vm"))).as("sxx"))
+    def pick(arm: String, f: String): Column =
+      sum(when(col("arm") === arm, col(f)))
+    val row = grid.groupBy(col("t"))
+      .agg(pick("A", "n").as("n_a"), pick("A", "sx").as("sx_a"),
+        pick("A", "sxx").as("sxx_a"),
+        pick("B", "n").as("n_b"), pick("B", "sx").as("sx_b"),
+        pick("B", "sxx").as("sxx_b"))
+    def va(n: String, sx: String, sxx: String): Column =
+      (col(n) * col(sxx) - col(sx) * col(sx)).cast(DoubleType) /
+        (col(n) * (col(n) - 1)).cast(DoubleType)
+    val seA = va("n_a", "sx_a", "sxx_a") / col("n_a").cast(DoubleType)
+    val seB = va("n_b", "sx_b", "sxx_b") / col("n_b").cast(DoubleType)
+    val se = sqrt(seA + seB)
+    val diff = col("sx_a").cast(DoubleType) / col("n_a").cast(DoubleType) -
+      col("sx_b").cast(DoubleType) / col("n_b").cast(DoubleType)
+    val tLo = (diff + lit(deltaMicro)) / se
+    val tHi = (diff - lit(deltaMicro)) / se
+    row.select(col("t").as("event_type"),
+      col("n_a").cast(LongType).as("n_a"), col("n_b").cast(LongType).as("n_b"),
+      (round(diff / 1000000.0, 6) + lit(0.0)).as("mean_diff"),
+      round(se / 1000000.0, 6).as("se"),
+      (round(tLo, 6) + lit(0.0)).as("t_lower"),
+      (round(tHi, 6) + lit(0.0)).as("t_upper"),
+      (tLo >= 1.645 && tHi <= -1.645).cast(LongType).as("equivalent"))
+      .orderBy(col("event_type"))
+  }
+
+  val tostEquivOracle: String = {
+    val vA = "(CAST(n_a * sxx_a - sx_a * sx_a AS DOUBLE) / CAST(n_a * (n_a - 1) AS DOUBLE) / CAST(n_a AS DOUBLE))"
+    val vB = "(CAST(n_b * sxx_b - sx_b * sx_b AS DOUBLE) / CAST(n_b * (n_b - 1) AS DOUBLE) / CAST(n_b AS DOUBLE))"
+    val diff = "(CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+    val se = s"sqrt($vA + $vB)"
+    s"""WITH ev AS (
+       |  SELECT event_type AS t,
+       |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+       |    CAST(round(value * 1000000) AS BIGINT) AS vm
+       |  FROM events),
+       |g AS (
+       |  SELECT t, arm, COUNT(*) AS n,
+       |    SUM(CAST(vm AS DECIMAL(38,0))) AS sx,
+       |    SUM(CAST(vm AS DECIMAL(38,0)) * vm) AS sxx
+       |  FROM ev GROUP BY 1, 2),
+       |r AS (
+       |  SELECT t,
+       |    SUM(CASE WHEN arm = 'A' THEN n END) AS n_a,
+       |    SUM(CASE WHEN arm = 'A' THEN sx END) AS sx_a,
+       |    SUM(CASE WHEN arm = 'A' THEN sxx END) AS sxx_a,
+       |    SUM(CASE WHEN arm = 'B' THEN n END) AS n_b,
+       |    SUM(CASE WHEN arm = 'B' THEN sx END) AS sx_b,
+       |    SUM(CASE WHEN arm = 'B' THEN sxx END) AS sxx_b
+       |  FROM g GROUP BY 1)
+       |SELECT t AS event_type, CAST(n_a AS BIGINT) AS n_a,
+       |  CAST(n_b AS BIGINT) AS n_b,
+       |  round($diff / 1000000.0, 6) + 0.0 AS mean_diff,
+       |  round($se / 1000000.0, 6) AS se,
+       |  round(($diff + 50000.0) / $se, 6) + 0.0 AS t_lower,
+       |  round(($diff - 50000.0) / $se, 6) + 0.0 AS t_upper,
+       |  CAST(($diff + 50000.0) / $se >= 1.645
+       |    AND ($diff - 50000.0) / $se <= -1.645 AS BIGINT) AS equivalent
+       |FROM r ORDER BY event_type""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ops_tost_equiv", tostEquiv, Some(tostEquivOracle)),
     QueryDef("ops_rdd_sharp", rddSharp, Some(rddSharpOracle)),
     QueryDef("ops_psm_att", psmAtt, Some(psmAttOracle)),
     QueryDef("ops_cliffs_delta", cliffsDelta, Some(cliffsDeltaOracle)),

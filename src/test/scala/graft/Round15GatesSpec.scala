@@ -154,4 +154,39 @@ class Round15GatesSpec extends SparkSpec {
     assert(row.getAs[Double]("slope_right") === r6(bR))
     assert(row.getAs[Double]("effect") === r6(aR - aL))
   }
+
+  test("ops_tost_equiv replays imperative Welch moments and the TOST decision") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ev = Tables.t(spark, dir, "events")
+      .selectExpr("event_type", "user_id", "CAST(round(value * 1000000) AS LONG) AS vm")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = graft.queries.StatTests.tostEquiv(spark, dir).collect()
+    assert(got.map(_.getString(0)).toSeq === ev.map(_._1).distinct.sorted.toSeq)
+    got.foreach { row =>
+      val t = row.getString(0)
+      val a = ev.filter(e => e._1 == t && e._2 % 2 == 0).map(_._3)
+      val b = ev.filter(e => e._1 == t && e._2 % 2 != 0).map(_._3)
+      assert(row.getAs[Long]("n_a") === a.length.toLong)
+      assert(row.getAs[Long]("n_b") === b.length.toLong)
+      def mv(xs: Array[Long]): (Double, Double) = {
+        val n = xs.length.toLong
+        val sx = xs.map(BigInt(_)).sum
+        val sxx = xs.map(x => BigInt(x) * x).sum
+        val v = (BigInt(n) * sxx - sx * sx).toDouble / (n * (n - 1)).toDouble
+        (sx.toDouble / n.toDouble, v / n.toDouble)
+      }
+      val (ma, va) = mv(a); val (mb, vb) = mv(b)
+      val diff = ma - mb
+      val se = math.sqrt(va + vb)
+      val tLo = (diff + 50000.0) / se
+      val tHi = (diff - 50000.0) / se
+      assert(row.getAs[Double]("mean_diff") === r6(diff / 1000000.0) + 0.0)
+      assert(row.getAs[Double]("se") === r6(se / 1000000.0))
+      assert(row.getAs[Double]("t_lower") === r6(tLo) + 0.0)
+      assert(row.getAs[Double]("t_upper") === r6(tHi) + 0.0)
+      assert(row.getAs[Long]("equivalent") ===
+        (if (tLo >= 1.645 && tHi <= -1.645) 1L else 0L))
+    }
+  }
 }
