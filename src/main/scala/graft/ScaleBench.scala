@@ -23,7 +23,11 @@ import org.apache.spark.sql.types.FloatType
   */
 object ScaleBench {
 
-  private val Copies = 10
+  // SPARK_GRAFT_SCALE_COPIES overrides the default 10× replication —
+  // deeper legs (30×) for single rows without paying for the whole
+  // curve (pair with SPARK_GRAFT_SCALE_ONLY and a copies-suffixed dir)
+  private val Copies =
+    sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
   private val IdOffset = 10000000L
 
   // every table the scale queries read; the _DONE marker is only honored
