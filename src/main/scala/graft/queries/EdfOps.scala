@@ -106,9 +106,15 @@ object EdfOps {
       .groupBy(col("event_type"), col("n_s"), col("n_all"))
       .agg(num.as("num"))
       .select(col("event_type"), col("n_s"),
+        // factor-wise double casts: every factor is an exact Long
+        // < 2^53 so the product matches the integer-product form at
+        // any tested scale, and unlike a Long product it cannot
+        // overflow on a 10^12-row corpus
         round(col("num").cast(DoubleType) /
-          ((col("n_s") * (col("n_all") - col("n_s"))).cast(DoubleType) *
-            (col("n_all") * col("n_all")).cast(DoubleType)), 6).as("cvm_stat"))
+          (col("n_s").cast(DoubleType) *
+            (col("n_all") - col("n_s")).cast(DoubleType) *
+            col("n_all").cast(DoubleType) * col("n_all").cast(DoubleType)),
+          6).as("cvm_stat"))
       .orderBy(col("event_type"))
   }
 
@@ -145,8 +151,8 @@ object EdfOps {
     """
       |SELECT event_type, n_s,
       |  round(CAST(SUM(CAST(l AS HUGEINT) * d * d) AS DOUBLE)
-      |    / (CAST(n_s * (n_all - n_s) AS DOUBLE)
-      |      * CAST(n_all * n_all AS DOUBLE)), 6) AS cvm_stat
+      |    / (CAST(n_s AS DOUBLE) * CAST(n_all - n_s AS DOUBLE)
+      |      * CAST(n_all AS DOUBLE) * CAST(n_all AS DOUBLE)), 6) AS cvm_stat
       |FROM terms GROUP BY event_type, n_s, n_all ORDER BY event_type""".stripMargin
 
   /** Per-type two-sample ANDERSON–DARLING statistic, tie-aware
@@ -168,8 +174,10 @@ object EdfOps {
       .groupBy(col("event_type"), col("n_s"), col("n_all"))
       .agg(sum(col("term").cast(DecimalType(38, 12))).as("tsum"))
       .select(col("event_type"), col("n_s"),
+        // factor-wise double casts — overflow-free at any corpus size
         round(col("tsum").cast(DoubleType) /
-          (col("n_s") * (col("n_all") - col("n_s"))).cast(DoubleType), 6)
+          (col("n_s").cast(DoubleType) *
+            (col("n_all") - col("n_s")).cast(DoubleType)), 6)
           .as("ad_stat"))
       .orderBy(col("event_type"))
   }
@@ -181,7 +189,7 @@ object EdfOps {
       |      CAST(CAST(l AS HUGEINT) * d * d AS DOUBLE)
       |      / CAST(CAST(cum_all AS HUGEINT) * (n_all - cum_all) AS DOUBLE)
       |    AS DECIMAL(38,12))) AS DOUBLE)
-      |    / CAST(n_s * (n_all - n_s) AS DOUBLE), 6) AS ad_stat
+      |    / (CAST(n_s AS DOUBLE) * CAST(n_all - n_s AS DOUBLE)), 6) AS ad_stat
       |FROM terms WHERE cum_all < n_all
       |GROUP BY event_type, n_s, n_all ORDER BY event_type""".stripMargin
 
@@ -350,15 +358,16 @@ object EdfOps {
     g.groupBy(col("event_type"), col("n_s"), col("n_all"), col("m"))
       .agg(sxy.as("sxy"), sxx.as("sxx"), syy.as("syy"))
       .withColumn("e_cents",
+        // factor-wise double casts — overflow-free at any corpus size
         lit(2.0) * (col("sxy").cast(DoubleType) /
-            (col("n_s") * col("m")).cast(DoubleType)) -
+            (col("n_s").cast(DoubleType) * col("m").cast(DoubleType))) -
           col("sxx").cast(DoubleType) /
-            (col("n_s") * col("n_s")).cast(DoubleType) -
+            (col("n_s").cast(DoubleType) * col("n_s").cast(DoubleType)) -
           col("syy").cast(DoubleType) /
-            (col("m") * col("m")).cast(DoubleType))
+            (col("m").cast(DoubleType) * col("m").cast(DoubleType)))
       .select(col("event_type"), col("n_s"),
         round(col("e_cents") / 100.0, 6).as("e_dist"),
-        round((col("n_s") * col("m")).cast(DoubleType) /
+        round(col("n_s").cast(DoubleType) * col("m").cast(DoubleType) /
           col("n_all").cast(DoubleType) * col("e_cents") / 100.0, 6)
           .as("t_stat"))
       .orderBy(col("event_type"))
@@ -382,13 +391,15 @@ object EdfOps {
       |  FROM seg WHERE wgap IS NOT NULL
       |  GROUP BY event_type, n_s, n_all, m)
       |SELECT event_type, n_s,
-      |  round((2.0 * (CAST(sxy AS DOUBLE) / CAST(n_s * m AS DOUBLE))
-      |    - CAST(sxx AS DOUBLE) / CAST(n_s * n_s AS DOUBLE)
-      |    - CAST(syy AS DOUBLE) / CAST(m * m AS DOUBLE)) / 100.0, 6) AS e_dist,
-      |  round(CAST(n_s * m AS DOUBLE) / CAST(n_all AS DOUBLE)
-      |    * (2.0 * (CAST(sxy AS DOUBLE) / CAST(n_s * m AS DOUBLE))
-      |      - CAST(sxx AS DOUBLE) / CAST(n_s * n_s AS DOUBLE)
-      |      - CAST(syy AS DOUBLE) / CAST(m * m AS DOUBLE)) / 100.0, 6) AS t_stat
+      |  round((2.0 * (CAST(sxy AS DOUBLE) / (CAST(n_s AS DOUBLE) * CAST(m AS DOUBLE)))
+      |    - CAST(sxx AS DOUBLE) / (CAST(n_s AS DOUBLE) * CAST(n_s AS DOUBLE))
+      |    - CAST(syy AS DOUBLE) / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))
+      |    / 100.0, 6) AS e_dist,
+      |  round(CAST(n_s AS DOUBLE) * CAST(m AS DOUBLE) / CAST(n_all AS DOUBLE)
+      |    * (2.0 * (CAST(sxy AS DOUBLE) / (CAST(n_s AS DOUBLE) * CAST(m AS DOUBLE)))
+      |      - CAST(sxx AS DOUBLE) / (CAST(n_s AS DOUBLE) * CAST(n_s AS DOUBLE))
+      |      - CAST(syy AS DOUBLE) / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))
+      |    / 100.0, 6) AS t_stat
       |FROM agg ORDER BY event_type""".stripMargin
 
   /** Number of random relabelings for the permutation p-value: 19
@@ -467,8 +478,10 @@ object EdfOps {
       .agg(sum(col("l").cast(dec) * gapD * gapD).as("num"))
       .select(col("event_type"), col("n_s"), col("n_all"),
         (col("num").cast(DoubleType) /
-          ((col("n_s") * (col("n_all") - col("n_s"))).cast(DoubleType) *
-            (col("n_all") * col("n_all")).cast(DoubleType))).as("t_obs"))
+          (col("n_s").cast(DoubleType) *
+            (col("n_all") - col("n_s")).cast(DoubleType) *
+            col("n_all").cast(DoubleType) * col("n_all").cast(DoubleType)))
+          .as("t_obs"))
 
     // R relabeled worlds: one md5 per (event, r); membership of the
     // pseudo-type sample is the exact integer test u·N < n_s·2^32
@@ -503,8 +516,9 @@ object EdfOps {
       .select(col("event_type"), col("r"),
         when(col("n_t") > 0L && col("n_t") < col("n_all"),
           col("num").cast(DoubleType) /
-            ((col("n_t") * (col("n_all") - col("n_t"))).cast(DoubleType) *
-              (col("n_all") * col("n_all")).cast(DoubleType)))
+            (col("n_t").cast(DoubleType) *
+              (col("n_all") - col("n_t")).cast(DoubleType) *
+              col("n_all").cast(DoubleType) * col("n_all").cast(DoubleType)))
           .otherwise(lit(0.0)).as("t_r"))
 
     permStats.join(broadcast(obs), "event_type")
@@ -540,8 +554,8 @@ object EdfOps {
        |        * (CAST(cs.cum_s AS HUGEINT) * n.n_all - CAST(ns.n_s AS HUGEINT) * p.cum_all)
        |        * (CAST(cs.cum_s AS HUGEINT) * n.n_all - CAST(ns.n_s AS HUGEINT) * p.cum_all))
        |      AS DOUBLE)
-       |      / (CAST(ns.n_s * (n.n_all - ns.n_s) AS DOUBLE)
-       |        * CAST(n.n_all * n.n_all AS DOUBLE)) AS t_obs
+       |      / (CAST(ns.n_s AS DOUBLE) * CAST(n.n_all - ns.n_s AS DOUBLE)
+       |        * CAST(n.n_all AS DOUBLE) * CAST(n.n_all AS DOUBLE)) AS t_obs
        |  FROM (SELECT DISTINCT event_type FROM counts) g
        |  JOIN (
        |    SELECT event_type, b,
@@ -577,8 +591,8 @@ object EdfOps {
        |          * (CAST(g.cum_s AS HUGEINT) * n.n_all - CAST(nt.n_t AS HUGEINT) * p.cum_all)
        |          * (CAST(g.cum_s AS HUGEINT) * n.n_all - CAST(nt.n_t AS HUGEINT) * p.cum_all))
        |        AS DOUBLE)
-       |        / (CAST(nt.n_t * (n.n_all - nt.n_t) AS DOUBLE)
-       |          * CAST(n.n_all * n.n_all AS DOUBLE))
+       |        / (CAST(nt.n_t AS DOUBLE) * CAST(n.n_all - nt.n_t AS DOUBLE)
+       |          * CAST(n.n_all AS DOUBLE) * CAST(n.n_all AS DOUBLE))
        |    ELSE 0.0 END AS t_r
        |  FROM (
        |    SELECT event_type, r, b,
