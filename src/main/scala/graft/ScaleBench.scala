@@ -551,6 +551,7 @@ object ScaleBench {
       "ops_psm_att" -> graft.queries.StatTests.psmAtt _,
       "ops_rdd_sharp" -> graft.queries.StatTests.rddSharp _,
       "ops_tost_equiv" -> graft.queries.StatTests.tostEquiv _,
+      "ta_burrows_delta" -> graft.queries.TextScores.burrowsDelta _,
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,

@@ -553,7 +553,112 @@ object TextScores {
        |ORDER BY z_score DESC, word, side""".stripMargin
   }
 
+  /** BURROWS' DELTA stylometric distance (Burrows 2002; Evert et al.
+    * 2017 formalization) between every source pair — the standard
+    * authorship/style-attribution measure, completing the
+    * corpus-comparison suite beside `ta_fightin_words` (which words
+    * differ) and `ta_js_divergence` (how far apart the distributions
+    * are): Delta asks whose STYLE PROFILE over the most-frequent
+    * words is closest, by z-scoring each source's relative frequency
+    * of the top-K corpus words against the cross-source
+    * mean/standard deviation and averaging |z_a − z_b|.
+    *
+    * Float policy: relative frequencies are single divisions of exact
+    * counts; the cross-source mean, variance, and per-pair |Δz| each
+    * ride a DECIMAL(38,12) Σ so no partition order enters a float
+    * sum; K is re-derived per pair as the count of sd>0 words so the
+    * divisor can never drift from the summand set.
+    *
+    * Scale shape: one tokenize → (source × word) hash aggregate; the
+    * top-K word pick is a TakeOrdered (no global window); the z grid
+    * is |sources|×K rows; the pair relation is the bounded
+    * |sources|²/2 grid — at 100 TB only the first aggregate grows.
+    */
+  def burrowsDelta(s: SparkSession, dir: String): DataFrame = {
+    val d12 = DecimalType(38, 12)
+    val K = 50
+    val cnt = Tables.t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val nSrc = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val topW = cnt.groupBy(col("w")).agg(sum(col("c")).as("cw"))
+      .orderBy(col("cw").desc, col("w")).limit(K).select(col("w"))
+    val srcs = nSrc.select(col("source"))
+    // complete (source × top-K word) grid, zero-filled — the
+    // ta_js_divergence bounded grid-generation shape
+    val grid = srcs.crossJoin(broadcast(topW))
+      .join(cnt, Seq("source", "w"), "left")
+      .join(broadcast(nSrc), "source")
+      .select(col("source"), col("w"),
+        (coalesce(col("c"), lit(0L)).cast(DoubleType) /
+          col("n").cast(DoubleType)).as("r"))
+    val stats = grid.groupBy(col("w"))
+      .agg(count(lit(1)).as("ns"),
+        (sum(col("r").cast(d12)).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("mean"))
+    val withZ0 = grid.join(broadcast(stats), "w")
+    val varW = withZ0.groupBy(col("w"), col("ns"), col("mean"))
+      .agg((sum(((col("r") - col("mean")) * (col("r") - col("mean")))
+        .cast(d12)).cast(DoubleType) /
+        (count(lit(1)) - 1).cast(DoubleType)).as("variance"))
+      .filter(col("variance") > 0.0)
+      .select(col("w"), col("mean"), sqrt(col("variance")).as("sd"))
+    val z = grid.join(broadcast(varW), "w")
+      .select(col("source"), col("w"),
+        ((col("r") - col("mean")) / col("sd")).as("z"))
+    val za = z.select(col("source").as("src_a"), col("w"), col("z").as("za"))
+    val zb = z.select(col("source").as("src_b"), col("w"), col("z").as("zb"))
+    za.join(zb, za("w") === zb("w") && col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("k_words"),
+        (sum(abs(col("za") - col("zb")).cast(d12)).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("delta0"))
+      .select(col("src_a"), col("src_b"), col("k_words"),
+        round(col("delta0"), 6).as("delta"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val burrowsDeltaOracle: String =
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |cnt AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |nsrc AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+      |topw AS (SELECT w FROM (SELECT w, SUM(c) AS cw FROM cnt GROUP BY 1)
+      |  ORDER BY cw DESC, w LIMIT 50),
+      |grid AS (
+      |  SELECT s.source, t.w,
+      |    CAST(COALESCE(c.c, 0) AS DOUBLE) / CAST(ns.n AS DOUBLE) AS r
+      |  FROM (SELECT source FROM nsrc) s
+      |  CROSS JOIN topw t
+      |  LEFT JOIN cnt c ON c.source = s.source AND c.w = t.w
+      |  JOIN nsrc ns ON ns.source = s.source),
+      |stats AS (
+      |  SELECT w, COUNT(*) AS ns,
+      |    CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) AS mean
+      |  FROM grid GROUP BY 1),
+      |varw AS (
+      |  SELECT w, mean, sqrt(variance) AS sd FROM (
+      |    SELECT g.w, st.mean,
+      |      CAST(SUM(CAST((g.r - st.mean) * (g.r - st.mean)
+      |        AS DECIMAL(38,12))) AS DOUBLE)
+      |        / CAST(COUNT(*) - 1 AS DOUBLE) AS variance
+      |    FROM grid g JOIN stats st ON st.w = g.w
+      |    GROUP BY g.w, st.mean)
+      |  WHERE variance > 0.0),
+      |z AS (
+      |  SELECT g.source, g.w, (g.r - v.mean) / v.sd AS z
+      |  FROM grid g JOIN varw v ON v.w = g.w)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |  CAST(COUNT(*) AS BIGINT) AS k_words,
+      |  round(CAST(SUM(CAST(abs(a.z - b.z) AS DECIMAL(38,12))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS delta
+      |FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+      |GROUP BY a.source, b.source
+      |ORDER BY src_a, src_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ta_burrows_delta", burrowsDelta, Some(burrowsDeltaOracle)),
     QueryDef("ta_readability", readability, Some(readabilityOracle)),
     QueryDef("ta_rake_keywords", rakeKeywords, Some(rakeKeywordsOracle)),
     QueryDef("ta_ttr_diversity", ttrDiversity, Some(ttrDiversityOracle)),

@@ -195,6 +195,9 @@ class PlanAuditSpec extends SparkSpec {
       // PSM: the ≤10-row treated-cell × ≤10-row control-cell caliper
       // match — grid², domain-bounded (the ops_tukey_hsd pair shape)
       "ops_psm_att",
+      // Burrows' Delta: the |sources|-row domain × 50-word literal-K
+      // grid completion (the ta_js_divergence shape)
+      "ta_burrows_delta",
       // quantile normalization: DistRank 1-row global bounds + the
       // 1-row corpus-total aggregate onto two histogram-sized relations
       "cu_quantile_norm")
@@ -404,7 +407,10 @@ class PlanAuditSpec extends SparkSpec {
       // energy distance: the edfGrid broadcasts (see bnljAllowed)
       "ops_energy_distance",
       // PSM: the ≤10-row control-cell donor relation
-      "ops_psm_att")
+      "ops_psm_att",
+      // Burrows' Delta: the 50-row top-K word relation and the
+      // K-row/word-grid stats relations
+      "ta_burrows_delta")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>

@@ -189,4 +189,49 @@ class Round15GatesSpec extends SparkSpec {
         (if (tLo >= 1.645 && tHi <= -1.645) 1L else 0L))
     }
   }
+
+  test("ta_burrows_delta replays an imperative z-score pass and is symmetric-complete") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.t(spark, dir, "documents")
+      .selectExpr("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cnt = docs.flatMap { case (src, t) => t.split(" ").map(src -> _) }
+      .groupBy(identity).map { case ((src, w), xs) => (src, w, xs.length.toLong) }
+      .toSeq
+    val nSrc = cnt.groupBy(_._1).map { case (s0, xs) => s0 -> xs.map(_._3).sum }
+    val topW = cnt.groupBy(_._2).map { case (w, xs) => w -> xs.map(_._3).sum }
+      .toSeq.sortBy { case (w, c) => (-c, w) }.take(50).map(_._1)
+    val srcs = nSrc.keys.toSeq.sorted
+    val r = (for { s0 <- srcs; w <- topW } yield {
+      val c = cnt.find(x => x._1 == s0 && x._2 == w).map(_._3).getOrElse(0L)
+      (s0, w) -> c.toDouble / nSrc(s0).toDouble
+    }).toMap
+    val kept = topW.flatMap { w =>
+      val vals = srcs.map(s0 => r((s0, w)))
+      val mean = vals.map(BigDecimal(_).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / srcs.size.toDouble
+      val variance = vals.map(v => BigDecimal((v - mean) * (v - mean))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble /
+        (srcs.size - 1).toDouble
+      if (variance > 0.0) Some(w -> ((mean, math.sqrt(variance)))) else None
+    }.toMap
+    def z(s0: String, w: String): Double = {
+      val (m, sd) = kept(w); (r((s0, w)) - m) / sd
+    }
+    val got = graft.queries.TextScores.burrowsDelta(spark, dir).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getDouble(3)))
+    // one row per unordered source pair
+    assert(got.length === srcs.size * (srcs.size - 1) / 2)
+    got.foreach { case (a, b, k, delta) =>
+      assert(a < b)
+      assert(k === kept.size.toLong)
+      val expect = kept.keys.toSeq.map(w =>
+        BigDecimal(math.abs(z(a, w) - z(b, w)))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / kept.size.toDouble
+      assert(delta === r6(expect), s"delta($a,$b)")
+      assert(delta >= 0.0)
+    }
+  }
 }
