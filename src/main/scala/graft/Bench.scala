@@ -95,6 +95,7 @@ object Bench {
       // accumulate cache across runs; each measurement pays its own
       // persist cost and leaves nothing behind
       spark.catalog.clearCache()
+      graft.queries.DistRank.release()
     }
 
     val raw = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]

@@ -209,7 +209,7 @@ object ScaleBench {
       def run(df: => DataFrame): Double = {
         val t0 = System.nanoTime()
         df.write.mode("overwrite").format("noop").save()
-        spark.catalog.clearCache()
+        spark.catalog.clearCache(); graft.queries.DistRank.release()
         (System.nanoTime() - t0) / 1e9
       }
       run(lv.ivfDeltaCodesFrom(base, frozen)); run(lv.ivfFullCodes(spark, baseDir)) // warmup
@@ -251,7 +251,7 @@ object ScaleBench {
         // timestamp BEFORE cache teardown (ADVICE r14 #3): clearCache
         // cost must not land in the growth ratios
         val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
+        spark.catalog.clearCache(); graft.queries.DistRank.release()
         dt
       }
       val disjoint: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -304,7 +304,7 @@ object ScaleBench {
         val t0 = System.nanoTime()
         graft.queries.Graph.coTriangles(spark, dir)
           .write.mode("overwrite").format("noop").save()
-        spark.catalog.clearCache()
+        spark.catalog.clearCache(); graft.queries.DistRank.release()
         (System.nanoTime() - t0) / 1e9
       }
       run(baseDir) // warmup
@@ -552,6 +552,13 @@ object ScaleBench {
       "ops_rdd_sharp" -> graft.queries.StatTests.rddSharp _,
       "ops_tost_equiv" -> graft.queries.StatTests.tostEquiv _,
       "ta_burrows_delta" -> graft.queries.TextScores.burrowsDelta _,
+      // round-16 quantile tranche (Pctl.dist histogram device)
+      "ops_tukey_fences" -> graft.queries.QuantileOps.tukeyFences _,
+      "ops_bowley_skew" -> graft.queries.QuantileOps.bowleySkew _,
+      "ops_qq_deciles" -> graft.queries.QuantileOps.qqDeciles _,
+      "ta_len_profile" -> graft.queries.QuantileOps.lenProfile _,
+      // (outlier_bounds / hourly_quantiles already registered above —
+      // their existing growth legs now exercise the device end-to-end)
       // final TPC-H tranche (round 8)
       "q6_forecast" -> graft.queries.TpchFinal.q6Forecast _,
       "q8_market_share" -> graft.queries.TpchFinal.q8MarketShare _,
@@ -574,7 +581,7 @@ object ScaleBench {
     }
     def runQuery(fn: (SparkSession, String) => DataFrame, dir: String): Unit = {
       fn(spark, dir).write.mode("overwrite").format("noop").save()
-      spark.catalog.clearCache()
+      spark.catalog.clearCache(); graft.queries.DistRank.release()
     }
 
     // warmup (JIT/codegen) on the small corpus
@@ -587,7 +594,7 @@ object ScaleBench {
     }
     val cands = candidateCounts.map { case (name, fn) =>
       def count(dir: String): Long = {
-        val n = fn(spark, dir).count(); spark.catalog.clearCache(); n
+        val n = fn(spark, dir).count(); spark.catalog.clearCache(); graft.queries.DistRank.release(); n
       }
       (name, count(baseDir), count(x10Dir))
     }
@@ -601,7 +608,7 @@ object ScaleBench {
     ).filter { case (n, _) => only.forall(_.contains(n)) }
     val states = stateCounts.map { case (name, fn) =>
       def count(dir: String): Long = {
-        val n = fn(spark, dir).count(); spark.catalog.clearCache(); n
+        val n = fn(spark, dir).count(); spark.catalog.clearCache(); graft.queries.DistRank.release(); n
       }
       (name, count(baseDir), count(x10Dir))
     }

@@ -51,7 +51,8 @@ object SparkEntry {
         graft.queries.GraphMore.defs ++
         graft.queries.StatTests.defs ++
         graft.queries.TextEval.defs ++
-        graft.queries.EdfOps.defs
+        graft.queries.EdfOps.defs ++
+        graft.queries.QuantileOps.defs
     // a name collision would silently shrink the correctness gate
     // (toMap keeps the last duplicate) — fail loudly instead; the
     // bench-only names share the namespace (Bench times both sets)

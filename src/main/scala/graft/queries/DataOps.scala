@@ -115,11 +115,13 @@ object DataOps {
     * round(,6) BEFORE the fence comparison so interpolation ulps
     * cannot flip boundary rows between engines.
     *
-    * Scale shape: two grouped exact percentiles (med, then MAD of
-    * |v − med| after a broadcast-joined med) and one conditional
-    * count — three passes over a single-column projection. At 100 TB
-    * swap the exact percentiles for approx_percentile: same plan,
-    * sketch-sized state.
+    * Scale shape: two grouped exact medians on the [[Pctl.dist]]
+    * histogram device (med, then MAD of |v − med| after a
+    * broadcast-joined med) and one conditional count — three passes
+    * over a single-column projection, and no task ever buffers a
+    * group: the exact `percentile` aggregate would materialize every
+    * fact value of a type in one aggregation buffer (VERDICT r15 #2);
+    * the device's state is the distinct-value histogram.
     */
   def outlierBounds(s: SparkSession, dir: String): DataFrame = {
     // events.value is the testdata's one genuinely heavy-tailed column
@@ -127,14 +129,16 @@ object DataOps {
     // checks-pass-on-anything gate, which the house rules forbid
     val li = Tables.t(s, dir, "events")
       .select(col("event_type").as("grp"), col("value").as("v"))
-    val med = li.groupBy(col("grp"))
-      .agg(Pctl.p("v", 0.5).as("med"))
-    val mad = li.join(med, "grp")
-      .groupBy(col("grp"), col("med"))
-      .agg(Pctl.p("abs(v - med)", 0.5).as("mad"))
+    // events.value is a 2-dp domain: distinct values are corpus-size-
+    // independent, the distBounded envelope
+    val med = Pctl.distBounded(li, Seq("grp"), "v", Seq("med" -> 0.5))
+    val mad = Pctl.distBounded(
+      li.join(broadcast(med), "grp")
+        .withColumn("d", abs(col("v") - col("med"))),
+      Seq("grp", "med"), "d", Seq("mad" -> 0.5))
     val lo = round(col("med") - lit(3) * col("mad"), 6)
     val hi = round(col("med") + lit(3) * col("mad"), 6)
-    li.join(mad, "grp")
+    li.join(broadcast(mad), "grp")
       .groupBy(col("grp"), col("med"), col("mad"))
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("v") < lo || col("v") > hi, 1L).otherwise(0L)).as("n_outliers"))
@@ -320,17 +324,18 @@ object DataOps {
     * comparison, the same ulp-hardening as the outlier fences — a raw
     * value compares against identical rounded bounds on any engine.
     *
-    * Scale shape: one group aggregate produces an event_type-sized
-    * bounds relation (5 rows) that AQE broadcasts back onto the fact;
-    * the clip is a pure projection. No window over the fact, no sort.
+    * Scale shape: the [[Pctl.dist]] histogram device produces an
+    * event_type-sized bounds relation (5 rows) that AQE broadcasts
+    * back onto the fact; the clip is a pure projection. No window
+    * over the fact, no sort, and no task buffers a group's values
+    * (VERDICT r15 #2).
     */
   def winsorize(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.t(s, dir, "events")
-    val bounds = ev.groupBy(col("event_type"))
-      .agg(Pctl.p("value", 0.05).as("p05"),
-        Pctl.p("value", 0.95).as("p95"))
+    val bounds = Pctl.distBounded(ev, Seq("event_type"), "value",
+      Seq("p05" -> 0.05, "p95" -> 0.95))
     ev.select(col("event_id"), col("event_type"), col("value"))
-      .join(bounds, "event_type")
+      .join(broadcast(bounds), "event_type")
       .select(col("event_id"), col("event_type"),
         round(col("value"), 6).as("value"),
         round(least(greatest(col("value"), col("p05")), col("p95")), 6)
@@ -521,14 +526,24 @@ object DataOps {
     // rest side per type: the 5-row type domain broadcast against the fact
     val rest = broadcast(types).join(e, col("event_type") =!= col("t"))
       .select(col("t"), col("b"))
-    val fences = rest.groupBy(col("t"))
-      .agg(Pctl.pArray("b", (1 to 9).map(_ / 10.0)).as("f"))
+    // decile fences on the histogram device (VERDICT r15 #2): the
+    // rest relation is 4×-fact-sized, the one relation on this surface
+    // that must never reach a buffer-everything percentile aggregate.
+    // tracked-persisted: own AND oth bin against it, and an unpersisted
+    // device output re-executes the whole device per reference
+    val fences = DistRank.tracked(
+      Pctl.distBounded(rest, Seq("t"), "b", (1 to 9).map(i => s"f$i" -> i / 10.0))
+        .select(col("t"), array((1 to 9).map(i => col(s"f$i")): _*).as("f")))
     val binOf = aggregate(col("f"), lit(0),
       (acc, x) => acc + when(col("b").cast(DoubleType) > x, 1).otherwise(0))
-    val own = e.select(col("event_type").as("t"), col("b")).join(fences, "t")
+    // the fence relation is 5 rows but its device plan carries no
+    // row-count stats AQE trusts — hint it, or the 4×-fact binning
+    // join plans as a sort-merge (the r16 psi regression)
+    val own = e.select(col("event_type").as("t"), col("b"))
+      .join(broadcast(fences), "t")
       .select(col("t"), binOf.as("bin"))
       .groupBy(col("t"), col("bin")).agg(count(lit(1)).as("c_own"))
-    val oth = rest.join(fences, "t")
+    val oth = rest.join(broadcast(fences), "t")
       .select(col("t"), binOf.as("bin"))
       .groupBy(col("t"), col("bin")).agg(count(lit(1)).as("c_rest"))
     val grid = types.crossJoin(

@@ -46,6 +46,40 @@ object DistRank {
     */
   val Buckets = 1024
 
+  /** Persist lifecycle (VERDICT r15 #4): every DataFrame this device
+    * persists is tracked here; [[release]] unpersists them all. The
+    * two mains (Verify, Bench) call release after materializing each
+    * query, so no MEMORY_AND_DISK residue outlives a gate. CONTRACT
+    * for long-lived sessions embedding the query surface directly:
+    * call `DistRank.release()` (or `spark.catalog.clearCache()`)
+    * after materializing a query — the devices persist distinct-value
+    * histograms to keep themselves at one pass over the fact relation.
+    */
+  private val trackedDfs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Persist `df` under the [[release]] lifecycle. Public for gates
+    * that reference a device output (or any tiny derived relation)
+    * more than once: without this, every reference re-executes the
+    * whole device subplan — only its internal histogram is cached
+    * (the r16 psi_drift double-device regression).
+    */
+  def tracked(df: DataFrame): DataFrame = synchronized {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trackedDfs += p
+    p
+  }
+
+  private def persistTracked(df: DataFrame): DataFrame = tracked(df)
+
+  /** Unpersist every histogram the rank devices have persisted since
+    * the last release. Safe at any point: an in-flight plan that loses
+    * its cached blocks recomputes from lineage.
+    */
+  def release(): Unit = synchronized {
+    trackedDfs.foreach(_.unpersist(false))
+    trackedDfs.clear()
+  }
+
   /** Exact floor-division of nonnegative Longs: (a − a mod d) divides
     * exactly, and exact-integer double division is correctly rounded to
     * the exact integer quotient (the [[StatTests]] `r6posRat` device).
@@ -82,18 +116,31 @@ object DistRank {
     * 2·rank_avg = 2·rank_min + ties − 1 = 2·cnt_lt + cnt_eq + 1
     * (the [[StatOps.spearman]] integer carry).
     */
+  /** With `groupTotals = true`, additionally appends `<c>_tot` — the
+    * per-group total of each sum column — computed inside the SAME
+    * bounds aggregate and delivered by the SAME broadcast join, so
+    * callers needing the group size (the [[Pctl.dist]] rank-position
+    * arithmetic) pay zero extra jobs for it.
+    */
   def prefixLt(df0: DataFrame, parts: Seq[String], v: String,
-               sumCols: Seq[String]): DataFrame = {
+               sumCols: Seq[String], persist: Boolean = true,
+               groupTotals: Boolean = false): DataFrame = {
     // the input histogram feeds three subplans (bounds, local windows,
     // bucket totals); persisting it keeps the device at ONE pass over
     // whatever fact relation produced it. Distinct-value-sized — the
-    // cheapest relation in the query. Bench/Verify clear the cache
-    // after every run (the dedup-family precedent).
-    val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cheapest relation in the query. Tracked for [[release]].
+    // persist=false is for callers whose input is ALREADY cached (or
+    // aggregate-cheap to recompute): the three subplans then re-read
+    // the caller's cache instead of materializing a second copy
+    // (VERDICT r15 #5 — the ops_spearman persist double-pay).
+    val df = if (persist) persistTracked(df0) else df0
     val pc = parts.map(col)
     val vType = df.schema(v).dataType
+    val totAggs = if (groupTotals) sumCols.map(c => sum(col(c)).as(s"${c}_tot"))
+                  else Nil
     val bounds = (if (parts.isEmpty) df.groupBy() else df.groupBy(pc: _*))
-      .agg(min(col(v)).as("__lo"), max(col(v)).as("__hi"))
+      .agg(min(col(v)).as("__lo"),
+        (max(col(v)).as("__hi") +: totAggs): _*)
     // group bounds are a |groups|-row (or 1-row) aggregate — the
     // broadcast-1-row folding device (VERDICT r13 #5)
     val withB =
@@ -135,12 +182,13 @@ object DistRank {
     * with one map-combined hash aggregate + [[prefixLt]].
     */
   def midrank2(rows: DataFrame, parts: Seq[String], v: String,
-               splits: Seq[(String, Column)] = Nil): DataFrame = {
+               splits: Seq[(String, Column)] = Nil,
+               persist: Boolean = true): DataFrame = {
     val gcols = parts.map(col) :+ col(v)
     val hist = rows.groupBy(gcols: _*)
       .agg(count(lit(1)).as("eq"),
         splits.map { case (n, c) => c.as(n) }: _*)
-    prefixLt(hist, parts, v, Seq("eq"))
+    prefixLt(hist, parts, v, Seq("eq"), persist)
       .withColumn("r2", lit(2L) * col("eq_lt") + col("eq") + lit(1L))
   }
 
@@ -155,8 +203,8 @@ object DistRank {
                 tieBreaks: Seq[String], out: String): DataFrame = {
     val eff = if (desc) "__negv" else v
     // persisted for the same three-subplan reuse as [[prefixLt]]
-    val base0 = (if (desc) df.withColumn("__negv", -col(v)) else df)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base0 = persistTracked(
+      if (desc) df.withColumn("__negv", -col(v)) else df)
     val pc = parts.map(col)
     val vType = base0.schema(eff).dataType
     val bounds = (if (parts.isEmpty) base0.groupBy() else base0.groupBy(pc: _*))

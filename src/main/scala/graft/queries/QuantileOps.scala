@@ -1,0 +1,238 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-16 tranche: quantile-shape analytics born on the
+  * [[Pctl.dist]] histogram device — the classic order-statistic
+  * readouts (Tukey's boxplot fences, Bowley/Moors quantile shape
+  * coefficients, Q–Q decile drift, corpus length profiles) that a
+  * percentile aggregate buffering whole fact groups could never serve
+  * at 100 TB. Every gate's quantiles ride the device end-to-end:
+  * one map-combined histogram aggregate over the fact, cumulative
+  * counts on [[DistRank.prefixLt]], a broadcast straddle join, and
+  * grid-sized algebra after.
+  *
+  * Float policy (repo-wide): device quantiles are round-6 doubles
+  * bit-equal to Spark's `percentile` (PctlDistSpec), matched by
+  * DuckDB `quantile_cont` + round in the oracles (the
+  * `fn_percentile_suite` equivalence); derived statistics are single
+  * double expressions over those rounded values, written identically
+  * in both engines, rounded, and −0.0-normalized (`+ 0.0`) wherever
+  * the value is negative-capable (the gr_modularity device).
+  */
+object QuantileOps {
+
+  private val deciles: Seq[(String, Double)] =
+    (1 to 9).map(i => s"d$i" -> i / 10.0)
+
+  /** TUKEY BOXPLOT FENCES (Tukey 1977, Exploratory Data Analysis ch.
+    * 2; the 1.5·IQR "inner" / 3·IQR "outer" fence convention): per
+    * event type — quartiles, IQR, both fence pairs, and the counts of
+    * MILD (outside inner, within outer) and EXTREME (outside outer)
+    * outliers. The quartile-based sibling of the median/MAD screen in
+    * [[DataOps.outlierBounds]]: MAD fences resist heavy tails harder,
+    * Tukey fences are what every boxplot and data-profiling UI
+    * actually draws.
+    *
+    * Determinism: fences derive from ROUND-6 quartiles with one
+    * rounded arithmetic step each, so boundary membership cannot flip
+    * on interpolation ulps; counts are exact integers.
+    *
+    * Scale shape: one [[Pctl.dist]] histogram pass, the 5-row fence
+    * relation broadcast back onto the fact, one conditional-count
+    * aggregate. Nothing fact-sized is ever buffered or sorted.
+    */
+  def tukeyFences(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+      .select(col("event_type"), col("value").as("v"))
+    val q = Pctl.distBounded(ev, Seq("event_type"), "v",
+        Seq("q1" -> 0.25, "q3" -> 0.75))
+      .withColumn("iqr", round(col("q3") - col("q1"), 6))
+      // fences can cross zero → two-sided −0.0 normalization
+      .withColumn("lo_inner", round(col("q1") - col("iqr") * 1.5, 6) + lit(0.0))
+      .withColumn("hi_inner", round(col("q3") + col("iqr") * 1.5, 6) + lit(0.0))
+      .withColumn("lo_outer", round(col("q1") - col("iqr") * 3.0, 6) + lit(0.0))
+      .withColumn("hi_outer", round(col("q3") + col("iqr") * 3.0, 6) + lit(0.0))
+    ev.join(broadcast(q), "event_type")
+      .groupBy(col("event_type"), col("q1"), col("q3"), col("iqr"),
+        col("lo_inner"), col("hi_inner"), col("lo_outer"), col("hi_outer"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when((col("v") < col("lo_inner") || col("v") > col("hi_inner")) &&
+          col("v") >= col("lo_outer") && col("v") <= col("hi_outer"), 1L)
+          .otherwise(0L)).as("n_mild"),
+        sum(when(col("v") < col("lo_outer") || col("v") > col("hi_outer"), 1L)
+          .otherwise(0L)).as("n_extreme"))
+      .select(col("event_type"), col("n_events"), col("q1"), col("q3"),
+        col("iqr"), col("lo_inner"), col("hi_inner"), col("lo_outer"),
+        col("hi_outer"), col("n_mild"), col("n_extreme"))
+      .orderBy(col("event_type"))
+  }
+
+  val tukeyFencesOracle: String =
+    s"""WITH ev AS (SELECT event_type, "value" AS v FROM events),
+      |q0 AS (SELECT event_type,
+      |    ${Pctl.sql("v", 0.25)} AS q1, ${Pctl.sql("v", 0.75)} AS q3
+      |  FROM ev GROUP BY 1),
+      |q AS (SELECT event_type, q1, q3, round(q3 - q1, 6) AS iqr FROM q0),
+      |f AS (SELECT event_type, q1, q3, iqr,
+      |    round(q1 - 1.5 * iqr, 6) + 0.0 AS lo_inner,
+      |    round(q3 + 1.5 * iqr, 6) + 0.0 AS hi_inner,
+      |    round(q1 - 3.0 * iqr, 6) + 0.0 AS lo_outer,
+      |    round(q3 + 3.0 * iqr, 6) + 0.0 AS hi_outer
+      |  FROM q)
+      |SELECT ev.event_type, COUNT(*) AS n_events, f.q1, f.q3, f.iqr,
+      |  f.lo_inner, f.hi_inner, f.lo_outer, f.hi_outer,
+      |  CAST(SUM(CASE WHEN (ev.v < f.lo_inner OR ev.v > f.hi_inner)
+      |    AND ev.v >= f.lo_outer AND ev.v <= f.hi_outer
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mild,
+      |  CAST(SUM(CASE WHEN ev.v < f.lo_outer OR ev.v > f.hi_outer
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+      |FROM ev JOIN f USING (event_type)
+      |GROUP BY 1, 3, 4, 5, 6, 7, 8, 9
+      |ORDER BY event_type""".stripMargin
+
+  /** QUANTILE SHAPE COEFFICIENTS (Bowley 1901 quartile skewness;
+    * Moors 1988 octile kurtosis; the quartile coefficient of
+    * dispersion): per customer market segment over order-price cents.
+    * Moment skewness/kurtosis explode under heavy tails — these are
+    * the robust shape descriptors a 100 TB profiling pass can afford,
+    * and all eight order statistics come from ONE device pass (one
+    * histogram, eight straddle rows per segment).
+    *
+    *   bowley = (Q3 + Q1 − 2·Q2) / (Q3 − Q1)            ∈ [−1, 1]
+    *   moors  = ((E7 − E5) + (E3 − E1)) / (E6 − E2)      (octiles)
+    *   qcd    = (Q3 − Q1) / (Q3 + Q1)
+    */
+  def bowleySkew(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.t(s, dir, "orders")
+      .join(Tables.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val oct = Pctl.dist(ord, Seq("segment"), "cents",
+      (1 to 7).map(i => s"e$i" -> i / 8.0))
+    oct.select(col("segment"),
+        col("e2").as("q1_cents"), col("e4").as("q2_cents"),
+        col("e6").as("q3_cents"),
+        (round((col("e6") + col("e2") - col("e4") * 2.0) /
+          (col("e6") - col("e2")), 6) + lit(0.0)).as("bowley_skew"),
+        (round(((col("e7") - col("e5")) + (col("e3") - col("e1"))) /
+          (col("e6") - col("e2")), 6) + lit(0.0)).as("moors_kurt"),
+        round((col("e6") - col("e2")) / (col("e6") + col("e2")), 6)
+          .as("qcd"))
+      .orderBy(col("segment"))
+  }
+
+  val bowleySkewOracle: String = {
+    val es = (1 to 7).map(i => s"${Pctl.sql("cents", i / 8.0)} AS e$i")
+      .mkString(",\n      |    ")
+    s"""WITH ord AS (
+      |  SELECT c.c_mktsegment AS segment,
+      |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |oct AS (SELECT segment,
+      |    $es
+      |  FROM ord GROUP BY 1)
+      |SELECT segment, e2 AS q1_cents, e4 AS q2_cents, e6 AS q3_cents,
+      |  round((e6 + e2 - 2.0 * e4) / (e6 - e2), 6) + 0.0 AS bowley_skew,
+      |  round(((e7 - e5) + (e3 - e1)) / (e6 - e2), 6) + 0.0 AS moors_kurt,
+      |  round((e6 - e2) / (e6 + e2), 6) AS qcd
+      |FROM oct ORDER BY segment""".stripMargin
+  }
+
+  /** Q–Q DECILE DRIFT (Wilk & Gnanadesikan 1968, the quantile-quantile
+    * plot read as a drift table): each event type's deciles against
+    * the rest-of-corpus deciles — where [[DataOps.ksDrift]] compares
+    * CDF heights at shared values and [[DataOps.psiDrift]] compares
+    * bin masses, the Q–Q table compares VALUES at shared probability
+    * levels, the reading that localizes WHERE in the distribution the
+    * shift lives (a tail-only shift moves d9 and nothing else).
+    *
+    * Scale shape: the rest relation is the [[DataOps.psiDrift]]
+    * 5-row-domain broadcast fan; both decile sets ride one
+    * [[Pctl.dist]] pass each; the output is the 5 × 9 grid.
+    */
+  def qqDeciles(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "events")
+      .select(col("event_type"), col("value").as("v"))
+    val types = e.select(col("event_type").as("t")).distinct()
+    val rest = broadcast(types).join(e, col("event_type") =!= col("t"))
+      .select(col("t"), col("v"))
+    val own = Pctl.distBounded(e.select(col("event_type").as("t"), col("v")),
+      Seq("t"), "v", deciles.map { case (n, q) => s"o_$n" -> q })
+    val oth = Pctl.distBounded(rest, Seq("t"), "v",
+      deciles.map { case (n, q) => s"r_$n" -> q })
+    val stacked = (1 to 9).map(i =>
+      s"$i, o_d$i, r_d$i").mkString(", ")
+    own.join(oth, "t")
+      .select(col("t"),
+        expr(s"stack(9, $stacked) AS (decile, q_own, q_rest)"))
+      .select(col("t").as("event_type"), col("decile").cast("long").as("decile"),
+        col("q_own"), col("q_rest"),
+        (round(col("q_own") - col("q_rest"), 6) + lit(0.0)).as("gap"))
+      .orderBy(col("event_type"), col("decile"))
+  }
+
+  val qqDecilesOracle: String = {
+    val qlist = (1 to 9).map(_ / 10.0).mkString(", ")
+    s"""WITH e AS (SELECT event_type, "value" AS v FROM events),
+      |types AS (SELECT DISTINCT event_type AS t FROM e),
+      |own AS (SELECT event_type AS t,
+      |    quantile_cont(v, [$qlist]) AS lo FROM e GROUP BY 1),
+      |rest AS (SELECT types.t,
+      |    quantile_cont(e.v, [$qlist]) AS lr
+      |  FROM types JOIN e ON e.event_type <> types.t GROUP BY 1),
+      |d AS (SELECT unnest(range(1, 10)) AS decile)
+      |SELECT own.t AS event_type, CAST(d.decile AS BIGINT) AS decile,
+      |  round(lo[CAST(d.decile AS INT)], 6) AS q_own,
+      |  round(lr[CAST(d.decile AS INT)], 6) AS q_rest,
+      |  round(round(lo[CAST(d.decile AS INT)], 6)
+      |    - round(lr[CAST(d.decile AS INT)], 6), 6) + 0.0 AS gap
+      |FROM own JOIN rest ON own.t = rest.t CROSS JOIN d
+      |ORDER BY event_type, decile""".stripMargin
+  }
+
+  /** CORPUS LENGTH PROFILE per source — the percentile table every
+    * curation run prints before choosing chunking and length-filter
+    * thresholds (the Gopher rules' length cuts are percentile
+    * judgments; this is the evidence they're judged from): document
+    * count and the p10/p25/p50/p75/p90/p99 of n_chars, plus the IQR.
+    * One [[Pctl.dist]] histogram pass over the corpus; the histogram
+    * is length-domain-sized, orders of magnitude below the document
+    * count at 100 TB.
+    */
+  def lenProfile(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+      .select(col("source"), col("n_chars"))
+    val qs = Seq("p10" -> 0.1, "p25" -> 0.25, "p50" -> 0.5,
+      "p75" -> 0.75, "p90" -> 0.9, "p99" -> 0.99)
+    val n = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    n.join(Pctl.distBounded(docs, Seq("source"), "n_chars", qs), "source")
+      .select(col("source"), col("n_docs"), col("p10"), col("p25"),
+        col("p50"), col("p75"), col("p90"), col("p99"),
+        round(col("p75") - col("p25"), 6).as("iqr"))
+      .orderBy(col("source"))
+  }
+
+  val lenProfileOracle: String =
+    s"""SELECT source, COUNT(*) AS n_docs,
+      |  ${Pctl.sql("n_chars", 0.1)} AS p10,
+      |  ${Pctl.sql("n_chars", 0.25)} AS p25,
+      |  ${Pctl.sql("n_chars", 0.5)} AS p50,
+      |  ${Pctl.sql("n_chars", 0.75)} AS p75,
+      |  ${Pctl.sql("n_chars", 0.9)} AS p90,
+      |  ${Pctl.sql("n_chars", 0.99)} AS p99,
+      |  round(${Pctl.sql("n_chars", 0.75)}
+      |    - ${Pctl.sql("n_chars", 0.25)}, 6) AS iqr
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("ops_tukey_fences", tukeyFences, Some(tukeyFencesOracle)),
+    QueryDef("ops_bowley_skew", bowleySkew, Some(bowleySkewOracle)),
+    QueryDef("ops_qq_deciles", qqDeciles, Some(qqDecilesOracle)),
+    QueryDef("ta_len_profile", lenProfile, Some(lenProfileOracle)),
+  )
+}

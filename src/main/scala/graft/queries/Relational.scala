@@ -482,10 +482,11 @@ object Relational {
     * one partial→final hash agg with CONSTANT per-group state (each is
     * a few running sums), so the scale posture holds at any group
     * cardinality. Quantiles are deliberately absent here: exact
-    * percentile buffers every distinct value per group (unbounded
-    * state at 100 TB); the engine's quantile op is approx_percentile
-    * (t-digest, constant state — accuracy-gated in SkewAsOfSpec since
-    * an approximation cannot hash-match an exact oracle). Doubles are
+    * percentile buffers every value per group (unbounded state at
+    * 100 TB); the engine's quantile ops are [[Pctl.dist]] (exact,
+    * histogram-based, r16) and approx_percentile (t-digest, constant
+    * state — accuracy-gated in SkewAsOfSpec since an approximation
+    * cannot hash-match an exact oracle). Doubles are
     * rounded to 6dp, which makes merge-order ulp flips of the hash
     * compare vanishingly unlikely (not impossible — only the DECIMAL
     * queries are exact by construction).

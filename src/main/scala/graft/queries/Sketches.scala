@@ -431,8 +431,10 @@ object Sketches {
         Window.partitionBy(col("grp")).orderBy(col("v"), col("rk"))))
       .filter(col("vr") === QrK / 2)
       .select(col("grp"), col("v").cast("double").as("p50_est"))
-    val exact = li.groupBy(col("grp"))
-      .agg(count(lit(1)).as("n_rows"), Pctl.p("v", 0.5).as("p50_exact"))
+    // exact leg on the histogram device (VERDICT r15 #2): the count
+    // stays a plain aggregate, joined on the 3-row flag grid
+    val exact = li.groupBy(col("grp")).agg(count(lit(1)).as("n_rows"))
+      .join(Pctl.dist(li, Seq("grp"), "v", Seq("p50_exact" -> 0.5)), "grp")
     exact.join(est, "grp")
       .select(col("grp"), col("n_rows"), col("p50_exact"), col("p50_est"))
       .orderBy(col("grp"))

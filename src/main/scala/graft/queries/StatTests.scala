@@ -119,8 +119,9 @@ object StatTests {
     * (Sᵢ²/nᵢ) cross once each and Σ over the 5-segment grid rides
     * DECIMAL(38,12), so no row-order enters a float sum.
     *
-    * Scale shape: two fact passes (one exact-percentile sort per
-    * segment, one deviation aggregate with the 5-row median grid
+    * Scale shape: two fact passes (one [[Pctl.dist]] histogram median
+    * per segment — no buffer-everything percentile aggregate, VERDICT
+    * r15 #2 — one deviation aggregate with the 5-row median grid
     * broadcast back), then 5-row grid algebra.
     */
   def brownForsythe(s: SparkSession, dir: String): DataFrame = {
@@ -132,8 +133,7 @@ object StatTests {
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("seg"),
         round(col("o_totalprice") * 100).cast(LongType).as("cents"))
-    val med = ord.groupBy(col("seg"))
-      .agg(Pctl.p("cents", 0.5).as("med"))
+    val med = Pctl.dist(ord, Seq("seg"), "cents", Seq("med" -> 0.5))
       .withColumn("m2", (col("med") * 2).cast(LongType))
     val dev = ord.join(broadcast(med), "seg")
       .select(col("seg"), col("med"),
@@ -1445,10 +1445,11 @@ object StatTests {
     * cross-multiply device — N·O can pass 2⁶³), one double crossing
     * per cell, Σ over the k-row grid through DECIMAL(38,12).
     *
-    * Scale shape: one exact-percentile sort (the [[brownForsythe]]
-    * median shape), one map-combined fact aggregate to the k-row
-    * segment grid with the 1-row median broadcast on; all χ² algebra
-    * is grid-sized.
+    * Scale shape: one [[Pctl.dist]] histogram grand median (a
+    * single-group exact percentile would buffer the WHOLE fact in one
+    * aggregation buffer — the worst case of VERDICT r15 #2), one
+    * map-combined fact aggregate to the k-row segment grid with the
+    * 1-row median broadcast on; all χ² algebra is grid-sized.
     */
   def moodMedian(s: SparkSession, dir: String): DataFrame = {
     val d0 = DecimalType(38, 0)
@@ -1459,7 +1460,7 @@ object StatTests {
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("seg"),
         round(col("o_totalprice") * 100).cast(LongType).as("cents"))
-    val med = ord.agg(Pctl.p("cents", 0.5).as("med"))
+    val med = Pctl.dist(ord, Nil, "cents", Seq("med" -> 0.5))
       .select((col("med") * 2).cast(LongType).as("m2"))
     val g = ord.crossJoin(broadcast(med))
       .groupBy(col("seg"))
@@ -2202,10 +2203,20 @@ object StatTests {
     * its own controls matches itself, which is exact matching), and
     * ATT = Σ n_t·(ȳ_t − ȳ_matched-control) / Σ n_t.
     *
-    * Float policy: outcomes aggregate as exact micro-unit
-    * DECIMAL(38,0); each propensity is ONE double division of exact
-    * integers; |Δp| compares those identical doubles in both
-    * engines; the ATT numerator rides DECIMAL(38,12).
+    * Float policy (r16, VERDICT r15 #1): the GATED SURFACE is
+    * all-BIGINT — no rounded double ever leaves the plan, so no
+    * driver-side duckdb/pandas float-repr drift can flip the hash.
+    * Propensities serve as exact half-up ppm
+    * ((2·n_t·10⁶ + n) div (2·n) — positive operands, so Spark `div`
+    * and DuckDB `//` truncation agree), means as exact half-up
+    * micro-units, the per-cell effect as their exact difference, and
+    * the ATT as the exact integer pair (att_num_micro, n_t) — the
+    * reader divides. Doubles survive only INSIDE the match (|Δp| ≤
+    * 0.1 caliper + nearest-|Δp| order): one IEEE division of exact
+    * integers per cell, bit-identical in both engines. Micro-unit
+    * cell sums ride DECIMAL(38,0) through the aggregate and cast to
+    * BIGINT only for the final rounding step (envelope: ≤ 9.2e12
+    * value-units per cell — 2^63 micro).
     *
     * Scale shape: one user hash-aggregate, one ≤10-row cell grid;
     * the matching all-pairs is grid² ≤ 100 rows (domain-bounded,
@@ -2213,7 +2224,6 @@ object StatTests {
     */
   def psmAtt(s: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(38, 0)
-    val d12 = DecimalType(38, 12)
     val users = Tables.t(s, dir, "events")
       .groupBy(col("user_id"))
       .agg(
@@ -2230,38 +2240,42 @@ object StatTests {
         sum(when(col("treated") === 0, col("y")).otherwise(0L).cast(dec)).as("sy_c"))
       .withColumn("p", col("n_t").cast(DoubleType) / col("n").cast(DoubleType))
     val tc = cells.filter(col("n_t") > 0)
-      .select(col("cell"), col("n_t"), col("p"), col("sy_t"))
+      .select(col("cell"), col("n").as("n_cell"), col("n_t"), col("p"),
+        col("sy_t"))
     val cc = cells.filter(col("n_c") > 0)
-      .select(col("cell").as("m_cell"), col("n_c"), col("p").as("m_p"),
-        col("sy_c"))
+      .select(col("cell").as("m_cell"), col("n").as("m_n"),
+        col("n_t").as("m_nt"), col("n_c"), col("p").as("m_p"), col("sy_c"))
+    // exact half-up rational rounding — positive operands only, so
+    // Spark `div` (truncate) ≡ DuckDB `//` (truncate) ≡ floor
     val matched = tc.crossJoin(broadcast(cc))
       .filter(abs(col("p") - col("m_p")) <= 0.1)
       .withColumn("rn", row_number().over(Window.partitionBy(col("cell"))
         .orderBy(abs(col("p") - col("m_p")), col("m_cell"))))
       .filter(col("rn") === 1)
-      .withColumn("mean_t",
-        col("sy_t").cast(DoubleType) / col("n_t").cast(DoubleType) / 1000000.0)
-      .withColumn("mean_c",
-        col("sy_c").cast(DoubleType) / col("n_c").cast(DoubleType) / 1000000.0)
-    val perCell = matched.select(col("cell"), col("n_t"),
-      round(col("p"), 6).as("propensity"), col("m_cell").as("matched_cell"),
-      round(col("m_p"), 6).as("matched_p"),
-      round(col("mean_t"), 6).as("mean_t"), round(col("mean_c"), 6).as("mean_c"),
-      round(col("mean_t") - col("mean_c"), 6).as("effect"))
-    // ATT over the ROUNDED per-cell effects, decimal×decimal — the
-    // [[StatOps.ipwAte]] summary-row device verbatim
+      .withColumn("mean_t_micro",
+        expr("(CAST(sy_t AS BIGINT) * 2 + n_t) div (n_t * 2)"))
+      .withColumn("mean_c_micro",
+        expr("(CAST(sy_c AS BIGINT) * 2 + n_c) div (n_c * 2)"))
+      .withColumn("effect_micro", col("mean_t_micro") - col("mean_c_micro"))
+    val perCell = matched.select(col("cell"), col("n_cell"), col("n_t"),
+      expr("(n_t * 2000000 + n_cell) div (n_cell * 2)").as("prop_ppm"),
+      col("m_cell").as("matched_cell"),
+      expr("(m_nt * 2000000 + m_n) div (m_n * 2)").as("matched_p_ppm"),
+      col("mean_t_micro"), col("mean_c_micro"), col("effect_micro"),
+      lit(null).cast(LongType).as("att_num_micro"))
+    // ATT as the exact integer pair: att_num_micro = Σ n_t·effect_micro
+    // over the per-cell half-up-rounded effects; denominator = n_t
     val att = matched
       .agg(sum(col("n_t")).as("n_t"),
-        sum(col("n_t").cast(d12) *
-          round(col("mean_t") - col("mean_c"), 6).cast(d12)).as("wsum"))
-      .select(lit(-1L).as("cell"), col("n_t"),
-        lit(null).cast(DoubleType).as("propensity"),
+        sum(col("n_t") * col("effect_micro")).as("att_num"))
+      .select(lit(-1L).as("cell"), lit(null).cast(LongType).as("n_cell"),
+        col("n_t"), lit(null).cast(LongType).as("prop_ppm"),
         lit(null).cast(LongType).as("matched_cell"),
-        lit(null).cast(DoubleType).as("matched_p"),
-        lit(null).cast(DoubleType).as("mean_t"),
-        lit(null).cast(DoubleType).as("mean_c"),
-        round(col("wsum").cast(DoubleType) / col("n_t").cast(DoubleType), 6)
-          .as("effect"))
+        lit(null).cast(LongType).as("matched_p_ppm"),
+        lit(null).cast(LongType).as("mean_t_micro"),
+        lit(null).cast(LongType).as("mean_c_micro"),
+        lit(null).cast(LongType).as("effect_micro"),
+        col("att_num").as("att_num_micro"))
     perCell.unionByName(att).orderBy(col("cell"))
   }
 
@@ -2287,8 +2301,9 @@ object StatTests {
       |  FROM t GROUP BY 1),
       |matched AS (
       |  SELECT * FROM (
-      |    SELECT tc.cell, tc.n_t, tc.p, tc.sy_t,
-      |      cc.cell AS m_cell, cc.n_c, cc.p AS m_p, cc.sy_c,
+      |    SELECT tc.cell, tc.n AS n_cell, tc.n_t, tc.p, tc.sy_t,
+      |      cc.cell AS m_cell, cc.n AS m_n, cc.n_t AS m_nt, cc.n_c,
+      |      cc.p AS m_p, cc.sy_c,
       |      row_number() OVER (PARTITION BY tc.cell
       |        ORDER BY abs(tc.p - cc.p), cc.cell) AS rn
       |    FROM (SELECT * FROM cells WHERE n_t > 0) tc
@@ -2296,25 +2311,32 @@ object StatTests {
       |      ON abs(tc.p - cc.p) <= 0.1)
       |  WHERE rn = 1),
       |m2 AS (
-      |  SELECT cell, n_t, p, m_cell, m_p,
-      |    CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) / 1000000.0 AS mean_t,
-      |    CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE) / 1000000.0 AS mean_c
+      |  SELECT cell, n_cell, n_t, m_cell, m_n, m_nt,
+      |    (CAST(sy_t AS BIGINT) * 2 + n_t) // (n_t * 2) AS mean_t_micro,
+      |    (CAST(sy_c AS BIGINT) * 2 + n_c) // (n_c * 2) AS mean_c_micro
       |  FROM matched),
       |percell AS (
-      |  SELECT cell, CAST(n_t AS BIGINT) AS n_t, round(p, 6) AS propensity,
-      |    CAST(m_cell AS BIGINT) AS matched_cell, round(m_p, 6) AS matched_p,
-      |    round(mean_t, 6) AS mean_t, round(mean_c, 6) AS mean_c,
-      |    round(mean_t - mean_c, 6) AS effect
+      |  SELECT CAST(cell AS BIGINT) AS cell, CAST(n_cell AS BIGINT) AS n_cell,
+      |    CAST(n_t AS BIGINT) AS n_t,
+      |    CAST((n_t * 2000000 + n_cell) // (n_cell * 2) AS BIGINT) AS prop_ppm,
+      |    CAST(m_cell AS BIGINT) AS matched_cell,
+      |    CAST((m_nt * 2000000 + m_n) // (m_n * 2) AS BIGINT) AS matched_p_ppm,
+      |    CAST(mean_t_micro AS BIGINT) AS mean_t_micro,
+      |    CAST(mean_c_micro AS BIGINT) AS mean_c_micro,
+      |    CAST(mean_t_micro - mean_c_micro AS BIGINT) AS effect_micro,
+      |    CAST(NULL AS BIGINT) AS att_num_micro
       |  FROM m2),
       |summary AS (
-      |  SELECT CAST(-1 AS BIGINT) AS cell, CAST(SUM(n_t) AS BIGINT) AS n_t,
-      |    CAST(NULL AS DOUBLE) AS propensity,
+      |  SELECT CAST(-1 AS BIGINT) AS cell, CAST(NULL AS BIGINT) AS n_cell,
+      |    CAST(SUM(n_t) AS BIGINT) AS n_t,
+      |    CAST(NULL AS BIGINT) AS prop_ppm,
       |    CAST(NULL AS BIGINT) AS matched_cell,
-      |    CAST(NULL AS DOUBLE) AS matched_p,
-      |    CAST(NULL AS DOUBLE) AS mean_t, CAST(NULL AS DOUBLE) AS mean_c,
-      |    round(CAST(SUM(CAST(n_t AS DECIMAL(38,12))
-      |        * CAST(round(mean_t - mean_c, 6) AS DECIMAL(38,12))) AS DOUBLE)
-      |      / CAST(SUM(n_t) AS DOUBLE), 6) AS effect
+      |    CAST(NULL AS BIGINT) AS matched_p_ppm,
+      |    CAST(NULL AS BIGINT) AS mean_t_micro,
+      |    CAST(NULL AS BIGINT) AS mean_c_micro,
+      |    CAST(NULL AS BIGINT) AS effect_micro,
+      |    CAST(SUM(n_t * (mean_t_micro - mean_c_micro)) AS BIGINT)
+      |      AS att_num_micro
       |  FROM m2)
       |SELECT * FROM percell UNION ALL SELECT * FROM summary
       |ORDER BY cell""".stripMargin

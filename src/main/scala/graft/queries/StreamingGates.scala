@@ -1010,21 +1010,29 @@ object StreamingGates {
 
   /** Hourly QUANTILE bars per event type — the latency-percentile
     * downsample every observability pipeline runs (p50/p95/p99 per
-    * bucket) beside [[ohlcBars]]' extremes: one hash aggregate with
-    * three exact interpolated percentiles, each ROUNDED to 6 dp (the
-    * cross-engine percentile equivalence is already gated by
-    * `fn_percentile_suite`; rounding keeps interpolation ulps out of
-    * the hash compare). At 100 TB the same plan carries
-    * approx_percentile sketches — bucket-sized state either way.
+    * bucket) beside [[ohlcBars]]' extremes: three exact interpolated
+    * percentiles on the [[Pctl.dist]] histogram device, each ROUNDED
+    * to 6 dp (rounding keeps interpolation ulps out of the hash
+    * compare). The device's state is the per-bucket distinct-value
+    * histogram — exact at any hourly volume, where the exact
+    * `percentile` aggregate would buffer every value of the hour.
     */
-  def hourlyQuantiles(s: SparkSession, dir: String): DataFrame =
-    Tables.t(s, dir, "events")
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
-      .agg(count(lit(1)).as("n_events"),
-        Pctl.p("value", 0.5).as("p50"),
-        Pctl.p("value", 0.95).as("p95"),
-        Pctl.p("value", 0.99).as("p99"))
+  def hourlyQuantiles(s: SparkSession, dir: String): DataFrame = {
+    // histogram-device percentiles (VERDICT r15 #2): a (type, hour)
+    // group is unbounded at 100 TB/hour — exactly the group shape the
+    // buffer-everything percentile aggregate must never see
+    val e = Tables.t(s, dir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
+        col("value"))
+    val counts = e.groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    counts.join(Pctl.distBounded(e, Seq("event_type", "hour"), "value",
+        Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)),
+        Seq("event_type", "hour"))
+      .select(col("event_type"), col("hour"), col("n_events"),
+        col("p50"), col("p95"), col("p99"))
       .orderBy(col("event_type"), col("hour"))
+  }
 
   val hourlyQuantilesOracle: String =
     s"""SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,

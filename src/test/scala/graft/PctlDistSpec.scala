@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.queries.Pctl
+
+/** Bit-equality proof for the histogram exact-percentile device
+  * (VERDICT r15 #2): [[Pctl.dist]] must reproduce Spark's exact
+  * `percentile` aggregate — the same linear interpolation at rank
+  * q·(n−1) — EXACTLY on randomized data: heavy ties, negative values,
+  * Long and Double key types, grouped and global, single- and
+  * multi-fraction, n = 1 groups and integral rank positions. Only
+  * then can the nine migrated fact-sized-percentile gates keep their
+  * DuckDB oracles unchanged while the plan drops the
+  * buffer-everything TypedImperativeAggregate.
+  */
+class PctlDistSpec extends SparkSpec {
+
+  private def longRows(n: Int, groups: Int, mod: Int): DataFrame =
+    spark.range(n.toLong).select(
+      concat(lit("g"), (col("id") % groups).cast(StringType)).as("g"),
+      pmod(xxhash64(col("id")), lit(mod.toLong)).minus(lit(mod / 2L)).as("v"))
+
+  private def doubleRows(n: Int, groups: Int, mod: Int): DataFrame =
+    longRows(n, groups, mod)
+      .select(col("g"), (col("v").cast(DoubleType) / 7.0).as("v"))
+
+  private val Qs = Seq("p05" -> 0.05, "p25" -> 0.25, "p50" -> 0.5,
+    "p90" -> 0.9, "p95" -> 0.95, "p99" -> 0.99)
+
+  private def aggForm(df: DataFrame, parts: Seq[String],
+                      qs: Seq[(String, Double)]): DataFrame = {
+    val aggs = qs.map { case (nm, q) => Pctl.p("v", q).as(nm) }
+    (if (parts.isEmpty) df.groupBy() else df.groupBy(parts.map(col): _*))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def assertSame(a: DataFrame, b: DataFrame, keys: Seq[String]): Unit = {
+    val cols = a.columns.sorted.map(col).toSeq
+    val left = a.select(cols: _*).orderBy(keys.map(col): _*).collect()
+    val right = b.select(cols: _*).orderBy(keys.map(col): _*).collect()
+    assert(left.length === right.length)
+    left.zip(right).foreach { case (x, y) => assert(x === y) }
+  }
+
+  test("dist == percentile (Long values, grouped, heavy ties)") {
+    val rows = longRows(20000, 5, 37)
+    assertSame(Pctl.dist(rows, Seq("g"), "v", Qs),
+      aggForm(rows, Seq("g"), Qs), Seq("g"))
+  }
+
+  test("dist == percentile (Long values, global, wide range)") {
+    val rows = longRows(20000, 1, 1000000)
+    assertSame(Pctl.dist(rows, Nil, "v", Qs), aggForm(rows, Nil, Qs), Nil)
+  }
+
+  test("dist == percentile (Double values, grouped)") {
+    val rows = doubleRows(20000, 4, 9973)
+    assertSame(Pctl.dist(rows, Seq("g"), "v", Qs),
+      aggForm(rows, Seq("g"), Qs), Seq("g"))
+  }
+
+  test("dist == percentile (Double values, global, heavy ties)") {
+    val rows = doubleRows(20000, 1, 23)
+    assertSame(Pctl.dist(rows, Nil, "v", Qs), aggForm(rows, Nil, Qs), Nil)
+  }
+
+  test("dist == percentile on degenerate group sizes (n = 1, 2, 3)") {
+    // one group per size — integral and fractional rank positions
+    val rows = spark.range(6).select(
+      when(col("id") < 1, "a").when(col("id") < 3, "b").otherwise("c").as("g"),
+      (col("id") * 10 + 1).as("v"))
+    assertSame(Pctl.dist(rows, Seq("g"), "v", Qs),
+      aggForm(rows, Seq("g"), Qs), Seq("g"))
+  }
+
+  test("dist skips nulls like the aggregate") {
+    val rows = spark.range(1000).select(
+      lit("all").as("g"),
+      when(pmod(col("id"), lit(3L)) === 0, lit(null).cast(LongType))
+        .otherwise(col("id")).as("v"))
+    assertSame(Pctl.dist(rows, Seq("g"), "v", Qs),
+      aggForm(rows, Seq("g"), Qs), Seq("g"))
+  }
+
+  test("dist on a derived expression column matches the aggregate") {
+    // the ops_outlier_bounds second pass shape: |v − med|
+    val rows = doubleRows(5000, 2, 997)
+      .withColumn("d", abs(col("v") - 3.25))
+    assertSame(Pctl.dist(rows, Seq("g"), "d", Seq("mad" -> 0.5)),
+      (rows.groupBy(col("g")).agg(Pctl.p("d", 0.5).as("mad"))), Seq("g"))
+  }
+
+  test("distBounded == percentile == dist (Long values, grouped ties)") {
+    val rows = longRows(20000, 5, 37)
+    assertSame(Pctl.distBounded(rows, Seq("g"), "v", Qs),
+      aggForm(rows, Seq("g"), Qs), Seq("g"))
+    assertSame(Pctl.distBounded(rows, Seq("g"), "v", Qs),
+      Pctl.dist(rows, Seq("g"), "v", Qs), Seq("g"))
+  }
+
+  test("distBounded == percentile (Double values, grouped, nulls, n=1)") {
+    val rows = doubleRows(20000, 4, 9973)
+      .withColumn("v", when(pmod(xxhash64(col("v")), lit(11L)) === 0,
+        lit(null).cast(DoubleType)).otherwise(col("v")))
+    assertSame(Pctl.distBounded(rows, Seq("g"), "v", Qs),
+      aggForm(rows, Seq("g"), Qs), Seq("g"))
+    val tiny = spark.range(3).select(
+      concat(lit("t"), col("id")).as("g"), (col("id") * 7 + 1).as("v"))
+    assertSame(Pctl.distBounded(tiny, Seq("g"), "v", Qs),
+      aggForm(tiny, Seq("g"), Qs), Seq("g"))
+  }
+}

@@ -42,6 +42,9 @@ class PlanAuditSpec extends SparkSpec {
       // PSI rest-relation: 5-row type domain × fact on a != residual,
       // and the 10-bin grid — both domain-bounded
       "ops_psi_drift",
+      // Q–Q deciles: the same 5-row-domain != rest fan as psi_drift,
+      // plus the Pctl.dist global straddle (2·|qs| rows) — bounded
+      "ops_qq_deciles",
       // 4-row literal band dimension, lo<=x<hi non-equi lookup
       "j4_band_join",
       // flags × literal 9-digit range grid completion — both sides
@@ -408,6 +411,21 @@ class PlanAuditSpec extends SparkSpec {
       "ops_energy_distance",
       // PSM: the ≤10-row control-cell donor relation
       "ops_psm_att",
+      // r16 Pctl.dist histogram-percentile migrations (VERDICT r15
+      // #2): the device broadcasts its DistRank bounds/bucket-carry
+      // relations plus the |groups|·|fractions|·2-row straddling-index
+      // relation; outlier_bounds additionally broadcasts its 5-row
+      // median grid back onto the fact. All constant- or
+      // grid-bounded. (trimmed_mean/brown_forsythe/mood_median/
+      // psi_drift already appear above for prior devices.)
+      "fn_percentile_suite", "ops_outlier_bounds", "ops_winsorize",
+      "sk_quantile_reservoir", "sk_quantile_xxhash",
+      "st_hourly_quantiles",
+      // r16 quantile tranche, born on the same device (tukey also
+      // broadcasts its 5-row fence relation back onto the fact; qq
+      // fans the 5-row type domain like psi_drift)
+      "ops_tukey_fences", "ops_bowley_skew", "ops_qq_deciles",
+      "ta_len_profile",
       // Burrows' Delta: the 50-row top-K word relation and the
       // K-row/word-grid stats relations
       "ta_burrows_delta")
@@ -445,7 +463,11 @@ class PlanAuditSpec extends SparkSpec {
     "ops_abc_xyz" -> 2, "ops_calibration_ece" -> 2, "ops_chi2_assoc" -> 2,
     "ops_cmh_test" -> 4, "ops_emd_drift" -> 1, "ops_fdr_bh" -> 3,
     "ops_fdr_by" -> 4, "ops_hill_tail" -> 2, "ops_isotonic_calib" -> 2,
-    "ops_ks_drift" -> 1, "ops_mood_median" -> 1, "ops_mutual_info" -> 4,
+    // mood_median: the k-row chi2 grid cumulative, plus the global
+    // Pctl.dist grand-median's bucket carry (<=1024 totals rows) —
+    // duplicated because the g/tot self-join repeats the device
+    // subtree (r16)
+    "ops_ks_drift" -> 1, "ops_mood_median" -> 3, "ops_mutual_info" -> 4,
     "ops_sprt_ab" -> 2, "ops_woe_iv" -> 2, "ops_best_split" -> 3,
     // survival: distinct-lifetime grid windows
     "ops_survival_km" -> 3, "ops_nelson_aalen" -> 3, "ops_logrank_test" -> 1,
@@ -498,6 +520,48 @@ class PlanAuditSpec extends SparkSpec {
     val stale = unpartitionedWindowsAllowed.keySet
       .filter(k => actual.contains(k) && actual(k) == 0)
     assert(stale.isEmpty, s"allowlist entries with zero actual windows: $stale")
+  }
+
+  // Exact-Percentile census (VERDICT r15 #2): Spark's `percentile` is
+  // a TypedImperativeAggregate that materializes EVERY value of its
+  // group in one aggregation buffer — acceptable ONLY over provably
+  // bounded relations (calendar-bounded hourly bars, month-pair
+  // grids). The nine fact-sized callers migrated to the
+  // [[graft.queries.Pctl.dist]] histogram device in r16; this census
+  // pins EXACTLY where the buffering aggregate may still appear, so a
+  // new fact-sized percentile anywhere fails the audit and must
+  // justify its bounded input. Counts are subplan instances in the
+  // optimized plan (self-joins duplicate device subtrees — the
+  // unpartitioned-window census precedent).
+  private val percentileAggAllowed: Map[String, Int] = Map(
+    // Sen's slope median over the month-pair grid per nation
+    // (calendar² ≤ ~300 rows/group)
+    "ops_sen_slope" -> 1,
+    // hourly-bar devices: (type × hour) calendar-bounded bar relation;
+    // mad_anomaly's med leg duplicates through the dev/mad self-joins
+    "st_mad_anomaly" -> 3, "st_trend_mk" -> 1, "st_runs_test" -> 1)
+
+  test("exact percentile aggregates appear only over bounded grid relations (exact census)") {
+    val actual = auditSurface.sortBy(_._1).map { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.optimizedPlan
+      val n = plan.collectWithSubqueries { case p =>
+        p.expressions.map(_.collect {
+          case e: org.apache.spark.sql.catalyst.expressions.aggregate.Percentile => e
+        }.size).sum
+      }.sum
+      name -> n
+    }.toMap
+    val drift = actual.filter { case (name, n) =>
+      n != percentileAggAllowed.getOrElse(name, 0)
+    }
+    assert(drift.isEmpty,
+      s"exact-percentile census drift (query -> actual, expected): " +
+        drift.toSeq.sorted.map { case (k, v) =>
+          s"$k -> $v, ${percentileAggAllowed.getOrElse(k, 0)}"
+        }.mkString("; "))
+    val stale = percentileAggAllowed.keySet
+      .filter(k => actual.contains(k) && actual(k) == 0)
+    assert(stale.isEmpty, s"allowlist entries with zero actual percentiles: $stale")
   }
 
   test("rank-filter windows get the group-limit optimization (top-k never sorts full partitions)") {

@@ -59,8 +59,8 @@ class Round15GatesSpec extends SparkSpec {
   }
 
   test("ops_psm_att replays an imperative cell-level matching pass") {
-    def r6(x: Double) =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // exact half-up rational rounding, the gate's integer surface
+    def hup(num: Long, den: Long): Long = (num * 2 + den) / (den * 2)
     // imperative reference: per-user aggregates, 10 activity cells,
     // exact propensities, nearest-propensity caliper match, ATT
     val byUser = Tables.t(spark, dir, "events")
@@ -80,32 +80,36 @@ class Round15GatesSpec extends SparkSpec {
       (cell, n, nT, n - nT, syT, syC, nT.toDouble / n.toDouble)
     }.toSeq
     val donors = cells.filter(_._4 > 0)
+    // (cell, n_cell, n_t, prop_ppm, m_cell, m_p_ppm, meanT, meanC, eff)
     val expected = cells.filter(_._3 > 0).flatMap {
-      case (cell, _, nT, _, syT, _, p) =>
+      case (cell, n, nT, _, syT, _, p) =>
         val cands = donors.filter(d => math.abs(p - d._7) <= 0.1)
         if (cands.isEmpty) None
         else {
           val m = cands.minBy(d => (math.abs(p - d._7), d._1))
-          val meanT = syT.toDouble / nT.toDouble / 1000000.0
-          val meanC = m._6.toDouble / m._4.toDouble / 1000000.0
-          Some((cell, nT, m._1, r6(meanT - meanC)))
+          val meanT = hup(syT, nT)
+          val meanC = hup(m._6, m._4)
+          Some((cell, n, nT, hup(nT * 1000000L, n), m._1,
+            hup(m._3 * 1000000L, m._2), meanT, meanC, meanT - meanC))
         }
     }.sortBy(_._1)
 
     val got = graft.queries.StatTests.psmAtt(spark, dir).collect()
     val perCell = got.filter(_.getLong(0) >= 0)
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(7)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
     assert(perCell.toSeq === expected)
+    assert(got.filter(_.getLong(0) >= 0).forall(_.isNullAt(9)))
 
     val attRow = got.filter(_.getLong(0) == -1L)
     assert(attRow.length === 1)
-    val wsum = expected.map { case (_, nT, _, eff) =>
-      BigDecimal(nT) * BigDecimal(eff)
+    val wsum = expected.map { case (_, _, nT, _, _, _, _, _, eff) =>
+      nT * eff
     }.sum
-    val nTot = expected.map(_._2).sum
-    assert(attRow.head.getLong(1) === nTot)
-    // mirror the engine's cast order: decimal Σ → double, THEN divide
-    assert(attRow.head.getDouble(7) === r6(wsum.toDouble / nTot.toDouble))
+    val nTot = expected.map(_._3).sum
+    assert(attRow.head.getLong(2) === nTot)
+    assert(attRow.head.getLong(9) === wsum)
+    assert((1 to 8).filterNot(_ == 2).forall(attRow.head.isNullAt))
     // sanity: matching is non-degenerate (several treated cells, at
     // least one non-self match is possible in principle)
     assert(expected.size >= 3)

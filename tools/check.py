@@ -57,6 +57,21 @@ def load_rows(table, col_order):
 
 def main():
     out_dir, sf_dir = Path(sys.argv[1]), sys.argv[2]
+    # stamp comparator-stack versions so driver-vs-local float drift
+    # (ops_psm_att, CORRECTNESS_r15) is diagnosable from artifacts alone
+    try:
+        import pandas
+        pandas_v = pandas.__version__
+    except Exception:
+        pandas_v = "absent"
+    try:
+        import pyarrow
+        arrow_v = pyarrow.__version__
+    except Exception:
+        arrow_v = "absent"
+    print(f"# comparator stack: duckdb={duckdb.__version__} "
+          f"pandas={pandas_v} pyarrow={arrow_v} "
+          f"python={sys.version.split()[0]}")
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
