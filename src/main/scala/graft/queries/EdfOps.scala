@@ -463,14 +463,20 @@ object EdfOps {
       .select(col("event_id"),
         round(col("value") * 100).cast(LongType).as("b"))
     // pooled leg (shared with the observed statistic): counts, the
-    // bucketed cumulative, per-type totals, pooled total
-    val counts = Tables.t(s, dir, "events")
+    // bucketed cumulative, per-type totals, pooled total.
+    // counts is referenced by allB / nS / nAll / gridObs / typeReps —
+    // tracked-persisted so the fact aggregates ONCE, not per
+    // reference; pooled feeds both the observed and the relabeled
+    // subplans, so its device legs collapse the same way (r16, the
+    // psi_drift double-device lesson)
+    val counts = DistRank.tracked(Tables.t(s, dir, "events")
       .select(col("event_type"), round(col("value") * 100).cast(LongType).as("b"))
-      .groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("c")))
     val allB = counts.groupBy(col("b")).agg(sum(col("c")).as("c_all"))
-    val pooled = DistRank.prefixLt(allB, Nil, "b", Seq("c_all"))
-      .withColumn("cum_all", col("c_all_lt") + col("c_all"))
-      .select(col("b"), col("c_all").as("l"), col("cum_all"))
+    val pooled = DistRank.tracked(
+      DistRank.prefixLt(allB, Nil, "b", Seq("c_all"))
+        .withColumn("cum_all", col("c_all_lt") + col("c_all"))
+        .select(col("b"), col("c_all").as("l"), col("cum_all")))
     val nS = counts.groupBy(col("event_type")).agg(sum(col("c")).as("n_s"))
     val nAll = counts.agg(sum(col("c")).as("n_all"))
 
@@ -499,14 +505,18 @@ object EdfOps {
       .select(col("b"), col("r"),
         u32(concat(col("event_id").cast("string"), lit(":cvmperm:"),
           col("r").cast("string"))).as("u"))
+    // Long membership stays exact while n_all < 2^31 (u < 2^32 ⇒ both
+    // products < 2^63); beyond it non-ANSI Spark would wrap SILENTLY,
+    // so the envelope is enforced LOUDLY on the 5-row threshold
+    // relation (zero per-fan-row cost — the DECIMAL(38,0) routing of
+    // the first r16 pass cost ~15% of the whole gate at sf0.1), and
+    // the oracle raises symmetrically via error()
     val thresholds = nS.crossJoin(broadcast(nAll))
+      .filter(coalesce(assert_true(col("n_all") < lit(2147483648L),
+        lit("cvm permutation: n_all >= 2^31 exceeds the Long membership envelope")),
+        lit(true)))
     val cntSr = fan.crossJoin(broadcast(thresholds))
-      // DECIMAL(38,0) products: u < 2^32 but u·n_all leaves Long once
-      // n_all ≥ 2^31, and non-ANSI Spark would wrap SILENTLY while the
-      // DuckDB oracle's HUGEINT stays exact — identical exact math on
-      // both sides at any corpus size (the gapD hardening)
-      .filter(col("u").cast(dec) * col("n_all") <
-        col("n_s").cast(dec) * lit(4294967296L))
+      .filter(col("u") * col("n_all") < col("n_s") * lit(4294967296L))
       .groupBy(col("event_type"), col("r"), col("b"))
       .agg(count(lit(1)).as("c"))
     // grid completion: the (5 types × R)-row world dimension is the
@@ -556,7 +566,9 @@ object EdfOps {
        |    SUM(c_all) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum_all
        |  FROM allb),
        |ns AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_s FROM counts GROUP BY 1),
-       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM e),
+       |n AS (SELECT CASE WHEN COUNT(*) >= 2147483648
+       |    THEN CAST(error('cvm permutation: n_all >= 2^31 exceeds the Long membership envelope') AS BIGINT)
+       |    ELSE CAST(COUNT(*) AS BIGINT) END AS n_all FROM e),
        |gobs AS (
        |  SELECT t.event_type, bk.b, COALESCE(c.c, 0) AS c
        |  FROM (SELECT DISTINCT event_type FROM counts) t
@@ -586,8 +598,7 @@ object EdfOps {
        |cntsr AS (
        |  SELECT ns.event_type, f.r, f.b, COUNT(*) AS c
        |  FROM fan f CROSS JOIN n JOIN ns
-       |    ON CAST(f.u AS HUGEINT) * n.n_all
-       |      < CAST(ns.n_s AS HUGEINT) * 4294967296
+       |    ON f.u * n.n_all < ns.n_s * 4294967296
        |  GROUP BY 1, 2, 3),
        |trgrid AS (
        |  SELECT t.event_type, reps.r, bk.b, COALESCE(c.c, 0) AS c

@@ -227,9 +227,27 @@ class PlanAuditSpec extends SparkSpec {
     (SparkEntry.queries ++ SparkEntry.benchOnlyDefs.map(d => d.name -> d.fn)
       ++ lazySiblings).toSeq
 
+  /** Build a gate's QueryExecution against an EMPTY cache: several
+    * gates register tracked persists (DistRank histograms, shared
+    * fence/pooled relations) at plan-BUILD time, and cache
+    * substitution would then fold those subplans into opaque
+    * InMemoryRelation leaves — hiding exactly the windows, joins and
+    * aggregates these audits exist to count, both within a gate and
+    * across alphabetically-later gates (r16). Releasing before the
+    * plan is resolved keeps every audit hermetic and the censuses
+    * exact; the runtime caching behavior is unchanged (Verify/Bench
+    * release AFTER materializing, per gate).
+    */
+  private def freshQe(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): org.apache.spark.sql.execution.QueryExecution = {
+    val df = fn(spark, dir)
+    graft.queries.DistRank.release()
+    spark.catalog.clearCache()
+    df.queryExecution
+  }
+
   test("every registered query plans without cartesian products") {
     val failures = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      val plan = freshQe(fn).executedPlan.toString
       val cart = plan.contains("CartesianProduct")
       val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
       if (cart || bnlj)
@@ -432,7 +450,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>
-      val analyzed = fn(spark, dir).queryExecution.analyzed.toString
+      val analyzed = freshQe(fn).analyzed.toString
       if (analyzed.contains("ResolvedHint") && !broadcastHintAllowed(name)) Some(name)
       else None
     }
@@ -500,7 +518,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("unpartitioned windows appear only over bounded grid relations (exact census)") {
     val actual = auditSurface.sortBy(_._1).map { case (name, fn) =>
-      val plan = fn(spark, dir).queryExecution.optimizedPlan
+      val plan = freshQe(fn).optimizedPlan
       val n = plan.collectWithSubqueries {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
           if w.partitionSpec.isEmpty => w
@@ -543,7 +561,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("exact percentile aggregates appear only over bounded grid relations (exact census)") {
     val actual = auditSurface.sortBy(_._1).map { case (name, fn) =>
-      val plan = fn(spark, dir).queryExecution.optimizedPlan
+      val plan = freshQe(fn).optimizedPlan
       val n = plan.collectWithSubqueries { case p =>
         p.expressions.map(_.collect {
           case e: org.apache.spark.sql.catalyst.expressions.aggregate.Percentile => e
