@@ -89,15 +89,23 @@ object Pctl {
     * census exists to catch.
     */
   def distBounded(rows: DataFrame, parts: Seq[String], v: String,
-                  qs: Seq[(String, Double)], scale: Int = 6): DataFrame = {
+                  qs: Seq[(String, Double)], scale: Int = 6,
+                  countAs: Option[String] = None): DataFrame = {
     require(parts.nonEmpty, "distBounded is for grouped calls; " +
       "use dist for global quantiles")
-    dist(rows, parts, v, qs, scale, bounded = true)
+    dist(rows, parts, v, qs, scale, bounded = true, countAs = countAs)
   }
 
+  /** Optional extra output: `countAs = Some(name)` appends the group
+    * size (count of non-null `v` rows) as a BIGINT column — the device
+    * already carries it as the rank-position denominator, so callers
+    * that would otherwise run a SEPARATE count aggregate over the fact
+    * (one more full scan) get it for free.
+    */
   def dist(rows: DataFrame, parts: Seq[String], v: String,
            qs: Seq[(String, Double)], scale: Int = 6,
-           bounded: Boolean = false): DataFrame = {
+           bounded: Boolean = false,
+           countAs: Option[String] = None): DataFrame = {
     require(qs.nonEmpty)
     val pc = parts.map(col)
     val hist = rows.filter(col(v).isNotNull)
@@ -142,7 +150,8 @@ object Pctl {
     val interpolated = cand
       .groupBy((pc :+ col("__f.__qn").as("__qn") :+ col("__pos")): _*)
       .agg(min(when(col("__isLo"), col("__v"))).as("__vlo"),
-        min(when(col("__isHi"), col("__v"))).as("__vhi"))
+        min(when(col("__isHi"), col("__v"))).as("__vhi"),
+        min(col("__eq_tot")).as("__n"))
       // Percentile.getPercentile's own double order:
       // lower + (higher − lower) · (position − ⌊position⌋)
       .withColumn("__val", round(
@@ -150,7 +159,8 @@ object Pctl {
           (col("__vhi").cast(DoubleType) - col("__vlo").cast(DoubleType)) *
             (col("__pos") - floor(col("__pos")).cast(DoubleType)), scale))
     val aggCols = qs.map { case (nm, _) =>
-      min(when(col("__qn") === nm, col("__val"))).as(nm) }
+      min(when(col("__qn") === nm, col("__val"))).as(nm) } ++
+      countAs.map(nm => min(col("__n")).as(nm))
     (if (parts.isEmpty) interpolated.groupBy() else interpolated.groupBy(pc: _*))
       .agg(aggCols.head, aggCols.tail: _*)
   }

@@ -209,8 +209,8 @@ object QuantileOps {
       .select(col("source"), col("n_chars"))
     val qs = Seq("p10" -> 0.1, "p25" -> 0.25, "p50" -> 0.5,
       "p75" -> 0.75, "p90" -> 0.9, "p99" -> 0.99)
-    val n = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-    n.join(Pctl.distBounded(docs, Seq("source"), "n_chars", qs), "source")
+    Pctl.distBounded(docs, Seq("source"), "n_chars", qs,
+        countAs = Some("n_docs"))
       .select(col("source"), col("n_docs"), col("p10"), col("p25"),
         col("p50"), col("p75"), col("p90"), col("p99"),
         round(col("p75") - col("p25"), 6).as("iqr"))

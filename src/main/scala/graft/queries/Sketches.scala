@@ -431,10 +431,10 @@ object Sketches {
         Window.partitionBy(col("grp")).orderBy(col("v"), col("rk"))))
       .filter(col("vr") === QrK / 2)
       .select(col("grp"), col("v").cast("double").as("p50_est"))
-    // exact leg on the histogram device (VERDICT r15 #2): the count
-    // stays a plain aggregate, joined on the 3-row flag grid
-    val exact = li.groupBy(col("grp")).agg(count(lit(1)).as("n_rows"))
-      .join(Pctl.dist(li, Seq("grp"), "v", Seq("p50_exact" -> 0.5)), "grp")
+    // exact leg on the histogram device (VERDICT r15 #2); the row
+    // count rides the device's own group total — no second fact scan
+    val exact = Pctl.dist(li, Seq("grp"), "v", Seq("p50_exact" -> 0.5),
+      countAs = Some("n_rows"))
     exact.join(est, "grp")
       .select(col("grp"), col("n_rows"), col("p50_exact"), col("p50_est"))
       .orderBy(col("grp"))

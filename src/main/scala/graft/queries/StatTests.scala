@@ -127,20 +127,25 @@ object StatTests {
   def brownForsythe(s: SparkSession, dir: String): DataFrame = {
     val d0 = DecimalType(38, 0)
     val d12 = DecimalType(38, 12)
-    val ord = Tables.t(s, dir, "orders")
+    // tracked-persisted: ord feeds the median device's histogram AND
+    // the deviation aggregate — one orders-customer join, not two
+    val ord = DistRank.tracked(Tables.t(s, dir, "orders")
       .join(Tables.t(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("seg"),
-        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+        round(col("o_totalprice") * 100).cast(LongType).as("cents")))
     val med = Pctl.dist(ord, Seq("seg"), "cents", Seq("med" -> 0.5))
       .withColumn("m2", (col("med") * 2).cast(LongType))
     val dev = ord.join(broadcast(med), "seg")
       .select(col("seg"), col("med"),
         abs(col("cents") * 2 - col("m2")).as("z2"))
-    val g = dev.groupBy(col("seg"), col("med"))
+    // tracked-persisted: g feeds both the per-segment output AND the
+    // tot rollup — unpersisted, the ord scan + median device would
+    // re-execute per reference (the r16 psi_drift lesson)
+    val g = DistRank.tracked(dev.groupBy(col("seg"), col("med"))
       .agg(count(lit(1)).as("n"), sum(col("z2").cast(d0)).as("s"),
-        sum((col("z2") * col("z2")).cast(d0)).as("q"))
+        sum((col("z2") * col("z2")).cast(d0)).as("q")))
     // per-group double terms, written once; Σ over groups rides dec12
     val between = col("s").cast(DoubleType) * col("s").cast(DoubleType) /
       col("n").cast(DoubleType)
@@ -1454,19 +1459,24 @@ object StatTests {
   def moodMedian(s: SparkSession, dir: String): DataFrame = {
     val d0 = DecimalType(38, 0)
     val d12 = DecimalType(38, 12)
-    val ord = Tables.t(s, dir, "orders")
+    // tracked-persisted: ord feeds the grand-median histogram AND the
+    // segment aggregate — one orders-customer join, not two
+    val ord = DistRank.tracked(Tables.t(s, dir, "orders")
       .join(Tables.t(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("seg"),
-        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+        round(col("o_totalprice") * 100).cast(LongType).as("cents")))
     val med = Pctl.dist(ord, Nil, "cents", Seq("med" -> 0.5))
       .select((col("med") * 2).cast(LongType).as("m2"))
-    val g = ord.crossJoin(broadcast(med))
+    // tracked-persisted: g feeds the per-segment output AND the tot
+    // rollup — unpersisted, the ord scan + grand-median device would
+    // re-execute per reference (the r16 psi_drift lesson)
+    val g = DistRank.tracked(ord.crossJoin(broadcast(med))
       .groupBy(col("seg"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("cents") * 2 > col("m2"), 1L).otherwise(0L)).as("hi"))
-      .withColumn("lo", col("n") - col("hi"))
+      .withColumn("lo", col("n") - col("hi")))
     val tot = g.agg(sum(col("n")).as("nn"), sum(col("hi")).as("hi_tot"),
       count(lit(1)).as("k"))
       .filter(col("hi_tot") > 0 && col("hi_tot") < col("nn"))

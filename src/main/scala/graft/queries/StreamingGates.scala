@@ -1024,11 +1024,9 @@ object StreamingGates {
     val e = Tables.t(s, dir, "events")
       .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
         col("value"))
-    val counts = e.groupBy(col("event_type"), col("hour"))
-      .agg(count(lit(1)).as("n_events"))
-    counts.join(Pctl.distBounded(e, Seq("event_type", "hour"), "value",
-        Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)),
-        Seq("event_type", "hour"))
+    Pctl.distBounded(e, Seq("event_type", "hour"), "value",
+        Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99),
+        countAs = Some("n_events"))
       .select(col("event_type"), col("hour"), col("n_events"),
         col("p50"), col("p95"), col("p99"))
       .orderBy(col("event_type"), col("hour"))
