@@ -557,6 +557,8 @@ object ScaleBench {
       "ops_bowley_skew" -> graft.queries.QuantileOps.bowleySkew _,
       "ops_qq_deciles" -> graft.queries.QuantileOps.qqDeciles _,
       "ta_len_profile" -> graft.queries.QuantileOps.lenProfile _,
+      "ops_ansari_bradley" -> graft.queries.QuantileOps.ansariBradley _,
+      "cu_length_filter" -> graft.queries.QuantileOps.lengthFilter _,
       // (outlier_bounds / hourly_quantiles already registered above —
       // their existing growth legs now exercise the device end-to-end)
       // final TPC-H tranche (round 8)

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-16 tranche: quantile-shape analytics born on the
@@ -229,10 +229,157 @@ object QuantileOps {
       |    - ${Pctl.sql("n_chars", 0.25)}, 6) AS iqr
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** ANSARI–BRADLEY rank-dispersion statistic (Ansari & Bradley 1960;
+    * Conover 1999 §5.3, midscore tie handling): each event type's
+    * values against the pooled corpus — the DISPERSION companion of
+    * the location-shift rank tests (mannwhitney) and the EDF drift
+    * family: scores a(r) = min(r, N+1−r) give extreme observations
+    * low scores, so a sample with INFLATED spread scores low and a
+    * compressed one high.
+    *
+    * Exact tie-block algebra instead of per-row ranks: a distinct
+    * pooled value with count c and exclusive prefix p occupies ranks
+    * [p+1, p+c]; Σ a(r) over that interval has a closed form — the
+    * ascending leg Σr up to h = ⌊(N+1)/2⌋ and the descending leg
+    * Σ(N+1−r) after it, both exact integer sums carried in
+    * DECIMAL(38,0) (rank² leaves Long at 10¹² rows, ≙ HUGEINT in the
+    * oracle). The type's statistic is Σ_v n_type(v)·S_block(v)/c(v)
+    * — the midscore average per tie block — with ONE double division
+    * per distinct value, Σ over the value grid in DECIMAL(38,12),
+    * round-6 output (the repo float policy).
+    *
+    * Scale shape: one fact hash-aggregate to (type × 2-dp bucket)
+    * counts; the pooled prefix rides [[DistRank.prefixLt]]; all
+    * remaining algebra is value-domain-sized.
+    */
+  def ansariBradley(s: SparkSession, dir: String): DataFrame = {
+    val d0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val counts = DistRank.tracked(Tables.t(s, dir, "events")
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("b"))
+      .groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("c")))
+    val allB = counts.groupBy(col("b")).agg(sum(col("c")).as("c_all"))
+    val pooled = DistRank.prefixLt(allB, Nil, "b", Seq("c_all"))
+    val nAll = counts.agg(sum(col("c")).as("n_all"))
+    // DOUBLED S_block over ranks [a, bb] of a(r) = min(r, N+1−r),
+    // split at h = ⌊(N+1)/2⌋: ascending 2·Σr on [a, min(bb,h)],
+    // descending 2·Σ(N+1−r) on [max(a,h+1), bb]. Doubling keeps every
+    // interval sum a PRODUCT of integers (x(x+1), never /2), so both
+    // engines carry exact DECIMAL(38,0)/HUGEINT all the way — the /2
+    // folds into the single closing double division per block
+    def sumTo2(x: Column): Column = // 2·Σ_{r=1..x} r = x(x+1), exact
+      x.cast(d0) * (x + 1L)
+    val blocks = pooled.crossJoin(broadcast(nAll))
+      .withColumn("a", col("c_all_lt") + 1L)
+      .withColumn("bb", col("c_all_lt") + col("c_all"))
+      .withColumn("h", expr("(n_all + 1) div 2"))
+      .withColumn("s_asc2",
+        when(col("a") <= least(col("bb"), col("h")),
+          sumTo2(least(col("bb"), col("h"))) - sumTo2(col("a") - 1L))
+          .otherwise(lit(0).cast(d0)))
+      .withColumn("t0", greatest(col("a"), col("h") + 1L))
+      .withColumn("s_desc2",
+        when(col("t0") <= col("bb"),
+          (col("bb") - col("t0") + 1L).cast(d0) *
+            (col("n_all") + 1L) * 2L -
+            (sumTo2(col("bb")) - sumTo2(col("t0") - 1L)))
+          .otherwise(lit(0).cast(d0)))
+      .select(col("b"), col("c_all"), col("n_all"),
+        (col("s_asc2") + col("s_desc2")).as("s_block2"))
+    counts.join(blocks, "b")
+      .withColumn("term",
+        ((col("c").cast(d0) * col("s_block2")).cast("double") /
+          (col("c_all") * 2L).cast("double")).cast(d12))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n_s"), min(col("n_all")).as("n_all"),
+        sum(col("term")).cast("double").as("ab_raw"))
+      .select(col("event_type"), col("n_s"), col("n_all"),
+        round(col("ab_raw"), 6).as("ab_stat"))
+      .orderBy(col("event_type"))
+  }
+
+  val ansariBradleyOracle: String =
+    """WITH e AS (SELECT event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS b FROM events),
+      |counts AS (SELECT event_type, b, COUNT(*) AS c FROM e GROUP BY 1, 2),
+      |allb AS (SELECT b, SUM(c) AS c_all FROM counts GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM e),
+      |pooled AS (SELECT b, c_all,
+      |    COALESCE(SUM(c_all) OVER (ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+      |  FROM allb),
+      |blocks AS (
+      |  SELECT b, c_all, n.n_all,
+      |    p + 1 AS a, p + c_all AS bb, (n.n_all + 1) // 2 AS h
+      |  FROM pooled CROSS JOIN n),
+      |sums AS (
+      |  SELECT b, c_all, n_all,
+      |    (CASE WHEN a <= least(bb, h)
+      |      THEN CAST(least(bb, h) AS HUGEINT) * (least(bb, h) + 1)
+      |        - CAST(a - 1 AS HUGEINT) * a
+      |      ELSE 0 END)
+      |    + (CASE WHEN greatest(a, h + 1) <= bb
+      |      THEN CAST(bb - greatest(a, h + 1) + 1 AS HUGEINT)
+      |          * (n_all + 1) * 2
+      |        - (CAST(bb AS HUGEINT) * (bb + 1)
+      |          - CAST(greatest(a, h + 1) - 1 AS HUGEINT)
+      |            * greatest(a, h + 1))
+      |      ELSE 0 END) AS s_block2
+      |  FROM blocks)
+      |SELECT c.event_type, CAST(SUM(c.c) AS BIGINT) AS n_s,
+      |  CAST(MIN(s.n_all) AS BIGINT) AS n_all,
+      |  round(CAST(SUM(CAST(CAST(CAST(c.c AS HUGEINT) * s.s_block2 AS DOUBLE)
+      |    / CAST(s.c_all * 2 AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE), 6)
+      |    AS ab_stat
+      |FROM counts c JOIN sums s ON c.b = s.b
+      |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin
+
+  /** PERCENTILE-BAND LENGTH FILTER — [[lenProfile]] applied: the
+    * per-source [p05, p95] n_chars band (the curation convention for
+    * trimming truncated fragments and concatenation artifacts without
+    * a hand-tuned absolute threshold — [[DataOps.winsorize]]'s
+    * keep/drop sibling for documents), reported as per-source keep
+    * counts and the band itself. Bands are round-6 device quantiles,
+    * compared against exact integer lengths, so boundary membership
+    * cannot flip between engines.
+    */
+  def lengthFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+      .select(col("source"), col("n_chars"))
+    val bands = Pctl.distBounded(docs, Seq("source"), "n_chars",
+      Seq("lo" -> 0.05, "hi" -> 0.95), countAs = Some("n_docs"))
+    docs.join(broadcast(bands), "source")
+      .groupBy(col("source"), col("n_docs"), col("lo"), col("hi"))
+      .agg(sum(when(col("n_chars") >= col("lo") &&
+        col("n_chars") <= col("hi"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("lo"), col("hi"),
+        col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs").cast("double"), 6)
+          .as("kept_share"))
+      .orderBy(col("source"))
+  }
+
+  val lengthFilterOracle: String =
+    s"""WITH b AS (SELECT source, COUNT(*) AS n_docs,
+      |    ${Pctl.sql("n_chars", 0.05)} AS lo,
+      |    ${Pctl.sql("n_chars", 0.95)} AS hi
+      |  FROM documents GROUP BY 1)
+      |SELECT d.source, b.n_docs, b.lo, b.hi,
+      |  CAST(SUM(CASE WHEN d.n_chars >= b.lo AND d.n_chars <= b.hi
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  round(CAST(SUM(CASE WHEN d.n_chars >= b.lo AND d.n_chars <= b.hi
+      |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(b.n_docs AS DOUBLE), 6)
+      |    AS kept_share
+      |FROM documents d JOIN b USING (source)
+      |GROUP BY 1, 2, 3, 4 ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ops_tukey_fences", tukeyFences, Some(tukeyFencesOracle)),
     QueryDef("ops_bowley_skew", bowleySkew, Some(bowleySkewOracle)),
     QueryDef("ops_qq_deciles", qqDeciles, Some(qqDecilesOracle)),
     QueryDef("ta_len_profile", lenProfile, Some(lenProfileOracle)),
+    QueryDef("ops_ansari_bradley", ansariBradley, Some(ansariBradleyOracle)),
+    QueryDef("cu_length_filter", lengthFilter, Some(lengthFilterOracle)),
   )
 }

@@ -45,6 +45,9 @@ class PlanAuditSpec extends SparkSpec {
       // Q–Q deciles: the same 5-row-domain != rest fan as psi_drift,
       // plus the Pctl.dist global straddle (2·|qs| rows) — bounded
       "ops_qq_deciles",
+      // Ansari–Bradley: the 1-row pooled-total aggregate fanned onto
+      // the value-domain block relation (the ops_ks_drift shape)
+      "ops_ansari_bradley",
       // 4-row literal band dimension, lo<=x<hi non-equi lookup
       "j4_band_join",
       // flags × literal 9-digit range grid completion — both sides
@@ -444,6 +447,9 @@ class PlanAuditSpec extends SparkSpec {
       // fans the 5-row type domain like psi_drift)
       "ops_tukey_fences", "ops_bowley_skew", "ops_qq_deciles",
       "ta_len_profile",
+      // r16b: AB's DistRank pooled-prefix broadcasts + 1-row total;
+      // length filter broadcasts its |sources|-row band relation
+      "ops_ansari_bradley", "cu_length_filter",
       // Burrows' Delta: the 50-row top-K word relation and the
       // K-row/word-grid stats relations
       "ta_burrows_delta")
@@ -507,6 +513,8 @@ class PlanAuditSpec extends SparkSpec {
     "ops_cvm_test" -> 1, "ops_anderson_darling" -> 1,
     // quantile normalization: the pooled-histogram leg's bucket carry
     "cu_quantile_norm" -> 1,
+    // Ansari–Bradley: the same pooled-leg bucket carry (r16)
+    "ops_ansari_bradley" -> 1,
     // permutation p-value: the pooled leg's bucket carry appears in
     // both the observed-statistic and the relabeled subplans
     "ops_cvm_permutation" -> 2, "ops_cvmperm_xxhash" -> 2,

@@ -110,6 +110,68 @@ class Round16GatesSpec extends SparkSpec {
     assert(got.exists(r => math.abs(r.getAs[Double]("gap")) > 1e-6))
   }
 
+  test("ops_ansari_bradley replays an imperative midscore-rank pass") {
+    val rows = Tables.t(spark, dir, "events")
+      .selectExpr("event_type", "CAST(round(value * 100) AS LONG)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val nAll = rows.length.toLong
+    // per distinct pooled value: the midscore = average of
+    // a(r) = min(r, N+1−r) over the tie block's rank interval
+    val sorted = rows.map(_._2).sorted
+    val rankMin = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) => v -> (xs.map(_._2).min + 1L) }
+    val tieC = sorted.groupBy(identity).map { case (v, xs) => v -> xs.length.toLong }
+    def midscore(v: Long): Double = {
+      val a = rankMin(v)
+      val bb = a + tieC(v) - 1
+      val scores = (a to bb).map(r => math.min(r, nAll + 1 - r))
+      scores.sum.toDouble / scores.length.toDouble
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = QuantileOps.ansariBradley(spark, dir).collect()
+    val byType = rows.groupBy(_._1)
+    assert(got.length === byType.size)
+    got.foreach { row =>
+      val vs = byType(row.getString(0)).map(_._2)
+      assert(row.getAs[Long]("n_s") === vs.length.toLong)
+      assert(row.getAs[Long]("n_all") === nAll)
+      // mirror the engine's per-block double division then Σ exactly:
+      // group values, one division per distinct value
+      val stat = vs.groupBy(identity).map { case (v, xs) =>
+        BigDecimal(xs.length.toDouble * midscore(v))
+          .setScale(12, BigDecimal.RoundingMode.HALF_EVEN)
+      }.sum.toDouble
+      assert(math.abs(row.getAs[Double]("ab_stat") - r6(stat)) < 1e-5,
+        s"${row.getString(0)}: ${row.getAs[Double]("ab_stat")} vs ${r6(stat)}")
+    }
+    // dispersion actually separates the types
+    assert(got.map(_.getAs[Double]("ab_stat")).distinct.length > 1)
+  }
+
+  test("cu_length_filter replays an imperative band-filter pass") {
+    val bySrc = Tables.t(spark, dir, "documents")
+      .selectExpr("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s0, xs) =>
+        s0 -> xs.map(_._2.toDouble).sorted.toIndexedSeq
+      }
+    val got = QuantileOps.lengthFilter(spark, dir).collect()
+    assert(got.length === bySrc.size)
+    got.foreach { row =>
+      val vs = bySrc(row.getString(0))
+      val lo = interp(vs, 0.05)
+      val hi = interp(vs, 0.95)
+      assert(row.getAs[Long]("n_docs") === vs.length.toLong)
+      assert(row.getAs[Double]("lo") === lo)
+      assert(row.getAs[Double]("hi") === hi)
+      val kept = vs.count(v => v >= lo && v <= hi).toLong
+      assert(row.getAs[Long]("n_kept") === kept)
+    }
+    // the filter must actually drop tail documents somewhere
+    assert(got.exists(r => r.getAs[Long]("n_kept") < r.getAs[Long]("n_docs")))
+  }
+
   test("ta_len_profile replays an imperative length-percentile pass") {
     val bySrc = Tables.t(spark, dir, "documents")
       .selectExpr("source", "n_chars").collect()
