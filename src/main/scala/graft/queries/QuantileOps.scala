@@ -106,12 +106,16 @@ object QuantileOps {
     *   qcd    = (Q3 − Q1) / (Q3 + Q1)
     */
   def bowleySkew(s: SparkSession, dir: String): DataFrame = {
-    val ord = Tables.t(s, dir, "orders")
+    // tracked-persisted: the sparse percentile device scans its input
+    // three times (bounds, bucket counts, candidate join) — fine on a
+    // raw column-pruned scan, but this input is an orders⋈customer
+    // JOIN, so it materializes once (the brownForsythe pattern)
+    val ord = DistRank.tracked(Tables.t(s, dir, "orders")
       .join(Tables.t(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("segment"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        round(col("o_totalprice") * 100).cast("long").as("cents")))
     val oct = Pctl.dist(ord, Seq("segment"), "cents",
       (1 to 7).map(i => s"e$i" -> i / 8.0))
     oct.select(col("segment"),
@@ -218,7 +222,7 @@ object QuantileOps {
   }
 
   val lenProfileOracle: String =
-    s"""SELECT source, COUNT(*) AS n_docs,
+    s"""SELECT source, COUNT(n_chars) AS n_docs,
       |  ${Pctl.sql("n_chars", 0.1)} AS p10,
       |  ${Pctl.sql("n_chars", 0.25)} AS p25,
       |  ${Pctl.sql("n_chars", 0.5)} AS p50,
@@ -361,7 +365,7 @@ object QuantileOps {
   }
 
   val lengthFilterOracle: String =
-    s"""WITH b AS (SELECT source, COUNT(*) AS n_docs,
+    s"""WITH b AS (SELECT source, COUNT(n_chars) AS n_docs,
       |    ${Pctl.sql("n_chars", 0.05)} AS lo,
       |    ${Pctl.sql("n_chars", 0.95)} AS hi
       |  FROM documents GROUP BY 1)

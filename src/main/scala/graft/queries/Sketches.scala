@@ -418,30 +418,31 @@ object Sketches {
   // one estimator body for both hash twins: any estimator change
   // (the middle-order-statistic pick, the sample window) applies to
   // the gated md5 twin and the bench xxhash twin identically
-  private def quantileReservoirWith(s: SparkSession, dir: String,
+  private def reservoirEst(s: SparkSession, dir: String,
       rank: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val li = Tables.t(s, dir, "lineitem")
       .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("v"),
         rank(concat_ws(":", col("l_orderkey"), col("l_linenumber"), lit("qr"))).as("rk"))
-    val sample = li
+    li
       .withColumn("rn", row_number().over(Window.partitionBy(col("grp")).orderBy(col("rk"))))
       .filter(col("rn") <= QrK)
-    val est = sample
       .withColumn("vr", row_number().over(
         Window.partitionBy(col("grp")).orderBy(col("v"), col("rk"))))
       .filter(col("vr") === QrK / 2)
       .select(col("grp"), col("v").cast("double").as("p50_est"))
+  }
+
+  def quantileReservoir(s: SparkSession, dir: String): DataFrame = {
     // exact leg on the histogram device (VERDICT r15 #2); the row
-    // count rides the device's own group total — no second fact scan
+    // count rides the device's own group total — no second count scan
+    val li = Tables.t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("v"))
     val exact = Pctl.dist(li, Seq("grp"), "v", Seq("p50_exact" -> 0.5),
       countAs = Some("n_rows"))
-    exact.join(est, "grp")
+    exact.join(reservoirEst(s, dir, h60), "grp")
       .select(col("grp"), col("n_rows"), col("p50_exact"), col("p50_est"))
       .orderBy(col("grp"))
   }
-
-  def quantileReservoir(s: SparkSession, dir: String): DataFrame =
-    quantileReservoirWith(s, dir, h60)
 
   val quantileReservoirOracle: String =
     s"""WITH s AS (
@@ -454,7 +455,7 @@ object Sketches {
        |est AS (SELECT grp, CAST(v AS DOUBLE) AS p50_est FROM (
        |  SELECT grp, v, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, rk) AS vr FROM samp)
        |  WHERE vr = ${QrK / 2}),
-       |ex AS (SELECT l_returnflag AS grp, COUNT(*) AS n_rows,
+       |ex AS (SELECT l_returnflag AS grp, COUNT(l_extendedprice) AS n_rows,
        |  ${Pctl.sql("l_extendedprice", 0.5)} AS p50_exact
        |  FROM lineitem GROUP BY 1)
        |SELECT ex.grp, n_rows, p50_exact, p50_est
@@ -829,14 +830,19 @@ object Sketches {
     * in round 7. They live here instead: SketchesSpec pins their
     * properties, and Bench/ScaleBench time them next to the md5 twins.
     */
-  /** [[quantileReservoir]] with the production hash: the reservoir
-    * rank is codegen'd xxhash64 instead of per-row md5 (the md5 is the
-    * oracle-reproducibility device; it is also most of the gated
-    * twin's cost). The estimator only needs a uniform ORDER, so the
-    * unsigned-order mapping of [[hxx]] serves as the rank directly.
+  /** [[quantileReservoir]]'s estimator with the production hash: the
+    * reservoir rank is codegen'd xxhash64 instead of per-row md5 (the
+    * md5 is the oracle-reproducibility device). The estimator only
+    * needs a uniform ORDER, so the unsigned-order mapping of [[hxx]]
+    * serves as the rank directly. The twin times ONLY the
+    * hash-dependent sampling path (VERDICT r16 #2): the exact
+    * histogram-device leg never touches the hash, is already timed
+    * inside the gate, and re-running it here doubled the pair's bench
+    * cost for zero extra evidence — SketchesSpec pins the estimate
+    * against the exact interquartile band instead.
     */
   def quantileReservoirXx(s: SparkSession, dir: String): DataFrame =
-    quantileReservoirWith(s, dir, hxx)
+    reservoirEst(s, dir, hxx).orderBy(col("grp"))
 
   val benchOnlyDefs: Seq[QueryDef] = Seq(
     QueryDef("sk_kmv_xxhash", kmvDistinctXx, None),

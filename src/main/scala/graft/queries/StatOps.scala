@@ -1825,12 +1825,15 @@ object StatOps {
     * resample envelope. Draws are md5-derived (hash-deterministic: the
     * same row gets the same weight in both engines and on re-run).
     *
-    * Scale shape: the fact scan fans out ×R through a 25-row literal
-    * grid (bounded BNLJ), then map-side combines straight down to the
-    * (priority × r) grid — shuffle volume is k·R rows, not n·R; the
-    * envelope/SE pass runs on that grid. This is why Poisson beats
-    * index-resampling at 100 TB: no shuffle ever carries resampled
-    * data rows.
+    * Scale shape: the fact scan fans out ×R via an inline
+    * chunked-draw explode (one md5 is 128 bits = FOUR independent
+    * 8-hex-digit uniforms, so resample r reads window (r−1) mod 4 of
+    * md5(key:boot⌊(r−1)/4⌋) — ⌈R/4⌉ = 7 hashes per row instead of 25,
+    * the [[EdfOps.cvmPermutation]] r17 device), then map-side
+    * combines straight down to the (priority × r) grid — shuffle
+    * volume is k·R rows, not n·R; the envelope/SE pass runs on that
+    * grid. This is why Poisson beats index-resampling at 100 TB: no
+    * shuffle ever carries resampled data rows.
     */
   def bootstrapPoisson(s: SparkSession, dir: String): DataFrame = {
     val d = DecimalType(38, 0)
@@ -1838,14 +1841,21 @@ object StatOps {
     val o = Tables.t(s, dir, "orders")
       .select(col("o_orderpriority").as("pri"), col("o_orderkey"),
         round(col("o_totalprice") * 100).cast(LongType).as("cents"))
-    val reps = s.range(1, BootR + 1).toDF("r")
-    val u8 = substring(md5(concat(col("o_orderkey").cast("string"),
-      lit(":boot"), col("r").cast("string"))), 1, 8)
-    val w = PoissonHex.zipWithIndex.foldRight(lit(6L): Column) {
-      case ((hex, k), rest) => when(u8 < hex, k.toLong).otherwise(rest)
+    val nCh = (BootR + 3) / 4
+    val hashed = (0 until nCh).foldLeft(o) { (d2, k) =>
+      d2.withColumn(s"__h$k",
+        md5(concat(col("o_orderkey").cast("string"), lit(s":boot$k"))))
     }
-    val res = o.crossJoin(broadcast(reps))
-      .select(col("pri"), col("r"), w.as("w"), col("cents"))
+    val u8s = (1 to BootR).map(r =>
+      substring(col(s"__h${(r - 1) / 4}"), ((r - 1) % 4) * 8 + 1, 8))
+    val w = PoissonHex.zipWithIndex.foldRight(lit(6L): Column) {
+      case ((hex, k), rest) => when(col("__u8") < hex, k.toLong).otherwise(rest)
+    }
+    val res = hashed
+      .select(col("pri"), col("cents"),
+        posexplode(array(u8s: _*)).as(Seq("__r0", "__u8")))
+      .select(col("pri"), (col("__r0") + 1).cast(LongType).as("r"),
+        w.as("w"), col("cents"))
       .groupBy(col("pri"), col("r"))
       .agg(sum(col("w").cast(d)).as("sw"),
         sum((col("w") * col("cents")).cast(d)).as("swc"))
@@ -1888,7 +1898,8 @@ object StatOps {
        |  FROM (
        |    SELECT o.*, reps.r,
        |      substr(md5(CAST(o_orderkey AS VARCHAR) || ':boot'
-       |        || CAST(r AS VARCHAR)), 1, 8) AS u8
+       |        || CAST((reps.r - 1) // 4 AS VARCHAR)),
+       |        ((reps.r - 1) % 4) * 8 + 1, 8) AS u8
        |    FROM o CROSS JOIN reps) q),
        |res AS (
        |  SELECT pri, r, SUM(CAST(w AS DECIMAL(38,0))) AS sw,
@@ -2250,21 +2261,24 @@ object StatOps {
        |  round(v, 6) AS var_lr, round(oe * oe / v, 6) AS chi2
        |FROM agg""".stripMargin
 
-  // signed-long Poisson(1) inverse-CDF thresholds for the raw xxhash64
-  // draw: floor(cum·2⁶⁴) − 2⁶³ (xxhash64 is uniform over signed longs,
-  // so P(h < t) = (t + 2⁶³)/2⁶⁴ — the md5-hex thresholds' twin)
-  private val PoissonXx = Seq(
-    -2437194135585890534L, 4348983765682994741L, 7742072716317437378L,
-    8873102366528918257L, 9155859779081788477L, 9212411261592362521L)
+  // the SAME Poisson(1) CDF thresholds as [[PoissonHex]], as 32-bit
+  // integers for the chunked xxhash64 word draw (r17): u32 < t ≡
+  // u8hex < hex, so the twin's weight law is bit-identical to the
+  // gate's
+  private val PoissonXx32: Seq[Long] =
+    PoissonHex.map(java.lang.Long.parseLong(_, 16))
 
   /** [[bootstrapPoisson]] with the production hash: the per-(row,
-    * resample) draw is one codegen'd xxhash64 instead of an md5 hex
-    * render (the md5 is the DuckDB-reproducibility device and is most
-    * of the gated twin's cost — 8.3× of a 10× corpus is pure linear
-    * hash work). Same resample grid, same weight law, same SE algebra;
-    * not DuckDB-expressible, so it lives in the bench-only battery
-    * with the other xxhash twins and StatPropertySpec-style checks in
-    * Round13GatesSpec pin its agreement with the gated twin.
+    * resample) draw is a codegen'd xxhash64 word instead of an md5 hex
+    * render (the md5 is the DuckDB-reproducibility device), chunked
+    * like the gate — one xxhash64 is 64 bits = TWO independent 32-bit
+    * uniforms, so resample r reads word (r−1) mod 2 of
+    * hash(key, "boot", ⌊(r−1)/2⌋): ⌈R/2⌉ = 13 hashes per row. The
+    * 32-bit thresholds are the SAME Poisson CDF constants as the md5
+    * gate's hex thresholds (parsed to integers), so the weight LAW is
+    * identical — only the draw stream differs. Not DuckDB-expressible,
+    * so it lives in the bench-only battery with the other xxhash twins
+    * and Round13GatesSpec pins its agreement with the gated twin.
     */
   def bootstrapPoissonXx(s: SparkSession, dir: String): DataFrame = {
     val d = DecimalType(38, 0)
@@ -2272,13 +2286,24 @@ object StatOps {
     val o = Tables.t(s, dir, "orders")
       .select(col("o_orderpriority").as("pri"), col("o_orderkey"),
         round(col("o_totalprice") * 100).cast(LongType).as("cents"))
-    val reps = s.range(1, BootR + 1).toDF("r")
-    val hx = xxhash64(col("o_orderkey"), lit("boot"), col("r"))
-    val w = PoissonXx.zipWithIndex.foldRight(lit(6L): Column) {
-      case ((thr, k), rest) => when(hx < thr, k.toLong).otherwise(rest)
+    val nCh = (BootR + 1) / 2
+    val hashed = (0 until nCh).foldLeft(o) { (d2, k) =>
+      d2.withColumn(s"__h$k",
+        xxhash64(col("o_orderkey"), lit("boot"), lit(k)))
     }
-    val res = o.crossJoin(broadcast(reps))
-      .select(col("pri"), col("r"), w.as("w"), col("cents"))
+    val us = (1 to BootR).map { r =>
+      val h = col(s"__h${(r - 1) / 2}")
+      if ((r - 1) % 2 == 0) shiftrightunsigned(h, 32)
+      else pmod(h, lit(4294967296L))
+    }
+    val w = PoissonXx32.zipWithIndex.foldRight(lit(6L): Column) {
+      case ((thr, k), rest) => when(col("__u") < thr, k.toLong).otherwise(rest)
+    }
+    val res = hashed
+      .select(col("pri"), col("cents"),
+        posexplode(array(us: _*)).as(Seq("__r0", "__u")))
+      .select(col("pri"), (col("__r0") + 1).cast(LongType).as("r"),
+        w.as("w"), col("cents"))
       .groupBy(col("pri"), col("r"))
       .agg(sum(col("w").cast(d)).as("sw"),
         sum((col("w") * col("cents")).cast(d)).as("swc"))

@@ -2255,13 +2255,20 @@ object StatTests {
     val cc = cells.filter(col("n_c") > 0)
       .select(col("cell").as("m_cell"), col("n").as("m_n"),
         col("n_t").as("m_nt"), col("n_c"), col("p").as("m_p"), col("sy_c"))
-    // exact half-up rational rounding — positive operands only, so
-    // Spark `div` (truncate) ≡ DuckDB `//` (truncate) ≡ floor
+    // exact half-up rational rounding — NONNEGATIVE operands only
+    // (truncate ≡ floor only for nonnegative numerators), so Spark
+    // `div` ≡ DuckDB `//`. The data guarantees it (events.value > 0),
+    // but a negative outcome sum would silently drift the engines
+    // apart — so the envelope is enforced LOUDLY on the ≤10-row cell
+    // grid, mirroring the cvm permutation n_all assert (ADVICE r16)
     val matched = tc.crossJoin(broadcast(cc))
       .filter(abs(col("p") - col("m_p")) <= 0.1)
       .withColumn("rn", row_number().over(Window.partitionBy(col("cell"))
         .orderBy(abs(col("p") - col("m_p")), col("m_cell"))))
       .filter(col("rn") === 1)
+      .filter(coalesce(assert_true(col("sy_t") >= 0 && col("sy_c") >= 0,
+        lit("psm att: negative outcome sums break the half-up div equivalence")),
+        lit(true)))
       .withColumn("mean_t_micro",
         expr("(CAST(sy_t AS BIGINT) * 2 + n_t) div (n_t * 2)"))
       .withColumn("mean_c_micro",
@@ -2322,7 +2329,9 @@ object StatTests {
       |  WHERE rn = 1),
       |m2 AS (
       |  SELECT cell, n_cell, n_t, m_cell, m_n, m_nt,
-      |    (CAST(sy_t AS BIGINT) * 2 + n_t) // (n_t * 2) AS mean_t_micro,
+      |    CASE WHEN sy_t < 0 OR sy_c < 0
+      |      THEN CAST(error('psm att: negative outcome sums break the half-up div equivalence') AS BIGINT)
+      |      ELSE (CAST(sy_t AS BIGINT) * 2 + n_t) // (n_t * 2) END AS mean_t_micro,
       |    (CAST(sy_c AS BIGINT) * 2 + n_c) // (n_c * 2) AS mean_c_micro
       |  FROM matched),
       |percell AS (

@@ -1034,7 +1034,7 @@ object StreamingGates {
 
   val hourlyQuantilesOracle: String =
     s"""SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
-      |  COUNT(*) AS n_events,
+      |  COUNT("value") AS n_events,
       |  ${Pctl.sql("\"value\"", 0.5)} AS p50,
       |  ${Pctl.sql("\"value\"", 0.95)} AS p95,
       |  ${Pctl.sql("\"value\"", 0.99)} AS p99

@@ -139,10 +139,17 @@ class EdfOpsSpec extends SparkSpec {
     }
   }
 
-  private def md5u32(s: String): Long = {
+  /** Chunked-draw uniform (r17): world r reads 32-bit word
+    * (r−1) mod 4 of md5(id:cvmperm:⌊(r−1)/4⌋) — one md5 serves four
+    * worlds, the derivation the gate and its oracle both compute.
+    */
+  private def md5u32(id: Long, r: Int): Long = {
+    val chunk = (r - 1) / 4
+    val w = (r - 1) % 4
     val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+      .digest(s"$id:cvmperm:$chunk".getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(w * 8, w * 8 + 8), 16)
   }
 
   test("ops_cvm_permutation replays a full imperative permutation pass") {
@@ -177,7 +184,7 @@ class EdfOpsSpec extends SparkSpec {
     val expected = types.map { t =>
       val ge = (1 to 19).count { r =>
         val members = ev.filter { case (id, _, _) =>
-          md5u32(s"$id:cvmperm:$r") * nAll < nS(t) * 4294967296L
+          md5u32(id, r) * nAll < nS(t) * 4294967296L
         }
         val at = members.groupBy(_._3).map { case (b, xs) => b -> xs.length.toLong }
         cvmOf(at, members.length.toLong) >= tObs(t)

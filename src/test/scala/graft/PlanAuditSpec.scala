@@ -39,8 +39,9 @@ class PlanAuditSpec extends SparkSpec {
       // ECDF grid: the 5-row event-type domain × distinct value
       // buckets — the same bounded grid-generation shape
       "ops_ks_drift",
-      // PSI rest-relation: 5-row type domain × fact on a != residual,
-      // and the 10-bin grid — both domain-bounded
+      // PSI (r17): the 5-row type domain × bucket-grid completion and
+      // the 10-bin grid — both domain-bounded (the former 4×-fact !=
+      // rest fan is now grid algebra, pooled − own)
       "ops_psi_drift",
       // Q–Q deciles: the same 5-row-domain != rest fan as psi_drift,
       // plus the Pctl.dist global straddle (2·|qs| rows) — bounded
@@ -508,21 +509,20 @@ class PlanAuditSpec extends SparkSpec {
     "ops_jonckheere" -> 1, "ops_kruskal_wallis" -> 3,
     // r15 Wilcoxon signed-rank: the DistRank bucket carry
     "ops_wilcoxon_signed" -> 1,
-    // r15 EDF family: the pooled-cumulative leg's DistRank bucket
-    // carry (<=1024 totals rows; the per-type leg partitions by type)
-    "ops_cvm_test" -> 1, "ops_anderson_darling" -> 1,
+    // r17: the EDF family's pooled cumulative is now the cross-type
+    // SUM of the per-type union-window cumulative (edfGrid), so the
+    // former pooled-leg DistRank bucket carries are gone from
+    // ops_cvm_test / ops_anderson_darling / ops_ad_ksample /
+    // ops_energy_distance entirely; the per-type windows partition by
+    // type and never surface here.
     // quantile normalization: the pooled-histogram leg's bucket carry
     "cu_quantile_norm" -> 1,
     // Ansari–Bradley: the same pooled-leg bucket carry (r16)
     "ops_ansari_bradley" -> 1,
     // permutation p-value: the pooled leg's bucket carry appears in
-    // both the observed-statistic and the relabeled subplans
-    "ops_cvm_permutation" -> 2, "ops_cvmperm_xxhash" -> 2,
-    // k-sample AD: the edfGrid pooled-leg bucket carry
-    "ops_ad_ksample" -> 1,
-    // energy distance: the edfGrid pooled-leg bucket carry (the
-    // next-gap lead window is partitioned by type)
-    "ops_energy_distance" -> 1)
+    // both the observed-statistic (r = 0) and the tail (r >= 1)
+    // readouts of the tracked `stats` relation
+    "ops_cvm_permutation" -> 2, "ops_cvmperm_xxhash" -> 2)
 
   test("unpartitioned windows appear only over bounded grid relations (exact census)") {
     val actual = auditSurface.sortBy(_._1).map { case (name, fn) =>

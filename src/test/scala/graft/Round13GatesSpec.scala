@@ -309,9 +309,16 @@ class Round13GatesSpec extends SparkSpec {
     java.lang.Long.parseLong(hex, 16)
   }
 
-  private def md5hex8(sv: String): String =
+  /** Chunked bootstrap draw (r17): resample r reads 8-hex window
+    * (r−1) mod 4 of md5(key:boot⌊(r−1)/4⌋) — the gate's and oracle's
+    * derivation.
+    */
+  private def bootU8(key: Long, r: Int): String = {
+    val w = (r - 1) % 4
     java.security.MessageDigest.getInstance("MD5")
-      .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      .digest(s"$key:boot${(r - 1) / 4}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(w * 8, w * 8 + 8)
+  }
 
   // the engine's Σ-through-DECIMAL(38,12) device: each double term is
   // rounded to 12 dp (HALF_UP, Spark's cast semantics) before the sum
@@ -433,7 +440,7 @@ class Round13GatesSpec extends SparkSpec {
       val means = (1 to bootR).map { r =>
         var sw = 0L; var swc = 0L
         os.foreach { case (_, key, cents) =>
-          val u8 = md5hex8(s"$key:boot$r")
+          val u8 = bootU8(key, r)
           val w = hexCdf.indexWhere(u8 < _) match {
             case -1 => 6L
             case k => k.toLong
