@@ -559,6 +559,10 @@ object ScaleBench {
       "ta_len_profile" -> graft.queries.QuantileOps.lenProfile _,
       "ops_ansari_bradley" -> graft.queries.QuantileOps.ansariBradley _,
       "cu_length_filter" -> graft.queries.QuantileOps.lengthFilter _,
+      // round-17: weighted percentiles (distHist device — bounded and
+      // sparse paths)
+      "cu_token_weighted_len" -> graft.queries.QuantileOps.tokenWeightedLen _,
+      "ops_weighted_quantiles" -> graft.queries.QuantileOps.weightedQuantiles _,
       // (outlier_bounds / hourly_quantiles already registered above —
       // their existing growth legs now exercise the device end-to-end)
       // final TPC-H tranche (round 8)

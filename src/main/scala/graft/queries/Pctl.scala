@@ -114,7 +114,8 @@ object Pctl {
     * NON-NULL `v` rows — the device filters nulls before building the
     * histogram, exactly the population the percentiles are computed
     * over — i.e. SQL `COUNT(v)`, not `COUNT(*)`. Oracles of countAs
-    * consumers must write `COUNT(<v>)`.
+    * consumers must write `COUNT(<v>)`. Under [[distHist]] it is the
+    * TOTAL WEIGHT of the group (the expanded multiset's row count).
     */
   def dist(rows: DataFrame, parts: Seq[String], v: String,
            qs: Seq[(String, Double)], scale: Int = 6,

@@ -378,12 +378,97 @@ object QuantileOps {
       |FROM documents d JOIN b USING (source)
       |GROUP BY 1, 2, 3, 4 ORDER BY source""".stripMargin
 
+  /** TOKEN-MASS-WEIGHTED length percentiles per source (r17, on the
+    * [[Pctl.distHist]] weighted-histogram device): where
+    * [[lenProfile]] answers "what does the median DOCUMENT look
+    * like", this answers "where does the median TOKEN live" — the
+    * curation readout that decides chunking and packing budgets,
+    * because training cost is token mass, not document count (a
+    * corpus can have a small doc-median and still hold half its
+    * tokens in 10× longer documents). Weight = whitespace token
+    * count of `text`, computed by the same split in both engines;
+    * the weighted percentile is BY DEFINITION the exact interpolated
+    * percentile of the multiset where each length repeats
+    * token-count times — which is precisely what the oracle
+    * materializes (a lateral `range(w)` expansion) and exactly what
+    * the device computes without ever expanding anything.
+    *
+    * Scale shape: one map-combined fact aggregate to the (source ×
+    * length) weighted histogram (length-domain-sized); the bounded
+    * device runs one per-source window over it. The oracle's row
+    * expansion is the SEMANTIC definition — the engine never pays it.
+    */
+  def tokenWeightedLen(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("source"), col("n_chars"),
+        size(split(col("text"), " ")).as("w"))
+    Pctl.distHist(d, Seq("source"), "n_chars", "w",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p90" -> 0.9),
+        bounded = true, countAs = Some("token_mass"))
+      .select(col("source"), col("token_mass"), col("p25"), col("p50"),
+        col("p75"), col("p90"))
+      .orderBy(col("source"))
+  }
+
+  val tokenWeightedLenOracle: String =
+    """WITH d AS (SELECT source, n_chars,
+      |    len(string_split(text, ' ')) AS w FROM documents),
+      |x AS (SELECT d.source, d.n_chars
+      |  FROM d, LATERAL unnest(range(d.w)) AS t(u))
+      |SELECT source, COUNT(*) AS token_mass,
+      |  round(quantile_cont(n_chars, 0.25), 6) AS p25,
+      |  round(quantile_cont(n_chars, 0.50), 6) AS p50,
+      |  round(quantile_cont(n_chars, 0.75), 6) AS p75,
+      |  round(quantile_cont(n_chars, 0.90), 6) AS p90
+      |FROM x GROUP BY source ORDER BY source""".stripMargin
+
+  /** QUANTITY-WEIGHTED price quantiles per return flag (r17, the
+    * [[Pctl.distHist]] SPARSE path): quartiles of extended price in
+    * cents where each line item counts quantity times — "the median
+    * sold UNIT's price", the retail reading a row-median misses when
+    * cheap items sell in bulk. The weighted percentile is the exact
+    * interpolated percentile of the multiset with each price repeated
+    * quantity times (the oracle materializes that definition via
+    * lateral range(w)); the engine computes it on the
+    * near-distinct cents domain through the sparse straddle — the
+    * [[Sketches.quantileReservoir]] stress regime, now weighted,
+    * still with nothing fact-sized shuffled or sorted.
+    */
+  def weightedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("grp"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("w"))
+    Pctl.distHist(li, Seq("grp"), "cents", "w",
+        Seq("wp25" -> 0.25, "wp50" -> 0.5, "wp75" -> 0.75),
+        countAs = Some("unit_mass"))
+      .select(col("grp"), col("unit_mass"), col("wp25"), col("wp50"),
+        col("wp75"))
+      .orderBy(col("grp"))
+  }
+
+  val weightedQuantilesOracle: String =
+    """WITH li AS (SELECT l_returnflag AS grp,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+      |x AS (SELECT li.grp, li.cents
+      |  FROM li, LATERAL unnest(range(li.w)) AS t(u))
+      |SELECT grp, COUNT(*) AS unit_mass,
+      |  round(quantile_cont(cents, 0.25), 6) AS wp25,
+      |  round(quantile_cont(cents, 0.50), 6) AS wp50,
+      |  round(quantile_cont(cents, 0.75), 6) AS wp75
+      |FROM x GROUP BY grp ORDER BY grp""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ops_weighted_quantiles", weightedQuantiles,
+      Some(weightedQuantilesOracle)),
     QueryDef("ops_tukey_fences", tukeyFences, Some(tukeyFencesOracle)),
     QueryDef("ops_bowley_skew", bowleySkew, Some(bowleySkewOracle)),
     QueryDef("ops_qq_deciles", qqDeciles, Some(qqDecilesOracle)),
     QueryDef("ta_len_profile", lenProfile, Some(lenProfileOracle)),
     QueryDef("ops_ansari_bradley", ansariBradley, Some(ansariBradleyOracle)),
     QueryDef("cu_length_filter", lengthFilter, Some(lengthFilterOracle)),
+    QueryDef("cu_token_weighted_len", tokenWeightedLen,
+      Some(tokenWeightedLenOracle)),
   )
 }

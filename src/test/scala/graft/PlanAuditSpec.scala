@@ -443,6 +443,9 @@ class PlanAuditSpec extends SparkSpec {
       "fn_percentile_suite", "ops_outlier_bounds", "ops_winsorize",
       "sk_quantile_reservoir", "sk_quantile_xxhash",
       "st_hourly_quantiles",
+      // r17: the weighted sparse-path gate broadcasts the same device
+      // bounds relation
+      "ops_weighted_quantiles",
       // r16 quantile tranche, born on the same device (tukey also
       // broadcasts its 5-row fence relation back onto the fact; qq
       // fans the 5-row type domain like psi_drift)
