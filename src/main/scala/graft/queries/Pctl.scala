@@ -85,6 +85,12 @@ object Pctl {
     * column-pruned table scan; callers whose input is a join or other
     * derived relation should `DistRank.tracked(...)` it first (the
     * [[StatTests.brownForsythe]] pattern) so the build runs once.
+    * The value expression must also be TOTAL under ANSI (no throwing
+    * subexpression reachable on rows a join condition would exclude):
+    * the device's not-null pre-filter can be merged into an upstream
+    * join residual in any order, so e.g. a division whose divisor a
+    * join condition keeps nonzero must still be branch-guarded (the
+    * [[StatTests]] senSlope ANSI lesson).
     */
   /** `bounded = true` variant of [[dist]] for value columns whose
     * DISTINCT-VALUE DOMAIN is provably corpus-size-independent (2-dp

@@ -1064,13 +1064,19 @@ object StreamingGates {
     * state.
     */
   def madAnomaly(s: SparkSession, dir: String): DataFrame = {
+    // r17: both medians ride the bounded percentile device (the bar
+    // relation is calendar-bounded — ≤744 rows/type at any corpus
+    // size), so the buffering `percentile` aggregate is gone from
+    // this gate too; same round-6 values by PctlDistSpec bit-equality
     val bars = hourlyBars(s, dir)
-    val med = bars.groupBy(col("event_type").as("m_type"))
-      .agg(Pctl.p("bar", 0.5).as("med"))
+    val med = Pctl.distBounded(
+      bars.select(col("event_type").as("m_type"), col("bar")),
+      Seq("m_type"), "bar", Seq("med" -> 0.5))
     val dev = bars.join(med, col("m_type") === col("event_type")).drop("m_type")
       .withColumn("dev", round(abs(col("bar") - col("med")), 6))
-    val mad = dev.groupBy(col("event_type").as("d_type"))
-      .agg(Pctl.p("dev", 0.5).as("mad"))
+    val mad = Pctl.distBounded(
+      dev.select(col("event_type").as("d_type"), col("dev")),
+      Seq("d_type"), "dev", Seq("mad" -> 0.5))
     dev.join(mad, col("d_type") === col("event_type")).drop("d_type")
       .select(col("event_type"), col("hour"), col("bar"), col("med"), col("mad"),
         when(col("mad") > 0, round(col("dev") / col("mad"), 6)).as("score"),
@@ -1367,12 +1373,21 @@ object StreamingGates {
       .withColumn("h", expr("unix_micros(hour) DIV 3600000000"))
     val rhs = bars.select(col("event_type").as("r_type"),
       col("h").as("rh"), col("bar").as("rb"))
+    // branch-guarded division (the ops_sen_slope ANSI lesson): the
+    // device's not-null filter can merge into the join residual ahead
+    // of rh > h, and ANSI float division by zero throws
     val pairs = bars.join(rhs,
         col("r_type") === col("event_type") && col("rh") > col("h"))
       .select(col("event_type"),
         signum(col("rb") - col("bar")).cast(LongType).as("sgn"),
-        ((col("rb") - col("bar")) / (col("rh") - col("h")).cast(DoubleType))
+        when(col("rh") =!= col("h"),
+          (col("rb") - col("bar")) / (col("rh") - col("h")).cast(DoubleType))
           .as("slope"))
+    // the buffering `percentile` aggregate is the RIGHT device here
+    // and stays (r17 measured the histogram devices ~1.8× slower on
+    // this shape): the pair relation is calendar²-bounded (≤ 744²/2
+    // per type at ANY corpus size), so the buffer is grid-sized —
+    // exactly the class the PlanAuditSpec census pins
     val sAgg = pairs.groupBy(col("event_type"))
       .agg(sum(col("sgn")).as("s_stat"),
         Pctl.p("slope", 0.5).as("sen_slope"))
@@ -1549,9 +1564,12 @@ object StreamingGates {
     * first aggregate is fact-sized.
     */
   def runsTest(s: SparkSession, dir: String): DataFrame = {
+    // r17: the median rides the bounded percentile device (calendar-
+    // bounded bar relation) — see madAnomaly
     val bars = hourlyBars(s, dir)
-    val med = bars.groupBy(col("event_type").as("m_type"))
-      .agg(Pctl.p("bar", 0.5).as("med"))
+    val med = Pctl.distBounded(
+      bars.select(col("event_type").as("m_type"), col("bar")),
+      Seq("m_type"), "bar", Seq("med" -> 0.5))
     val signed = bars.join(med, col("m_type") === col("event_type"))
       .filter(col("bar") =!= col("med"))
       .select(col("event_type"), col("hour"),

@@ -562,13 +562,19 @@ class PlanAuditSpec extends SparkSpec {
   // justify its bounded input. Counts are subplan instances in the
   // optimized plan (self-joins duplicate device subtrees — the
   // unpartitioned-window census precedent).
+  // r17: st_mad_anomaly's and st_runs_test's bar medians moved to the
+  // bounded histogram device (cost-neutral, two fewer buffering
+  // sites); the two SLOPE medians stay on the buffering aggregate
+  // DELIBERATELY — r17 measured both histogram devices 1.3-1.8×
+  // slower on the calendar²-bounded pair grids, and a ≤ 744²/2-row
+  // buffer is grid-sized at any corpus scale, exactly the class this
+  // census exists to pin.
   private val percentileAggAllowed: Map[String, Int] = Map(
     // Sen's slope median over the month-pair grid per nation
     // (calendar² ≤ ~300 rows/group)
     "ops_sen_slope" -> 1,
-    // hourly-bar devices: (type × hour) calendar-bounded bar relation;
-    // mad_anomaly's med leg duplicates through the dev/mad self-joins
-    "st_mad_anomaly" -> 3, "st_trend_mk" -> 1, "st_runs_test" -> 1)
+    // Mann–Kendall Sen slope over the hour-pair grid per type
+    "st_trend_mk" -> 1)
 
   test("exact percentile aggregates appear only over bounded grid relations (exact census)") {
     val actual = auditSurface.sortBy(_._1).map { case (name, fn) =>
