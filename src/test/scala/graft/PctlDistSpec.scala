@@ -111,4 +111,25 @@ class PctlDistSpec extends SparkSpec {
     assertSame(Pctl.distBounded(tiny, Seq("g"), "v", Qs),
       aggForm(tiny, Seq("g"), Qs), Seq("g"))
   }
+
+  test("distHist == percentile over the expanded multiset (weighted, r17)") {
+    // weighted rows (w in 0..6, zeros must be ignored) vs `percentile`
+    // over the EXPLICIT expansion — the weighted device's defining
+    // equality, randomized with heavy ties and duplicate (g, v) rows
+    val rows = longRows(8000, 5, 53)
+      .withColumn("w", pmod(xxhash64(col("v"), lit(3)), lit(7L)))
+    val expanded = rows.filter(col("w") > 0)
+      .select(col("g"), col("v"),
+        explode(expr("sequence(1, w)")).as("i"))
+    assertSame(
+      Pctl.distHist(rows, Seq("g"), "v", "w", Qs, countAs = Some("n")),
+      aggForm(expanded, Seq("g"), Qs)
+        .join(expanded.groupBy(col("g")).agg(count(lit(1)).as("n")), "g"),
+      Seq("g"))
+    // global, and bounded-path variant, same expansion
+    assertSame(Pctl.distHist(rows, Nil, "v", "w", Qs),
+      aggForm(expanded, Nil, Qs), Nil)
+    assertSame(Pctl.distHist(rows, Seq("g"), "v", "w", Qs, bounded = true),
+      aggForm(expanded, Seq("g"), Qs), Seq("g"))
+  }
 }
