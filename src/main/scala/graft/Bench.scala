@@ -144,14 +144,19 @@ object Bench {
     // Per-pass r1-subset subtotal (VERDICT r16 #3): the sum over the
     // round-1 common set of each query's best sample WITHIN that pass,
     // so a whole-run box-speed factor is readable per pass instead of
-    // inferred from the min-of-all-passes blend.
-    def r1SubsetByPass(upTo: Int): Seq[Double] =
+    // inferred from the min-of-all-passes blend. Each subtotal carries
+    // its covered-query COUNT (ADVICE r17): once the budget sheds
+    // queries mid-pass, a later pass silently covers fewer queries —
+    // the count makes that shortfall visible, so cross-pass factors
+    // are only compared where the counts match.
+    def r1SubsetByPass(upTo: Int): Seq[(Double, Int)] =
       (1 to upTo).map { p =>
-        raw.view.filterKeys(R1Subset)
+        val mins = raw.view.filterKeys(R1Subset)
           .flatMap { case (_, ss) =>
             val inPass = ss.collect { case (`p`, t) => t }
             if (inPass.isEmpty) None else Some(inPass.min)
-          }.sum
+          }.toSeq
+        (mins.sum, mins.size)
       }
     // Shared trailer on every line: the budget marker, the r1-subset
     // subtotal, and start/now 1-min loadavg — small, fixed-size fields
@@ -171,9 +176,12 @@ object Bench {
         .map { case (k, v) => s"${jstr(k)}:${d3(v)}" }.mkString("{", ",", "}")
       val total = t.values.sum
       val pt = passWalls.map(d3).mkString("[", ",", "]")
-      val r1p = r1SubsetByPass(passWalls.size).map(d3).mkString("[", ",", "]")
+      val r1ByPass = r1SubsetByPass(passWalls.size)
+      val r1p = r1ByPass.map(x => d3(x._1)).mkString("[", ",", "]")
+      val r1n = r1ByPass.map(_._2).mkString("[", ",", "]")
       val partial = partialPass.fold("")(k =>
-        s""""partial":true,"pass":$k,""") + s""""r1_subset_pass":$r1p,"""
+        s""""partial":true,"pass":$k,""") +
+        s""""r1_subset_pass":$r1p,"r1_subset_pass_n":$r1n,"""
       val es =
         if (errors.isEmpty) ""
         else errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
@@ -247,10 +255,12 @@ object Bench {
       val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
         .mkString("{", ",", "}")
       val pt = passWalls.map(d3).mkString("[", ",", "]")
-      val r1p = r1SubsetByPass(passWalls.size).map(d3).mkString("[", ",", "]")
+      val r1ByPass = r1SubsetByPass(passWalls.size)
+      val r1p = r1ByPass.map(x => d3(x._1)).mkString("[", ",", "]")
+      val r1n = r1ByPass.map(_._2).mkString("[", ",", "]")
       val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
       val line =
-        s"""{"metric":"total","value":${d3(t.values.sum)},"unit":"sec","n_queries":${t.size},"pass_walls":$pt,"r1_subset_pass":$r1p,${trailer()}"queries":$qs,"samples":$ss,"errors":$es,"sf":"$sfName"}"""
+        s"""{"metric":"total","value":${d3(t.values.sum)},"unit":"sec","n_queries":${t.size},"pass_walls":$pt,"r1_subset_pass":$r1p,"r1_subset_pass_n":$r1n,${trailer()}"queries":$qs,"samples":$ss,"errors":$es,"sf":"$sfName"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
         (line + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>

@@ -563,6 +563,9 @@ object ScaleBench {
       // sparse paths)
       "cu_token_weighted_len" -> graft.queries.QuantileOps.tokenWeightedLen _,
       "ops_weighted_quantiles" -> graft.queries.QuantileOps.weightedQuantiles _,
+      // round-18: weighted drift/inequality on the same devices
+      "cu_weighted_psi" -> graft.queries.QuantileOps.weightedPsi _,
+      "ops_weighted_gini" -> graft.queries.QuantileOps.weightedGini _,
       // (outlier_bounds / hourly_quantiles already registered above —
       // their existing growth legs now exercise the device end-to-end)
       // final TPC-H tranche (round 8)

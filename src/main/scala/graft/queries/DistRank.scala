@@ -59,14 +59,30 @@ object DistRank {
     * under concurrency, not just under the mains' sequential loop
     * (DistRankSpec pins the isolation). CONTRACT for embedders: call
     * `DistRank.release()` on the thread that BUILT the query after
-    * materializing it — a scope released from a different thread
-    * stays persisted until `spark.catalog.clearCache()`.
+    * materializing it — a release() from a different thread warns and
+    * leaves the scope persisted; [[releaseAll]] is the cross-thread
+    * escape hatch (ADVICE r17).
     */
   private val trackedDfs =
     new ThreadLocal[scala.collection.mutable.ArrayBuffer[DataFrame]] {
       override def initialValue() =
         scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     }
+
+  // Global registry BEHIND the thread-local scopes (ADVICE r17): every
+  // live tracked persist, whichever thread owns it. Exists so (a)
+  // [[releaseAll]] can evict cross-thread residue an embedder's
+  // build-on-pool-thread pattern would otherwise leak until
+  // clearCache, and (b) [[release]] can WARN when its own scope is
+  // empty while other scopes hold live persists — the silent-no-op
+  // case the r17 ThreadLocal move introduced. Identity-keyed: tracked
+  // DataFrames are distinct objects even when their plans are equal.
+  private val allTracked: java.util.Set[DataFrame] =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]()))
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Persist `df` under the [[release]] lifecycle (calling thread's
     * scope). Public for gates that reference a device output (or any
@@ -78,6 +94,7 @@ object DistRank {
   def tracked(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     trackedDfs.get() += p
+    allTracked.add(p)
     p
   }
 
@@ -86,11 +103,37 @@ object DistRank {
   /** Unpersist every histogram the rank devices have persisted on THIS
     * thread since its last release. Safe at any point: an in-flight
     * plan that loses its cached blocks recomputes from lineage.
+    * A release() that finds its own scope empty while OTHER threads'
+    * scopes hold live persists logs a warning instead of silently
+    * doing nothing (ADVICE r17: a caller that built on a pool thread
+    * and releases from the caller thread would otherwise accumulate
+    * MEMORY_AND_DISK residue with no signal) — the cross-thread
+    * escape hatch is [[releaseAll]].
     */
   def release(): Unit = {
     val buf = trackedDfs.get()
-    buf.foreach(_.unpersist(false))
+    if (buf.isEmpty && !allTracked.isEmpty)
+      log.warn(s"DistRank.release(): this thread's scope is empty but " +
+        s"${allTracked.size} tracked persist(s) are live on other threads " +
+        "— release() only unpersists the scope of the thread that BUILT " +
+        "the query; use DistRank.releaseAll() for cross-thread cleanup")
+    buf.foreach { df => df.unpersist(false); allTracked.remove(df) }
     buf.clear()
+  }
+
+  /** Unpersist EVERY live tracked persist, whichever thread created it
+    * (ADVICE r17) — the escape hatch for embedders that build queries
+    * on pool threads and clean up elsewhere. Other threads' scope
+    * buffers may retain references until their own next release();
+    * unpersist is idempotent, so that double-release is harmless.
+    */
+  def releaseAll(): Unit = {
+    val snapshot = allTracked.synchronized {
+      val arr = new java.util.ArrayList[DataFrame](allTracked)
+      allTracked.clear()
+      arr
+    }
+    snapshot.forEach(_.unpersist(false))
   }
 
   /** Exact floor-division of nonnegative Longs: (a − a mod d) divides

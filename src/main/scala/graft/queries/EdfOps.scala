@@ -459,17 +459,20 @@ object EdfOps {
     *     window pass, one aggregate — no separate observed subplan.
     *  3. UNION-COMPLETED CUMULATIVE — instead of left-joining a zero
     *     grid and running the two-level rank device per world, the
-    *     membership rows (c = 1) are UNIONed with the zero grid rows
-    *     (c = 0) and ONE window per (type, world) with a RANGE frame
-    *     (ties of b sum together regardless of union order) delivers
-    *     the inclusive cumulative AND the world total in the same
-    *     sort; keeping only the grid rows yields the completed
-    *     cumulative grid with zero joins.
+    *     PRE-AGGREGATED membership counts (one map-combined groupBy
+    *     to the (type, world, bucket) grid — ADVICE r17: raw
+    *     memberships are ~R·n_all rows, which would make each window
+    *     task sort fact-proportional input) are UNIONed with the zero
+    *     grid rows (c = 0) and ONE window per (type, world) with a
+    *     RANGE frame (ties of b sum together regardless of union
+    *     order) delivers the inclusive cumulative AND the world total
+    *     in the same sort; keeping only the grid rows yields the
+    *     completed cumulative grid with zero joins.
     * The per-partition sort is |2-dp value domain| rows — bounded by
     * the value range, not the corpus (the [[Pctl.distBounded]]
-    * argument); shuffle volume is (R+1)·(|grid| + |memberships|/R),
+    * argument); shuffle volume is ≤ 2·(R+1)·|grid| map-combined rows,
     * never R·|fact| wide rows, and the only fact-proportional work is
-    * the hash projection itself.
+    * the hash projection + membership filter itself.
     */
   def cvmPermutation(s: SparkSession, dir: String): DataFrame =
     cvmPermutationWith(s, dir, (c: Column) => md5(c),
@@ -540,10 +543,20 @@ object EdfOps {
       .filter(coalesce(assert_true(col("n_all") < lit(2147483648L),
         lit("cvm permutation: n_all >= 2^31 exceeds the Long membership envelope")),
         lit(true)))
+    // ADVICE r17: pre-aggregate membership to the (type, world,
+    // bucket) grid BEFORE the union — raw membership is one row per
+    // member event per world (~R·n_all rows), and feeding that into
+    // the (type, r)-partitioned window would make each window task
+    // sort fact-proportional rows, breaking the no-fact-sized-sort
+    // contract the partitioned-window census can't see. The groupBy
+    // map-combines (shuffle volume = the grid), and the RANGE frame
+    // already summed tied-b rows, so results are bit-identical.
     val members = fan.crossJoin(broadcast(thresholds))
       .filter(col("u") * col("n_all") < col("n_s") * lit(4294967296L))
+      .groupBy(col("event_type"), col("r"), col("b"))
+      .agg(count(lit(1)).as("c"))
       .select(col("event_type"), col("r"), col("b"),
-        lit(1L).as("c"), lit(0).as("__g"))
+        col("c"), lit(0).as("__g"))
     // world 0 = the REAL labels (the observed statistic)
     val world0 = counts.select(col("event_type"), lit(0L).as("r"),
       col("b"), col("c"), lit(0).as("__g"))

@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType,
+  IntegerType, LongType, ShortType}
 
 /** The ONE exact-percentile recipe (VERDICT r11 #7): every gate that
   * reads an interpolated percentile goes through this pair, so a new
@@ -12,6 +13,38 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * fixed scale BEFORE any comparison or ranking keeps interpolation
   * ulps out of the hash compare (the repo-wide float policy,
   * [[LlmCuration.dsirWeights]]).
+  *
+  * ==Device choice — the decision table (VERDICT r17 #3)==
+  *
+  * Four exact-percentile devices coexist on this surface; each wins
+  * in exactly one regime, measured in r16/r17 benches. Pick by the
+  * GROUP's row-domain, not by taste — every existing call site is
+  * pinned to its documented regime by PctlRegimeSpec, so a new call
+  * must name its regime there:
+  *
+  *  - '''buffering `percentile` aggregate''' ([[p]]/[[pArray]]) —
+  *    groups provably GRID-SIZED (calendar²-bounded pair grids,
+  *    ≤ ~300k rows/group at ANY corpus size). The
+  *    TypedImperativeAggregate buffers every group value, which is
+  *    fine there and measured 1.3–1.8× FASTER than any histogram
+  *    device (r17: ops_sen_slope / st_trend_mk stay put). Censused in
+  *    PlanAuditSpec.percentileAggAllowed — fact-sized groups fail the
+  *    audit.
+  *  - '''[[distBounded]]''' (one per-group histogram window) — value
+  *    DOMAIN corpus-size-independent (2-dp cent buckets, 1..50
+  *    quantities, length counts): the histogram is domain-sized, so
+  *    one partitioned sort over it is safe at any corpus size.
+  *    Cheapest device: zero broadcasts, zero persists, one shuffle.
+  *  - '''[[dist]] (sparse straddle)''' — NEAR-DISTINCT fact domains
+  *    (raw doubles, prices in cents at corpus scale): nothing
+  *    fact-sized is shuffled, persisted or sorted; three column-pruned
+  *    input scans (see the INPUT CONTRACT below — enforced at build
+  *    time).
+  *  - '''[[distHist]]''' — per-value counts ALREADY EXIST as grid
+  *    algebra (psi_drift's rest = pooled − own) or the weighting is
+  *    semantic ("value occurs w times"): weighted percentiles without
+  *    materializing the expansion. Same bounded/sparse split as above
+  *    via the `bounded` flag.
   */
 object Pctl {
   /** Spark side: round-`scale` exact percentile of `e` (a column name
@@ -143,11 +176,63 @@ object Pctl {
   def distHist(hist: DataFrame, parts: Seq[String], v: String, w: String,
                qs: Seq[(String, Double)], scale: Int = 6,
                bounded: Boolean = false,
-               countAs: Option[String] = None): DataFrame =
-    distW(hist.filter(col(v).isNotNull && col(w) > 0)
+               countAs: Option[String] = None): DataFrame = {
+    // ADVICE r17: a fractional weight in (0,1) passes the w > 0 filter
+    // and silently truncates to 0 under cast(Long) (1.9 → 1), quietly
+    // diverging from the "value v occurs w times" multiset contract.
+    // Integral weight TYPES are trusted; anything else must carry
+    // integral VALUES, enforced loudly per row (the psmAtt
+    // enforce-the-envelope pattern) on the already-required filter
+    // pass — zero extra scans.
+    val integralType = hist.schema(w).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType if d.scale == 0                => true
+      case _                                             => false
+    }
+    val guarded =
+      if (integralType) hist
+      else hist.filter(coalesce(assert_true(
+        col(v).isNull || col(w).isNull || col(w) === floor(col(w)),
+        lit(s"distHist: weight '$w' must be integral — " +
+          "the device's multiset contract is 'value v occurs w times'")),
+        lit(true)))
+    distW(guarded.filter(col(v).isNotNull && col(w) > 0)
         .select((parts.map(col) :+ col(v).as("__v") :+
           col(w).cast(LongType).as("__w")): _*),
       parts, qs, scale, bounded, countAs)
+  }
+
+  /** Build-time enforcement of the sparse path's 3-scan INPUT CONTRACT
+    * (VERDICT r17 #2): the sparse device scans its input three times
+    * (bounds, bucket counts, candidate restriction) — free on a
+    * column-pruned scan or a tracked-persisted relation, silently 3×
+    * on an expensive unpersisted subplan. The input's OPTIMIZED plan
+    * (cache substitution applied, so a [[DistRank.tracked]] input
+    * bottoms out at an InMemoryRelation leaf) must contain no join,
+    * aggregate, window, generator, sort or shuffle node; violations
+    * fail at gate-construction time with the fix named, like the
+    * PlanAuditSpec censuses fail at test time. PctlDistSpec pins both
+    * directions (a raw join input throws; the same input tracked
+    * passes).
+    */
+  private def requireOneScanInput(in: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val offenders = in.queryExecution.optimizedPlan.collect {
+      case p: Join => p.nodeName
+      case p: Aggregate => p.nodeName
+      case p: Window => p.nodeName
+      case p: Generate => p.nodeName
+      case p: Sort => p.nodeName
+      case p: Expand => p.nodeName
+      case p: RepartitionOperation => p.nodeName
+    }
+    require(offenders.isEmpty,
+      "Pctl sparse-path input contract: the device scans its input " +
+        s"THREE times, but this input's plan contains ${offenders.distinct.mkString(", ")} — " +
+        "wrap the input in DistRank.tracked(...) (the brownForsythe " +
+        "pattern) so the subplan materializes once, or use " +
+        "distBounded if the value domain is corpus-size-independent")
+  }
 
   private def distW(in0: DataFrame, parts: Seq[String],
                     qs: Seq[(String, Double)], scale: Int,
@@ -199,6 +284,7 @@ object Pctl {
             coalesce(sum(col("__eq")).over(wCum), lit(0L)))
           .withColumn("__eq_tot", sum(col("__eq")).over(wTot))
       } else {
+        requireOneScanInput(in0)
         val in = in0
         val vType = in.schema("__v").dataType
         val bounds =
@@ -233,8 +319,17 @@ object Pctl {
         val wLoc = org.apache.spark.sql.expressions.Window
           .partitionBy((pc :+ col("__b")): _*).orderBy(col("__v"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        // ADVICE r17: candB is ≤ 2·|qs|·|groups| rows by construction,
+        // but its plan (windows/explode/aggregates) carries no
+        // row-count stats Spark trusts at planning time (the r16
+        // psi_drift precedent) — without the hint this join can plan
+        // sort-merge and shuffle+sort the fact-sized probe side,
+        // breaking the "nothing fact-sized is ever shuffled or
+        // sorted" contract. AQE's conversion would come only AFTER
+        // the probe-side shuffle write; the hint keeps it broadcast
+        // from the first plan.
         withB.select((pc :+ col("__v") :+ col("__w") :+ col("__b")): _*)
-          .join(candB, parts :+ "__b")
+          .join(broadcast(candB), parts :+ "__b")
           .groupBy((pc :+ col("__b") :+ col("__blt") :+ col("__n") :+
             col("__v")): _*)
           .agg(sum(col("__w")).as("__eq"))

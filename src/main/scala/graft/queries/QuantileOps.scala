@@ -459,9 +459,185 @@ object QuantileOps {
       |  round(quantile_cont(cents, 0.75), 6) AS wp75
       |FROM x GROUP BY grp ORDER BY grp""".stripMargin
 
+  /** TOKEN-MASS-WEIGHTED PSI per source vs rest-of-corpus (r18 —
+    * VERDICT r17 #6: the weighted-percentile device makes weighted
+    * drift readouts cheap): [[DataOps.psiDrift]]'s construction with
+    * every count replaced by TOKEN MASS — the length distribution
+    * each source contributes to a training mix is weighted by how
+    * many tokens it supplies, not how many documents, so a source of
+    * few huge documents drifts as hard as many small ones. Decile
+    * fences of the rest-of-corpus token mass ([[Pctl.distHist]]: the
+    * exact percentile of the multiset with each length repeated
+    * token-count times), add-one-smoothed PSI over the 10 mass bins.
+    *
+    * Determinism: fences are round-6 weighted percentiles (bit-equal
+    * across engines by PctlDistSpec + the defining expansion in the
+    * oracle); binning is an integer fold; the PSI sum aggregates as
+    * DECIMAL (the [[DataOps.psiDrift]] policy, verbatim).
+    *
+    * Scale shape: ONE fact pass (map-combined token-mass aggregate to
+    * the source × length grid — length-domain-sized); rest masses are
+    * grid algebra (pooled − own), fences ride the bounded weighted
+    * device over the grid, and the PSI sum runs over sources × 10
+    * rows. The oracle pays the token expansion; the engine never
+    * does.
+    */
+  def weightedPsi(s: SparkSession, dir: String): DataFrame = {
+    val counts = DistRank.tracked(Tables.t(s, dir, "documents")
+      .select(col("source").as("t"), col("n_chars").as("b"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+      .groupBy(col("t"), col("b")).agg(sum(col("w")).as("c")))
+    val allB = counts.groupBy(col("b")).agg(sum(col("c")).as("l"))
+    val types = counts.select(col("t")).distinct()
+    // completed (source × length) grid with own and rest token mass —
+    // the psiDrift bounded-BNLJ grid shape; tracked: the fence device
+    // and the binning pass both read it
+    val grid0 = DistRank.tracked(allB.crossJoin(broadcast(types))
+      .join(counts, Seq("t", "b"), "left")
+      .select(col("t"), col("b"),
+        coalesce(col("c"), lit(0L)).as("c_own"),
+        (col("l") - coalesce(col("c"), lit(0L))).as("c_rest")))
+    val fences = DistRank.tracked(
+      Pctl.distHist(grid0, Seq("t"), "b", "c_rest",
+          (1 to 9).map(i => s"f$i" -> i / 10.0),
+          // bounded: the histogram IS the length domain — a
+          // per-source window over it is corpus-size-independent
+          bounded = true)
+        .select(col("t"), array((1 to 9).map(i => col(s"f$i")): _*).as("f")))
+    val binOf = aggregate(col("f"), lit(0),
+      (acc, x) => acc + when(col("b").cast("double") > x, 1).otherwise(0))
+    // fence relation is |sources| rows with no trusted stats — hint it
+    // (the r16 psi regression); own and rest bin in ONE grid pass
+    val binned = grid0.join(broadcast(fences), "t")
+      .select(col("t"), binOf.as("bin"), col("c_own"), col("c_rest"))
+      .groupBy(col("t"), col("bin"))
+      .agg(sum(col("c_own")).as("c_own"), sum(col("c_rest")).as("c_rest"))
+    val grid = types.crossJoin(
+        s.range(0, 10).toDF("bin").select(col("bin").cast("int").as("bin")))
+      .join(binned, Seq("t", "bin"), "left")
+      .select(col("t"), col("bin"),
+        coalesce(col("c_own"), lit(0L)).as("c_own"),
+        coalesce(col("c_rest"), lit(0L)).as("c_rest"))
+    val tot = grid.groupBy(col("t"))
+      .agg(sum(col("c_own")).as("n_own"), sum(col("c_rest")).as("n_rest"))
+    val p = (col("c_own") + 1).cast("double") / (col("n_own") + 10).cast("double")
+    val q = (col("c_rest") + 1).cast("double") / (col("n_rest") + 10).cast("double")
+    grid.join(tot, "t")
+      .select(col("t"), col("c_own"), ((p - q) * log(p / q)).as("term"))
+      .groupBy(col("t"))
+      .agg(sum(col("c_own")).as("token_mass"),
+        round(sum(col("term").cast("decimal(38,12)")).cast("double"), 6).as("psi"))
+      .select(col("t").as("source"), col("token_mass"), col("psi"))
+      .orderBy(col("source"))
+  }
+
+  val weightedPsiOracle: String =
+    s"""WITH e AS (SELECT source AS s, n_chars AS b,
+      |    len(string_split(text, ' ')) AS w FROM documents),
+      |x AS (SELECT s, b FROM e, LATERAL unnest(range(e.w)) AS t(u)),
+      |types AS (SELECT DISTINCT s AS t FROM e),
+      |rest AS (SELECT types.t, x.b FROM types JOIN x ON x.s <> types.t),
+      |fences AS (SELECT t,
+      |    ${Pctl.sqlArray("b", (1 to 9).map(_ / 10.0))} AS f
+      |  FROM rest GROUP BY 1),
+      |own AS (
+      |  SELECT x.s AS t,
+      |    list_sum(list_transform(fences.f,
+      |      fx -> CASE WHEN CAST(x.b AS DOUBLE) > fx THEN 1 ELSE 0 END)) AS bin,
+      |    COUNT(*) AS c_own
+      |  FROM x JOIN fences ON x.s = fences.t GROUP BY 1, 2),
+      |oth AS (
+      |  SELECT rest.t,
+      |    list_sum(list_transform(fences.f,
+      |      fx -> CASE WHEN CAST(rest.b AS DOUBLE) > fx THEN 1 ELSE 0 END)) AS bin,
+      |    COUNT(*) AS c_rest
+      |  FROM rest JOIN fences ON rest.t = fences.t GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT ty.t, bn.bin,
+      |    COALESCE(own.c_own, 0) AS c_own, COALESCE(oth.c_rest, 0) AS c_rest
+      |  FROM types ty CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) bn
+      |  LEFT JOIN own ON own.t = ty.t AND own.bin = bn.bin
+      |  LEFT JOIN oth ON oth.t = ty.t AND oth.bin = bn.bin),
+      |tot AS (SELECT t, SUM(c_own) AS n_own, SUM(c_rest) AS n_rest
+      |  FROM grid GROUP BY 1),
+      |terms AS (
+      |  SELECT g.t, g.c_own,
+      |    (CAST(g.c_own + 1 AS DOUBLE) / (tot.n_own + 10)
+      |      - CAST(g.c_rest + 1 AS DOUBLE) / (tot.n_rest + 10))
+      |    * ln((CAST(g.c_own + 1 AS DOUBLE) / (tot.n_own + 10))
+      |      / (CAST(g.c_rest + 1 AS DOUBLE) / (tot.n_rest + 10))) AS term
+      |  FROM grid g JOIN tot ON g.t = tot.t)
+      |SELECT t AS source, CAST(SUM(c_own) AS BIGINT) AS token_mass,
+      |  round(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6) AS psi
+      |FROM terms GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** QUANTITY-WEIGHTED Gini of price mass per return flag (r18 —
+    * VERDICT r17 #6's "weighted Gini on unit mass"):
+    * [[StatOps.gini]]'s revenue-concentration readout over the
+    * multiset where each line's cents price occurs QUANTITY times —
+    * "how unequal are the prices of sold UNITS", which a row-level
+    * Gini misstates when cheap items sell in bulk (the
+    * [[weightedQuantiles]] semantics, taken to the inequality
+    * statistic). Same formula over the ascending expansion x_1..x_n:
+    * G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i); a tie block of weight
+    * W at value x contributes 2·Σ i·x = x·(2·W·lt + W·(W+1)) — tie-
+    * order invariant, so the weighted histogram + [[DistRank.prefixLt]]
+    * computes it exactly, with the expansion existing only in the
+    * oracle.
+    *
+    * Determinism: cents and unit counts are exact integers; both sums
+    * aggregate as DECIMAL(38,0) (Σ i·x reaches ~10²⁰ at sf0.1 and
+    * ~10²⁷ headroom is needed at 100 TB — the oracle's HUGEINT); one
+    * double division at the end, round-6.
+    *
+    * Scale shape: one map-combined fact aggregate to the (flag,
+    * cents) weighted histogram — the near-distinct domain regime, so
+    * cumulative weights ride the bucketed two-level [[DistRank.prefixLt]]
+    * (no global sort, no task ever sorts more than one bucket), then
+    * a 3-row aggregate.
+    */
+  def weightedGini(s: SparkSession, dir: String): DataFrame = {
+    val d = "decimal(38,0)"
+    val blocks = DistRank.prefixLt(
+      Tables.t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("grp"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          col("l_quantity").cast("long").as("w"))
+        .groupBy(col("grp"), col("cents"))
+        .agg(sum(col("w")).as("eq")),
+      Seq("grp"), "cents", Seq("eq"))
+    blocks.groupBy(col("grp"))
+      .agg(sum(col("eq")).as("unit_mass"),
+        sum(col("cents").cast(d) * col("eq")).as("s"),
+        sum(col("cents").cast(d) *
+          (col("eq").cast(d) * col("eq_lt") * 2 +
+            col("eq").cast(d) * (col("eq") + 1))).as("s1x2"))
+      .select(col("grp"), col("unit_mass"),
+        col("s").cast("long").as("total_cents"),
+        round((col("s1x2") - (col("unit_mass") + 1) * col("s"))
+          .cast("double")
+          / (col("unit_mass") * col("s")).cast("double"), 6).as("gini_w"))
+      .orderBy(col("grp"))
+  }
+
+  val weightedGiniOracle: String =
+    """WITH li AS (SELECT l_returnflag AS grp,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+      |x AS (SELECT li.grp, li.cents,
+      |    row_number() OVER (PARTITION BY li.grp ORDER BY li.cents) AS rn
+      |  FROM li, LATERAL unnest(range(li.w)) AS t(u))
+      |SELECT grp, COUNT(*) AS unit_mass,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+      |  round(CAST(2 * SUM(rn * cents) - (COUNT(*) + 1) * SUM(cents) AS DOUBLE)
+      |    / CAST(COUNT(*) * SUM(cents) AS DOUBLE), 6) AS gini_w
+      |FROM x GROUP BY grp ORDER BY grp""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ops_weighted_quantiles", weightedQuantiles,
       Some(weightedQuantilesOracle)),
+    QueryDef("cu_weighted_psi", weightedPsi, Some(weightedPsiOracle)),
+    QueryDef("ops_weighted_gini", weightedGini, Some(weightedGiniOracle)),
     QueryDef("ops_tukey_fences", tukeyFences, Some(tukeyFencesOracle)),
     QueryDef("ops_bowley_skew", bowleySkew, Some(bowleySkewOracle)),
     QueryDef("ops_qq_deciles", qqDeciles, Some(qqDecilesOracle)),

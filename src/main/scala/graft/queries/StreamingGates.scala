@@ -1067,8 +1067,13 @@ object StreamingGates {
     // r17: both medians ride the bounded percentile device (the bar
     // relation is calendar-bounded — ≤744 rows/type at any corpus
     // size), so the buffering `percentile` aggregate is gone from
-    // this gate too; same round-6 values by PctlDistSpec bit-equality
-    val bars = hourlyBars(s, dir)
+    // this gate too; same round-6 values by PctlDistSpec bit-equality.
+    // r18: tracked — bars feeds the median device, the deviation
+    // relation AND the final join; unpersisted, the fact-collapsing
+    // hourly aggregate (the only fact-sized work in the gate) would
+    // execute three times (the r16 psi_drift lesson, and the same
+    // one-fact-pass repair ops_outlier_bounds got this round)
+    val bars = DistRank.tracked(hourlyBars(s, dir))
     val med = Pctl.distBounded(
       bars.select(col("event_type").as("m_type"), col("bar")),
       Seq("m_type"), "bar", Seq("med" -> 0.5))

@@ -163,10 +163,35 @@ class DistRankSpec extends SparkSpec {
       "thread B's release must unpersist thread B's tracking")
     assert(dfA.storageLevel === StorageLevel.MEMORY_AND_DISK,
       "thread B's release must NOT evict thread A's in-flight persist")
-    // releasing from the MAIN thread is a no-op for A's scope (the
-    // documented contract: release on the building thread) — clean up
-    // directly
-    dfA.unpersist(false)
-    assert(dfA.storageLevel === StorageLevel.NONE)
+    // releasing from the MAIN thread warns and is a no-op for A's
+    // scope (the documented contract: release on the building thread);
+    // the cross-thread escape hatch is releaseAll (ADVICE r17) — it
+    // must evict A's residue even though A's thread is gone
+    DistRank.release() // foreign-thread release: warns, evicts nothing
+    assert(dfA.storageLevel === StorageLevel.MEMORY_AND_DISK,
+      "a foreign thread's release() must not evict A's persist")
+    DistRank.releaseAll()
+    assert(dfA.storageLevel === StorageLevel.NONE,
+      "releaseAll must evict persists from every thread's scope")
+  }
+
+  test("releaseAll evicts cross-thread residue; double release is harmless") {
+    import org.apache.spark.storage.StorageLevel
+    @volatile var pooled: DataFrame = null
+    val t = new Thread(() => {
+      pooled = DistRank.tracked(longRows(200, 2, 11))
+      pooled.count()
+    })
+    t.start(); t.join()
+    assert(pooled.storageLevel === StorageLevel.MEMORY_AND_DISK)
+    // the embedder pattern ADVICE r17 names: built on a pool thread,
+    // cleaned up from the caller — release() alone would be a silent
+    // no-op (it now warns); releaseAll reclaims the residue
+    DistRank.releaseAll()
+    assert(pooled.storageLevel === StorageLevel.NONE)
+    // idempotent: a second releaseAll and the pool thread's stale
+    // scope (if it ever released) must not throw
+    DistRank.releaseAll()
+    DistRank.release()
   }
 }

@@ -132,4 +132,55 @@ class PctlDistSpec extends SparkSpec {
     assertSame(Pctl.distHist(rows, Seq("g"), "v", "w", Qs, bounded = true),
       aggForm(expanded, Seq("g"), Qs), Seq("g"))
   }
+
+  private def rootMessages(t: Throwable): String =
+    if (t == null) "" else
+      Option(t.getMessage).getOrElse("") + "\n" + rootMessages(t.getCause)
+
+  test("distHist rejects fractional weights loudly (ADVICE r17)") {
+    // a double weight of 1.5 would silently truncate to 1 under
+    // cast(Long) — the guard must fail the job instead of quietly
+    // diverging from the 'value v occurs w times' multiset contract
+    val frac = longRows(100, 2, 13)
+      .withColumn("w", when(col("v") % 2 === 0, lit(1.5)).otherwise(lit(2.0)))
+    val e = intercept[Throwable] {
+      Pctl.distHist(frac, Seq("g"), "v", "w", Seq("p50" -> 0.5)).collect()
+    }
+    assert(rootMessages(e).contains("must be integral"),
+      s"expected the integral-weight guard, got: ${rootMessages(e).take(300)}")
+    // integral VALUES in a non-integral TYPE pass the guard and match
+    // the expansion (weights that arrive as doubles from arithmetic)
+    val whole = longRows(2000, 2, 13)
+      .withColumn("w", pmod(xxhash64(col("v"), lit(5)), lit(4L)).cast(DoubleType))
+    val expanded = whole.filter(col("w") > 0)
+      .select(col("g"), col("v"),
+        explode(expr("sequence(1, cast(w as long))")).as("i"))
+    assertSame(Pctl.distHist(whole, Seq("g"), "v", "w", Seq("p50" -> 0.5)),
+      aggForm(expanded, Seq("g"), Seq("p50" -> 0.5)), Seq("g"))
+  }
+
+  test("sparse path enforces the 3-scan input contract at build time (VERDICT r17 #2)") {
+    // the sparse device scans its input three times — an expensive
+    // unpersisted subplan (here: a join) must be rejected at gate-
+    // construction time with the fix named...
+    val dim = spark.range(5).select(col("id").as("k"), lit("d").as("tag"))
+    val joined = longRows(1000, 2, 37)
+      .withColumn("k", pmod(col("v"), lit(5L)))
+      .join(dim, "k")
+    val e = intercept[IllegalArgumentException] {
+      Pctl.dist(joined, Seq("g"), "v", Seq("p50" -> 0.5))
+    }
+    assert(e.getMessage.contains("DistRank.tracked"),
+      s"the contract violation must name the fix: ${e.getMessage.take(300)}")
+    // ...while the SAME input tracked-persisted (the brownForsythe
+    // pattern) passes: cache substitution bottoms the plan out at an
+    // InMemoryRelation leaf, and results match the aggregate
+    val tracked = graft.queries.DistRank.tracked(joined)
+    try {
+      assertSame(Pctl.dist(tracked, Seq("g"), "v", Seq("p50" -> 0.5)),
+        aggForm(tracked, Seq("g"), Seq("p50" -> 0.5)), Seq("g"))
+    } finally graft.queries.DistRank.release()
+    // raw scans/projections (the common gate shape) stay accepted —
+    // every other test in this spec builds on spark.range projections
+  }
 }

@@ -207,7 +207,11 @@ class PlanAuditSpec extends SparkSpec {
       "ta_burrows_delta",
       // quantile normalization: DistRank 1-row global bounds + the
       // 1-row corpus-total aggregate onto two histogram-sized relations
-      "cu_quantile_norm")
+      "cu_quantile_norm",
+      // r18 weighted PSI: the psiDrift grid shapes verbatim — the
+      // |sources|-row type domain × length-bucket grid completion and
+      // the 10-bin literal grid, both domain-bounded
+      "cu_weighted_psi")
 
   // the oracle-less bench-only twins stay under the same plan audit:
   // they run in every bench even though they left the correctness map
@@ -456,7 +460,13 @@ class PlanAuditSpec extends SparkSpec {
       "ops_ansari_bradley", "cu_length_filter",
       // Burrows' Delta: the 50-row top-K word relation and the
       // K-row/word-grid stats relations
-      "ta_burrows_delta")
+      "ta_burrows_delta",
+      // r18 weighted PSI: the |sources|-row fence relation + the
+      // |sources|-row type-domain broadcasts (the ops_psi_drift shape)
+      "cu_weighted_psi",
+      // r18 weighted Gini: DistRank.prefixLt's |flags|-row bounds and
+      // bucket-carry broadcasts (the ops_gini shape, weighted)
+      "ops_weighted_gini")
 
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>
