@@ -1068,12 +1068,15 @@ object StreamingGates {
     // relation is calendar-bounded — ≤744 rows/type at any corpus
     // size), so the buffering `percentile` aggregate is gone from
     // this gate too; same round-6 values by PctlDistSpec bit-equality.
-    // r18: tracked — bars feeds the median device, the deviation
-    // relation AND the final join; unpersisted, the fact-collapsing
-    // hourly aggregate (the only fact-sized work in the gate) would
-    // execute three times (the r16 psi_drift lesson, and the same
-    // one-fact-pass repair ops_outlier_bounds got this round)
-    val bars = DistRank.tracked(hourlyBars(s, dir))
+    // DELIBERATELY NOT tracked-persisted (r18, measured): the three
+    // bars consumers repeat the IDENTICAL hourly aggregate, whose
+    // shuffle ReuseExchange already deduplicates within the one
+    // action — the fact is scanned once as-is, and adding the persist
+    // measured 1.9× slower (0.82 → 1.53 s). Contrast outlierBounds,
+    // whose three fact passes are structurally DIFFERENT subplans
+    // (post-join aggregates) that ReuseExchange cannot unify — there
+    // the tracked histogram IS the one-fact-pass repair.
+    val bars = hourlyBars(s, dir)
     val med = Pctl.distBounded(
       bars.select(col("event_type").as("m_type"), col("bar")),
       Seq("m_type"), "bar", Seq("med" -> 0.5))
