@@ -90,6 +90,16 @@ object DistRank {
     * reference re-executes the whole device subplan — only its
     * internal histogram is cached (the r16 psi_drift double-device
     * regression).
+    *
+    * WHEN NOT TO TRACK (r18, measured): if the repeated consumers
+    * share the IDENTICAL subplan (same aggregate, same keys),
+    * ReuseExchange already deduplicates its shuffle within the one
+    * action — the fact is scanned once without any persist, and
+    * adding one measured 1.9× slower ([[StreamingGates.madAnomaly]],
+    * pinned by PlanAuditSpec's ReusedExchange probe). Track only when
+    * the repeats are structurally DIFFERENT subplans (post-join
+    * aggregates, the [[DataOps.outlierBounds]] shape) or span
+    * separate actions.
     */
   def tracked(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -609,6 +609,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(stale.isEmpty, s"allowlist entries with zero actual percentiles: $stale")
   }
 
+  test("madAnomaly's repeated identical bar aggregate deduplicates via ReusedExchange (no persist needed)") {
+    // r18 measured: tracked-persisting the hourly-bar aggregate was
+    // 1.9× SLOWER because its three consumers repeat the IDENTICAL
+    // subplan, whose shuffle ReuseExchange unifies at runtime — this
+    // pin keeps the one-fact-pass property mechanical so a refactor
+    // that makes the three subplans drift apart (breaking the reuse)
+    // fails here instead of silently tripling the fact scan. Under
+    // AQE the reuse only appears in the FINAL adaptive plan, so the
+    // probe materializes first (sf0.001 — cheap).
+    val df = graft.queries.StreamingGates.madAnomaly(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"))
+    assert(plan.contains("ReusedExchange"),
+      "the three bars consumers must share one exchange; if this " +
+        "fails, either the subplans drifted apart (re-unify them or " +
+        "DistRank.tracked the bars) or the planner stopped reusing")
+  }
+
   test("rank-filter windows get the group-limit optimization (top-k never sorts full partitions)") {
     val plan = graft.queries.Relational.defs.find(_.name == "w1_window_topk").get
       .fn(spark, dir).queryExecution.executedPlan.toString
