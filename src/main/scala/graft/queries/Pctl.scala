@@ -217,7 +217,11 @@ object Pctl {
     */
   private def requireOneScanInput(in: DataFrame): Unit = {
     import org.apache.spark.sql.catalyst.plans.logical._
-    val offenders = in.queryExecution.optimizedPlan.collect {
+    // collectWithSubqueries: a scalar/EXISTS subquery inside a filter
+    // is exactly as expensive to re-run three times as a top-level
+    // join — it must not slip past the census by hiding in an
+    // expression
+    val offenders = in.queryExecution.optimizedPlan.collectWithSubqueries {
       case p: Join => p.nodeName
       case p: Aggregate => p.nodeName
       case p: Window => p.nodeName
