@@ -183,4 +183,22 @@ class PctlDistSpec extends SparkSpec {
     // raw scans/projections (the common gate shape) stay accepted —
     // every other test in this spec builds on spark.range projections
   }
+
+  test("sparse-path contract sees through scalar subqueries (r18 hardening)") {
+    // a scalar subquery inside a filter is as expensive to re-run
+    // three times as a top-level join — the contract walk must visit
+    // subquery plans (collectWithSubqueries), not just the main tree
+    longRows(1000, 2, 37).createOrReplaceTempView("pctl_sub_main")
+    longRows(500, 1, 11).createOrReplaceTempView("pctl_sub_ref")
+    val withSub = spark.sql(
+      "SELECT g, v FROM pctl_sub_main " +
+        "WHERE v > (SELECT avg(v) FROM pctl_sub_ref)")
+    val e = intercept[IllegalArgumentException] {
+      Pctl.dist(withSub, Seq("g"), "v", Seq("p50" -> 0.5))
+    }
+    assert(e.getMessage.contains("DistRank.tracked"),
+      s"subquery input must violate the contract: ${e.getMessage.take(300)}")
+    spark.catalog.dropTempView("pctl_sub_main")
+    spark.catalog.dropTempView("pctl_sub_ref")
+  }
 }
