@@ -189,10 +189,15 @@ object Pctl {
       case d: DecimalType if d.scale == 0                => true
       case _                                             => false
     }
+    // rows the device documents as IGNORED (null v/w, w <= 0) stay
+    // ignored — the assert polices only rows that would contribute,
+    // so e.g. a sentinel -0.5 weight is dropped like any w <= 0, not
+    // escalated into a job failure the contract never promised
     val guarded =
       if (integralType) hist
       else hist.filter(coalesce(assert_true(
-        col(v).isNull || col(w).isNull || col(w) === floor(col(w)),
+        col(v).isNull || col(w).isNull || col(w) <= 0 ||
+          col(w) === floor(col(w)),
         lit(s"distHist: weight '$w' must be integral — " +
           "the device's multiset contract is 'value v occurs w times'")),
         lit(true)))

@@ -148,6 +148,15 @@ class PctlDistSpec extends SparkSpec {
     }
     assert(rootMessages(e).contains("must be integral"),
       s"expected the integral-weight guard, got: ${rootMessages(e).take(300)}")
+    // a NEGATIVE fractional weight stays in the documented ignored
+    // class (w <= 0 rows are dropped, not escalated to a job failure)
+    val negFrac = longRows(200, 2, 13)
+      .withColumn("w", when(col("v") % 2 === 0, lit(-0.5)).otherwise(lit(2.0)))
+    val negExpanded = negFrac.filter(col("w") > 0)
+      .select(col("g"), col("v"),
+        explode(expr("sequence(1, cast(w as long))")).as("i"))
+    assertSame(Pctl.distHist(negFrac, Seq("g"), "v", "w", Seq("p50" -> 0.5)),
+      aggForm(negExpanded, Seq("g"), Seq("p50" -> 0.5)), Seq("g"))
     // integral VALUES in a non-integral TYPE pass the guard and match
     // the expansion (weights that arrive as doubles from arithmetic)
     val whole = longRows(2000, 2, 13)
