@@ -27,7 +27,16 @@ object Explain {
       )
     val all = SparkEntry.queries ++ SparkEntry.benchOnlyDefs.map(d => d.name -> d.fn) ++ lazySiblings
     println("BEGIN_PLAN " + name)
-    println(all(name)(spark, dir).queryExecution.executedPlan.toString)
+    // SPARK_GRAFT_EXPLAIN_MODE=formatted emits `.explain("formatted")`
+    // output (numbered operators + details incl. PushedFilters and
+    // ReadSchema) — the optimization-round plan-artifact format; the
+    // default stays the compact executedPlan tree the specs diff.
+    val qe = all(name)(spark, dir).queryExecution
+    sys.env.get("SPARK_GRAFT_EXPLAIN_MODE") match {
+      case Some("formatted") => println(qe.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      case _ => println(qe.executedPlan.toString)
+    }
     println("END_PLAN")
     spark.stop()
   }

@@ -566,7 +566,14 @@ object EdfOps {
     // irrelevant)
     val reps = s.range(0, permR + 1).toDF("r")
     val typeReps = nS.select(col("event_type")).crossJoin(broadcast(reps))
-    val zeros = allB.select(col("b")).crossJoin(broadcast(typeReps))
+    // repartition BEFORE the (R+1)·|types| fan: AQE coalesces the tiny
+    // bucket relation to one partition, so without it the whole
+    // |grid|·(R+1) zero relation is produced by a single task (r18
+    // profile: a 3.2 s serial stage at sf0.1) — spreading the bucket
+    // rows first makes the fan parallel; the exchange itself moves
+    // only the |b|-domain rows
+    val zeros = allB.select(col("b")).repartition(col("b"))
+      .crossJoin(broadcast(typeReps))
       .select(col("event_type"), col("r"), col("b"),
         lit(0L).as("c"), lit(1).as("__g"))
     val wCum = org.apache.spark.sql.expressions.Window

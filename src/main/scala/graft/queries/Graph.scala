@@ -323,7 +323,7 @@ object Graph {
     val wedges = e1.join(e2, col("a") === col("a2") &&
         (col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c"))))
     val tris = wedges
-      .join(ed.select(col("src").as("b2"), col("dst").as("c2")),
+      .join(ed.select(col("src").as("b2"), col("dst").as("c2")).hint("shuffle_hash"),
         col("b") === col("b2") && col("c") === col("c2"))
       .select(col("a"), col("b"), col("c"))
     val corners = tris

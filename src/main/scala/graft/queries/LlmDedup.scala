@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -738,26 +739,36 @@ object LlmDedup {
     while (!converged && rounds < maxRounds) {
       rounds += 1
       // LARGE-STAR over the symmetric neighbor relation: every
-      // neighbor strictly larger than u re-links to m = min(N(u) ∪ {u})
+      // neighbor strictly larger than u re-links to m = min(N(u) ∪ {u}).
+      // m rides a window min over the SAME u-partitioning the old
+      // groupBy+self-join pair needed anyway (r18 optimization: the
+      // join co-located all of u's rows in one task too, so the window
+      // concentrates nothing the join didn't — it just deletes one
+      // aggregate exchange and one join per operator per round). The
+      // ls relation is NOT deduplicated here: two u's re-linking the
+      // same (m, v) produce duplicate rows, min() below is
+      // duplicate-blind, and the round's closing distinct() dedupes
+      // the union — same edge SET per round, two fewer exchanges.
       val sym = edges.select(col("a").as("u"), col("b").as("v"))
         .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
-      val lsMin = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val wU = Window.partitionBy(col("u"))
       // m <= u < v keeps the (a, b) = (m, v) orientation canonical
-      val ls = sym.join(lsMin, "u")
+      val ls = sym
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
         .filter(col("v") > col("u"))
         .select(col("m").as("a"), col("v").as("b"))
-        .distinct()
       // SMALL-STAR on the canonical edges: group the LARGER endpoint
       // h = b over its smaller neighbors, re-hang them (and h) off the
-      // minimum
-      val ssMin = ls.groupBy(col("b")).agg(min(col("a")).as("m"))
-      val ssNbr = ls.join(ssMin, "b")
-        .filter(col("a") =!= col("m"))
-        .select(col("m").as("na"), col("a").as("nb"))
-      val ssSelf = ssMin.select(col("m").as("na"), col("b").as("nb"))
+      // minimum — the same window-for-groupBy+join trade as above;
+      // the (m, b) self rows repeat per partition row and collapse in
+      // the closing distinct()
+      val wB = Window.partitionBy(col("b"))
+      val withM = ls.withColumn("m", min(col("a")).over(wB))
       val next = graft.plans.Checkpoint.truncate(
-        ssNbr.unionByName(ssSelf).distinct()
+        withM.filter(col("a") =!= col("m"))
+          .select(col("m").as("na"), col("a").as("nb"))
+          .unionByName(withM.select(col("m").as("na"), col("b").as("nb")))
+          .distinct()
           .select(col("na").as("a"), col("nb").as("b")))
       // star forests are exactly the fixed points of both operators, so
       // set-equality of the (distinct) edge relations is convergence;

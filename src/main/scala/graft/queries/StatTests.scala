@@ -1183,13 +1183,22 @@ object StatTests {
     val histGV = ev.groupBy(col("grp"), col("vm"))
       .agg(count(lit(1)).as("cg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val histV = DistRank.prefixLt(
+    // histV feeds TWO structurally different consumers (the per-group
+    // rank-sum join and the tie aggregate), and g feeds FOUR (tot, the
+    // probe side, the broadcast build, and through them the final
+    // select) — each unpersisted reference re-executes the whole
+    // prefix-sum device lineage as its own query stage (r18 profile:
+    // four near-identical ~12 s executor stages). Tracked-persist both
+    // per the structurally-different-repeats rule (DistRank.tracked
+    // scaladoc); they are distinct-value- and |groups|-sized.
+    val histV = DistRank.tracked(DistRank.prefixLt(
       histGV.groupBy(col("vm")).agg(sum(col("cg")).as("eq")),
       Nil, "vm", Seq("eq"))
-      .withColumn("r2", lit(2L) * col("eq_lt") + col("eq") + lit(1L))
-    val g = histGV.join(histV.select(col("vm"), col("r2")), "vm")
-      .groupBy(col("grp"))
-      .agg(sum(col("cg")).as("n"), sum(col("r2").cast(d0) * col("cg")).as("s2"))
+      .withColumn("r2", lit(2L) * col("eq_lt") + col("eq") + lit(1L)))
+    val g = DistRank.tracked(
+      histGV.join(histV.select(col("vm"), col("r2")), "vm")
+        .groupBy(col("grp"))
+        .agg(sum(col("cg")).as("n"), sum(col("r2").cast(d0) * col("cg")).as("s2")))
     val ties = histV
       .agg(coalesce(sum(col("eq").cast(d0) * col("eq") * col("eq") - col("eq")),
         lit(0).cast(d0)).as("tie3"))

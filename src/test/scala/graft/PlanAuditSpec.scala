@@ -468,14 +468,49 @@ class PlanAuditSpec extends SparkSpec {
       // bucket-carry broadcasts (the ops_gini shape, weighted)
       "ops_weighted_gini")
 
+  // SHUFFLE_HASH is a different risk class from broadcast: nothing is
+  // collected or shipped whole — it only swaps the post-shuffle
+  // algorithm from sort-merge to per-partition hash build, safe
+  // whenever the build side's PER-PARTITION slice stays memory-sized
+  // (it scales as |build|/P, and P scales with data). Censused exactly
+  // like broadcasts so a hint on a genuinely huge-per-partition build
+  // side still needs a reviewed entry here.
+  //  - gr_triangles (r18): the closing join builds the oriented edge
+  //    relation (|E|/P per task) while STREAMING the Σd²-sized wedge
+  //    fan — sort-merge would sort the wedge fan (~42M rows at sf0.1,
+  //    the single most expensive stage of the whole bench before the
+  //    hint; 0.55× after).
+  private val shuffleHashHintAllowed = Set("gr_triangles")
+
   test("no explicit broadcast hints outside constant-bounded relations") {
     val offenders = auditSurface.sortBy(_._1).flatMap { case (name, fn) =>
-      val analyzed = freshQe(fn).analyzed.toString
-      if (analyzed.contains("ResolvedHint") && !broadcastHintAllowed(name)) Some(name)
-      else None
+      val analyzed = freshQe(fn).analyzed
+      val hints = analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h.hints
+      }
+      val hasShuffleHash = hints.exists(_.strategy.exists(
+        _ == org.apache.spark.sql.catalyst.plans.logical.SHUFFLE_HASH))
+      val hasOther = hints.exists(_.strategy.forall(
+        _ != org.apache.spark.sql.catalyst.plans.logical.SHUFFLE_HASH))
+      val bad =
+        (hasOther && !broadcastHintAllowed(name)) ||
+          (hasShuffleHash && !shuffleHashHintAllowed(name))
+      if (bad) Some(name) else None
     }
     assert(offenders.isEmpty,
-      s"forced broadcast hints on non-constant-bounded relations: $offenders")
+      s"forced join-strategy hints outside their censuses: $offenders")
+    // stale-entry guard, like the other censuses: an allowlisted
+    // shuffle-hash query that no longer carries the hint must be
+    // dropped from the list
+    val stale = shuffleHashHintAllowed.filter { name =>
+      auditSurface.find(_._1 == name).forall { case (_, fn) =>
+        !freshQe(fn).analyzed.collect {
+          case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h.hints
+        }.exists(_.strategy.exists(
+          _ == org.apache.spark.sql.catalyst.plans.logical.SHUFFLE_HASH))
+      }
+    }
+    assert(stale.isEmpty, s"stale shuffleHashHintAllowed entries: $stale")
   }
 
   // Unpartitioned-window census (VERDICT r14 #2): a Window with an
