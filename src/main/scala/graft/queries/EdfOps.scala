@@ -522,8 +522,15 @@ object EdfOps {
     // membership of the pseudo-type sample is the exact integer test
     // u·N < n_s·2^32
     val nChunks = (permR + wordsPerHash - 1) / wordsPerHash
+    // spread the fact BEFORE the hash fan (guide §2.5's unsplittable-
+    // input remedy, the bootstrapPoisson shape): the single-row-group
+    // bench parquet scans as one task, and the whole
+    // n·⌈R/words⌉-hash + R·|types| membership fan would run serially
+    // inside the union's map stage. Hash-repartition on the
+    // deterministic key; row set unchanged.
     val id = Tables.t(s, dir, "events")
       .select(col("event_id"), round(col("value") * 100).cast(LongType).as("b"))
+      .transform(d => graft.operators.Spread.byKey(d, col("event_id")))
     val hashed = (0 until nChunks).foldLeft(id) { (d, k) =>
       d.withColumn(s"__h$k",
         mkHash(concat(col("event_id").cast("string"), lit(s":cvmperm:$k"))))

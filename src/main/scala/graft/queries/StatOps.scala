@@ -1202,8 +1202,12 @@ object StatOps {
           round(col("value") * 1000000).cast(LongType))), lit(0L)).as("pre_vm"),
         sum(when(col("period") === "post" &&
           col("event_type") === "purchase", 1L).otherwise(0L)).as("resp"))
-    val rn = DistRank
-      .rowNumber(users, Nil, "pre_vm", desc = true, Seq("user_id"), "rn")
+    // rn feeds two structurally different consumers (the 1-row max
+    // aggregate's broadcast build and the decile projection) — without
+    // the tracked persist each re-executes the whole bucketed-rank
+    // device (r18 profile: four ~10 s repeats of the device stages)
+    val rn = DistRank.tracked(DistRank
+      .rowNumber(users, Nil, "pre_vm", desc = true, Seq("user_id"), "rn"))
     // n = max(rn) reads the rank relation the device already persisted
     // (one cheap cached pass), instead of re-running the fact aggregate
     val nTot = rn.agg(max(col("rn")).as("n"))
@@ -1740,10 +1744,15 @@ object StatOps {
     val histGV = ev.groupBy(col("grp"), col("vm"))
       .agg(count(lit(1)).as("cg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val histV = DistRank.prefixLt(
+    // histV feeds two structurally different consumers (the per-group
+    // rank-sum join and the tie aggregate, the latter re-executed by
+    // the broadcast build) — tracked-persist per the structurally-
+    // different-repeats rule so the prefix-sum device lineage runs
+    // once (the r18 dunnTest profile finding; same shape here)
+    val histV = DistRank.tracked(DistRank.prefixLt(
       histGV.groupBy(col("vm")).agg(sum(col("cg")).as("eq")),
       Nil, "vm", Seq("eq"))
-      .withColumn("r2", lit(2L) * col("eq_lt") + col("eq") + lit(1L))
+      .withColumn("r2", lit(2L) * col("eq_lt") + col("eq") + lit(1L)))
     val grp = histGV.join(histV.select(col("vm"), col("r2")), "vm")
       .groupBy(col("grp"))
       .agg(sum(col("cg")).as("n"), sum(col("r2").cast(d) * col("cg")).as("s2"))
@@ -1842,7 +1851,15 @@ object StatOps {
       .select(col("o_orderpriority").as("pri"), col("o_orderkey"),
         round(col("o_totalprice") * 100).cast(LongType).as("cents"))
     val nCh = (BootR + 3) / 4
-    val hashed = (0 until nCh).foldLeft(o) { (d2, k) =>
+    // spread the fact BEFORE the ⌈R/4⌉-hash fan (guide §2.5's
+    // unsplittable-input remedy): the bench's single-row-group parquet
+    // scans as ONE task, so without this the whole n·⌈R/4⌉ md5 fan ran
+    // serially (r18 profile: a 2.4 s one-task stage = ~75% of the
+    // gate). Hash-repartition on the deterministic key — row set
+    // unchanged, and on a many-file production layout the exchange
+    // moves only the already-projected 3-column rows.
+    val oFan = graft.operators.Spread.byKey(o, col("o_orderkey"))
+    val hashed = (0 until nCh).foldLeft(oFan) { (d2, k) =>
       d2.withColumn(s"__h$k",
         md5(concat(col("o_orderkey").cast("string"), lit(s":boot$k"))))
     }
@@ -2287,7 +2304,10 @@ object StatOps {
       .select(col("o_orderpriority").as("pri"), col("o_orderkey"),
         round(col("o_totalprice") * 100).cast(LongType).as("cents"))
     val nCh = (BootR + 1) / 2
-    val hashed = (0 until nCh).foldLeft(o) { (d2, k) =>
+    // same pre-fan spread as the md5 gate (one-row-group scan = serial
+    // fan otherwise)
+    val oFan = graft.operators.Spread.byKey(o, col("o_orderkey"))
+    val hashed = (0 until nCh).foldLeft(oFan) { (d2, k) =>
       d2.withColumn(s"__h$k",
         xxhash64(col("o_orderkey"), lit("boot"), lit(k)))
     }

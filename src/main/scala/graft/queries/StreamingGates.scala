@@ -1384,8 +1384,16 @@ object StreamingGates {
     // branch-guarded division (the ops_sen_slope ANSI lesson): the
     // device's not-null filter can merge into the join residual ahead
     // of rh > h, and ANSI float division by zero throws
+    // the pair join is keyed ONLY by event_type (|types| partitions,
+    // AQE-coalesced further on the tiny bar grid), so the calendar²
+    // pair fan AND the percentile partial buffering it feeds ran in
+    // 1-4 tasks (r18 profile: a 1.4 s one-task partial-aggregate
+    // stage). Respread on (type, rh) — grid-sized keys — so the
+    // buffering parallelizes; Percentile merges partial buffers
+    // order-independently, so results are unchanged.
     val pairs = bars.join(rhs,
         col("r_type") === col("event_type") && col("rh") > col("h"))
+      .transform(d => graft.operators.Spread.byKey(d, concat_ws(":", col("event_type"), col("rh"))))
       .select(col("event_type"),
         signum(col("rb") - col("bar")).cast(LongType).as("sgn"),
         when(col("rh") =!= col("h"),
