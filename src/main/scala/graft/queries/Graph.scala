@@ -35,6 +35,14 @@ object Graph {
     * PlanAuditSpec still audits the REAL dataflow, not a LogicalRDD.
     */
   private def finalized(result: DataFrame, pinned: DataFrame*): DataFrame = {
+    // NOTE (r18, measured): do NOT eagerly count() the pinned builds
+    // here to pre-populate their caches. AQE's parallel query-stage
+    // materialization CAN race-recompute a lazily-persisted build
+    // (the triangle profile showed the pair build executing three
+    // times concurrently), but forcing each build with its own
+    // count() job was measured 1.2-1.4× SLOWER across the family
+    // (pagerank/khop/ktruss/harmonic) — the serial count jobs cost
+    // more than the overlapped redundant computation they remove.
     val out = graft.plans.Checkpoint.truncate(result)
     pinned.foreach(_.unpersist())
     out

@@ -61,10 +61,14 @@ object StatOps {
       .join(Tables.t(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
-    val blocks = DistRank.prefixLt(
+    // blocks feeds the sizes->tiles broadcast build AND the overlap
+    // probe -- structurally different consumers, so without the
+    // tracked persist the broadcast build re-executes the whole
+    // prefix-sum device (the r18 dunn_test pattern)
+    val blocks = DistRank.tracked(DistRank.prefixLt(
       seg.groupBy(col("c_mktsegment"), col("cents"))
         .agg(count(lit(1)).as("eq")),
-      Seq("c_mktsegment"), "cents", Seq("eq"))
+      Seq("c_mktsegment"), "cents", Seq("eq")))
     // 2·Σ rn·cents over the block at rank interval [lt+1, lt+eq]:
     // cents·(2·eq·lt + eq·(eq+1)) — decimal-first products so the
     // algebra stays exact past 2^63 at full scale
