@@ -478,7 +478,7 @@ object EdfOps {
     cvmPermutationWith(s, dir, (c: Column) => md5(c),
       (h: Column, w: Int) =>
         conv(substring(h, w * 8 + 1, 8), 16, 10).cast(LongType),
-      wordsPerHash = 4, permR = PermR)
+      wordsPerHash = 4, permR = PermR, spreadFan = true)
 
   /** [[cvmPermutation]] with the production hash (xxhash64, whose 64
     * bits yield TWO 32-bit words per draw) — the oracle-less bench
@@ -490,16 +490,23 @@ object EdfOps {
     * touches the relabel fan, which EdfOpsSpec pins).
     */
   def cvmPermutationXx(s: SparkSession, dir: String): DataFrame =
+    // spreadFan = false (VERDICT r18 #2): the twin's fan is 2× lighter
+    // (2 words per xxhash64, R = 7), and the r18 "shape parity" spread
+    // regressed it on the driver's box in BOTH runs (1.76× @32c,
+    // 1.20× @8c) — the pre-fan exchange costs more than the serial fan
+    // it parallelizes at this weight. The md5 gate (5 hashes × R = 19)
+    // keeps the spread, where it was measured 0.89×.
     cvmPermutationWith(s, dir, (c: Column) => xxhash64(c),
       (h: Column, w: Int) =>
         if (w == 0) shiftrightunsigned(h, 32)
         else pmod(h, lit(4294967296L)),
-      wordsPerHash = 2, permR = 7)
+      wordsPerHash = 2, permR = 7, spreadFan = false)
 
   private def cvmPermutationWith(s: SparkSession, dir: String,
                                  mkHash: Column => Column,
                                  word: (Column, Int) => Column,
-                                 wordsPerHash: Int, permR: Int): DataFrame = {
+                                 wordsPerHash: Int, permR: Int,
+                                 spreadFan: Boolean): DataFrame = {
     val dec = DecimalType(38, 0)
     // counts is referenced by allB / nS / nAll and is world 0's
     // membership relation — tracked-persisted so the fact aggregates
@@ -530,7 +537,8 @@ object EdfOps {
     // deterministic key; row set unchanged.
     val id = Tables.t(s, dir, "events")
       .select(col("event_id"), round(col("value") * 100).cast(LongType).as("b"))
-      .transform(d => graft.operators.Spread.byKey(d, col("event_id")))
+      .transform(d =>
+        if (spreadFan) graft.operators.Spread.byKey(d, col("event_id")) else d)
     val hashed = (0 until nChunks).foldLeft(id) { (d, k) =>
       d.withColumn(s"__h$k",
         mkHash(concat(col("event_id").cast("string"), lit(s":cvmperm:$k"))))
@@ -573,13 +581,18 @@ object EdfOps {
     // irrelevant)
     val reps = s.range(0, permR + 1).toDF("r")
     val typeReps = nS.select(col("event_type")).crossJoin(broadcast(reps))
-    // repartition BEFORE the (R+1)·|types| fan: AQE coalesces the tiny
+    // spread BEFORE the (R+1)·|types| fan: AQE coalesces the tiny
     // bucket relation to one partition, so without it the whole
     // |grid|·(R+1) zero relation is produced by a single task (r18
-    // profile: a 3.2 s serial stage at sf0.1) — spreading the bucket
-    // rows first makes the fan parallel; the exchange itself moves
-    // only the |b|-domain rows
-    val zeros = allB.select(col("b")).repartition(col("b"))
+    // profile: a 3.2 s serial stage at sf0.1). VERDICT r18 #4: the
+    // r18 numberless `repartition(col("b"))` was ineffective by the
+    // repo's own batch-2 finding (AQE coalesces byte-sized exchanges
+    // right back to 1-2 partitions) — Spread.byKey pins the explicit
+    // AQE-respected width like every other fan; the exchange itself
+    // moves only the |b|-domain rows
+    val zeros = allB.select(col("b"))
+      .transform(d =>
+        if (spreadFan) graft.operators.Spread.byKey(d, col("b")) else d)
       .crossJoin(broadcast(typeReps))
       .select(col("event_type"), col("r"), col("b"),
         lit(0L).as("c"), lit(1).as("__g"))
