@@ -47,4 +47,24 @@ object Checkpoint {
     */
   def truncate(df: DataFrame): DataFrame =
     if (reliable(df)) df.checkpoint() else df.localCheckpoint()
+
+  /** [[truncate]] + row count in as few jobs as the checkpoint mode
+    * allows (r19, guide §1.2: an iterative loop pays its per-round
+    * fixed cost × rounds, and the star-CC loop ran TWO driver jobs per
+    * round — materialize, then count). On the localCheckpoint path the
+    * checkpoint is taken LAZILY and the count() action materializes
+    * it: count computes every partition (the checkpoint wrapper is a
+    * LogicalRDD, opaque to column pruning, so nothing is skipped), and
+    * local checkpoint blocks are saved as a side effect of that first
+    * full computation — ONE job yields both the truncated relation and
+    * its cardinality. On the reliable path the EAGER checkpoint is
+    * kept: a reliable checkpoint re-runs lineage to write files, so
+    * the lazy order would compute the round twice; there the count is
+    * a cheap second job over the checkpointed blocks (exactly the old
+    * behavior — cluster semantics unchanged).
+    */
+  def truncateCounted(df: DataFrame): (DataFrame, Long) = {
+    val t = if (reliable(df)) df.checkpoint() else df.localCheckpoint(false)
+    (t, t.count())
+  }
 }
