@@ -144,7 +144,18 @@ object LlmVectors {
     * with cell as tie-break (engine-reproducible, see [[ivfTopk]]);
     * the rank<=k filter compiles to WindowGroupLimit.
     */
-  private def assignCells(base: DataFrame, cRel: DataFrame, probes: Int): DataFrame = {
+  private def assignCells(base: DataFrame, cRel: DataFrame, probes: Int): DataFrame =
+    assignCellsRanked(base, cRel, probes).select(col("vec_id"), col("cell"))
+
+  /** [[assignCells]] with the rounded similarity and rank KEPT in the
+    * output (r19): a caller that needs both the blocking assignment
+    * (rn ≤ probes) and the primary-cell similarity (rn = 1 — the
+    * SemDeDup keep metric) reads ONE ranked relation instead of
+    * scanning the corpus against the broadcast centroid table twice.
+    * The similarity column is the same round(·, 9) value every
+    * assignment rank already ordered on.
+    */
+  private def assignCellsRanked(base: DataFrame, cRel: DataFrame, probes: Int): DataFrame = {
     val sim = round(dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")), 9)
     val w = Window.partitionBy(col("q_vec")).orderBy(col("sim").desc, col("cell"))
     base.select(col("vec_id").as("q_vec"), col("emb"), col("nrm"))
@@ -152,7 +163,7 @@ object LlmVectors {
       .select(col("q_vec"), col("cell"), sim.as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= probes)
-      .select(col("q_vec").as("vec_id"), col("cell"))
+      .select(col("q_vec").as("vec_id"), col("cell"), col("sim"), col("rn"))
   }
 
   /** One decimal-exact Lloyd refinement step (shared by
@@ -582,12 +593,35 @@ object LlmVectors {
   def semdedupKeep(s: SparkSession, dir: String): DataFrame = {
     val base = emb(s, dir)
     val cent = nearDupCentroids(s, dir)
-    val primary = assignCells(base, cent, 1)
-    val simToCent = primary.join(cent, "cell").join(base, "vec_id")
-      .select(col("vec_id"),
-        round(dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")), 9).as("csim"))
-    val pairs = embedNearDup(s, dir)
-      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+    // r19 (guide §5 reuse / the repo's repeated-lineage rule): ONE
+    // ranked corpus×centroid assignment serves BOTH consumers — the
+    // keep-rule's primary-cell similarity (rn = 1: csim IS the sim the
+    // rank ordered on, same round(·,9) dot formula) and the candidate
+    // blocking (rn ≤ NearDupProbes). The r18 shape ran assignCells
+    // twice and rebuilt the Lloyd centroids twice (embedNearDup's
+    // internal nearDupCentroids call), i.e. two full corpus passes
+    // against the broadcast centroid table plus a duplicated quantizer
+    // training for one relation's worth of information.
+    // Tracked-persisted: n·probes narrow (id, cell, sim, rn) rows.
+    val ranked = DistRank.tracked(
+      assignCellsRanked(base, cent, NearDupProbes))
+    val simToCent = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("sim").as("csim"))
+    val assigned = ranked.select(col("vec_id"), col("cell"))
+    // embedNearDup's pair relation, inlined on the shared assignment:
+    // same candidates (pairs inside a shared cell), same rounded-
+    // cosine verification threshold — the identical pair SET
+    val cand = assigned.as("x")
+      .join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    val pcos = dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+    val pairs = cand
+      .join(base.select(col("vec_id").as("a"), col("emb").as("ea"), col("nrm").as("na")), "a")
+      .join(base.select(col("vec_id").as("b"), col("emb").as("eb"), col("nrm").as("nb")), "b")
+      .filter(round(pcos, 9) >= NearDupCos)
+      .select(col("a"), col("b"))
     val labels = LlmDedup.starLabels(pairs)
     val lab = base.select(col("vec_id"))
       .join(labels.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")

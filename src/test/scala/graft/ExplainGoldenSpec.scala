@@ -53,11 +53,19 @@ class ExplainGoldenSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("dd_cluster_rep: star-CC labels ride a checkpoint; one ranking window") {
+  test("dd_cluster_rep: star-CC labels ride a checkpoint; rep tail is one aggregate") {
     val plan = executed(graft.queries.LlmDedup.clusterRepByQuality(spark, dir))
     assert(plan.contains("ExistingRDD"),
       "label loop must be checkpoint-truncated (star-CC rounds)")
-    assert(plan.contains("Window"), "rep selection is a per-label rank window")
+    // r19: the rank window pair was replaced by ONE map-side-combined
+    // aggregate (max(struct(quality, −doc_id, doc_id)) + count) — the
+    // partial aggregate BEFORE the label exchange is the point of the
+    // rewrite (guide §2.3), so its presence is pinned, and a window
+    // sneaking back in would fail the no-Window assert
+    assert(plan.contains("partial_max"),
+      "rep selection must map-side combine (partial max before the label exchange)")
+    assert(!plan.contains("Window"),
+      "rep selection is an aggregate, not a per-label rank window (r19)")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
     spark.catalog.clearCache()
   }
