@@ -26,6 +26,13 @@ object Sessions {
     // Partition values stay strings (ingest_month "202507" must not be
     // re-inferred as INT on read — it is a key, not a number).
     .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    // r19 EXPERIMENT (guide §2.2 "let AQE coalesce small partitions"):
+    // allow AQE to coalesce inside cached-plan materialization, so a
+    // KB-sized persisted device histogram does not pin
+    // shuffle.partitions-many cache partitions that every downstream
+    // pass re-reads as N near-empty tasks (~100ms task deser each at
+    // sf0.1 — the ops-tail fixed cost, VERDICT r18 #3 item 3).
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     .config("spark.ui.enabled", "false")
 
   /** Post-build session setup shared with the test session. */

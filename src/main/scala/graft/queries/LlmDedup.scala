@@ -67,8 +67,22 @@ object LlmDedup {
       // intersect vs ~20-byte strings. Collision odds at 64 bits are
       // ~n²/2^65 (≈2e-7 even at 2.5M distinct shingles) — and a
       // collision would surface as a red oracle row, not silence.
-      Tables.t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      // r19: spread BEFORE the generator (guide §2.5 unsplittable-input
+      // remedy, the Spread doctrine): the single-row-group bench scan
+      // is ONE task, so the whole tokenize→bigram→xxhash CPU chain —
+      // and, once cached-plan AQE coalescing is on (Sessions), the
+      // byte-tiny cache materialization behind it — would run 1-2
+      // wide. The explicit hash(doc_id) width also makes the
+      // downstream prefix-rank window (partitionBy doc_id) and the
+      // docSets aggregate (groupBy doc_id, n_sh) exchange-FREE: both
+      // are satisfied by this one partitioning (guide §2.4 "two
+      // operations keyed the same way share one exchange"). At scale
+      // this exchange replaces the window's own doc_id exchange, so
+      // no net shuffle is added.
+      graft.operators.Spread.byKey(
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("tk")),
+        col("doc_id"))
         .select(col("doc_id"), call_function("bigram_shingles", col("tk")))
         .select(col("doc_id"), col("n_sh"), xxhash64(col("sh")).as("sh"))
     })
